@@ -1,0 +1,215 @@
+"""End-to-end plan execution (SURVEY.md §3 "idiomatic collapse").
+
+One ``run_job`` call performs what the reference spreads across
+Lambda → Step Functions → Glue → Lambda:
+
+    resolve sources → rewrite + run Query (Spark SQL) → count →
+    cleaning pipeline → partitioned parquet + catalog sink →
+    ledger updates → reconciliation → notification.
+
+Scale notes (100 TB):
+
+* ``count_strategy="cache"`` reproduces the reference's
+  ``cache(); count()`` (``sybaseiq_extractor.py:295-297``) — fine when
+  the extract fits the cluster's storage memory.
+  ``count_strategy="observe"`` (default) attaches a Spark ``observe``
+  metric to the write so the row count is collected as a side effect of
+  the single write pass — no second scan, no cache pressure; this is
+  the write-then-count variant SURVEY.md §4 recommends at scale.
+* The plan's ``NumPartitions``/bounds become a ranged, range-
+  partitioned scan only when requested; otherwise parallelism is left
+  to the file scan + AQE.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.cleaning import clean_pipeline, schema_tree_string
+from .operators.layout import apply_output_sizing
+from .plans.dialect import to_spark_sql
+from .plans.model import ExtractionJob
+from .sinks.ledger import Ledger, utc_now_str
+from .sinks.notify import (
+    NotificationLog,
+    build_notification,
+    reconcile_counts,
+)
+from .sinks.parquet_sink import SinkResult, write_partitioned_parquet
+from .sources.registry import SourceRegistry
+
+
+@dataclass
+class RunResult:
+    execution_hash_id: str
+    source_table: str
+    status: str
+    row_count: int | None
+    reconcile_status: str | None
+    sink: SinkResult | None
+    final_schema: str | None
+    execution_time_s: float
+    error: str | None = None
+    details: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class EngineConfig:
+    target_root: str
+    target_database: str = "datalake"
+    count_strategy: str = "observe"  # "observe" | "cache" | "none"
+    output_sizing: str = "adaptive"  # "adaptive" | "tiered"
+    sink_mode: str = "append"
+    register_catalog: bool = True
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: SourceRegistry,
+        config: EngineConfig,
+        ledger: Ledger | None = None,
+        notifications: NotificationLog | None = None,
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.config = config
+        self.ledger = ledger
+        self.notifications = notifications
+
+    # ------------------------------------------------------------------
+
+    def build_query_df(self, job: ExtractionJob) -> DataFrame:
+        """S1/S2/P1 — resolve sources, rewrite dialect, run the Query."""
+        table_map = self.registry.register_views_for_query()
+        if job.source_table not in table_map and self.registry.resolve_path(job.source_table):
+            table_map.update(self.registry.register_views_for_query([job.source_table]))
+        sql = to_spark_sql(job.query, table_map)
+        df = self.spark.sql(sql)
+        if job.partitioned_scan and job.num_partitions > 1:
+            # Reproduce the compute-partition spec natively only when the
+            # partition column survived the projection; the range filter
+            # semantics already live inside the Query's WHERE clause.
+            col = job.column_for_partitioning_on_spark
+            norm = {c.lower(): c for c in df.columns}
+            actual = norm.get(str(col).strip().lower())
+            if actual:
+                df = df.repartitionByRange(job.num_partitions, F.col(actual))
+        return df
+
+    def run_job(self, job: ExtractionJob) -> RunResult:
+        hash_id = job.execution_hash_id
+        t0 = time.time()
+        if self.ledger:
+            self.ledger.update_item(hash_id, job.source_table, GlueJobStartTimestamp=utc_now_str())
+        load_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+
+        try:
+            df = self.build_query_df(job)
+            cleaned, partition_keys = clean_pipeline(
+                df,
+                execution_hash_id=hash_id,
+                load_timestamp=load_ts,
+                partition_column=(
+                    job.column_for_partitioning_on_s3 if job.partitioned_sink else None
+                ),
+            )
+            final_schema = schema_tree_string(cleaned)
+
+            observation: Observation | None = None
+            row_count: int | None = None
+            if self.config.count_strategy == "cache":
+                # reference parity: cache + count before the write
+                # (sybaseiq_extractor.py:295-297)
+                cleaned = cleaned.cache()
+                row_count = cleaned.count()
+                cleaned = apply_output_sizing(cleaned, row_count, mode=self.config.output_sizing)
+            elif self.config.count_strategy == "observe":
+                observation = Observation(f"rows_{hash_id[:8]}")
+                cleaned = cleaned.observe(observation, F.count(F.lit(1)).alias("n"))
+                cleaned = apply_output_sizing(cleaned, 0, mode="adaptive")
+
+            sink = write_partitioned_parquet(
+                cleaned,
+                root=self.config.target_root,
+                path_suffix=job.target_path_suffix,
+                partition_keys=partition_keys,
+                target_database=self.config.target_database if self.config.register_catalog else None,
+                table_name=job.target_table_name if self.config.register_catalog else None,
+                mode=self.config.sink_mode,
+            )
+            if observation is not None:
+                row_count = int(observation.get["n"])
+            if self.config.count_strategy == "cache":
+                cleaned.unpersist()
+
+            if self.ledger:
+                self.ledger.update_item(
+                    hash_id,
+                    job.source_table,
+                    GlueAmountOfRecords=row_count,
+                    GlueJobEndTimestamp=utc_now_str(),
+                    GlueFinalTableSchema=final_schema,
+                    GlueJobFinalStatus="SUCCEEDED",
+                    ExecutionTime=int(time.time() - t0),
+                )
+
+            reconcile = reconcile_counts(job.expected_amount_of_records, row_count)
+            result = RunResult(
+                execution_hash_id=hash_id,
+                source_table=job.source_table,
+                status="SUCCEEDED",
+                row_count=row_count,
+                reconcile_status=reconcile,
+                sink=sink,
+                final_schema=final_schema,
+                execution_time_s=time.time() - t0,
+            )
+        except Exception as e:  # noqa: BLE001 — C4 failure routing
+            if self.ledger:
+                self.ledger.update_item(
+                    hash_id,
+                    job.source_table,
+                    GlueJobFinalStatus="FAILED",
+                    ErrorMessage=str(e)[:2000],
+                    GlueJobEndTimestamp=utc_now_str(),
+                    ExecutionTime=int(time.time() - t0),
+                )
+            result = RunResult(
+                execution_hash_id=hash_id,
+                source_table=job.source_table,
+                status="FAILED",
+                row_count=None,
+                reconcile_status=None,
+                sink=None,
+                final_schema=None,
+                execution_time_s=time.time() - t0,
+                error=str(e),
+            )
+
+        if self.notifications:
+            self.notifications.publish(
+                build_notification(
+                    state=result.status,
+                    source_name=job.source_name,
+                    source_table=job.source_table,
+                    migration_part=job.migration_part,
+                    reconcile_status=result.reconcile_status or "skipped",
+                    run_details={
+                        "ExecutionHashId": hash_id,
+                        "GlueAmountOfRecords": result.row_count,
+                        "ExpectedAmountOfRecords": job.expected_amount_of_records,
+                        "ExecutionTime": int(result.execution_time_s),
+                        "Query": job.query,
+                        "Error": result.error,
+                    },
+                )
+            )
+        return result

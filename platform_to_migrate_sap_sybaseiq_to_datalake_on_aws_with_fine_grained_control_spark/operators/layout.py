@@ -1,0 +1,52 @@
+"""Physical-layout control (SURVEY.md §2.4).
+
+R1 — size-tiered output-file-count control, same thresholds as the
+reference (``sybaseiq_extractor.py:149-154``): 8 files below 50M rows,
+16 between 50M and 100M, 24 at or above 100M.
+
+At 100 TB the static tiers are too coarse (24 files of multi-TB each),
+so :func:`apply_output_sizing` also offers the idiomatic scale path:
+AQE-coalesced write bounded by ``maxRecordsPerFile`` — kept opt-in to
+preserve behavioral parity by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+COALESCE_TIERS: list[tuple[int, int]] = [
+    (50_000_000, 8),
+    (100_000_000, 16),
+]
+COALESCE_MAX_TIER = 24
+
+
+def coalesce_tier(num_records: int) -> int:
+    """Tier function (``sybaseiq_extractor.py:149-154``)."""
+    for upper, files in COALESCE_TIERS:
+        if num_records < upper:
+            return files
+    return COALESCE_MAX_TIER
+
+
+def apply_output_sizing(
+    df: DataFrame,
+    num_records: int,
+    mode: str = "tiered",
+    max_records_per_file: int = 5_000_000,
+) -> DataFrame:
+    """Shape the output file count.
+
+    ``tiered``  — reference parity: ``coalesce(coalesce_tier(n))``.
+    ``adaptive`` — scale path: let AQE pick partition count and bound
+    file size via ``spark.sql.files.maxRecordsPerFile`` (set on the
+    session by the caller/sink); no explicit coalesce, so the write
+    parallelism survives at 100 TB.
+    """
+    if mode == "tiered":
+        return df.coalesce(coalesce_tier(num_records))
+    if mode == "adaptive":
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
+        return df
+    raise ValueError(f"unknown output sizing mode: {mode!r}")

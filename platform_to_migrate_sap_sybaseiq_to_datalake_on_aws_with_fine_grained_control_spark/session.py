@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config lives so that tests, bench
+and the driver entry all run with the same tuned session.  The settings
+are chosen for a large cluster but validated on ``local[N]``:
+
+* AQE on (runtime coalescing, skew-join splitting) — replaces the
+  reference's hand-tuned ``NumPartitions``/worker sizing formula
+  (reference README.md:103-110).
+* ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster this is overridden (AQE coalesces down anyway).
+* Session timezone pinned to UTC — the reference stamps
+  ``migration_tp_utc`` in UTC (sybaseiq_extractor.py:42) and the DuckDB
+  oracle compares timestamps as UTC-naive.
+* Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "sybaseiq-datalake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,221 @@
+"""Source registry + scan operators (SURVEY.md §2.1, S1-S3).
+
+The reference reads from a remote RDBMS over partitioned JDBC
+(``sybaseiq_extractor.py:283-293``).  The new engine treats sources as
+named tables resolved by a registry:
+
+* ``parquet`` sources (the test/bench path, and the data-lake path at
+  scale): directory of parquet per table, registered as temp views so
+  plan queries run with ``spark.sql`` and Catalyst pushes
+  filters/column pruning into the scan.
+* ``jdbc`` sources: same plan fields mapped onto Spark's built-in JDBC
+  partitioned reader, with a per-engine adapter registry mirroring
+  ``adapt_postgre.json`` (S3).
+
+S1's *compute-partition spec* (NumPartitions range splits on an
+integer/date column) maps to the JDBC reader's
+``partitionColumn/lowerBound/upperBound/numPartitions`` for real JDBC
+sources; for parquet sources parallelism comes from the file scan, and
+``ranged_scan`` exposes the same semantics (bounded slice, optional
+range repartition) natively.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: canonical test/bench tables (TESTDATA.md)
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: per-engine JDBC adapter config, shape-compatible with the reference's
+#: ``adapt_postgre.json`` (keys JDBC_URL / SUFIX_JDBC_URL / DRIVER).
+JDBC_ADAPTERS: dict[str, dict[str, str]] = {
+    "postgres": {
+        "JDBC_URL": "jdbc:postgresql://",
+        "SUFIX_JDBC_URL": "",
+        "DRIVER": "org.postgresql.Driver",
+    },
+    "sybaseiq": {
+        "JDBC_URL": "jdbc:sybase:Tds:",
+        "SUFIX_JDBC_URL": "",
+        "DRIVER": "com.sybase.jdbc4.jdbc.SybDriver",
+    },
+}
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 cannot read
+    them natively (PARQUET_TYPE_ILLEGAL); detected from the footer."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        p = Path(path)
+        f = p if p.is_file() else next(p.rglob("*.parquet"), None)
+        if f is None:
+            return []
+        schema = pq.read_schema(str(f))
+        return [
+            fld.name
+            for fld in schema
+            if pat.is_timestamp(fld.type) and fld.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` tolerant of nanosecond timestamps.
+
+    TIMESTAMP(NANOS) columns are read via the ``nanosAsLong`` legacy
+    mode and converted to microsecond timestamps (``ns DIV 1000`` —
+    same floor-truncation DuckDB applies when reading ns parquet), so
+    downstream semantics match the oracle.
+    """
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+    )
+
+
+def register_parquet_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> list[str]:
+    """Register ``{sf_dir}/{table}.parquet`` as temp views named ``table``.
+
+    Missing files are skipped so the registry works for partial layouts.
+    """
+    registered = []
+    for t in tables or TESTDATA_TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            read_parquet(spark, str(p)).createOrReplaceTempView(t)
+            registered.append(t)
+    return registered
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return read_parquet(spark, str(Path(sf_dir) / f"{table}.parquet"))
+
+
+@dataclass
+class SourceRegistry:
+    """Resolves plan coordinates → DataFrames/views.
+
+    ``(SourceName, SourceDatabase, SourceSchema, SourceTable)`` →
+    parquet path or JDBC endpoint.  Parquet is the default; JDBC kicks
+    in when a job carries ``JDBCConnectionString`` and
+    ``jdbc_enabled=True`` (needs the driver jar on the classpath, which
+    the test image doesn't ship — the option-building logic is still
+    unit-testable).
+    """
+
+    spark: SparkSession
+    parquet_root: str | None = None
+    table_paths: dict[str, str] = field(default_factory=dict)
+    jdbc_enabled: bool = False
+
+    def resolve_path(self, table: str) -> str | None:
+        if table in self.table_paths:
+            return self.table_paths[table]
+        if self.parquet_root:
+            p = Path(self.parquet_root) / f"{table}.parquet"
+            if p.exists():
+                return str(p)
+            p = Path(self.parquet_root) / table
+            if p.exists():
+                return str(p)
+        return None
+
+    def register_views_for_query(self, tables: list[str] | None = None) -> dict[str, str]:
+        """Register views for the tables a plan query may touch; returns
+        the table-name → view-name map for the dialect rewriter."""
+        if tables is None:
+            tables = list(dict.fromkeys(list(self.table_paths) + TESTDATA_TABLES))
+        mapping: dict[str, str] = {}
+        for t in tables:
+            path = self.resolve_path(t)
+            if path:
+                read_parquet(self.spark, path).createOrReplaceTempView(t)
+                mapping[t] = t
+        return mapping
+
+    # ---- JDBC path (S1/S2/S3) ------------------------------------------
+
+    @staticmethod
+    def jdbc_scan_options(
+        url: str,
+        query: str,
+        user: str,
+        password: str,
+        partition_column: str | None = None,
+        lower_bound: str | None = None,
+        upper_bound: str | None = None,
+        num_partitions: int | None = None,
+        engine: str | None = None,
+    ) -> dict[str, str]:
+        """Build the option dict for Spark's JDBC reader.
+
+        Partitioned: derived-table pushdown ``(query) q`` + range splits
+        (``sybaseiq_extractor.py:283-293``).  Unpartitioned: single
+        connection via the ``query`` option (``sybaseiq_extractor.py:314-320``).
+        """
+        opts: dict[str, str] = {"url": url, "user": user, "password": password}
+        if engine and engine in JDBC_ADAPTERS:
+            opts["driver"] = JDBC_ADAPTERS[engine]["DRIVER"]
+        if partition_column and str(partition_column).strip():
+            opts.update(
+                {
+                    "dbtable": f"({query}) q",
+                    "partitionColumn": str(partition_column),
+                    "lowerBound": str(lower_bound),
+                    "upperBound": str(upper_bound),
+                    "numPartitions": str(num_partitions or 1),
+                }
+            )
+        else:
+            opts["query"] = query
+        return opts
+
+    def jdbc_scan(self, **kwargs) -> DataFrame:
+        opts = self.jdbc_scan_options(**kwargs)
+        return self.spark.read.format("jdbc").options(**opts).load()
+
+
+def ranged_scan(
+    df: DataFrame,
+    column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Native analog of the partitioned JDBC scan (S1): bounded slice on
+    ``column`` with optional range repartition for downstream locality.
+
+    The bound filter is a plain Catalyst predicate, so it pushes into
+    the parquet scan; ``repartitionByRange`` reproduces the "N range
+    splits" layout when a specific parallelism is requested.
+    """
+    out = df.filter((F.col(column) >= F.lit(lower_bound)) & (F.col(column) <= F.lit(upper_bound)))
+    if num_partitions and num_partitions > 1:
+        out = out.repartitionByRange(num_partitions, F.col(column))
+    return out
