@@ -1,0 +1,558 @@
+"""Named query/operator catalog — the oracle-checked surface.
+
+Every entry pairs a Spark implementation (DataFrame API or Spark SQL)
+with an equivalent DuckDB oracle SQL string; the driver runs both at
+sf0.01 and compares row count + schema + order-insensitive value hash
+(see ``__spark_entry__.py``).  Entries map 1:1 onto SURVEY.md §2's
+operator inventory; reference citations in each docstring.
+
+Determinism rules used throughout:
+
+* every floating-point aggregate is ``round``-ed (both engines round
+  doubles via shortest-decimal-repr half-up, verified empirically), so
+  accumulation-order noise never reaches the hash;
+* every LIMIT sits under a total order (unique tiebreak column);
+* DuckDB type quirks are normalized (``sum(BIGINT)`` → HUGEINT and
+  ``year()`` → BIGINT get explicit casts);
+* event-time outputs are truncated/stringified — DuckDB reads the ns
+  timestamps of ``events.parquet`` at full precision while Spark reads
+  µs, so raw ``ts`` never appears in an output column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.cleaning import (
+    add_audit_columns,
+    add_date_parts,
+    normalize_column_names,
+    trim_string_columns,
+)
+from .operators.layout import coalesce_tier
+from .plans.dialect import to_spark_sql
+from .sources.registry import TESTDATA_TABLES, load_table, ranged_scan, register_parquet_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class CatalogEntry:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+
+
+_CATALOG: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        _CATALOG[name] = CatalogEntry(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, CatalogEntry]:
+    return dict(_CATALOG)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in _CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in _CATALOG.items() if e.oracle is not None}
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run SQL against the testdata views (registered idempotently)."""
+    register_parquet_views(spark, sf_dir, TESTDATA_TABLES)
+    return spark.sql(text)
+
+
+def sql_query(name: str, spark_text: str, oracle_text: str | None = None, doc: str = ""):
+    """Register a query whose Spark and DuckDB forms are both plain SQL
+    (often the identical string — both engines speak the ANSI core)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sql(spark, sf_dir, spark_text)
+
+    fn.__name__ = f"q_{name}"
+    fn.__doc__ = doc
+    _CATALOG[name] = CatalogEntry(
+        name=name, fn=fn, oracle=oracle_text if oracle_text is not None else spark_text, doc=doc
+    )
+    return fn
+
+
+# =====================================================================
+# §2.1 Scans / sources
+# =====================================================================
+
+
+@register(
+    "s1_ranged_partition_scan",
+    "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 100 AND 600",
+    doc="S1 partitioned ranged scan — native analog of the partitioned JDBC "
+    "read (sybaseiq_extractor.py:283-293): bound predicate pushed into the "
+    "parquet scan + repartitionByRange for the N-split layout.",
+)
+def s1_ranged_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return ranged_scan(df, "l_orderkey", 100, 600, num_partitions=8)
+
+
+@register(
+    "s2_query_pushdown",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag "
+    "FROM lineitem WHERE l_orderkey <= 4997",
+    doc="S2 free-form Query execution with Sybase dialect rewrite "
+    "([bracket] identifiers, three-part names — README.md:31, "
+    "sybaseiq_extractor.py:314-320).",
+)
+def s2_query_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_parquet_views(spark, sf_dir, ["lineitem"])
+    q = (
+        "SELECT [l_orderkey], [l_linenumber], [l_extendedprice], [l_returnflag] "
+        "FROM iqdemo.dba.lineitem WHERE [l_orderkey] <= 4997"
+    )
+    return spark.sql(to_spark_sql(q, {"lineitem": "lineitem"}))
+
+
+sql_query(
+    "p1_filter_date_between",
+    "SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem "
+    "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'",
+    doc="P1 predicate pushdown on a date range (example2-postgre.json:10 "
+    "BETWEEN semantics); Catalyst pushes the range into the parquet scan.",
+)
+
+
+# =====================================================================
+# §2.2 Cleaning pipeline P2-P6
+# =====================================================================
+
+
+@register(
+    "p2_normalize_identifiers",
+    "SELECT l_orderkey AS row_id, l_linenumber AS line_number, "
+    "l_returnflag AS return_flag, l_extendedprice AS sales_ FROM lineitem",
+    doc="P2 identifier normalization: lower/strip + non-alnum -> '_' "
+    "(fix_col_names, sybaseiq_extractor.py:114-115) applied to messy "
+    "source-style names ('Row ID', 'Sales$' — README.md:31).",
+)
+def p2_normalize_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("Row ID"),
+        F.col("l_linenumber").alias(" Line-Number "),
+        F.col("l_returnflag").alias("Return Flag"),
+        F.col("l_extendedprice").alias("Sales$"),
+    )
+    return normalize_column_names(df)
+
+
+@register(
+    "p3_trim_strings",
+    "SELECT l_orderkey, l_linenumber, "
+    "trim(concat('  ', l_returnflag, '   ')) AS flag, "
+    "trim(concat(l_linestatus, ' ')) AS status FROM lineitem",
+    doc="P3 trim-all-string-columns (ltrim+rtrim, "
+    "sybaseiq_extractor.py:97-111) over deliberately padded values.",
+)
+def p3_trim_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(F.lit("  "), F.col("l_returnflag"), F.lit("   ")).alias("flag"),
+        F.concat(F.col("l_linestatus"), F.lit(" ")).alias("status"),
+    )
+    return trim_string_columns(df)
+
+
+@register(
+    "p4_audit_columns",
+    "SELECT o_orderkey, o_custkey, "
+    "TIMESTAMP '2024-01-15 12:00:00' AS migration_tp_utc, "
+    '\'cafebabe\' AS "migration_ExecutionHashId" FROM orders',
+    doc="P4 audit-column append: constant load timestamp + lineage hash on "
+    "every row (sybaseiq_extractor.py:42,124-125); fixed literals here so "
+    "the oracle comparison is deterministic.",
+)
+def p4_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return add_audit_columns(df, "cafebabe", datetime(2024, 1, 15, 12, 0, 0))
+
+
+@register(
+    "p5_date_parts",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(year(l_shipdate) AS VARCHAR) AS year, "
+    "CAST(month(l_shipdate) AS VARCHAR) AS month, "
+    "CAST(day(l_shipdate) AS VARCHAR) AS day FROM lineitem",
+    doc="P5 unpadded year/month/day derivation via date_format y/M/d "
+    "(sybaseiq_extractor.py:171-174) — 'month=3', never '03'.",
+)
+def p5_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    return add_date_parts(df, "l_shipdate").drop("l_shipdate")
+
+
+@register(
+    "p6_clean_pipeline_composite",
+    "SELECT l_orderkey AS row_id, "
+    "trim(concat('  ', l_returnflag, ' ')) AS return_flag, l_shipdate AS ship_date, "
+    "CAST(year(l_shipdate) AS VARCHAR) AS year, "
+    "CAST(month(l_shipdate) AS VARCHAR) AS month, "
+    "CAST(day(l_shipdate) AS VARCHAR) AS day, "
+    "TIMESTAMP '2024-02-02 00:00:00' AS migration_tp_utc, "
+    '\'feedface\' AS "migration_ExecutionHashId" FROM lineitem WHERE l_linenumber = 1',
+    doc="P2+P3+P4+P5 composed in reference order (save_to_s3, "
+    "sybaseiq_extractor.py:118-231): rename -> date parts -> audit -> trim.",
+)
+def p6_clean_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("Row ID"),
+            F.concat(F.lit("  "), F.col("l_returnflag"), F.lit(" ")).alias("Return-Flag"),
+            F.col("l_shipdate").alias("Ship Date"),
+        )
+    )
+    out = normalize_column_names(df)
+    out = add_date_parts(out, "ship_date")
+    out = add_audit_columns(out, "feedface", datetime(2024, 2, 2, 0, 0, 0))
+    return trim_string_columns(out)
+
+
+# =====================================================================
+# §2.3 Aggregations A1-A3  +  §2.4 R1
+# =====================================================================
+
+sql_query(
+    "a1_count_rows",
+    "SELECT count(*) AS n_rows FROM lineitem",
+    doc="A1 validation count (cache+count in the reference, "
+    "sybaseiq_extractor.py:295-297; here a single agg — no cache needed).",
+)
+
+sql_query(
+    "a2_distinct_partition_values",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="A2 distinct partition-value enumeration "
+    "(sybaseiq_extractor.py:189,220 commented overwrite path).",
+)
+
+sql_query(
+    "a3_reconcile_tristate",
+    "WITH c AS (SELECT count(*) AS n FROM lineitem), "
+    "e AS (SELECT ' ' AS expected UNION ALL SELECT '123' "
+    "      UNION ALL SELECT CAST(n AS STRING) FROM c) "
+    "SELECT expected, CASE WHEN trim(expected) = '' THEN 'skipped' "
+    "WHEN CAST(expected AS BIGINT) = (SELECT n FROM c) THEN 'ok' "
+    "ELSE 'mismatch' END AS status FROM e",
+    doc="A3 tri-state count reconciliation (skipped / ok / mismatch — "
+    "postprocess/lambda_function.py:76-98) exercised over all three branches.",
+)
+
+
+@register(
+    "r1_coalesce_tiers",
+    "SELECT n_records, CASE WHEN n_records < 50000000 THEN 8 "
+    "WHEN n_records < 100000000 THEN 16 ELSE 24 END AS n_files "
+    "FROM (VALUES (CAST(1000 AS BIGINT)), (49999999), (50000000), "
+    "(99999999), (100000000), (250000000)) AS v(n_records)",
+    doc="R1 size-tiered coalesce thresholds (sybaseiq_extractor.py:149-154); "
+    "Spark side runs the actual Python tier function.",
+)
+def r1_coalesce_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(n, coalesce_tier(n)) for n in (1000, 49_999_999, 50_000_000, 99_999_999, 100_000_000, 250_000_000)]
+    return spark.createDataFrame(rows, "n_records BIGINT, n_files INT")
+
+
+# =====================================================================
+# The relational surface implied by the plan `Query` field (SURVEY §2.3
+# note): joins, aggregation, windows, set ops, sorts — executed natively
+# by Spark SQL in the new engine.
+# =====================================================================
+
+sql_query(
+    "q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1-style pricing summary — the canonical groupBy+multi-agg "
+    "a reference user would put in the Query field.",
+)
+
+sql_query(
+    "q3_shipping_priority",
+    "SELECT l_orderkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-03-15' "
+    "AND l_shipdate > '1997-03-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    doc="TPC-H Q3-style 3-way join + agg + deterministic top-10 "
+    "(revenue ties broken by l_orderkey).",
+)
+
+sql_query(
+    "q5_region_revenue",
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= '1995-01-01' "
+    "AND o_orderdate < '1997-01-01' "
+    "GROUP BY n_name",
+    doc="TPC-H Q5-style 6-way join; small dims broadcast by Catalyst/AQE.",
+)
+
+sql_query(
+    "groupby_multi_agg",
+    "SELECT o_orderpriority, count(*) AS n_orders, "
+    "count(DISTINCT o_custkey) AS n_customers, "
+    "round(sum(o_totalprice), 2) AS sum_price, "
+    "round(avg(o_totalprice), 4) AS avg_price, "
+    "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="Multi-aggregate groupBy incl. exact distinct count.",
+)
+
+sql_query(
+    "window_topk_per_group",
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "CAST(row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) t "
+    "WHERE rn <= 3",
+    doc="Top-K per group via ranked window (deterministic tiebreak).",
+)
+
+sql_query(
+    "window_running_total",
+    "SELECT o_custkey, o_orderkey, "
+    "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend "
+    "FROM orders",
+    doc="Running aggregate window over a unique total order.",
+)
+
+sql_query(
+    "window_lag_delta",
+    "SELECT o_custkey, o_orderkey, "
+    "round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev FROM orders",
+    doc="lag() offset window; first row per group yields NULL in both engines.",
+)
+
+
+@register(
+    "semi_join_customers_with_orders",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="EXISTS as left-semi join (Spark API form; Catalyst broadcasts).",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="NOT EXISTS as left-anti join (Spark API form).",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+sql_query(
+    "left_join_order_counts",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey",
+    doc="Outer join with null-tolerant count.",
+)
+
+sql_query(
+    "set_ops_union_except",
+    "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+    "EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5",
+    doc="UNION / EXCEPT set operators.",
+)
+
+sql_query(
+    "set_ops_intersect",
+    "SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'",
+    doc="INTERSECT set operator.",
+)
+
+
+@register(
+    "sort_limit_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    doc="Global top-K — Spark plans TakeOrderedAndProject (no full sort).",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    "SELECT o_orderpriority, "
+    "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f, "
+    "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o, "
+    "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="Pivot via Spark's pivot() API; oracle uses conditional aggregation.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return df.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+sql_query(
+    "rollup_qty_by_flag_status",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    doc="ROLLUP grouping sets (subtotals + grand total).",
+)
+
+sql_query(
+    "cube_qty_by_flag_status",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    doc="CUBE grouping sets.",
+)
+
+sql_query(
+    "scalar_functions_sampler",
+    "SELECT l_orderkey, l_linenumber, "
+    "upper(l_returnflag) AS flag_u, lower(l_linestatus) AS status_l, "
+    "substr(l_returnflag, 1, 1) AS first_ch, "
+    "length(concat(l_returnflag, '-', l_linestatus)) AS len_cat, "
+    "round(abs(l_discount - 0.05), 4) AS abs_disc, "
+    "CAST(floor(l_quantity) AS BIGINT) AS qty_floor, "
+    "CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k, "
+    "l_orderkey % 7 AS key_mod, "
+    "coalesce(nullif(l_returnflag, 'N'), 'X') AS flag_or_x "
+    "FROM lineitem WHERE l_orderkey <= 1000",
+    doc="Scalar string/math/conditional function surface.",
+)
+
+sql_query(
+    "case_when_bucketing",
+    "SELECT CASE WHEN l_quantity < 10 THEN 'low' "
+    "WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band, "
+    "count(*) AS n, round(sum(l_extendedprice), 2) AS total "
+    "FROM lineitem GROUP BY 1",
+    doc="CASE WHEN bucketing + aggregation.",
+)
+
+sql_query(
+    "exists_in_subquery",
+    "SELECT p_partkey, p_name FROM part "
+    "WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)",
+    doc="IN-subquery (decorrelated to semi join by Catalyst).",
+)
+
+sql_query(
+    "correlated_scalar_subquery",
+    "SELECT c_custkey, c_acctbal, "
+    "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders "
+    "FROM customer c WHERE c_custkey <= 300",
+    doc="Correlated scalar subquery (decorrelated to aggregate+join).",
+)
+
+
+# =====================================================================
+# events: temporal / streaming-adjacent batch queries
+# =====================================================================
+
+sql_query(
+    "events_tumbling_window",
+    "SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start, "
+    "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
+    "FROM (SELECT window(ts, '5 minutes') AS window, event_type, value FROM events) "
+    "GROUP BY 1, 2",
+    "SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000), "
+    "'%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
+    "FROM events GROUP BY 1, 2",
+    doc="Tumbling 5-minute window aggregation (batch form of the M5 "
+    "streaming analog); window start stringified for cross-engine parity.",
+)
+
+sql_query(
+    "events_json_extract",
+    "SELECT event_id, event_type, get_json_object(props, '$.k') AS k FROM events",
+    "SELECT event_id, event_type, json_extract_string(props, '$.k') AS k FROM events",
+    doc="Semi-structured JSON field extraction from the props payload.",
+)
+
+_SESSIONIZE_TMPL = (
+    "WITH o AS (SELECT user_id, event_id, {epoch} AS es, "
+    "lag({epoch}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es "
+    "FROM events), "
+    "m AS (SELECT user_id, event_id, CASE WHEN prev_es IS NULL "
+    "OR es - prev_es > 1800 THEN 1 ELSE 0 END AS is_new FROM o) "
+    "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, "
+    "count(*) AS n_events FROM m GROUP BY user_id"
+)
+
+sql_query(
+    "events_sessionize",
+    _SESSIONIZE_TMPL.format(epoch="CAST(ts AS DOUBLE)"),
+    _SESSIONIZE_TMPL.format(epoch="epoch(ts)"),
+    doc="Gaps-and-islands sessionization (30-min inactivity gap) — batch "
+    "equivalent of session_window; lag + conditional cumsum.",
+)

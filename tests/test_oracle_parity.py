@@ -1,0 +1,90 @@
+"""Differential harness mirroring the driver's correctness gate:
+
+for every ``queries()`` entry with an ``oracle_sql()`` counterpart, run
+the Spark query and the DuckDB oracle on the same parquet tables and
+compare row count, column names, and an order-insensitive value
+rendering (strict string equality after canonicalization — stricter
+than any reasonable hash the driver may apply).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        # collapse -0.0 / 0.0 and format via repr (shortest round-trip)
+        if v == 0:
+            return "0.0"
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(df_pandas) -> list[tuple]:
+    cols = sorted(df_pandas.columns)
+    out = []
+    for _, row in df_pandas[cols].iterrows():
+        out.append(tuple(_canon_cell(row[c]) for c in cols))
+    out.sort()
+    return out
+
+
+def _spark_to_pandas(df):
+    pdf = df.toPandas()
+    # normalize tz-aware columns to naive UTC like duckdb
+    for c in pdf.columns:
+        if hasattr(pdf[c].dtype, "tz") and pdf[c].dtype.tz is not None:
+            pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    return pdf
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_ORACLE)
+    spdf = _spark_to_pandas(sdf)
+    if name not in ORACLES:
+        assert len(spdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    odf = duck.execute(ORACLES[name]).fetchdf()
+    for c in odf.columns:
+        if hasattr(odf[c].dtype, "tz") and odf[c].dtype.tz is not None:
+            odf[c] = odf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+
+    assert len(spdf) == len(odf), f"{name}: row count {len(spdf)} != {len(odf)}"
+    assert sorted(spdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(spdf.columns)} != {sorted(odf.columns)}"
+    )
+    s_rows, o_rows = canon_rows(spdf), canon_rows(odf)
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, o_rows) if a != b
+    ]
+    assert s_rows == o_rows, (
+        f"{name}: value mismatch; first diffs: {mismatches[:3]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
