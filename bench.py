@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock seconds across the headline set
+(lower is better).  Each query is executed to completion via a
+count-collapsing action that still materializes every result row
+(``df.toPandas`` would bottleneck on driver transfer; we want engine
+time, so we use ``df.write.format("noop")`` semantics via count over
+the full plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+#: headline set — representative of SURVEY.md §2 + the M4 extensions;
+#: anything missing from queries() is skipped (bench stays runnable
+#: mid-build).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "groupby_multi_agg",
+    "window_topk_per_group",
+    "left_join_order_counts",
+    "events_sessionize",
+    "events_tumbling_window",
+    "dedup_exact_text",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
+        get_spark,
+    )
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: materializes every output row/column without
+        # driver-side collection and without letting count() prune the
+        # projection (the standard Spark benching sink).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
