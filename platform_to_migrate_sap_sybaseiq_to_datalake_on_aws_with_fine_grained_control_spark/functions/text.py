@@ -1,0 +1,233 @@
+"""Text-analysis column functions (training-data-pipeline surface).
+
+Everything here is a pure Catalyst ``Column`` expression — built-in
+higher-order functions only (``split``/``transform``/``filter``/
+``aggregate``/``md5``), no Python UDFs — so the whole text pipeline
+stays inside WholeStageCodegen and scales linearly with executors.
+
+Cross-engine determinism contract: every function has an exact DuckDB
+SQL equivalent (used by the oracle harness), which constrains the
+primitives to the shared subset:
+
+* tokenization: single-space ``split`` (the synthetic corpus is
+  single-space separated) and a BPE-ish regex token extractor;
+* hashing: ``md5`` hex strings (identical in Spark and DuckDB), with
+  lexicographic ``min`` instead of integer conversion — MinHash over
+  the md5 ordering is exactly as uniform as over the integer one;
+* SimHash bits from md5 nibble parity (``instr``/``strpos`` on a hex
+  alphabet), avoiding engine-specific 64-bit hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: tiny per-language stopword marker sets for the n-gram heuristic
+#: language identifier (honest heuristic: the prediction is whatever
+#: the markers say, deterministically — both engines agree exactly).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "los", "y", "es", "una"),
+}
+
+#: stopwords used by the quality-score ratio (English-ish corpus).
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it")
+
+
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokens (single-space split, matching the corpus)."""
+    return F.split(c, " ")
+
+
+def token_count_ws(c: Column) -> Column:
+    return F.size(ws_tokens(c))
+
+
+def token_count_bpe(col_name: str) -> Column:
+    """BPE-ish token count via regex extraction (still JVM-side)."""
+    return F.size(F.expr(f"regexp_extract_all({col_name}, '{BPE_TOKEN_RE}', 0)"))
+
+
+def word_ngrams(col_name: str, n: int) -> Column:
+    """Word ``n``-gram shingles as an array<string>; empty array when
+    the document has fewer than ``n`` tokens (Spark's ``sequence``
+    counts *down* when stop < start, so the short case needs a guard —
+    DuckDB's ``generate_series`` is naturally empty there)."""
+    toks = f"split({col_name}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def distinct_shingles(col_name: str, n: int) -> Column:
+    return F.array_distinct(word_ngrams(col_name, n))
+
+
+def minhash_signature(col_name: str, num_hashes: int, shingle_n: int) -> Column:
+    """MinHash signature: for seed ``i``, the lexicographic min of
+    ``md5(i || ':' || shingle)`` over the document's distinct shingles.
+
+    Lexicographic min over md5 hex strings is a valid MinHash family
+    (md5 is uniform; the hex ordering is a fixed total order), and is
+    bit-identical across Spark and DuckDB — no 64-bit integer
+    conversions needed.  Returns array<string> of length ``num_hashes``
+    (nulls for empty documents).
+    """
+    toks = f"split({col_name}, ' ')"
+    sh = (
+        f"CASE WHEN size({toks}) >= {shingle_n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {shingle_n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {shingle_n})))) ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return F.expr(
+        f"transform(sequence(1, {num_hashes}), "
+        f"h -> array_min(transform({sh}, g -> md5(concat(h, ':', g)))))"
+    )
+
+
+def simhash_bits(col_name: str, num_bits: int = 16) -> Column:
+    """SimHash signature as a ``num_bits``-char '0'/'1' string.
+
+    Bit ``j`` is 1 iff strictly more than half of the document's tokens
+    have an odd ``j``-th md5 nibble — i.e. the sign of the classic
+    ±1 accumulation.  Uses one md5 per token (computed once via
+    ``transform``), nibble parity via ``instr`` on a hex alphabet.
+    """
+    assert 1 <= num_bits <= 32
+    hashes = f"transform(split({col_name}, ' '), t -> md5(t))"
+    bits = (
+        f"transform(sequence(1, {num_bits}), j -> "
+        f"CASE WHEN 2 * size(filter(hs, h -> "
+        f"(instr('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1)) "
+        f"> size(hs) THEN '1' ELSE '0' END)"
+    )
+    return F.expr(
+        f"array_join(transform(array({hashes}), hs -> array_join({bits}, '')), '')"
+    )
+
+
+def lang_id(col_name: str) -> Column:
+    """Marker-stopword language heuristic (first matching language in
+    a fixed order wins; 'und' if none match).  Deterministic and
+    cross-engine identical; on real multilingual text the markers do
+    the work, on the synthetic corpus it degenerates to en/und."""
+    toks = f"split({col_name}, ' ')"
+    expr = "CASE "
+    for lang, markers in LANG_MARKERS.items():
+        cond = " OR ".join(f"array_contains({toks}, '{m}')" for m in markers)
+        expr += f"WHEN {cond} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return F.expr(expr)
+
+
+def quality_features(col_name: str) -> dict[str, Column]:
+    """Quality-scoring feature set (all pure expressions):
+
+    ``n_chars_m``, ``n_tokens``, ``avg_token_len``, ``punct_ratio``,
+    ``stopword_ratio``, ``uniq_token_ratio``, and a composite
+    ``quality_score`` in [0,1].  All ratios are floor-scaled to 4
+    decimals (``floor(x*10000)/10000``) — unlike ``round``, floor has no
+    decimal-tie ambiguity, so Spark and DuckDB agree bit-for-bit.
+    """
+    toks = f"split({col_name}, ' ')"
+    n_chars = f"length({col_name})"
+    n_tokens = f"size({toks})"
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    punct = f"length(regexp_replace({col_name}, '[A-Za-z0-9 ]', ''))"
+    feats = {
+        "n_chars_m": F.expr(n_chars),
+        "n_tokens": F.expr(n_tokens),
+        "avg_token_len": F.expr(
+            f"floor(((CAST({n_chars} AS DOUBLE) - ({n_tokens} - 1)) / {n_tokens}) * 10000) / 10000"
+        ),
+        "punct_ratio": F.expr(f"floor((CAST({punct} AS DOUBLE) / {n_chars}) * 10000) / 10000"),
+        "stopword_ratio": F.expr(
+            f"floor((CAST(size(filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE) "
+            f"/ {n_tokens}) * 10000) / 10000"
+        ),
+        "uniq_token_ratio": F.expr(
+            f"floor((CAST(size(array_distinct({toks})) AS DOUBLE) / {n_tokens}) * 10000) / 10000"
+        ),
+    }
+    # composite score: favors mid-length docs with diverse tokens and
+    # low punctuation; clamped to [0,1].
+    feats["quality_score"] = F.expr(
+        f"floor((least(1.0D, greatest(0.0D, "
+        f"0.4D * least(1.0D, CAST({n_tokens} AS DOUBLE) / 64) "
+        f"+ 0.4D * (CAST(size(array_distinct({toks})) AS DOUBLE) / {n_tokens}) "
+        f"+ 0.2D * (1.0D - CAST({punct} AS DOUBLE) / {n_chars})))) * 10000) / 10000"
+    )
+    return feats
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Whole-document fingerprint: md5 of the trimmed text."""
+    return F.md5(F.trim(c))
+
+
+def fingerprint_min_shingle(col_name: str, shingle_n: int = 4) -> Column:
+    """Content-defined fingerprint: lexicographic min md5 over word
+    ``shingle_n``-grams (a 1-permutation MinHash) — robust to small
+    edits away from the minimizing shingle, unlike the whole-doc md5."""
+    toks = f"split({col_name}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {shingle_n} THEN "
+        f"array_min(transform(sequence(1, size({toks}) - {shingle_n} + 1), "
+        f"i -> md5(concat_ws(' ', slice({toks}, i, {shingle_n}))))) "
+        f"ELSE md5(trim({col_name})) END"
+    )
+
+
+# ---------------------------------------------------------------------
+# DuckDB oracle-side equivalents (SQL snippet builders) — kept next to
+# the Spark forms so the pairing is reviewable in one place.
+# ---------------------------------------------------------------------
+
+
+def duck_word_ngrams(col: str, n: int) -> str:
+    toks = f"string_split({col}, ' ')"
+    return (
+        f"list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
+def duck_distinct_shingles(col: str, n: int) -> str:
+    return f"list_distinct({duck_word_ngrams(col, n)})"
+
+
+def duck_minhash_signature(col: str, num_hashes: int, shingle_n: int) -> str:
+    sh = duck_distinct_shingles(col, shingle_n)
+    return (
+        f"list_transform(generate_series(1, {num_hashes}), "
+        f"h -> list_min(list_transform({sh}, g -> md5(concat(h, ':', g)))))"
+    )
+
+
+def duck_simhash_bits(col: str, num_bits: int = 16) -> str:
+    hashes = f"list_transform(string_split({col}, ' '), t -> md5(t))"
+    return (
+        f"(SELECT array_to_string(list_transform(generate_series(1, {num_bits}), j -> "
+        f"CASE WHEN 2 * len(list_filter(hs, h -> "
+        f"(strpos('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1)) "
+        f"> len(hs) THEN '1' ELSE '0' END), '') FROM (SELECT {hashes} AS hs))"
+    )
+
+
+def duck_lang_id(col: str) -> str:
+    toks = f"string_split({col}, ' ')"
+    expr = "CASE "
+    for lang, markers in LANG_MARKERS.items():
+        cond = " OR ".join(f"list_contains({toks}, '{m}')" for m in markers)
+        expr += f"WHEN {cond} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return expr

@@ -1,0 +1,264 @@
+"""Deduplication operators for the training-data pipeline.
+
+All operators are pure DataFrame compositions (no Python UDFs), so at
+100 TB they execute as shuffled joins/aggregations that Catalyst/AQE
+can plan, re-partition, and skew-split:
+
+* **exact** — hash groupBy on the content key; one shuffle.
+* **n-gram Jaccard** — explode distinct shingles, self-join on the
+  shingle, count shared shingles per pair.  The shuffle key is the
+  shingle, so very frequent shingles are the skew risk: the operator
+  drops shingles whose document frequency exceeds ``max_shingle_df``
+  (stopword-like shingles carry no dedup signal but produce the
+  quadratic blowup) — the standard suffix-filtering trick.
+* **MinHash LSH** — fixed-size signature per doc (md5-lexicographic
+  MinHash, see ``functions.text.minhash_signature``), banded into
+  buckets; candidate pairs come from an equi-join on
+  ``(band, bucket-hash)`` — shuffle volume is docs × bands, not
+  docs², then exact-Jaccard verification on the (small) candidate set.
+* **SimHash** — 16-bit signature per doc; duplicates collide exactly.
+* **embedding cosine** — self-join pruned by an LSH-style bucket on
+  deterministic hyperplane signs (see ``operators.similarity``).
+
+Each operator's result is deterministic (md5-based hashing, explicit
+tiebreaks), so the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import distinct_shingles, minhash_signature, simhash_bits
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], order_col: str) -> DataFrame:
+    """Exact dedup: keep the first row (lowest ``order_col``) per
+    distinct ``content_cols`` tuple.
+
+    ``row_number`` over a hash-partitioned window — one shuffle on the
+    content key, same cost profile as ``dropDuplicates`` but with a
+    *deterministic* survivor (dropDuplicates keeps an arbitrary row,
+    which would break the oracle comparison and reproducibility at
+    scale).
+    """
+    w = Window.partitionBy(*content_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """``(id, shingle)`` rows — one per *distinct* shingle per doc."""
+    return df.select(
+        F.col(id_col), F.explode(distinct_shingles(text_col, shingle_n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ ``threshold``.
+
+    Output: ``(id_a, id_b, common, n_a, n_b, jaccard)`` with
+    ``id_a < id_b``, jaccard floor-scaled to 4 decimals (tie-free
+    cross-engine rounding).
+
+    Scale: the self-join shuffles on the shingle; pairs sharing zero
+    shingles are never materialized.  ``max_shingle_df`` prunes
+    stopword-shingles (df-capped suffix filtering) to bound skew —
+    exactness is preserved when ``threshold`` is high because a pair
+    at Jaccard ≥ t must share rare shingles too.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    if max_shingle_df:
+        good = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(good, "shingle")
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+                * 10000
+            )
+            / 10000,
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+
+
+def minhash_feature_table(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Per-doc ``(id, sh, sig)``: distinct shingles + MinHash signature,
+    computed in ONE pass over the text and **persisted**.
+
+    The md5-per-(seed × shingle) work dominates MinHash cost; the LSH
+    pipeline reads this table three times (both sides of the candidate
+    self-join + verification), so materializing it once turns an
+    O(3 × hash-work) plan into O(1 × hash-work) + cheap joins.  At
+    100 TB the same role is played by writing the signature table to
+    parquet once and reusing it across dedup runs — persist() is the
+    in-session analog.
+    """
+    sh_expr = distinct_shingles(text_col, shingle_n).alias("sh")
+    base = df.select(F.col(id_col), sh_expr)
+    feat = base.select(
+        id_col,
+        "sh",
+        F.expr(
+            f"transform(sequence(1, {num_hashes}), "
+            f"h -> array_min(transform(sh, g -> md5(concat(h, ':', g)))))"
+        ).alias("sig"),
+    )
+    feat.persist()
+    return feat
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    feat: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash: docs agreeing on ALL rows
+    of at least one band.  Output ``(id_a, id_b)`` distinct, a < b.
+
+    ``num_hashes`` must divide into ``bands`` equal rows; bucket key =
+    md5 of the band's joined signature values.  Shuffle = docs × bands
+    rows keyed by (band, bucket) — linear, never quadratic.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    if feat is None:
+        feat = minhash_feature_table(df, id_col, text_col, num_hashes, shingle_n)
+    banded = feat.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bucket', "
+                f"md5(concat_ws('|', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+
+    Candidates from :func:`minhash_lsh_candidates` over the persisted
+    feature table; verification joins the two docs' distinct-shingle
+    arrays back in (broadcast-friendly: candidates ≪ corpus) and
+    computes exact Jaccard via ``array_intersect``.
+    Output ``(id_a, id_b, jaccard)``.
+    """
+    feat = minhash_feature_table(df, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, feat=feat
+    )
+    da = feat.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    db = feat.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+                * 10000
+            )
+            / 10000,
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash bit-string signature (see
+    ``functions.text.simhash_bits``)."""
+    return df.select(
+        F.col(id_col), simhash_bits(text_col, num_bits).alias("simhash")
+    )
+
+
+def simhash_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, num_bits: int = 16
+) -> DataFrame:
+    """Signature groups with >1 member — hamming-0 duplicate clusters.
+
+    Output ``(simhash, n_docs, doc_ids)`` with doc_ids sorted.  For
+    hamming ≤ k, band the signature like MinHash LSH; at 16 bits the
+    exact-collision form is the meaningful one.
+    """
+    sigs = simhash_signatures(df, id_col, text_col, num_bits)
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

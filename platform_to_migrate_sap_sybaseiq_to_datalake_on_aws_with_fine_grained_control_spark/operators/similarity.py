@@ -1,0 +1,202 @@
+"""Embedding similarity search (ANN) + embedding near-dup operators.
+
+Embeddings are ``array<float>`` columns.  All math happens in Catalyst
+higher-order functions (``zip_with`` + ``aggregate`` folds) — JVM-side,
+codegen'd, no Python in the hot path.  Determinism contract with the
+DuckDB oracle: both engines widen float→double and fold products
+left-to-right, so cosine values are bit-identical.
+
+Scale design (100 TB of embeddings):
+
+* brute-force top-k: the query set is broadcast (it is small by
+  definition); the corpus is scanned once, partition-parallel; ranking
+  shuffles only ``|queries| × k``-bounded data after AQE's partial
+  TakeOrdered.  This is the exact baseline.
+* LSH-bucketed (random-hyperplane) search: a deterministic set of
+  hyperplanes (md5-seeded, reproducible everywhere) maps each vector
+  to a sign-pattern bucket; search joins query↔corpus per bucket —
+  the join key replaces the cross product, turning O(N·Q) into
+  O(N·Q/2^planes) expected.  Recall is the standard SimHash-LSH
+  trade-off; increase ``planes`` / add multiprobe for tighter buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hyperplanes",
+    "cosine_expr",
+    "bucket_expr",
+    "brute_force_topk",
+    "lsh_bucket_topk",
+    "embedding_neardup_pairs",
+]
+
+
+def hyperplanes(planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1).
+
+    Coefficient (j, i) derives from ``md5("{j}:{i}")``'s first 8 hex
+    chars — reproducible in any language/engine with no RNG state.
+    """
+    out = []
+    for j in range(planes):
+        row = []
+        for i in range(dims):
+            v = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+            row.append(round(v / 2**31 - 1.0, 8))
+        out.append(row)
+    return out
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """Spark SQL text for cosine similarity of two array<float/double>
+    columns, as explicit left-to-right double folds (bit-reproducible).
+    """
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, q) -> "
+            f"CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    """Spark SQL text: sign-pattern LSH bucket id ('+'/'-' string) of a
+    vector against the fixed hyperplanes."""
+    signs = []
+    for row in planes:
+        d = (
+            f"aggregate(zip_with({vec_col}, {_vec_sql(row)}, (p, q) -> "
+            f"CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        signs.append(f"CASE WHEN {d} >= 0 THEN '+' ELSE '-' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector (rows with
+    ``id_col ∈ query_ids``), the k nearest corpus vectors (self
+    excluded).  Output ``(query_id, vec_id, cos_sim, rank)``; ties
+    broken by ``vec_id`` so the result is a total order.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        corpus.alias("c")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    Same output shape as :func:`brute_force_topk`; recall < 1 by
+    design.  The bucket join replaces the cross product — this is the
+    scale path when the query set is itself large.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    hp = hyperplanes(planes, dims)
+    bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
+    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket"),
+    )
+    scored = (
+        bucketed.alias("c")
+        .join(F.broadcast(queries), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, candidates
+    pruned to same-LSH-bucket pairs (id_a < id_b).
+
+    Output ``(id_a, id_b, cos_sim)``.  The bucket prune makes the self
+    join linear-ish; pairs split across buckets are missed with the
+    usual LSH probability — raise ``planes`` bands or multiprobe for
+    higher recall.
+    """
+    hp = hyperplanes(planes, dims)
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), F.expr(bucket_expr(vec_col, hp)).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cos_full", F.expr(cosine_expr(f"a.{vec_col}", f"b.{vec_col}"))
+        )
+        .filter(F.col("cos_full") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cos_full", 6).alias("cos_sim"),
+        )
+    )

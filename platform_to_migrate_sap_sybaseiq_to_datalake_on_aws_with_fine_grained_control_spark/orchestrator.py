@@ -1,0 +1,182 @@
+"""Plan orchestration (SURVEY.md §2.6 C1-C5, §7 M3).
+
+The reference spreads control flow across a routing Lambda, a Step
+Functions state machine, and a postprocess Lambda; in one process it
+collapses to plain Python around DataFrame actions (SURVEY.md §3,
+"idiomatic collapse"):
+
+* **queue dirs** — ``run_now/``, ``run_on_schedule_{N}/``,
+  ``succeeded/``, ``failed/`` local directories mirroring the S3
+  prefix-per-state workflow (reference
+  ``MigrationPlans/sybaseiq/migrationplans/*``, ``README.md:10``).
+* **dispatch router (C1)** — classify an invocation: explicit plan
+  payload vs queue-file event vs schedule scan (reference
+  ``routing/lambda_function.py:150-213``).
+* **dedup gate (C2)** — md5 ``ExecutionHashId`` checked against the
+  ledger; skipped attempts recorded as ``JobHasRunOrIsRunning-…`` rows
+  (reference ``routing/lambda_function.py:78-111``).
+* **sequential chains (C3)** — the reference's recursive Jobs[0]
+  hoisting becomes a ``for`` loop; a failed part still lets the chain
+  continue (reference ``this.json:287-319``).
+* **run-state machine (C4)** — ledger status transitions + failure
+  routing are inside ``Engine.run_job``; the orchestrator adds the
+  plan-file lifecycle move (K5, reference
+  ``postprocess/lambda_function.py:21-72``).
+* **scheduler (C5)** — ``run_schedule(n)`` scans
+  ``run_on_schedule_{n}/`` exactly like the EventBridge-triggered
+  prefix scan (reference ``routing/lambda_function.py:176-189``,
+  skipping keys containing ``done`` / non-``.json`` — the documented
+  behavior, not the buggy prefix constant at ``:178``).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from .engine import Engine, RunResult
+from .plans.model import ExtractionPlan
+
+QUEUE_RUN_NOW = "run_now"
+QUEUE_SUCCEEDED = "succeeded"
+QUEUE_FAILED = "failed"
+
+
+@dataclass
+class PlanOutcome:
+    plan_file: str | None
+    results: list[RunResult] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)  # hash ids skipped by dedup gate
+    moved_to: str | None = None
+
+    @property
+    def succeeded(self) -> bool:
+        return all(r.status == "SUCCEEDED" for r in self.results) and bool(
+            self.results or self.skipped
+        )
+
+
+class Orchestrator:
+    """Queue-directory driven plan runner around an :class:`Engine`."""
+
+    def __init__(self, engine: Engine, queue_root: str | Path):
+        self.engine = engine
+        self.queue_root = Path(queue_root)
+        for d in (QUEUE_RUN_NOW, QUEUE_SUCCEEDED, QUEUE_FAILED):
+            (self.queue_root / d).mkdir(parents=True, exist_ok=True)
+
+    # ---- C2: dedup gate --------------------------------------------------
+
+    def _already_run(self, hash_id: str, source_table: str) -> bool:
+        """Skip when the ledger has the run in a non-retryable state:
+        reference skips on SUCCEEDED or a row whose status is unset
+        (still running); FAILED runs are retryable
+        (``routing/lambda_function.py:84-92``)."""
+        ledger = self.engine.ledger
+        if ledger is None:
+            return False
+        item = ledger.get(hash_id, source_table)
+        if item is None:
+            return False
+        status = item.get("GlueJobFinalStatus")
+        return status in (None, "", "SUCCEEDED")
+
+    # ---- C3/C4: plan execution ------------------------------------------
+
+    def run_plan(self, plan: ExtractionPlan) -> PlanOutcome:
+        """Run every job of a plan in order (sequential chain = loop).
+
+        Parity points: inactive plans are dropped at intake; each part
+        passes the dedup gate independently (skips recorded in the
+        ledger); a failed part does NOT stop later parts (reference
+        chains continue past failures, ``this.json:287-319``).
+        """
+        outcome = PlanOutcome(plan_file=plan.origin_file)
+        if not plan.active:
+            return outcome
+        for job in plan.jobs:
+            hash_id = job.execution_hash_id
+            if self._already_run(hash_id, job.source_table):
+                outcome.skipped.append(hash_id)
+                if self.engine.ledger:
+                    self.engine.ledger.record_skip(
+                        job.source_table, hash_id, {"Query": job.query}
+                    )
+                continue
+            if self.engine.ledger:
+                self.engine.ledger.create_run(
+                    {
+                        "ExecutionHashId": hash_id,
+                        "SourceTable": job.source_table,
+                        "MigrationPart": job.migration_part,
+                        "Query": job.query,
+                        "ExpectedAmountOfRecords": job.expected_amount_of_records,
+                    }
+                )
+            outcome.results.append(self.engine.run_job(job))
+        return outcome
+
+    # ---- K5: plan-file lifecycle ----------------------------------------
+
+    def _move_plan_file(self, path: Path, dest_dir: str) -> str | None:
+        """Move a finished plan file to ``succeeded/``/``failed/``
+        (idempotent: a file already moved is tolerated — reference
+        swallows the repeat-copy error, ``postprocess:45-57``)."""
+        dest = self.queue_root / dest_dir / path.name
+        try:
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(path), str(dest))
+            return str(dest)
+        except FileNotFoundError:
+            return str(dest) if dest.exists() else None
+
+    def run_plan_file(self, path: str | Path) -> PlanOutcome:
+        path = Path(path)
+        plan = ExtractionPlan.from_file(path)
+        outcome = self.run_plan(plan)
+        if plan.active:
+            dest = QUEUE_SUCCEEDED if outcome.succeeded else QUEUE_FAILED
+            outcome.moved_to = self._move_plan_file(path, dest)
+        return outcome
+
+    # ---- C1: dispatch router --------------------------------------------
+
+    def dispatch(self, event: dict[str, Any]) -> list[PlanOutcome]:
+        """Classify and route an invocation (reference
+        ``routing/lambda_function.py:150-213``):
+
+        * ``{"plan": {...}}``      — inline plan payload (SFN-callback analog)
+        * ``{"plan_file": "..."}`` — queue-file event (S3 ObjectCreated analog)
+        * ``{"schedule_number": N}`` — schedule scan (EventBridge analog)
+        * anything else            — drain ``run_now/``
+        """
+        if "plan" in event:
+            return [self.run_plan(ExtractionPlan.from_dict(event["plan"]))]
+        if "plan_file" in event:
+            return [self.run_plan_file(event["plan_file"])]
+        if "schedule_number" in event:
+            return self.run_schedule(int(event["schedule_number"]))
+        return self.run_now()
+
+    # ---- C5: queue scans -------------------------------------------------
+
+    def _scan_queue(self, subdir: str) -> list[PlanOutcome]:
+        """Scan a queue dir for pending ``.json`` plans, skipping names
+        containing ``done`` (reference ``routing:183-188``)."""
+        d = self.queue_root / subdir
+        if not d.exists():
+            return []
+        out = []
+        for p in sorted(d.glob("*.json")):
+            if "done" in p.name:
+                continue
+            out.append(self.run_plan_file(p))
+        return out
+
+    def run_now(self) -> list[PlanOutcome]:
+        return self._scan_queue(QUEUE_RUN_NOW)
+
+    def run_schedule(self, n: int) -> list[PlanOutcome]:
+        return self._scan_queue(f"run_on_schedule_{n}")

@@ -556,3 +556,10 @@ sql_query(
     doc="Gaps-and-islands sessionization (30-min inactivity gap) — batch "
     "equivalent of session_window; lag + conditional cumsum.",
 )
+
+
+# ---------------------------------------------------------------------
+# Training-data-pipeline entries (dedup / similarity / text analysis)
+# register themselves into the same catalog on import.
+# ---------------------------------------------------------------------
+from . import query_catalog_ml  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,424 @@
+"""Training-data-pipeline catalog entries (SURVEY.md §7 M4):
+deduplication, similarity search, and text analysis over the
+``documents`` and ``embeddings`` tables — each paired with a DuckDB
+oracle that reproduces the algorithm bit-for-bit (md5-based hashing,
+explicit double folds, deterministic tiebreaks).
+
+Registered into the same ``_CATALOG`` as ``query_catalog``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    BPE_TOKEN_RE,
+    QUALITY_STOPWORDS,
+    duck_distinct_shingles,
+    duck_lang_id,
+    duck_minhash_signature,
+    duck_simhash_bits,
+    fingerprint_md5,
+    fingerprint_min_shingle,
+    lang_id,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+from .operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from .operators.similarity import (
+    brute_force_topk,
+    bucket_expr,
+    cosine_expr,
+    embedding_neardup_pairs,
+    hyperplanes,
+    lsh_bucket_topk,
+)
+from .query_catalog import register
+from .sources.registry import load_table
+
+# ---- shared constants (Spark impl and oracle MUST agree) -------------
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_HASHES = 12
+MINHASH_BANDS = 4
+ANN_QUERY_IDS = [0, 1, 2]
+ANN_K = 5
+LSH_PLANES = 4
+EMB_DIMS = 64
+NEARDUP_COS_THRESHOLD = 0.95
+
+
+# ---- DuckDB snippet builders ----------------------------------------
+
+
+def _duck_cos(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({x})), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def _duck_bucket(vec: str) -> str:
+    hp = hyperplanes(LSH_PLANES, EMB_DIMS)
+    signs = []
+    for row in hp:
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        d = (
+            f"list_reduce(list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            f"(acc, v) -> acc + v)"
+        )
+        signs.append(f"CASE WHEN {d} >= 0 THEN '+' ELSE '-' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+@register(
+    "text_token_counts",
+    "SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws, "
+    f"CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe "
+    "FROM documents",
+    doc="Token counting: whitespace split + BPE-ish regex extractor, "
+    "pure Catalyst expressions (no UDF).",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("bigint").alias("n_tokens_ws"),
+        token_count_bpe("text").cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+def _duck_quality_sql() -> str:
+    toks = "string_split(text, ' ')"
+    n_chars = "length(text)"
+    n_tokens = f"len({toks})"
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    punct = "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+    return (
+        "SELECT doc_id, "
+        f"CAST({n_chars} AS BIGINT) AS n_chars_m, "
+        f"CAST({n_tokens} AS BIGINT) AS n_tokens, "
+        f"floor(((CAST({n_chars} AS DOUBLE) - ({n_tokens} - 1)) / {n_tokens}) * 10000) / 10000 AS avg_token_len, "
+        f"floor((CAST({punct} AS DOUBLE) / {n_chars}) * 10000) / 10000 AS punct_ratio, "
+        f"floor((CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE) / {n_tokens}) * 10000) / 10000 AS stopword_ratio, "
+        f"floor((CAST(len(list_distinct({toks})) AS DOUBLE) / {n_tokens}) * 10000) / 10000 AS uniq_token_ratio, "
+        f"floor((least(1.0, greatest(0.0, "
+        f"0.4 * least(1.0, CAST({n_tokens} AS DOUBLE) / 64) "
+        f"+ 0.4 * (CAST(len(list_distinct({toks})) AS DOUBLE) / {n_tokens}) "
+        f"+ 0.2 * (1.0 - CAST({punct} AS DOUBLE) / {n_chars})))) * 10000) / 10000 AS quality_score "
+        "FROM documents"
+    )
+
+
+@register(
+    "text_quality_scores",
+    _duck_quality_sql(),
+    doc="Quality scoring: length/punctuation/stopword/uniqueness features "
+    "+ composite [0,1] score, all JVM-side expressions.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return df.select(
+        "doc_id",
+        feats["n_chars_m"].cast("bigint").alias("n_chars_m"),
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["uniq_token_ratio"].alias("uniq_token_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {duck_lang_id('text')} AS lang_pred, "
+    f"CAST(lang = {duck_lang_id('text')} AS BOOLEAN) AS is_match FROM documents",
+    doc="Language-ID n-gram/stopword heuristic; deterministic marker "
+    "CASE, identical in both engines.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    pred = lang_id("text")
+    return df.select(
+        "doc_id", "lang", pred.alias("lang_pred"), (F.col("lang") == pred).alias("is_match")
+    )
+
+
+@register(
+    "text_fingerprints",
+    "SELECT doc_id, md5(trim(text)) AS fp_md5, "
+    "CASE WHEN len(string_split(text, ' ')) >= 4 THEN "
+    "list_min(list_transform(generate_series(1, len(string_split(text, ' ')) - 3), "
+    "i -> md5(array_to_string(string_split(text, ' ')[i:i+3], ' ')))) "
+    "ELSE md5(trim(text)) END AS fp_shingle FROM documents",
+    doc="Document fingerprinting: whole-doc md5 + min-shingle "
+    "(1-permutation MinHash) content fingerprint.",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_min_shingle("text", 4).alias("fp_shingle"),
+    )
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+
+@register(
+    "dedup_exact_text",
+    "SELECT doc_id, lang, source, n_chars FROM ("
+    "SELECT doc_id, lang, source, n_chars, "
+    "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
+    "WHERE rn = 1",
+    doc="Exact dedup: hash-groupBy on content, deterministic survivor "
+    "(lowest doc_id) — one shuffle at any scale.",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return dedup_exact(df, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _duck_jaccard_sql() -> str:
+    sh = duck_distinct_shingles("text", SHINGLE_N)
+    return f"""
+WITH docs AS (SELECT doc_id, {sh} AS sh FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, common,
+  CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
+  floor(common::DOUBLE / (ca.n_sh + cb.n_sh - common) * 10000) / 10000 AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE floor(common::DOUBLE / (ca.n_sh + cb.n_sh - common) * 10000) / 10000 >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _duck_jaccard_sql(),
+    doc="n-gram Jaccard near-dup pairs via shingle-explode self-join "
+    "(shuffle on shingle, never quadratic in docs).",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "common",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "jaccard",
+    )
+
+
+def _duck_minhash_lsh_sql() -> str:
+    rows = MINHASH_HASHES // MINHASH_BANDS
+    sig = duck_minhash_signature("text", MINHASH_HASHES, SHINGLE_N)
+    sh = duck_distinct_shingles("text", SHINGLE_N)
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+banded AS (
+  SELECT doc_id, b.band,
+    md5(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], '|')) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+docs AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT id_a, id_b,
+  floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
+        (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 AS jaccard
+FROM cand
+JOIN docs da ON da.doc_id = id_a
+JOIN docs db ON db.doc_id = id_b
+WHERE floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
+        (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _duck_minhash_lsh_sql(),
+    doc="MinHash+LSH near-dup: md5-lexicographic MinHash signatures, "
+    f"{MINHASH_BANDS} bands × {MINHASH_HASHES // MINHASH_BANDS} rows, "
+    "bucket equi-join for candidates, exact-Jaccard verification.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        df,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register(
+    "dedup_simhash_signatures",
+    f"SELECT doc_id, {duck_simhash_bits('text', 16)} AS simhash FROM documents",
+    doc="SimHash 16-bit signatures from md5 nibble-parity majority "
+    "vote — pure expressions, identical in both engines.",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(df, "doc_id", "text", 16)
+
+
+def _duck_emb_neardup_sql() -> str:
+    cos = _duck_cos("ea", "eb")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round({cos}, 6) AS cos_sim
+FROM cand WHERE {cos} >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    _duck_emb_neardup_sql(),
+    doc="Embedding near-dup pairs: LSH sign-bucket candidate pruning + "
+    f"exact cosine ≥ {NEARDUP_COS_THRESHOLD} verification.",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        df,
+        "vec_id",
+        "embedding",
+        threshold=NEARDUP_COS_THRESHOLD,
+        planes=LSH_PLANES,
+        dims=EMB_DIMS,
+    )
+
+
+# =====================================================================
+# Similarity search (ANN)
+# =====================================================================
+
+
+def _duck_ann_sql(bucketed: bool) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = _duck_cos("qvec", "embedding")
+    if bucketed:
+        src = f"(SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings)"
+        joined = (
+            f"SELECT q.vec_id AS query_id, c.vec_id, q.embedding AS qvec, c.embedding "
+            f"FROM {src} c JOIN {src} q ON c.bucket = q.bucket "
+            f"AND q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id"
+        )
+    else:
+        joined = (
+            f"SELECT q.vec_id AS query_id, c.vec_id, q.embedding AS qvec, c.embedding "
+            f"FROM embeddings c, embeddings q "
+            f"WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id"
+        )
+    return f"""
+WITH scored AS (
+  SELECT query_id, vec_id, {cos} AS cos_full FROM ({joined}))
+SELECT query_id, vec_id, round(cos_full, 6) AS cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _duck_ann_sql(bucketed=False),
+    doc="Exact brute-force cosine top-k per query vector (broadcast "
+    "query set, single corpus scan) — the ANN correctness baseline.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(df, "vec_id", "embedding", ANN_QUERY_IDS, ANN_K)
+
+
+@register(
+    "ann_lsh_bucket_topk",
+    _duck_ann_sql(bucketed=True),
+    doc="Approximate top-k within the query's deterministic "
+    "hyperplane-sign LSH bucket — the scale path (join replaces the "
+    "cross product).",
+)
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        df, "vec_id", "embedding", ANN_QUERY_IDS, ANN_K, LSH_PLANES, EMB_DIMS
+    )
+
+
+# =====================================================================
+# Multimodal columns (binary payload + typed metadata; stubbed codecs)
+# — no DuckDB oracle (mapInPandas kernels are not SQL-expressible),
+# so the driver applies its rows-only check.
+# =====================================================================
+
+from .operators.multimodal import (  # noqa: E402
+    decode_image_meta,
+    extract_features,
+    make_synthetic_assets,
+)
+
+
+@register(
+    "mm_decode_image_meta",
+    None,
+    doc="Multimodal metadata decode: binary payload headers → typed "
+    "meta via Arrow-batched mapInPandas (stub codec, real plumbing).",
+)
+def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = make_synthetic_assets(spark, 64)
+    return decode_image_meta(assets)
+
+
+@register(
+    "mm_extract_features",
+    None,
+    doc="Multimodal feature extraction: deterministic md5-seeded "
+    "pseudo-embeddings with the schema/batch shape of a real extractor.",
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = make_synthetic_assets(spark, 64)
+    return extract_features(assets, dims=16)

@@ -1,0 +1,200 @@
+"""Unit tests for the cleaning pipeline, plan model, dedup helpers,
+and multimodal plumbing (reference-parity behaviors from SURVEY.md §2)."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cleaning import (
+    clean_pipeline,
+    fix_col_name,
+    normalize_column_names,
+    trim_string_columns,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+    coalesce_tier,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+    decode_image_meta,
+    extract_features,
+    make_synthetic_assets,
+    resize_stub,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
+    to_spark_sql,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+    ExtractionPlan,
+    execution_hash_id,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+    SourceRegistry,
+)
+
+
+# ---- P2: identifier normalization (sybaseiq_extractor.py:114-115) ----
+
+
+@pytest.mark.parametrize(
+    "raw,fixed",
+    [
+        ("Row ID", "row_id"),
+        (" Line-Number ", "line_number"),
+        ("Sales$", "sales_"),
+        ("already_ok_9", "already_ok_9"),
+        ("Ünïcode", "_n_code"),
+    ],
+)
+def test_fix_col_name(raw, fixed):
+    assert fix_col_name(raw) == fixed
+
+
+def test_normalize_and_trim(spark):
+    df = spark.createDataFrame(
+        [(1, "  padded  ", "x")], ["Row ID", "Text Col", "migration_ExecutionHashId"]
+    )
+    out = trim_string_columns(normalize_column_names(df))
+    assert out.columns == ["row_id", "text_col", "migration_executionhashid"]
+    row = out.first()
+    assert row.text_col == "padded"
+    # the hash column is exempt from trimming (sybaseiq_extractor.py:104)
+    assert row.migration_executionhashid == "x"
+
+
+def test_clean_pipeline_temporal_partition(spark):
+    df = spark.createDataFrame(
+        [(1, date(2024, 3, 7), " v ")], ["ID", "Load Date", "Val"]
+    )
+    out, keys = clean_pipeline(
+        df, "deadbeef", datetime(2024, 1, 1), partition_column="Load Date"
+    )
+    assert keys == ["year", "month", "day"]
+    row = out.first()
+    # unpadded month/day (sybaseiq_extractor.py:171-174)
+    assert (row.year, row.month, row.day) == ("2024", "3", "7")
+    assert row.val == "v"
+    assert row.migration_ExecutionHashId == "deadbeef"
+
+
+def test_clean_pipeline_categorical_partition(spark):
+    df = spark.createDataFrame([(1, "NW")], ["ID", "Region Code"])
+    out, keys = clean_pipeline(df, "h", partition_column="Region Code")
+    assert keys == ["region_code"]
+
+
+def test_coalesce_tiers():
+    # thresholds from sybaseiq_extractor.py:149-154
+    assert coalesce_tier(0) == 8
+    assert coalesce_tier(49_999_999) == 8
+    assert coalesce_tier(50_000_000) == 16
+    assert coalesce_tier(99_999_999) == 16
+    assert coalesce_tier(100_000_000) == 24
+
+
+# ---- plan language / dedup key (routing/lambda_function.py) ----------
+
+
+def test_execution_hash_id_matches_reference_recipe():
+    # md5(SourceTable + str(MigrationPart) + Query.upper().strip())
+    import hashlib
+
+    q = "  select * from t  "
+    expect = hashlib.md5(f"tb1{q.upper().strip()}".encode()).hexdigest()
+    assert execution_hash_id("tb", 1, q) == expect
+
+
+def test_plan_sequential_hoisting():
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s",
+            "SourceDatabase": "d",
+            "SourceSchema": "sch",
+            "SequentialMultipleParts": True,
+            "NumPartitions": "8",
+            "Jobs": [
+                {"SourceTable": "t", "Query": "q1", "MigrationPart": 1},
+                {"SourceTable": "t", "Query": "q2", "MigrationPart": 2,
+                 "NumPartitions": "4"},
+            ],
+        }
+    )
+    assert [j.migration_part for j in plan.jobs] == [1, 2]
+    # job-level override beats envelope (routing hoists Jobs[0] fields)
+    assert plan.jobs[0].num_partitions == 8
+    assert plan.jobs[1].num_partitions == 4
+
+
+def test_plan_bom_and_active_gate(tmp_path):
+    p = tmp_path / "p.json"
+    p.write_bytes(
+        b"\xef\xbb\xbf"
+        + b'{"SourceName":"s","SourceDatabase":"d","SourceSchema":"x",'
+        b'"SourceTable":"t","Query":"q","Active":false}'
+    )
+    plan = ExtractionPlan.from_file(p)
+    assert plan.active is False  # dropped at intake by the orchestrator
+
+
+def test_plan_validation_flags_trailing_semicolon():
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "t", "Query": "SELECT 1;",
+        }
+    )
+    assert any("';'" in p for p in plan.validate())
+
+
+# ---- dialect rewriter ------------------------------------------------
+
+
+def test_dialect_rewrite():
+    q = "SELECT [Row ID], 'keep [this]' FROM iqdemo.dba.tb_x WHERE [Sales$] > 5;"
+    out = to_spark_sql(q, {"tb_x": "tb_x_view"})
+    assert out == (
+        "SELECT `Row ID`, 'keep [this]' FROM tb_x_view WHERE `Sales$` > 5"
+    )
+
+
+def test_jdbc_scan_options_partitioned_vs_query():
+    opts = SourceRegistry.jdbc_scan_options(
+        "jdbc:postgresql://h/db", "SELECT * FROM t", "u", "p",
+        partition_column="id", lower_bound="1", upper_bound="100",
+        num_partitions=8, engine="postgres",
+    )
+    assert opts["dbtable"] == "(SELECT * FROM t) q"
+    assert opts["numPartitions"] == "8"
+    assert opts["driver"] == "org.postgresql.Driver"
+    opts2 = SourceRegistry.jdbc_scan_options(
+        "jdbc:x", "SELECT 1", "u", "p", partition_column=" ")
+    assert "query" in opts2 and "dbtable" not in opts2
+
+
+# ---- multimodal plumbing --------------------------------------------
+
+
+def test_multimodal_decode_and_features(spark):
+    assets = make_synthetic_assets(spark, 12)
+    meta = decode_image_meta(assets).collect()
+    assert len(meta) == 12
+    assert all(m.format == "fake" and m.width >= 64 for m in meta)
+    # deterministic: same payload -> same md5
+    again = {m.asset_id: m.payload_md5 for m in decode_image_meta(assets).collect()}
+    assert all(again[m.asset_id] == m.payload_md5 for m in meta)
+
+    feats = extract_features(assets, dims=16).collect()
+    assert len(feats) == 12
+    assert all(len(f.feature) == 16 for f in feats)
+    assert all(-1.0 <= v <= 1.0 for f in feats for v in f.feature)
+
+
+def test_multimodal_resize_rewrites_header(spark):
+    assets = make_synthetic_assets(spark, 3)
+    out = resize_stub(assets, 128, 96)
+    meta = decode_image_meta(
+        out.withColumnRenamed("payload", "payload")
+        .join(assets.select("asset_id", "media_type", "n_bytes"), "asset_id")
+    ).collect()
+    assert all((m.width, m.height) == (128, 96) for m in meta)
