@@ -1,0 +1,170 @@
+"""Streaming event analytics (SURVEY.md §7 M5 extensions).
+
+The reference has no data-plane streaming; these are the extension
+operators a training-data platform needs, exercised against the
+``events`` table re-played as a file stream:
+
+* tumbling / sliding window aggregation with watermarked late-data
+  handling (``F.window`` + ``withWatermark``);
+* session windows (``F.session_window``, gap-based);
+* a custom stateful operator — running per-user event counter with
+  inactivity timeout — via ``applyInPandasWithState`` (the
+  arbitrary-state escape hatch for semantics the built-ins can't
+  express).
+
+Each builder takes a *streaming or batch* DataFrame with columns
+``(event_id, ts, user_id, event_type, value)``; the transformations
+are identical in both modes (the point of Structured Streaming), which
+is how the tests validate them: run on a stream, compare with batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (the streaming-native form of
+    the batch gaps-and-islands ``events_sessionize`` query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+USER_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("status", StringType()),
+    ]
+)
+
+_STATE_TYPE = StructType(
+    [StructField("n", LongType()), StructField("last_us", LongType())]
+)
+
+
+def stateful_user_counter(events: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Custom stateful operator: per-user cumulative event count with
+    inactivity timeout, via ``applyInPandasWithState``.
+
+    Demonstrates the arbitrary-state path (reference has none; this is
+    the extension point for bespoke streaming semantics like CDC
+    conflation or windowless dedup).  State is one (count, last-seen)
+    pair per user — O(users) state, partitioned by the grouping key, so
+    it scales horizontally like any keyed state store.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "status": ["expired"],
+                }
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, last_us))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "status": ["active"],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=USER_STATE_SCHEMA,
+            stateStructType=_STATE_TYPE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def replay_events_stream(
+    spark, events_parquet_dir: str, schema: StructType
+) -> DataFrame:
+    """Re-play an events parquet directory as a file-source stream
+    (one file = one micro-batch increment via ``maxFilesPerTrigger``)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_parquet_dir)
+    )

@@ -1,0 +1,85 @@
+"""Streaming plan intake (SURVEY.md §7 M5, reference C4/C5 analog).
+
+The reference's event-driven trigger — S3 ``ObjectCreated`` on
+``run_now/*.json`` invoking the routing Lambda
+(``template2.yaml:504-514``) — maps to a Structured Streaming **file
+source** on the queue directory: each new plan file becomes a row,
+``foreachBatch`` executes the plans through the same
+:class:`~..orchestrator.Orchestrator`, and checkpointing gives the
+exactly-once-per-file guarantee the reference gets from its DynamoDB
+dedup gate (we keep BOTH: the checkpoint dedupes file deliveries, the
+md5 ``ExecutionHashId`` gate dedupes semantically-identical plans).
+
+``Trigger.AvailableNow`` drains everything pending then stops — the
+batch-drain semantics of the reference's scheduled scan (C5) — while
+``processingTime`` keeps a resident micro-batch loop (the event-driven
+mode).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..orchestrator import Orchestrator
+
+#: file-source schema: whole plan file read as text via ``wholetext``
+#: (plans are single JSON objects, not JSON-lines).
+PLAN_FILE_SCHEMA = StructType([StructField("value", StringType(), True)])
+
+
+def stream_run_now(
+    orchestrator: Orchestrator,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+):
+    """Watch ``{queue_root}/run_now`` as a streaming source and execute
+    each arriving plan.  Returns the started ``StreamingQuery``
+    (caller awaits/stops it).
+
+    Each micro-batch row carries one plan file's full text; execution
+    reuses ``Orchestrator.run_plan`` so the ledger/dedup/notification
+    behavior is identical to the batch path.  File moves to
+    ``succeeded/``/``failed/`` are driven here (the streaming file
+    source tracks seen files in the checkpoint, so moving the input
+    away is safe and keeps queue-dir parity with the reference).
+    """
+    spark = orchestrator.engine.spark
+    watch_dir = str(orchestrator.queue_root / "run_now")
+
+    from ..plans.model import ExtractionPlan
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # plan volume is control-plane scale (files, not data rows):
+        # collect is bounded and correct here.
+        rows = batch_df.collect()
+        for r in rows:
+            path = Path(r.path.replace("file:", ""))
+            plan = ExtractionPlan.from_json_bytes(
+                r.value.encode(), origin_file=str(path)
+            )
+            outcome = orchestrator.run_plan(plan)
+            if plan.active:
+                dest = "succeeded" if outcome.succeeded else "failed"
+                orchestrator._move_plan_file(path, dest)
+
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .schema(PLAN_FILE_SCHEMA)
+        .load(watch_dir)
+        .selectExpr("value", "_metadata.file_path AS path")
+    )
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

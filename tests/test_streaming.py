@@ -1,0 +1,152 @@
+"""Streaming tests: plan-intake stream (M5 control plane) and
+windowed/stateful event analytics, validated stream-vs-batch."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+    Engine,
+    EngineConfig,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.orchestrator import (
+    Orchestrator,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.ledger import (
+    Ledger,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+    SourceRegistry,
+    load_table,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+    replay_events_stream,
+    session_counts,
+    stateful_user_counter,
+    tumbling_counts,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.plan_stream import (
+    stream_run_now,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_plan_stream_available_now(spark, tmp_path):
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=SF_SMALL),
+        EngineConfig(target_root=str(tmp_path / "lake"), register_catalog=False),
+        Ledger(tmp_path / "ledger.jsonl"),
+    )
+    orch = Orchestrator(eng, tmp_path / "queue")
+    plan = {
+        "SourceName": "sybaseiq",
+        "SourceDatabase": "iqdemo",
+        "SourceSchema": "dba",
+        "SourceTable": "region",
+        "Query": "SELECT * FROM region",
+        "MigrationPart": 1,
+        "ExpectedAmountOfRecords": " ",
+    }
+    (orch.queue_root / "run_now" / "p1.json").write_text(json.dumps(plan))
+
+    q = stream_run_now(orch, tmp_path / "ckpt", available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert (orch.queue_root / "succeeded" / "p1.json").exists()
+    state = eng.ledger.current_state()
+    assert any(v.get("GlueJobFinalStatus") == "SUCCEEDED" for v in state.values())
+
+    # restart with the same checkpoint: nothing new to process, the
+    # already-seen file (now moved anyway) is not re-run
+    q2 = stream_run_now(orch, tmp_path / "ckpt", available_now=True)
+    q2.awaitTermination(60)
+    n_success = sum(
+        1 for v in eng.ledger.current_state().values()
+        if v.get("GlueJobFinalStatus") == "SUCCEEDED"
+    )
+    assert n_success == 1
+
+
+@pytest.fixture(scope="module")
+def events_stream_parts(spark, tmp_path_factory):
+    """events split into 3 parquet files => 3 micro-batches."""
+    d = tmp_path_factory.mktemp("events_parts")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.orderBy("ts").coalesce(1).limit(300).write.mode("overwrite").parquet(
+        str(d / "all")
+    )
+    full = spark.read.parquet(str(d / "all"))
+    schema = full.schema
+    rows = full.orderBy("ts").collect()
+    third = len(rows) // 3
+    stream_dir = d / "stream"
+    stream_dir.mkdir()
+    for i in range(3):
+        part = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stream_dir))
+    return str(stream_dir), schema, full
+
+
+def _run_stream_to_memory(df, name: str, output_mode: str, timeout_s: int = 180):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream_parts):
+    stream_dir, schema, full = events_stream_parts
+    stream = replay_events_stream(spark, stream_dir, schema)
+    _run_stream_to_memory(
+        tumbling_counts(stream), "tumbling_sink", "append"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_sink").collect()
+    }
+    expect = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_counts(full).collect()
+    }
+    # watermark may hold back the tail windows in append mode; every
+    # emitted window must match batch exactly, and most must be emitted
+    assert got and all(expect.get(k) == v for k, v in got.items())
+    assert len(got) >= len(expect) * 0.5
+
+
+def test_session_window_stream_runs(spark, events_stream_parts):
+    stream_dir, schema, full = events_stream_parts
+    stream = replay_events_stream(spark, stream_dir, schema)
+    _run_stream_to_memory(session_counts(stream), "session_sink", "append")
+    emitted = spark.sql("SELECT * FROM session_sink").collect()
+    batch = session_counts(full).collect()
+    bmap = {(r.session_start, r.user_id): r.n_events for r in batch}
+    assert all(
+        bmap.get((r.session_start, r.user_id)) == r.n_events for r in emitted
+    )
+
+
+def test_stateful_user_counter(spark, events_stream_parts):
+    stream_dir, schema, full = events_stream_parts
+    stream = replay_events_stream(spark, stream_dir, schema)
+    _run_stream_to_memory(stateful_user_counter(stream), "state_sink", "update")
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM state_sink GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: r.n for r in rows}
+    expect = {r.user_id: r.n for r in full.groupBy("user_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got == expect
