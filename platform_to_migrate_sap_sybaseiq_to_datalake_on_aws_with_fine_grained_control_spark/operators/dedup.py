@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import distinct_shingles, minhash_signature, simhash_bits
+from ..functions.text import (
+    distinct_shingles,
+    minhash_sig_from_shingles,
+    minhash_signature,
+    simhash_bits,
+)
 
 
 def dedup_exact(df: DataFrame, content_cols: list[str], order_col: str) -> DataFrame:
@@ -133,15 +138,20 @@ def minhash_feature_table(
     parquet once and reusing it across dedup runs — persist() is the
     in-session analog.
     """
+    # small parquet inputs arrive as ONE split; the signature projection
+    # is the expensive part, so spread it across the cluster first (a
+    # round-robin repartition here costs one tiny shuffle and buys full
+    # parallelism for the md5 work — at real scale the input already
+    # has enough splits and AQE keeps this a no-op-ish exchange).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     sh_expr = distinct_shingles(text_col, shingle_n).alias("sh")
     base = df.select(F.col(id_col), sh_expr)
     feat = base.select(
         id_col,
         "sh",
-        F.expr(
-            f"transform(sequence(1, {num_hashes}), "
-            f"h -> array_min(transform(sh, g -> md5(concat(h, ':', g)))))"
-        ).alias("sig"),
+        F.expr(minhash_sig_from_shingles("sh", num_hashes)).alias("sig"),
     )
     feat.persist()
     return feat

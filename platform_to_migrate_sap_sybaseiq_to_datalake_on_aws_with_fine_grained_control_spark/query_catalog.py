@@ -563,3 +563,93 @@ sql_query(
 # register themselves into the same catalog on import.
 # ---------------------------------------------------------------------
 from . import query_catalog_ml  # noqa: E402,F401  (registration side effect)
+
+# ---------------------------------------------------------------------
+# Additional relational + temporal surface (round-1 widening)
+# ---------------------------------------------------------------------
+
+sql_query(
+    "date_arithmetic_sampler",
+    "SELECT l_orderkey, l_linenumber, "
+    "date_format(l_shipdate + INTERVAL 30 DAY, 'yyyy-MM-dd') AS ship_plus_30d, "
+    "date_format(date_trunc('month', l_shipdate), 'yyyy-MM-dd') AS ship_month, "
+    "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since_95, "
+    "CAST(dayofweek(l_shipdate) AS BIGINT) AS dow "
+    "FROM lineitem WHERE l_orderkey <= 500",
+    "SELECT l_orderkey, l_linenumber, "
+    "strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS ship_plus_30d, "
+    "strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month, "
+    "CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since_95, "
+    "CAST(dayofweek(l_shipdate) + 1 AS BIGINT) AS dow "
+    "FROM lineitem WHERE l_orderkey <= 500",
+    doc="Date arithmetic surface: interval add, month truncation, day "
+    "diff, day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday — oracle "
+    "shifts by one).",
+)
+
+sql_query(
+    "percentile_stats",
+    "SELECT o_orderpriority, "
+    "round(percentile(o_totalprice, 0.5), 4) AS p50, "
+    "round(percentile(o_totalprice, 0.9), 4) AS p90 "
+    "FROM orders GROUP BY o_orderpriority",
+    "SELECT o_orderpriority, "
+    "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="Exact interpolated percentiles (percentile / quantile_cont — "
+    "same linear-interpolation definition in both engines).",
+)
+
+sql_query(
+    "events_sliding_window",
+    "SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start, "
+    "event_type, count(*) AS n_events "
+    "FROM (SELECT window(ts, '10 minutes', '5 minutes') AS window, event_type FROM events) "
+    "GROUP BY 1, 2",
+    "WITH w AS (SELECT event_type, "
+    "unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300, "
+    "        CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS ws FROM events) "
+    "SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS n_events FROM w GROUP BY 1, 2",
+    doc="Sliding window (10 min window / 5 min slide): each event in "
+    "exactly two windows; oracle enumerates both starts explicitly.",
+)
+
+sql_query(
+    "events_session_window",
+    "SELECT user_id, "
+    "date_format(session_window.start, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_start, "
+    "date_format(session_window.end, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_end, "
+    "count(*) AS n_events "
+    "FROM (SELECT session_window(ts, '30 minutes') AS session_window, user_id FROM events) "
+    "GROUP BY user_id, session_window",
+    "WITH o AS (SELECT user_id, ts, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+    "THEN 1 ELSE 0 END AS is_new FROM events), "
+    "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) "
+    "SELECT user_id, "
+    "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+    "strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end, "
+    "count(*) AS n_events FROM s GROUP BY user_id, sid",
+    doc="Batch session_window (30-min gap) vs gaps-and-islands oracle: "
+    "session end = last event + gap, microsecond-stringified.",
+)
+
+
+@register(
+    "approx_count_distinct_users",
+    None,  # HLL sketches differ across engines — rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type; sketch "
+    "implementations differ across engines so there is no value oracle "
+    "— the accompanying unit test bounds the relative error vs exact.",
+)
+def approx_count_distinct_users(spark, sf_dir):
+    from .sources.registry import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )

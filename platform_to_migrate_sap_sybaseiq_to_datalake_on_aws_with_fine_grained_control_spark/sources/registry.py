@@ -97,18 +97,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: (session id, view name) -> sf_dir already registered; avoids paying
+#: footer reads + view DDL on every catalog query in the same session.
+_VIEW_CACHE: dict[tuple[int, str], str] = {}
+
+
 def register_parquet_views(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> list[str]:
     """Register ``{sf_dir}/{table}.parquet`` as temp views named ``table``.
 
     Missing files are skipped so the registry works for partial layouts.
+    Idempotent per (session, dir): re-registration is skipped unless the
+    same view name was last bound to a different directory.
     """
     registered = []
+    sid = id(spark)
     for t in tables or TESTDATA_TABLES:
+        if _VIEW_CACHE.get((sid, t)) == sf_dir:
+            registered.append(t)
+            continue
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             read_parquet(spark, str(p)).createOrReplaceTempView(t)
+            _VIEW_CACHE[(sid, t)] = sf_dir
             registered.append(t)
     return registered
 
