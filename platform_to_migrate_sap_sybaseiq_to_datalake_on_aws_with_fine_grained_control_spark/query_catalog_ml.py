@@ -422,3 +422,97 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = make_synthetic_assets(spark, 64)
     return extract_features(assets, dims=16)
+
+
+# =====================================================================
+# Corpus hygiene / split utilities
+# =====================================================================
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+@register(
+    "text_pii_redaction",
+    "SELECT doc_id, "
+    f"regexp_replace(regexp_replace("
+    f"concat(text, ' contact: user', CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 010-', CAST(1000 + doc_id % 9000 AS VARCHAR)), "
+    f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted "
+    "FROM documents WHERE doc_id < 100",
+    doc="PII redaction: email/phone regex scrubbing (synthetic PII "
+    "appended so the patterns actually fire); pure regexp_replace, "
+    "JVM-side.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_pii = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    out = with_pii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    return out
+
+
+@register(
+    "split_train_holdout",
+    "SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM ("
+    "SELECT n_chars, CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 14 "
+    "THEN 'train' ELSE 'holdout' END AS split FROM documents) GROUP BY split",
+    doc="Deterministic hash-based train/holdout split (87.5/12.5 via "
+    "first md5 nibble of the id) — reproducible across engines, runs, "
+    "and cluster sizes; no RNG state.",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1") < 14,
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    return (
+        df.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_top_tokens",
+    "SELECT token, n, rank FROM ("
+    "SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank "
+    "FROM (SELECT token, count(*) AS n FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "GROUP BY token)) WHERE rank <= 25",
+    doc="Vocabulary statistics: global token frequencies via explode + "
+    "count (map-side partial agg), deterministic top-25.",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = load_table(spark, sf_dir, "documents")
+    freq = (
+        df.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 25)
+        .select("token", "n", "rank")
+    )
