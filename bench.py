@@ -37,8 +37,13 @@ HEADLINE = [
     "events_tumbling_window",
     "dedup_exact_text",
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
     "text_quality_scores",
+    "text_top_tokens",
+    "split_train_holdout",
+    "p6_clean_pipeline_composite",
 ]
 
 

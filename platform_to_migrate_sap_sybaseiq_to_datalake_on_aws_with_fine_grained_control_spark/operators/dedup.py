@@ -58,7 +58,14 @@ def dedup_exact(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """``(id, shingle)`` rows — one per *distinct* shingle per doc."""
+    """``(id, shingle)`` rows — one per *distinct* shingle per doc.
+
+    Small parquet inputs arrive as one split; the shingle explode is
+    the expensive projection, so spread rows first (same rationale as
+    :func:`minhash_feature_table`)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return df.select(
         F.col(id_col), F.explode(distinct_shingles(text_col, shingle_n)).alias("shingle")
     )

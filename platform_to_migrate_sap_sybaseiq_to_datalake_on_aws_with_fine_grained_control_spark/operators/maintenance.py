@@ -1,0 +1,79 @@
+"""Post-write table maintenance (SURVEY.md §2.5 K6, §2.6 C7 analogs).
+
+K6 — the reference creates a Glue *partition index* after each
+successful run (``postprocess/lambda_function.py:164-221``) purely to
+speed catalog ``GetPartitions`` calls.  Spark's catalog prunes
+partitions natively, so the meaningful analogs are:
+
+* ``analyze_table`` — table/column statistics for Catalyst's CBO
+  (join reordering, broadcast decisions at real scale);
+* ``compact_partitions`` — rewrite small files per partition
+  (the OPTIMIZE analog; the reference's coalesce tiers are the
+  write-time version, this is the read-repair version).
+
+C7 — the per-plan ``WorkerType``/``NumberOfWorkers`` knobs become
+session-level resource confs; :func:`plan_session_confs` maps them the
+way Glue's worker catalog would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Glue worker catalog (vCPU, memory GiB) — G.1X/G.2X per AWS docs;
+#: used only to derive equivalent Spark parallelism hints.
+WORKER_SPECS = {
+    "G.1X": (4, 16),
+    "G.2X": (8, 32),
+    "Standard": (4, 16),
+}
+
+
+def plan_session_confs(worker_type: str, number_of_workers: int) -> dict[str, str]:
+    """Map plan resource fields to Spark confs (C7).
+
+    ``shuffle.partitions`` sized at 2× total cores (the standard
+    starting point; AQE coalesces down), executor memory from the
+    worker spec.  On a managed cluster these become cluster-level
+    settings; locally they are hints.
+    """
+    vcpu, mem = WORKER_SPECS.get(worker_type, WORKER_SPECS["G.1X"])
+    total_cores = max(1, vcpu * max(1, number_of_workers))
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.executor.memory": f"{mem}g",
+        "spark.executor.cores": str(vcpu),
+    }
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """Table + optional column statistics (K6's useful analog: feeds
+    Catalyst CBO instead of a catalog-API latency fix)."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_keys: list[str],
+    target_files_per_partition: int = 1,
+) -> None:
+    """Rewrite a partitioned parquet dir with ``target_files_per_
+    partition`` files per Hive partition (small-file compaction).
+
+    Uses dynamic partition overwrite so concurrent readers only ever
+    see a complete partition; repartitioning on the partition keys
+    lines data up so each task writes whole output files.
+    """
+    df = spark.read.parquet(path)
+    (
+        df.repartition(target_files_per_partition, *[df[k] for k in partition_keys])
+        .write.mode("overwrite")
+        .partitionBy(*partition_keys)
+        .parquet(path)
+    )

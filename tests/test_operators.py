@@ -198,3 +198,88 @@ def test_multimodal_resize_rewrites_header(spark):
         .join(assets.select("asset_id", "media_type", "n_bytes"), "asset_id")
     ).collect()
     assert all((m.width, m.height) == (128, 96) for m in meta)
+
+
+# ---- S5 secrets / K6 maintenance / C7 conf mapping -------------------
+
+
+def test_secrets_forms(tmp_path, monkeypatch):
+    import base64
+    import json as _json
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.secrets import (
+        SecretNotFound,
+        get_credentials,
+        get_secret,
+    )
+
+    doc = {"user": "u1", "password": "p1"}
+    # inline JSON
+    assert get_credentials(_json.dumps(doc)) == ("u1", "p1")
+    # env var, plain JSON
+    monkeypatch.setenv("MY_SECRET", _json.dumps(doc))
+    assert get_secret("MY_SECRET")["user"] == "u1"
+    # env var, base64-wrapped (reference SecretBinary branch)
+    monkeypatch.setenv("B64_SECRET", base64.b64encode(_json.dumps(doc).encode()).decode())
+    assert get_secret("B64_SECRET")["password"] == "p1"
+    # file://
+    f = tmp_path / "sec.json"
+    f.write_text(_json.dumps(doc))
+    assert get_secret(f"file://{f}")["user"] == "u1"
+    import pytest as _pytest
+
+    with _pytest.raises(SecretNotFound):
+        get_secret("NOPE_DOES_NOT_EXIST")
+
+
+def test_plan_session_confs():
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        plan_session_confs,
+    )
+
+    c = plan_session_confs("G.1X", 3)  # reference default: G.1X x 3
+    assert c["spark.sql.shuffle.partitions"] == "24"
+    assert c["spark.executor.memory"] == "16g"
+    c2 = plan_session_confs("G.2X", 11)
+    assert c2["spark.executor.cores"] == "8"
+
+
+def test_compact_partitions_roundtrip(spark, tmp_path):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/part=*/*.parquet"))
+    compact_partitions(spark, path, ["part"], target_files_per_partition=1)
+    after = len(glob.glob(f"{path}/part=*/*.parquet"))
+    assert after == 3 < before
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_sink_dynamic_partition_overwrite(spark, tmp_path):
+    """K1's safe-overwrite variant: rewriting one partition leaves the
+    others intact (the behavior the reference designed but disabled)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    d1 = spark.createDataFrame(
+        [(1, "2024", "1"), (2, "2024", "2")], ["v", "year", "month"]
+    )
+    r = write_partitioned_parquet(
+        d1, str(tmp_path), "lake/t", ["year", "month"], mode="append"
+    )
+    d2 = spark.createDataFrame([(99, "2024", "2")], ["v", "year", "month"])
+    write_partitioned_parquet(
+        d2, str(tmp_path), "lake/t", ["year", "month"], mode="overwrite"
+    )
+    out = {
+        (str(row.year), str(row.month)): row.v
+        for row in spark.read.parquet(r.path).collect()
+    }
+    assert out == {("2024", "1"): 1, ("2024", "2"): 99}
