@@ -168,3 +168,22 @@ def replay_events_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(events_parquet_dir)
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — state is
+    bounded by the watermark, unlike unbounded ``dropDuplicates``).
+
+    The training-data analog of the batch ``dedup_exact`` operator for
+    continuously-arriving corpora.
+    """
+    keys = keys or ["event_id"]
+    out = events.withWatermark("ts", watermark)
+    if out.isStreaming:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)

@@ -283,3 +283,90 @@ def test_sink_dynamic_partition_overwrite(spark, tmp_path):
         for row in spark.read.parquet(r.path).collect()
     }
     assert out == {("2024", "1"): 1, ("2024", "2"): 99}
+
+
+# ---- skew / bucketing (100 TB toolkit) -------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.skew import (
+        salted_join,
+    )
+
+    # heavily skewed fact side: 90% of rows share key 1
+    big = spark.range(0, 10_000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id % 100 AS BIGINT) END AS k"
+    )
+    dim = spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS v")
+    plain = big.join(dim, "k").selectExpr("id", "v")
+    salted = salted_join(big, dim, "k", salt=8, big_salt_cols=["id"]).selectExpr(
+        "id", "v"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.skew import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 5_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 5_000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bk_left", "k", num_buckets=8)
+    write_bucketed(right, "bk_right", "k", num_buckets=8)
+    joined = bucketed_join_ready(spark, "bk_left", "bk_right", "k")
+    assert joined.count() == 5_000
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain()
+    plan = buf.getvalue()
+    # same bucket spec on both sides => no shuffle exchange in the plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS bk_left")
+    spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_engine_count_strategies_agree(spark, tmp_path):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+        Engine,
+        EngineConfig,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+    )
+    from tests.conftest import SF_SMALL
+
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "nation",
+            "Query": "SELECT * FROM nation WHERE n_nationkey < 20",
+            "ExpectedAmountOfRecords": 20,
+        }
+    )
+    counts = {}
+    for strategy in ("observe", "cache"):
+        eng = Engine(
+            spark,
+            SourceRegistry(spark, parquet_root=SF_SMALL),
+            EngineConfig(
+                target_root=str(tmp_path / strategy),
+                register_catalog=False,
+                count_strategy=strategy,
+                output_sizing="tiered",
+            ),
+        )
+        r = eng.run_job(plan.jobs[0])
+        assert r.status == "SUCCEEDED"
+        assert r.reconcile_status == "ok"
+        counts[strategy] = r.row_count
+    assert counts["observe"] == counts["cache"] == 20

@@ -150,3 +150,33 @@ def test_stateful_user_counter(spark, events_stream_parts):
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
     ).collect()}
     assert got == expect
+
+
+def test_streaming_dedup(spark, events_stream_parts, tmp_path):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        streaming_dedup,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    # duplicate every event by copying the files once more
+    import shutil
+    from pathlib import Path
+
+    dup_dir = tmp_path / "dup_stream"
+    dup_dir.mkdir()
+    for i, f in enumerate(sorted(Path(stream_dir).glob("*.parquet"))):
+        shutil.copy(f, dup_dir / f"a{i}.parquet")
+        shutil.copy(f, dup_dir / f"b{i}.parquet")
+    stream = replay_events_stream(spark, str(dup_dir), schema)
+    # watermark wider than the replayed span: no replica is "late", so
+    # the test isolates dedup semantics from late-data dropping
+    _run_stream_to_memory(
+        streaming_dedup(stream, ["event_id"], watermark="60 days"),
+        "dedup_sink",
+        "append",
+        240,
+    )
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_sink").collect()[0].n
+    total = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0].n
+    assert n == total  # every surviving row unique
+    assert total == full.count()  # nothing lost, duplicates dropped
