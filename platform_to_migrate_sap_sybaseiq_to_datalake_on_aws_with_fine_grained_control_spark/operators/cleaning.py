@@ -40,7 +40,11 @@ from pyspark.sql.types import (
 AUDIT_HASH_COL = "migration_ExecutionHashId"
 AUDIT_TS_COL = "migration_tp_utc"
 
-_FIX_RE = re.compile(r"[^A-Za-z\d_]")
+# The reference uses r"[^A-Za-z\d_]" (sybaseiq_extractor.py:115); in
+# Python \d also matches non-ASCII Unicode digits (e.g. '\u0b66'),
+# which are NOT valid in Athena/Glue identifiers — a latent bug we fix
+# rather than reproduce (ASCII class), per SURVEY.md §7 M3 policy.
+_FIX_RE = re.compile(r"[^A-Za-z0-9_]")
 
 
 def fix_col_name(name: str) -> str:
