@@ -201,3 +201,44 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 4, max_frames: int = 8) -> DataFrame:
+    """STUB video frame sampling: emits every ``every_nth`` "frame" of
+    the payload (stub: 16-byte payload windows stand in for decoded
+    frames), up to ``max_frames`` per asset.
+
+    One input row fans out to N output rows — the mapInPandas generator
+    shape a real libav-based sampler has.  Only video assets produce
+    frames.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "video" or row["payload"] is None:
+                    continue
+                body = bytes(row["payload"])[8:]
+                n_frames = max(0, len(body) // 16)
+                for k, f in enumerate(range(0, n_frames, every_nth)):
+                    if k >= max_frames:
+                        break
+                    chunk = body[f * 16 : (f + 1) * 16]
+                    ids.append(row["asset_id"])
+                    idxs.append(f)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

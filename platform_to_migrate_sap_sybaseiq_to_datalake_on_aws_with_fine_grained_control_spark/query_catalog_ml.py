@@ -516,3 +516,41 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 25)
         .select("token", "n", "rank")
     )
+
+
+@register(
+    "mm_sample_frames",
+    None,
+    doc="Video frame sampling stub: 1->N row fan-out through "
+    "mapInPandas with deterministic frame hashes.",
+)
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames
+
+    assets = make_synthetic_assets(spark, 64)
+    return sample_frames(assets, every_nth=2, max_frames=4)
+
+
+_ROLLING_MOD = 2147483647
+
+
+@register(
+    "text_rolling_hash",
+    "SELECT doc_id, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), "
+    f"(acc, c) -> (acc * 31 + c) % {_ROLLING_MOD}) AS rhash "
+    "FROM documents WHERE doc_id < 200",
+    doc="Polynomial rolling hash (base 31 mod 2^31-1) over document "
+    "characters — a pure sequential fold, identical in both engines.",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return df.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(1, length(text)), "
+            "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_ROLLING_MOD})"
+        ).alias("rhash"),
+    )
