@@ -59,12 +59,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entry_mod.queries()
 
-    # warm the JVM + parquet footers with one cheap action
-    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
-        load_table,
+    # Warm the JVM (codegen, shuffle machinery, noop sink, AQE) with
+    # tiny representative queries at sf0.001 so the measured numbers
+    # reflect steady-state engine time, not first-query JIT compilation.
+    warm_sf = "/root/testdata/sf0.001"
+    for wname in ("q1_pricing_summary", "q3_shipping_priority"):
+        wfn = queries.get(wname)
+        if wfn is not None:
+            wfn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+    # re-point the cached views at the measured scale factor
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources import (
+        registry as _registry,
     )
 
-    load_table(spark, sf_dir, "region").count()
+    _registry._VIEW_CACHE.clear()
+    _registry.register_parquet_views(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

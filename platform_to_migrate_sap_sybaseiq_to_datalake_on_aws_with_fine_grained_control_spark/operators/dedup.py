@@ -100,6 +100,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(good, "shingle")
+    # the shingle table feeds three consumers (per-doc counts + both
+    # sides of the self-join); persist so the explode/normalize work
+    # runs once (at 100 TB: write the shingle table to parquet instead)
+    sh.persist()
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")
