@@ -87,7 +87,32 @@ class Engine:
     # ------------------------------------------------------------------
 
     def build_query_df(self, job: ExtractionJob) -> DataFrame:
-        """S1/S2/P1 — resolve sources, rewrite dialect, run the Query."""
+        """S1/S2/P1 — resolve sources, rewrite dialect, run the Query.
+
+        JDBC path (S1/S2): when the job carries a connection string and
+        the registry has JDBC enabled, the Query ships verbatim to the
+        source engine (source dialect, exactly like the reference) as a
+        partitioned or single-connection read.  Parquet path otherwise:
+        register views, rewrite the dialect, run natively.
+        """
+        if job.jdbc_connection_string and self.registry.jdbc_enabled:
+            from .sources.secrets import get_credentials
+
+            user, password = (
+                get_credentials(job.credentials_secret_arn)
+                if job.credentials_secret_arn
+                else ("", "")
+            )
+            return self.registry.jdbc_scan(
+                url=job.jdbc_connection_string,
+                query=job.query,
+                user=user,
+                password=password,
+                partition_column=job.column_for_partitioning_on_spark,
+                lower_bound=job.lower_bound,
+                upper_bound=job.upper_bound,
+                num_partitions=job.num_partitions,
+            )
         table_map = self.registry.register_views_for_query()
         if job.source_table not in table_map and self.registry.resolve_path(job.source_table):
             table_map.update(self.registry.register_views_for_query([job.source_table]))
