@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     distinct_shingles,
     minhash_sig_from_shingles,
-    minhash_signature,
     simhash_bits,
 )
 

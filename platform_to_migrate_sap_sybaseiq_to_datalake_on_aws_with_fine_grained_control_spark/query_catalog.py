@@ -653,3 +653,22 @@ def approx_count_distinct_users(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users")
     )
+
+sql_query(
+    "events_hourly_rollup",
+    "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') AS hour, "
+    "event_type, count(*) AS n_events, "
+    "round(sum(value), 2) AS total_value, "
+    "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, "
+    "count(DISTINCT user_id) AS n_users "
+    "FROM events GROUP BY 1, 2",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, "
+    "event_type, count(*) AS n_events, "
+    "round(sum(value), 2) AS total_value, "
+    "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, "
+    "count(DISTINCT user_id) AS n_users "
+    "FROM events GROUP BY 1, 2",
+    doc="Hypertable-style continuous-aggregate rollup: hourly bucket x "
+    "type with count/sum/min/max/exact-distinct — the materialized "
+    "rollup a time-series store would maintain incrementally.",
+)

@@ -34,8 +34,6 @@ from .operators.dedup import (
 )
 from .operators.similarity import (
     brute_force_topk,
-    bucket_expr,
-    cosine_expr,
     embedding_neardup_pairs,
     hyperplanes,
     lsh_bucket_topk,

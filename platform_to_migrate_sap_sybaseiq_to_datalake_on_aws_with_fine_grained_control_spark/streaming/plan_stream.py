@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..orchestrator import Orchestrator

@@ -4,7 +4,6 @@ sequential chains, reconciliation outcomes, plan-file lifecycle."""
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 import pytest
 

@@ -4,7 +4,6 @@ windowed/stateful event analytics, validated stream-vs-batch."""
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
 
 import pytest
