@@ -180,3 +180,24 @@ class Orchestrator:
 
     def run_schedule(self, n: int) -> list[PlanOutcome]:
         return self._scan_queue(f"run_on_schedule_{n}")
+
+
+def with_retry(fn, attempts: int = 3, backoff_s: float = 0.0, retryable=(Exception,)):
+    """Retry policy parity with the reference state machine's Lambda
+    retriers (2 retries, backoff x2 — ``this.json:196-207``).
+
+    Deterministic work only: callers must ensure ``fn`` is idempotent
+    (the engine's dedup gate + append-only sink make a re-run of a
+    failed job safe).
+    """
+    import time as _time
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except retryable as e:  # noqa: PERF203
+            last = e
+            if attempt < attempts - 1 and backoff_s:
+                _time.sleep(backoff_s * (2**attempt))
+    raise last

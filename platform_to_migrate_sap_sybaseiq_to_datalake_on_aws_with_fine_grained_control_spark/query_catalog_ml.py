@@ -552,3 +552,37 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_ROLLING_MOD})"
         ).alias("rhash"),
     )
+
+
+@register(
+    "dq_checks_orders",
+    "SELECT 'allowed' AS check, 'o_orderstatus' AS column, "
+    "CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, "
+    "sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) = 0 AS passed FROM orders "
+    "UNION ALL SELECT 'not_null', 'o_custkey', "
+    "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders "
+    "UNION ALL SELECT 'not_null', 'o_orderdate', "
+    "CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders "
+    "UNION ALL SELECT 'range', 'o_totalprice', "
+    "CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END) AS BIGINT), "
+    "sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END) = 0 FROM orders "
+    "UNION ALL SELECT 'unique', 'o_orderkey', "
+    "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), "
+    "count(*) = count(DISTINCT o_orderkey) FROM orders "
+    "ORDER BY 1, 2",
+    doc="Declarative data-quality checks (not-null / range / allowed "
+    "vocabulary / unique key) evaluated in one aggregation pass.",
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import CheckSpec, run_checks
+
+    df = load_table(spark, sf_dir, "orders")
+    spec = CheckSpec(
+        not_null=["o_custkey", "o_orderdate"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0, 1_000_000)},
+        allowed={"o_orderstatus": ["F", "O", "P"]},
+    )
+    return run_checks(df, spec)

@@ -370,3 +370,115 @@ def test_engine_count_strategies_agree(spark, tmp_path):
         assert r.reconcile_status == "ok"
         counts[strategy] = r.row_count
     assert counts["observe"] == counts["cache"] == 20
+
+
+# ---- incremental extraction / quality checks / retry -----------------
+
+
+def test_incremental_extraction_watermark(spark, tmp_path):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+        Engine,
+        EngineConfig,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.ledger import (
+        Ledger,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    # mutable local source dir: first 1000 orders, later all 1500
+    src = tmp_path / "src"
+    full = load_table(spark, SF_SMALL, "orders")
+    full.filter("o_orderkey < 1000").write.parquet(str(src / "orders.parquet"))
+
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=str(src)),
+        EngineConfig(target_root=str(tmp_path / "lake"), register_catalog=False),
+        Ledger(tmp_path / "ledger.jsonl"),
+    )
+    job = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "orders", "Query": "SELECT * FROM orders",
+        }
+    ).jobs[0]
+
+    r1 = eng.run_incremental(job, "o_orderkey")
+    assert r1.row_count == 1000
+    assert eng.last_watermark(job) == "999"
+
+    # no new data -> zero-row increment, watermark unchanged
+    r2 = eng.run_incremental(job, "o_orderkey")
+    assert r2.row_count == 0
+    assert eng.last_watermark(job) == "999"
+
+    # new data arrives
+    full.write.mode("overwrite").parquet(str(src / "orders.parquet"))
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources import registry
+
+    registry._VIEW_CACHE.clear()  # force re-registration of the mutated source
+    r3 = eng.run_incremental(job, "o_orderkey")
+    assert r3.row_count == 500
+    assert eng.last_watermark(job) == "1499"
+
+    # lake holds exactly one copy of each row
+    lake = spark.read.parquet(str(tmp_path / "lake" / "s" / "x" / "orders"))
+    assert lake.count() == 1500
+    assert lake.select("o_orderkey").distinct().count() == 1500
+
+
+def test_quality_checks_detect_violations(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.quality import (
+        CheckSpec,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, None, -1.0), (2, "B", 50.0), (3, "Z", 2.0)],
+        "id BIGINT, cat STRING, val DOUBLE",
+    )
+    out = {
+        (r.check, r.column): (r.n_violations, r.passed)
+        for r in run_checks(
+            df,
+            CheckSpec(
+                not_null=["cat"],
+                unique=["id"],
+                ranges={"val": (0, 10)},
+                allowed={"cat": ["A", "B"]},
+            ),
+        ).collect()
+    }
+    assert out[("not_null", "cat")] == (1, False)
+    assert out[("unique", "id")] == (1, False)
+    assert out[("range", "val")] == (2, False)   # -1.0 and 50.0
+    assert out[("allowed", "cat")] == (1, False)  # 'Z'
+
+
+def test_with_retry_backoff():
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.orchestrator import (
+        with_retry,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, attempts=3) == "ok"
+    assert calls["n"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)
