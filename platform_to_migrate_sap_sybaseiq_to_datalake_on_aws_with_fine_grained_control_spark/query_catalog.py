@@ -672,3 +672,107 @@ sql_query(
     "type with count/sum/min/max/exact-distinct — the materialized "
     "rollup a time-series store would maintain incrementally.",
 )
+
+sql_query(
+    "q7_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM ("
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "l_extendedprice * (1 - l_discount) AS volume "
+    "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY') "
+    "OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')) "
+    ") shipping GROUP BY supp_nation, cust_nation, l_year",
+    doc="TPC-H Q7-style bilateral trade volume: self-joined dimension "
+    "(nation twice), disjunctive join filter, derived-year grouping.",
+)
+
+sql_query(
+    "q18_large_volume_customers",
+    "SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total, qty FROM ("
+    "SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, "
+    "CAST(sum_qty AS DOUBLE) AS qty FROM orders JOIN ("
+    "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big "
+    "ON o_orderkey = big.l_orderkey) t "
+    "ORDER BY total DESC, o_orderkey LIMIT 20",
+    doc="TPC-H Q18-style: HAVING-filtered aggregate subquery joined "
+    "back to orders, deterministic top-20.",
+)
+
+sql_query(
+    "full_outer_join_balances",
+    "SELECT coalesce(a.k, b.k) AS nationkey, a.n_customers, b.n_suppliers FROM "
+    "(SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1) a "
+    "FULL OUTER JOIN "
+    "(SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1) b "
+    "ON a.k = b.k",
+    doc="Full outer join with null-filling coalesce key.",
+)
+
+sql_query(
+    "union_all_tagged",
+    "SELECT 'customer' AS side, c_custkey AS k FROM customer WHERE c_custkey <= 50 "
+    "UNION ALL SELECT 'orders', o_orderkey FROM orders WHERE o_orderkey <= 50",
+    doc="UNION ALL with literal tagging (duplicate-preserving).",
+)
+
+sql_query(
+    "string_functions_sampler",
+    "SELECT c_custkey, "
+    "lpad(CAST(c_custkey AS STRING), 8, '0') AS id_padded, "
+    "rpad(substr(c_name, 1, 6), 10, '.') AS name_padded, "
+    "replace(c_name, '#', '-') AS name_dashed, "
+    "reverse(c_mktsegment) AS seg_rev, "
+    "repeat('ab', 3) AS abab, "
+    "instr(c_name, '#') AS hash_pos, "
+    "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels, "
+    "split_part(c_name, '#', 1) AS name_head "
+    "FROM customer WHERE c_custkey <= 200",
+    "SELECT c_custkey, "
+    "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id_padded, "
+    "rpad(substr(c_name, 1, 6), 10, '.') AS name_padded, "
+    "replace(c_name, '#', '-') AS name_dashed, "
+    "reverse(c_mktsegment) AS seg_rev, "
+    "repeat('ab', 3) AS abab, "
+    "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, "
+    "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels, "
+    "split_part(c_name, '#', 1) AS name_head "
+    "FROM customer WHERE c_custkey <= 200",
+    doc="String function surface: pad/replace/reverse/repeat/locate/"
+    "translate/split_part (instr vs strpos type-normalized).",
+)
+
+sql_query(
+    "array_functions_sampler",
+    "SELECT l_orderkey, "
+    "array_sort(collect_list(l_linenumber)) AS line_numbers, "
+    "CAST(size(collect_set(l_returnflag)) AS BIGINT) AS n_flags, "
+    "round(aggregate(collect_list(l_quantity), CAST(0 AS DOUBLE), (a, x) -> a + x), 2) AS qty_sum "
+    "FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey",
+    "SELECT l_orderkey, "
+    "list_sort(list(l_linenumber ORDER BY l_linenumber)) AS line_numbers, "
+    "CAST(len(list_distinct(list(l_returnflag))) AS BIGINT) AS n_flags, "
+    "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber)), (a, x) -> a + x), 2) AS qty_sum "
+    "FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey",
+    doc="Array aggregation surface: sorted collect, distinct-set size, "
+    "lambda fold over a collected list (sum fold is order-normalized "
+    "by the 2-decimal input values).",
+)
+
+sql_query(
+    "window_frame_functions",
+    "SELECT o_custkey, o_orderkey, "
+    "round(first_value(o_totalprice) OVER w, 2) AS first_price, "
+    "round(last_value(o_totalprice) OVER w, 2) AS last_price, "
+    "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    doc="Window frame surface: first/last value over an explicit full "
+    "frame + ntile quartiles with total-order tiebreaks.",
+)
