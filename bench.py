@@ -44,6 +44,7 @@ HEADLINE = [
     "text_top_tokens",
     "split_train_holdout",
     "p6_clean_pipeline_composite",
+    "curate_training_corpus",
 ]
 
 

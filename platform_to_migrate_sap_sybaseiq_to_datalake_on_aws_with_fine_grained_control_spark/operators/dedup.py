@@ -282,3 +282,24 @@ def simhash_dup_groups(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Greedy near-dup removal: keep the lowest-id member of every
+    near-dup pair (a doc is dropped iff it appears as the HIGHER id of
+    any verified pair — deterministic, one pass over the pair list,
+    no iterative connected components needed for the keep-first
+    policy)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -586,3 +586,88 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed={"o_orderstatus": ["F", "O", "P"]},
     )
     return run_checks(df, spec)
+
+
+# =====================================================================
+# Flagship composition: training-corpus curation
+# =====================================================================
+
+QUALITY_MIN = 0.55
+
+
+def _duck_curate_sql() -> str:
+    rows = MINHASH_HASHES // MINHASH_BANDS
+    sig = duck_minhash_signature("text", MINHASH_HASHES, SHINGLE_N)
+    sh = duck_distinct_shingles("text", SHINGLE_N)
+    toks = "string_split(text, ' ')"
+    n_chars = "length(text)"
+    n_tokens = f"len({toks})"
+    punct = "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+    quality = (
+        f"floor((least(1.0, greatest(0.0, "
+        f"0.4 * least(1.0, CAST({n_tokens} AS DOUBLE) / 64) "
+        f"+ 0.4 * (CAST(len(list_distinct({toks})) AS DOUBLE) / {n_tokens}) "
+        f"+ 0.2 * (1.0 - CAST({punct} AS DOUBLE) / {n_chars})))) * 10000) / 10000"
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+banded AS (
+  SELECT doc_id, b.band,
+    md5(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], '|')) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+docs AS (SELECT doc_id, {sh} AS sh FROM documents),
+losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM cand
+  JOIN docs da ON da.doc_id = id_a
+  JOIN docs db ON db.doc_id = id_b
+  WHERE floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
+        (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000
+        >= {JACCARD_THRESHOLD})
+SELECT d.doc_id,
+  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) < 14
+       THEN 'train' ELSE 'holdout' END AS split,
+  {quality} AS quality_score,
+  d.lang, d.source
+FROM documents d
+ANTI JOIN losers l ON d.doc_id = l.doc_id
+WHERE {quality} >= {QUALITY_MIN}
+"""
+
+
+@register(
+    "curate_training_corpus",
+    _duck_curate_sql(),
+    doc="End-to-end corpus curation: MinHash-LSH near-dup removal "
+    "(keep-lowest-id) -> quality-score filter -> deterministic "
+    "hash split.  The flagship composition of the M4 operators; every "
+    "stage is the same shuffled/broadcast plan shape it would be at "
+    "100 TB.",
+)
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import drop_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = drop_near_duplicates(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+    )
+    feats = quality_features("text")
+    split = F.when(
+        F.expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1") < 14,
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    return (
+        kept.select(
+            "doc_id",
+            split.alias("split"),
+            feats["quality_score"].alias("quality_score"),
+            "lang",
+            "source",
+        )
+        .filter(F.col("quality_score") >= QUALITY_MIN)
+    )
