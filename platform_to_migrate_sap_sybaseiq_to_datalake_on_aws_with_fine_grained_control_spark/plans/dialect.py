@@ -67,11 +67,40 @@ def rewrite_three_part_names(
     return "".join(parts)
 
 
+_TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
+
+
+def rewrite_tsql_idioms(sql: str) -> str:
+    """Sybase/T-SQL idioms → Spark SQL (outside string literals):
+
+    * ``SELECT TOP n …``  →  ``SELECT … LIMIT n`` (appended; T-SQL has
+      no LIMIT so no collision is possible)
+    * ``GETDATE()``       →  ``current_timestamp()``
+    * ``ISNULL(a, b)``    →  ``coalesce(a, b)`` (T-SQL 2-arg isnull —
+      Spark's 1-arg ``isnull`` predicate is never called with 2 args,
+      so the name rewrite is safe in plan queries)
+    """
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    top_n: str | None = None
+    for i in range(0, len(parts), 2):
+        m = _TOP_RE.match(parts[i])
+        if m and top_n is None:
+            top_n = m.group(2)
+            parts[i] = _TOP_RE.sub(r"\1 ", parts[i], count=1)
+        parts[i] = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", parts[i], flags=re.IGNORECASE)
+        parts[i] = re.sub(r"\bISNULL\s*\(", "coalesce(", parts[i], flags=re.IGNORECASE)
+    out = "".join(parts)
+    if top_n is not None:
+        out = f"{out.rstrip()} LIMIT {top_n}"
+    return out
+
+
 def to_spark_sql(sql: str, table_map: dict[str, str] | None = None) -> str:
     """Full rewrite pipeline for a plan ``Query``."""
     out = sql.strip()
     while out.endswith(";"):
         out = out[:-1].rstrip()
     out = rewrite_bracket_identifiers(out)
+    out = rewrite_tsql_idioms(out)
     out = rewrite_three_part_names(out, table_map)
     return out

@@ -482,3 +482,39 @@ def test_with_retry_backoff():
 
     with _pytest.raises(RuntimeError):
         with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)
+
+
+def test_tsql_idiom_rewrites():
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
+        to_spark_sql,
+    )
+
+    out = to_spark_sql(
+        "SELECT TOP 5 [Row ID], ISNULL([Sales$], 0), GETDATE() "
+        "FROM iqdemo.dba.tb_x WHERE note <> 'keep TOP 3 GETDATE() ISNULL(x,y)'"
+    )
+    assert out.endswith("LIMIT 5")
+    assert "TOP 5" not in out.split("LIMIT")[0].replace("keep TOP", "")
+    assert "coalesce(`Sales$`, 0)" in out
+    assert "current_timestamp()" in out
+    # string literal untouched
+    assert "'keep TOP 3 GETDATE() ISNULL(x,y)'" in out
+
+
+def test_tsql_rewrite_executes(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
+        to_spark_sql,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        register_parquet_views,
+    )
+    from tests.conftest import SF_SMALL
+
+    register_parquet_views(spark, SF_SMALL, ["orders"])
+    q = to_spark_sql(
+        "SELECT TOP 7 [o_orderkey], ISNULL([o_orderpriority], 'NONE') AS prio "
+        "FROM iqdemo.dba.orders ORDER BY [o_orderkey]"
+    )
+    rows = spark.sql(q).collect()
+    assert len(rows) == 7
+    assert rows[0].o_orderkey == 0
