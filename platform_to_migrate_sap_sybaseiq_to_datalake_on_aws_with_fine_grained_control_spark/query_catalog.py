@@ -776,3 +776,51 @@ sql_query(
     doc="Window frame surface: first/last value over an explicit full "
     "frame + ntile quartiles with total-order tiebreaks.",
 )
+
+sql_query(
+    "q2_min_cost_supplier",
+    "SELECT s_suppkey, s_name, p_partkey, round(ps_cost, 2) AS cost FROM ("
+    "SELECT s.s_suppkey, s.s_name, p.p_partkey, "
+    "s.s_acctbal / (1 + p.p_partkey % 100) AS ps_cost, "
+    "min(s.s_acctbal / (1 + p.p_partkey % 100)) OVER (PARTITION BY p.p_partkey) AS min_cost "
+    "FROM supplier s CROSS JOIN part p WHERE p.p_partkey <= 200) t "
+    "WHERE ps_cost = min_cost "
+    "ORDER BY p_partkey, s_suppkey",
+    doc="TPC-H Q2-style cheapest-supplier-per-part via window min (the "
+    "decorrelated form — Spark cannot decorrelate an aggregate mixing "
+    "outer and local references, and the window form is the plan "
+    "Catalyst would want anyway; synthetic cost, no partsupp table).",
+)
+
+sql_query(
+    "q10_returned_items",
+    "SELECT c_custkey, c_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc="TPC-H Q10-style returned-item revenue ranking.",
+)
+
+sql_query(
+    "q14_promo_share",
+    "SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'",
+    doc="TPC-H Q14-style conditional-share aggregate with LIKE-prefix "
+    "classification.",
+)
+
+sql_query(
+    "having_filter_groups",
+    "SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend "
+    "FROM orders GROUP BY o_custkey "
+    "HAVING count(*) >= 5 AND sum(o_totalprice) > 50000",
+    doc="HAVING with conjunctive aggregate predicates.",
+)
