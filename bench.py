@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
     "text_quality_scores",
     "text_top_tokens",
     "split_train_holdout",

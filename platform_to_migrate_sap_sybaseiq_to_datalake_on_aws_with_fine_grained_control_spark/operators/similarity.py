@@ -200,3 +200,94 @@ def embedding_neardup_pairs(
             F.round("cos_full", 6).alias("cos_sim"),
         )
     )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """Coarse-quantizer codebook: per-label centroid vectors.
+
+    Component means are rounded to ``decimals`` BEFORE any distance
+    computation — double summation order differs between engines (and
+    between cluster layouts), so the codebook is only reproducible
+    after rounding; 6 decimals is far above the ~1e-13 accumulation
+    noise and far below any meaningful centroid separation.
+    Output: ``(label, centroid: array<double>)``.
+    """
+    per_dim = (
+        corpus.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("c"))
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias(
+            "centroid"
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted
+    lists (nearest centroid by cosine, deterministic label tiebreak),
+    probe the query's ``nprobe`` nearest lists, rank candidates by
+    exact cosine.
+
+    The codebook here comes from :func:`label_centroids` (k = number
+    of labels); at scale the codebook is trained once (k-means) and
+    the assignment/probe/search pipeline below is unchanged.  The
+    cross join is corpus × k centroids — linear in the corpus — and
+    the candidate search touches only ``nprobe/k`` of the corpus in
+    expectation.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    cents = F.broadcast(label_centroids(corpus, vec_col, label_col))
+
+    def assign(df: DataFrame, keep: int) -> DataFrame:
+        scored = df.crossJoin(cents.select(
+            F.col(label_col).alias("list_label"), "centroid"
+        )).withColumn("cos_c", F.expr(cosine_expr(vec_col, "centroid")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cos_c").desc(), F.col("list_label").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .drop("cos_c", "centroid", "_rn")
+        )
+
+    base = corpus.select(id_col, vec_col)
+    lists = assign(base, 1)  # inverted list per corpus vector
+    probes = assign(base.filter(F.col(id_col).isin(query_ids)), nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "list_label",
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "list_label")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -671,3 +671,59 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("quality_score") >= QUALITY_MIN)
     )
+
+
+# =====================================================================
+# IVF similarity search (coarse quantizer + inverted lists)
+# =====================================================================
+
+IVF_NPROBE = 2
+
+
+def _duck_ivf_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos_cent = _duck_cos("embedding", "centroid")
+    cos_full = _duck_cos("qvec", "embedding")
+    return f"""
+WITH ex AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label AS list_label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY label, pos)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, embedding, list_label,
+    row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cent} DESC, list_label) AS rn
+  FROM embeddings CROSS JOIN cent),
+lists AS (SELECT vec_id, embedding, list_label FROM assigned WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, list_label
+  FROM assigned WHERE vec_id IN ({ids}) AND rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, l.vec_id, p.qvec, l.embedding
+  FROM lists l JOIN probes p ON l.list_label = p.list_label
+  WHERE l.vec_id <> p.query_id)
+SELECT query_id, vec_id, round({cos_full}, 6) AS cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY {cos_full} DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    _duck_ivf_sql(),
+    doc="IVF approximate top-k: label-space coarse quantizer (rounded "
+    f"centroids), nearest-centroid inverted lists, {IVF_NPROBE}-probe "
+    "search — the classic ANN index structure on pure DataFrame ops.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        df, "vec_id", "embedding", "label",
+        query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
+    )
