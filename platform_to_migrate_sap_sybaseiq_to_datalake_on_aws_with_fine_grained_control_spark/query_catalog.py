@@ -824,3 +824,28 @@ sql_query(
     "HAVING count(*) >= 5 AND sum(o_totalprice) > 50000",
     doc="HAVING with conjunctive aggregate predicates.",
 )
+
+sql_query(
+    "stats_corr_covar",
+    "SELECT l_returnflag, "
+    "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+    "round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc, "
+    "round(stddev_samp(l_extendedprice), 2) AS sd_price, "
+    "round(var_samp(l_quantity), 4) AS var_qty "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Statistical aggregate surface: Pearson correlation, sample "
+    "covariance/variance/stddev (identical definitions both engines; "
+    "rounding absorbs accumulation-order noise).",
+)
+
+sql_query(
+    "events_zscore_anomalies",
+    "SELECT event_id, event_type, round(value, 2) AS value, "
+    "round((value - avg_v) / sd_v, 2) AS zscore "
+    "FROM (SELECT event_id, event_type, value, "
+    "avg(value) OVER (PARTITION BY event_type) AS avg_v, "
+    "stddev_samp(value) OVER (PARTITION BY event_type) AS sd_v FROM events) "
+    "WHERE abs((value - avg_v) / sd_v) > 2.5",
+    doc="Anomaly flagging: per-type z-score over a full-partition "
+    "window, |z| > 2.5 outliers.",
+)
