@@ -150,12 +150,13 @@ class Engine:
 
             observation: Observation | None = None
             row_count: int | None = None
+            cached: DataFrame | None = None
             if self.config.count_strategy == "cache":
                 # reference parity: cache + count before the write
                 # (sybaseiq_extractor.py:295-297)
-                cleaned = cleaned.cache()
-                row_count = cleaned.count()
-                cleaned = apply_output_sizing(cleaned, row_count, mode=self.config.output_sizing)
+                cached = cleaned.cache()
+                row_count = cached.count()
+                cleaned = apply_output_sizing(cached, row_count, mode=self.config.output_sizing)
             elif self.config.count_strategy == "observe":
                 observation = Observation(f"rows_{hash_id[:8]}")
                 cleaned = cleaned.observe(observation, F.count(F.lit(1)).alias("n"))
@@ -172,8 +173,10 @@ class Engine:
             )
             if observation is not None:
                 row_count = int(observation.get["n"])
-            if self.config.count_strategy == "cache":
-                cleaned.unpersist()
+            if cached is not None:
+                # unpersist the exact DataFrame that was cached — `cleaned`
+                # may have been rebound to the coalesced plan by sizing
+                cached.unpersist()
 
             if self.ledger:
                 self.ledger.update_item(
@@ -269,14 +272,21 @@ class IncrementalMixin:
     def run_incremental(self, job: ExtractionJob, watermark_column: str) -> RunResult:
         last = self.last_watermark(job)
         base_df = self.build_query_df(job)
+        wm_type = base_df.schema[watermark_column].dataType
         if last is not None:
-            base_df = base_df.filter(F.col(watermark_column) > F.lit(last))
+            # The ledger stores the watermark as a string; compare in the
+            # column's NATIVE type (a lexicographic compare would regress
+            # numeric watermarks: '9' > '10').
+            base_df = base_df.filter(
+                F.col(watermark_column) > F.lit(last).cast(wm_type)
+            )
 
         obs = Observation(f"inc_{job.execution_hash_id[:8]}")
         observed = base_df.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.max(F.col(watermark_column).cast("string")).alias("wm"),
+            # max in the native type; stringified only at ledger-store time
+            F.max(F.col(watermark_column)).alias("wm"),
         )
 
         cleaned, partition_keys = clean_pipeline(

@@ -203,11 +203,23 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: skew guard for the shingle self-join: shingles shared by more than
+#: this many docs are stopword-like (no discriminative signal) and, at
+#: scale, each contributes O(df^2) join rows. Scaling rule: keep the cap
+#: a small multiple of the largest expected duplicate-cluster size —
+#: true near-dup pairs still share plenty of sub-cap shingles, while a
+#: corpus-wide shingle (df ~ N) is pruned before it can produce ~N^2
+#: rows. 1000 at test scale; at 100 TB set via the same constant.
+NGRAM_MAX_SHINGLE_DF = 1000
+
+
 def _duck_jaccard_sql() -> str:
     sh = duck_distinct_shingles("text", SHINGLE_N)
     return f"""
 WITH docs AS (SELECT doc_id, {sh} AS sh FROM documents),
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+good AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_SHINGLE_DF}),
+ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN good USING (shingle)),
 counts AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -227,12 +239,19 @@ WHERE floor(common::DOUBLE / (ca.n_sh + cb.n_sh - common) * 10000) / 10000 >= {J
     "dedup_ngram_jaccard_pairs",
     _duck_jaccard_sql(),
     doc="n-gram Jaccard near-dup pairs via shingle-explode self-join "
-    "(shuffle on shingle, never quadratic in docs).",
+    "(shuffle on shingle, never quadratic in docs); df-capped shingles "
+    f"(max df {NGRAM_MAX_SHINGLE_DF}) bound the worst-key skew, "
+    "mirrored in the oracle.",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(
-        df, "doc_id", "text", shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+        df,
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
     )
     return out.select(
         "id_a",
@@ -415,11 +434,19 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_extract_features",
     None,
     doc="Multimodal feature extraction: deterministic md5-seeded "
-    "pseudo-embeddings with the schema/batch shape of a real extractor.",
+    "pseudo-embeddings with the schema/batch shape of a real extractor. "
+    "The vector is emitted as a comma-joined string so the rows-only "
+    "harness (pandas canonicalizer) can sort/hash it — list cells are "
+    "unhashable.",
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = make_synthetic_assets(spark, 64)
-    return extract_features(assets, dims=16)
+    feats = extract_features(assets, dims=16)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        F.concat_ws(",", F.col("feature").cast("array<string>")).alias("feature_csv"),
+    )
 
 
 # =====================================================================
@@ -497,21 +524,31 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
     "GROUP BY token)) WHERE rank <= 25",
     doc="Vocabulary statistics: global token frequencies via explode + "
-    "count (map-side partial agg), deterministic top-25.",
+    "count (map-side partial agg), deterministic top-25 via "
+    "TakeOrderedAndProject — per-partition partial top-k, no "
+    "single-partition global window at any scale.",
 )
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     df = load_table(spark, sf_dir, "documents")
     freq = (
         df.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    # orderBy + limit plans as TakeOrderedAndProject (local top-25 per
+    # partition, then a 25*P-row merge on the driver side) — unlike an
+    # un-partitioned Window.orderBy, which funnels the whole vocabulary
+    # through ONE task. Rank is then derived on the 25 surviving rows
+    # with a broadcast self-join (25x25 nested loop, negligible).
+    top = freq.orderBy(F.col("n").desc(), F.col("token").asc()).limit(25)
+    a, b = top.alias("a"), top.alias("b")
+    at_or_before = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.token") <= F.col("a.token"))
+    )
     return (
-        freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 25)
+        a.join(F.broadcast(b), at_or_before, "inner")
+        .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
+        .agg(F.count("*").cast("bigint").alias("rank"))
         .select("token", "n", "rank")
     )
 

@@ -434,6 +434,57 @@ def test_incremental_extraction_watermark(spark, tmp_path):
     assert lake.select("o_orderkey").distinct().count() == 1500
 
 
+def test_incremental_watermark_numeric_not_lexicographic(spark, tmp_path):
+    """Regression: max over a numeric watermark must be numeric, not a
+    string max — lexicographically '9' > '10', which would regress the
+    stored watermark and re-extract (duplicate) already-loaded rows."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+        Engine,
+        EngineConfig,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.ledger import (
+        Ledger,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources import registry
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+    )
+
+    src = tmp_path / "src"
+    spark.range(0, 11).toDF("o_orderkey").write.parquet(str(src / "orders.parquet"))
+
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=str(src)),
+        EngineConfig(target_root=str(tmp_path / "lake"), register_catalog=False),
+        Ledger(tmp_path / "ledger.jsonl"),
+    )
+    job = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "orders", "Query": "SELECT * FROM orders",
+        }
+    ).jobs[0]
+
+    r1 = eng.run_incremental(job, "o_orderkey")
+    assert r1.row_count == 11
+    # string max of 0..10 is '9'; numeric max is 10
+    assert eng.last_watermark(job) == "10"
+
+    spark.range(0, 13).toDF("o_orderkey").write.mode("overwrite").parquet(
+        str(src / "orders.parquet")
+    )
+    registry._VIEW_CACHE.clear()
+    r2 = eng.run_incremental(job, "o_orderkey")
+    assert r2.row_count == 2  # only 11 and 12 — no re-extraction of 10
+    lake = spark.read.parquet(str(tmp_path / "lake" / "s" / "x" / "orders"))
+    assert lake.count() == 13
+    assert lake.select("o_orderkey").distinct().count() == 13
+
+
 def test_quality_checks_detect_violations(spark):
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.quality import (
         CheckSpec,
