@@ -116,7 +116,11 @@ class Engine:
         table_map = self.registry.register_views_for_query()
         if job.source_table not in table_map and self.registry.resolve_path(job.source_table):
             table_map.update(self.registry.register_views_for_query([job.source_table]))
-        sql = to_spark_sql(job.query, table_map)
+        sql = to_spark_sql(
+            job.query,
+            table_map,
+            known_prefixes={(job.source_database, job.source_schema)},
+        )
         df = self.spark.sql(sql)
         if job.partitioned_scan and job.num_partitions > 1:
             # Reproduce the compute-partition spec natively only when the

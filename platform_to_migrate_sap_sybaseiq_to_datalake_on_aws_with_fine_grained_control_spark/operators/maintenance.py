@@ -66,14 +66,38 @@ def compact_partitions(
     """Rewrite a partitioned parquet dir with ``target_files_per_
     partition`` files per Hive partition (small-file compaction).
 
-    Uses dynamic partition overwrite so concurrent readers only ever
-    see a complete partition; repartitioning on the partition keys
-    lines data up so each task writes whole output files.
+    Stage-and-swap: the compacted copy is written to a sibling temp dir
+    and swapped in with two directory renames — never an in-place
+    overwrite of the path being read (Spark rejects self-overwrite,
+    and a bypassed check could delete input mid-read).  The swap is
+    atomic per rename on a local/HDFS filesystem; on an object store
+    (no atomic rename) use a table format (Delta/Iceberg) instead —
+    this operator is the raw-parquet analog.
+
+    Layout: ``repartition(*keys)`` puts each Hive partition's rows in
+    one task → one file per partition; for N>1 a deterministic salt
+    column (hash of all columns, retry-safe, no rand()) splits each
+    partition into N tasks/files.
     """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
-    (
-        df.repartition(target_files_per_partition, *[df[k] for k in partition_keys])
-        .write.mode("overwrite")
-        .partitionBy(*partition_keys)
-        .parquet(path)
-    )
+    if target_files_per_partition <= 1:
+        laid_out = df.repartition(*[df[k] for k in partition_keys])
+    else:
+        salt = F.pmod(F.hash(*[df[c] for c in df.columns]), F.lit(target_files_per_partition))
+        laid_out = df.withColumn("_salt", salt).repartition(
+            *[df[k] for k in partition_keys], F.col("_salt")
+        ).drop("_salt")
+
+    p = Path(path)
+    tmp = p.parent / f".{p.name}.compact-{uuid.uuid4().hex[:8]}"
+    old = p.parent / f".{p.name}.old-{uuid.uuid4().hex[:8]}"
+    laid_out.write.partitionBy(*partition_keys).parquet(str(tmp))
+    p.rename(old)
+    tmp.rename(p)
+    shutil.rmtree(old)

@@ -44,23 +44,50 @@ def rewrite_bracket_identifiers(sql: str) -> str:
 
 
 def rewrite_three_part_names(
-    sql: str, table_map: dict[str, str] | None = None
+    sql: str,
+    table_map: dict[str, str] | None = None,
+    known_prefixes: set[tuple[str, str]] | None = None,
 ) -> str:
     """Map ``db.schema.table`` (outside strings/backticks) to view names.
 
     ``table_map`` keys may be the full lowercase three-part name or the
     bare table name; by default the bare table name is used, which is
     how the source registry registers views.
+
+    A three-part token is only rewritten when it is provably a table
+    reference — an indiscriminate rewrite would corrupt struct-field
+    access like ``o.address.city`` into ``city``.  A token qualifies
+    when any of:
+
+    * the full three-part name is an explicit ``table_map`` key;
+    * its ``(db, schema)`` prefix is in ``known_prefixes`` (the plan's
+      ``SourceDatabase``/``SourceSchema`` — covers comma-join lists);
+    * it directly follows a table-position keyword
+      (``FROM``/``JOIN``/``INTO``/``UPDATE``/``TABLE``).
     """
     table_map = {k.lower(): v for k, v in (table_map or {}).items()}
+    prefixes = {
+        (a.strip().lower(), b.strip().lower()) for a, b in (known_prefixes or set())
+    }
 
     parts = re.split(r"('(?:[^']|'')*'|`[^`]*`)", sql)
-    three_part = re.compile(r"\b([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)\b")
+    three_part = re.compile(
+        r"(?i)(\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\s+)?"
+        r"\b([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)\b"
+    )
 
     def repl(m: re.Match) -> str:
-        full = m.group(0).lower()
-        bare = m.group(3)
-        return table_map.get(full, table_map.get(bare.lower(), bare))
+        kw = m.group(1) or ""
+        full = f"{m.group(2)}.{m.group(3)}.{m.group(4)}".lower()
+        bare = m.group(4)
+        in_table_position = (
+            bool(kw)
+            or full in table_map
+            or (m.group(2).lower(), m.group(3).lower()) in prefixes
+        )
+        if not in_table_position:
+            return m.group(0)
+        return kw + table_map.get(full, table_map.get(bare.lower(), bare))
 
     for i in range(0, len(parts), 2):  # even indices are outside quotes
         parts[i] = three_part.sub(repl, parts[i])
@@ -95,12 +122,16 @@ def rewrite_tsql_idioms(sql: str) -> str:
     return out
 
 
-def to_spark_sql(sql: str, table_map: dict[str, str] | None = None) -> str:
+def to_spark_sql(
+    sql: str,
+    table_map: dict[str, str] | None = None,
+    known_prefixes: set[tuple[str, str]] | None = None,
+) -> str:
     """Full rewrite pipeline for a plan ``Query``."""
     out = sql.strip()
     while out.endswith(";"):
         out = out[:-1].rstrip()
     out = rewrite_bracket_identifiers(out)
     out = rewrite_tsql_idioms(out)
-    out = rewrite_three_part_names(out, table_map)
+    out = rewrite_three_part_names(out, table_map, known_prefixes)
     return out

@@ -10,7 +10,7 @@ tri-state semantics:
 * ``skipped``  — expected is blank (``" "``), comparison not performed
 * ``ok``       — counts equal
 * ``mismatch`` — counts differ → notification subject gains
-  ``[WITH WARNING]`` (not a failure)
+  `` WITH WARNING`` (not a failure)
 
 Locally the sink is a structured JSONL log with the same subject
 format, so tests can assert on the exact strings.
@@ -56,13 +56,15 @@ def build_notification(
     run_details: dict[str, Any],
 ) -> Notification:
     """Subject format parity:
-    ``[Historical Extraction] - {state} [WITH WARNING] - {src} {tbl}
-    Migration Part {p}`` (``postprocess/lambda_function.py:113-133``)."""
-    warning = " [WITH WARNING]" if reconcile_status == RECONCILE_MISMATCH else ""
+    ``[Historical Extraction] - {state} WITH WARNING - {src} {tbl}
+    Migration Part {p}`` — no brackets around the warning flag, and the
+    SNS 100-char subject limit reproduced as ``[:99]``
+    (``postprocess/lambda_function.py:104-156``)."""
+    warning = " WITH WARNING" if reconcile_status == RECONCILE_MISMATCH else ""
     subject = (
         f"[Historical Extraction] - {state}{warning} - "
         f"{source_name} {source_table} Migration Part {migration_part}"
-    )
+    )[:99]
     body = {"reconcile_status": reconcile_status, **run_details}
     return Notification(subject=subject, body=body)
 

@@ -45,10 +45,29 @@ def write_partitioned_parquet(
     table_name: str | None = None,
     mode: str = "append",
 ) -> SinkResult:
-    """K1/K2 — partitioned parquet write + catalog registration."""
+    """K1/K2 — partitioned parquet write + catalog registration.
+
+    Scale note: the partition values the write produced are collected
+    as a side effect of the write itself (``observe`` +
+    ``collect_set``) — no second scan, no full-listing ``MSCK`` — so
+    catalog registration after an append touches only the just-written
+    partitions.
+    """
     path = str(Path(root) / path_suffix)
-    writer = df.write.mode(mode).format("parquet")
     keys = partition_keys or []
+
+    to_write = df
+    obs = None
+    if table_name and keys:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        to_write = df.observe(
+            obs, F.collect_set(F.struct(*[F.col(k).cast("string").alias(k) for k in keys])).alias("parts")
+        )
+
+    writer = to_write.write.mode(mode).format("parquet")
     if keys:
         writer = writer.partitionBy(*keys)
     writer.save(path)
@@ -56,8 +75,18 @@ def write_partitioned_parquet(
     qualified = None
     if table_name:
         spark = df.sparkSession
+        new_parts = None
+        if obs is not None:
+            new_parts = [tuple(getattr(r, k) for k in keys) for r in obs.get["parts"]]
         qualified = register_external_table(
-            spark, path, table_name, target_database, partition_keys=keys
+            spark,
+            path,
+            table_name,
+            target_database,
+            partition_keys=keys,
+            schema=df.schema,
+            new_partitions=new_parts,
+            full_refresh=(mode == "overwrite"),
         )
     return SinkResult(path=path, table=qualified, partition_keys=keys, mode=mode)
 
@@ -68,13 +97,27 @@ def register_external_table(
     table_name: str,
     database: str | None = None,
     partition_keys: list[str] | None = None,
+    schema=None,
+    new_partitions: list[tuple] | None = None,
+    full_refresh: bool = False,
 ) -> str:
     """Catalog registration analog of ``enableUpdateCatalog``
     (``sybaseiq_extractor.py:158-163``).
 
-    Uses an external (path-based) table so re-registration after an
-    append is a metadata-only refresh.  Partition discovery is handled
-    by ``MSCK``-equivalent recover.
+    Scale behavior (100 TB): the steady-state append path is
+    metadata-only and O(just-written partitions) —
+
+    * first registration: ``CREATE TABLE`` from the *written
+      DataFrame's* ``schema`` (no ``spark.read.parquet`` re-scan of the
+      dataset), then one ``MSCK`` to discover any partitions written
+      before the table existed (once per table lifetime);
+    * subsequent appends: ``ALTER TABLE ... ADD IF NOT EXISTS
+      PARTITION`` for exactly ``new_partitions`` — no full listing;
+    * column-set drift or ``full_refresh`` (overwrite mode):
+      re-create + one ``MSCK``.
+
+    ``schema=None`` keeps the legacy infer-from-path behavior for
+    direct callers.
     """
     if database:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {_safe_table_name(database)}")
@@ -82,19 +125,46 @@ def register_external_table(
     else:
         qualified = _safe_table_name(table_name)
 
-    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
-    df = spark.read.parquet(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     keys = [k.lower() for k in (partition_keys or [])]
-    data_cols = [f for f in df.schema.fields if f.name.lower() not in keys]
-    part_cols = [f for f in df.schema.fields if f.name.lower() in keys]
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols + part_cols
-    )
-    stmt = f"CREATE TABLE {qualified} ({ddl}) USING PARQUET"
-    if part_cols:
-        stmt += " PARTITIONED BY (" + ", ".join(f"`{f.name}`" for f in part_cols) + ")"
-    stmt += f" LOCATION '{path}'"
-    spark.sql(stmt)
-    if part_cols:
-        spark.sql(f"MSCK REPAIR TABLE {qualified}")
+    data_cols = [f for f in schema.fields if f.name.lower() not in keys]
+    part_cols = [f for f in schema.fields if f.name.lower() in keys]
+
+    exists = spark.catalog.tableExists(qualified)
+    if exists and not full_refresh:
+        existing = {c.name.lower() for c in spark.catalog.listColumns(qualified)}
+        if existing != {f.name.lower() for f in schema.fields}:
+            exists = False  # schema drift -> re-create below
+
+    if not exists or full_refresh:
+        spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols + part_cols
+        )
+        stmt = f"CREATE TABLE {qualified} ({ddl}) USING PARQUET"
+        if part_cols:
+            stmt += " PARTITIONED BY (" + ", ".join(f"`{f.name}`" for f in part_cols) + ")"
+        stmt += f" LOCATION '{path}'"
+        spark.sql(stmt)
+        if part_cols:
+            # one-time full discovery (also covers pre-registration writes)
+            spark.sql(f"MSCK REPAIR TABLE {qualified}")
+        return qualified
+
+    if part_cols and new_partitions:
+        key_order = {k.lower(): i for i, k in enumerate(keys)}
+        specs = []
+        for values in new_partitions:
+            pairs = []
+            for f in part_cols:
+                v = values[key_order[f.name.lower()]]
+                v = (
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if v is None
+                    else str(v).replace("'", "''")
+                )
+                pairs.append(f"`{f.name}`='{v}'")
+            specs.append("PARTITION (" + ", ".join(pairs) + ")")
+        spark.sql(f"ALTER TABLE {qualified} ADD IF NOT EXISTS " + " ".join(specs))
     return qualified

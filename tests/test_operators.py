@@ -158,6 +158,22 @@ def test_dialect_rewrite():
     )
 
 
+def test_dialect_preserves_struct_field_access():
+    """Three-part tokens NOT in table position (struct access like
+    o.address.city) must survive the rewrite untouched."""
+    q = "SELECT o.address.city, iqdemo.dba.fn_x FROM iqdemo.dba.orders o"
+    out = to_spark_sql(q, {"orders": "orders"})
+    assert "o.address.city" in out
+    assert "iqdemo.dba.fn_x" in out  # not after FROM/JOIN, no prefix match
+    assert "FROM orders o" in out
+
+    # comma-join lists ARE rewritten when the (db, schema) prefix is known
+    q2 = "SELECT a.x, o.address.city FROM iqdemo.dba.t1 a, iqdemo.dba.t2 b"
+    out2 = to_spark_sql(q2, {"t1": "v1", "t2": "v2"}, known_prefixes={("iqdemo", "dba")})
+    assert "FROM v1 a, v2 b" in out2
+    assert "o.address.city" in out2
+
+
 def test_jdbc_scan_options_partitioned_vs_query():
     opts = SourceRegistry.jdbc_scan_options(
         "jdbc:postgresql://h/db", "SELECT * FROM t", "u", "p",
@@ -283,6 +299,38 @@ def test_sink_dynamic_partition_overwrite(spark, tmp_path):
         for row in spark.read.parquet(r.path).collect()
     }
     assert out == {("2024", "1"): 1, ("2024", "2"): 99}
+
+
+def test_sink_append_registers_new_partitions_without_msck(spark, tmp_path):
+    """Steady-state appends register ONLY the just-written partitions
+    via ALTER TABLE ADD PARTITION (no dataset re-read, no MSCK) — the
+    100 TB catalog path. The catalog must still see every partition."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    d1 = spark.createDataFrame(
+        [(1, "2024", "1"), (2, "2024", "2")], ["v", "year", "month"]
+    )
+    r = write_partitioned_parquet(
+        d1, str(tmp_path), "lake/t2", ["year", "month"],
+        target_database="db_addpart", table_name="t2", mode="append",
+    )
+    assert r.table == "db_addpart.t2"
+    # second append: brand-new partition -> ADD PARTITION path
+    d2 = spark.createDataFrame([(3, "2025", "7")], ["v", "year", "month"])
+    write_partitioned_parquet(
+        d2, str(tmp_path), "lake/t2", ["year", "month"],
+        target_database="db_addpart", table_name="t2", mode="append",
+    )
+    parts = {
+        tuple(p.partition.split("/"))
+        for p in spark.sql("SHOW PARTITIONS db_addpart.t2").collect()
+    }
+    assert ("year=2024", "month=1") in parts
+    assert ("year=2025", "month=7") in parts
+    assert spark.sql("SELECT sum(v) AS s FROM db_addpart.t2").collect()[0].s == 6
+    spark.sql("DROP TABLE db_addpart.t2")
 
 
 # ---- skew / bucketing (100 TB toolkit) -------------------------------

@@ -127,7 +127,8 @@ def test_reconciliation_warning_notification(orch):
     out = orch.run_plan(plan)
     assert out.results[0].reconcile_status == "mismatch"
     subjects = [e["subject"] for e in orch.engine.notifications.entries()]
-    assert any("[WITH WARNING]" in s for s in subjects)
+    assert any(" WITH WARNING" in s and "[WITH WARNING]" not in s for s in subjects)
+    assert all(len(s) <= 99 for s in subjects)
 
 
 def test_schedule_scan(orch):
