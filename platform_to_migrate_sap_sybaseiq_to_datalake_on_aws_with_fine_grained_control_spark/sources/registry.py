@@ -55,6 +55,13 @@ JDBC_ADAPTERS: dict[str, dict[str, str]] = {
         "SUFIX_JDBC_URL": "",
         "DRIVER": "com.sybase.jdbc4.jdbc.SybDriver",
     },
+    # Embedded in-process engine shipped with Spark itself; used by the
+    # test suite to exercise the real JDBC codepath without a server.
+    "derby": {
+        "JDBC_URL": "jdbc:derby:",
+        "SUFIX_JDBC_URL": "",
+        "DRIVER": "org.apache.derby.jdbc.EmbeddedDriver",
+    },
 }
 
 
