@@ -67,6 +67,10 @@ class EngineConfig:
     output_sizing: str = "adaptive"  # "adaptive" | "tiered"
     sink_mode: str = "append"
     register_catalog: bool = True
+    # K6 post-write maintenance (ANALYZE with the reference's
+    # partition-index retry semantics); off by default — stats refresh
+    # is a policy choice, not part of the write path.
+    post_write_analyze: bool = False
 
 
 class Engine:
@@ -181,6 +185,11 @@ class Engine:
                 # unpersist the exact DataFrame that was cached — `cleaned`
                 # may have been rebound to the coalesced plan by sizing
                 cached.unpersist()
+
+            if sink.table and self.config.post_write_analyze:
+                from .operators.maintenance import post_write_maintenance
+
+                post_write_maintenance(self.spark, sink.table)
 
             if self.ledger:
                 self.ledger.update_item(

@@ -57,6 +57,32 @@ def analyze_table(
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
 
 
+def post_write_maintenance(
+    spark: SparkSession,
+    table: str,
+    columns: list[str] | None = None,
+    attempts: int = 5,
+    backoff_s: float = 0.0,
+) -> None:
+    """K6 post-write step with the reference's partition-index retry
+    semantics (``postprocess/lambda_function.py:198-221``): 5 attempts,
+    linear backoff (``sleep(attempt*10)`` there, ``backoff_s``-scaled
+    here), "already exists" tolerated as success, and exhaustion
+    swallowed — maintenance must never fail a run that already wrote
+    its data, exactly like the reference's Lambda returning 0.
+    """
+    from ..orchestrator import with_retry
+
+    with_retry(
+        lambda: analyze_table(spark, table, columns),
+        attempts=attempts,
+        backoff_s=backoff_s,
+        backoff="linear",
+        tolerate=("AlreadyExists", "already exists"),
+        on_exhausted="swallow",
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

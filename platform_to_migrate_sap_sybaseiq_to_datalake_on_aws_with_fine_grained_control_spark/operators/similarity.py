@@ -10,14 +10,26 @@ Scale design (100 TB of embeddings):
 
 * brute-force top-k: the query set is broadcast (it is small by
   definition); the corpus is scanned once, partition-parallel; ranking
-  shuffles only ``|queries| × k``-bounded data after AQE's partial
-  TakeOrdered.  This is the exact baseline.
+  is a two-phase top-k — a per-(query, hash-group) partial rank keeps
+  k rows per group, so the final exact window ranks at most
+  ``LOCAL_PRUNE_GROUPS × k`` rows per query rather than the whole
+  scored corpus.  This is the exact baseline.
 * LSH-bucketed (random-hyperplane) search: a deterministic set of
   hyperplanes (md5-seeded, reproducible everywhere) maps each vector
   to a sign-pattern bucket; search joins query↔corpus per bucket —
   the join key replaces the cross product, turning O(N·Q) into
   O(N·Q/2^planes) expected.  Recall is the standard SimHash-LSH
   trade-off; increase ``planes`` / add multiprobe for tighter buckets.
+* banded near-dup (``embedding_neardup_pairs_banded``): the sign
+  string is split into ``bands`` independent sub-keys; a pair is a
+  candidate if ANY band matches.  Bucket-size math: with ``planes``
+  bits total and ``r = planes/bands`` bits per band, the expected
+  bucket population is ``N / 2^r`` per band key, candidate volume
+  ``≈ bands · N² / 2^r`` (vs ``N² / 2^planes`` monolithic), and a
+  pair with per-plane agreement probability ``p`` is recalled with
+  ``1 - (1 - p^r)^bands`` — the standard LSH S-curve, so recall/cost
+  is tunable per scale without code edits (raise ``planes`` to shrink
+  buckets, raise ``bands`` to recover recall).
 """
 
 from __future__ import annotations
@@ -34,7 +46,13 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_banded",
 ]
+
+
+# Phase-1 fan-in of the two-phase exact top-k: the final per-query
+# window ranks at most LOCAL_PRUNE_GROUPS × k rows.
+LOCAL_PRUNE_GROUPS = 32
 
 
 def hyperplanes(planes: int, dims: int) -> list[list[float]]:
@@ -95,6 +113,15 @@ def brute_force_topk(
     ``id_col ∈ query_ids``), the k nearest corpus vectors (self
     excluded).  Output ``(query_id, vec_id, cos_sim, rank)``; ties
     broken by ``vec_id`` so the result is a total order.
+
+    Scale shape: two-phase top-k.  Phase 1 ranks within
+    ``(query_id, pmod(hash(id), LOCAL_PRUNE_GROUPS))`` — many groups,
+    partition-parallel — and keeps k per group, so the final exact
+    ranking window sees at most ``LOCAL_PRUNE_GROUPS × k`` rows per
+    query instead of the whole scored corpus.  The salt is a
+    deterministic hash (retry-safe); the result is identical to a
+    single global window because the global top-k is contained in the
+    union of the per-group top-ks.
     """
     query_ids = query_ids or [0, 1, 2]
     queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
@@ -106,11 +133,22 @@ def brute_force_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
     )
+    scored = scored.withColumn(
+        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+    )
+    w_local = Window.partitionBy("query_id", "_grp").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_grp", "_lr")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -199,6 +237,66 @@ def embedding_neardup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round("cos_full", 6).alias("cos_sim"),
         )
+    )
+
+
+def embedding_neardup_pairs_banded(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    bands: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Banded-LSH embedding near-duplicate pairs (the tunable-recall
+    scale path; see module docstring for the bucket-size math).
+
+    ``planes`` sign bits are split into ``bands`` sub-keys of
+    ``planes/bands`` bits; a pair is a candidate when any band key
+    matches (OR-amplification), then verified by exact cosine ≥
+    ``threshold``.  Output ``(id_a, id_b, cos_sim)``, id_a < id_b,
+    each pair once even when several bands agree.
+    """
+    if planes % bands:
+        raise ValueError("planes must be divisible by bands")
+    r = planes // bands
+    hp = hyperplanes(planes, dims)
+    sig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(bucket_expr(vec_col, hp)).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("sig", b * r + 1, r).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_full", F.expr(cosine_expr("_va", "_vb")))
+        .filter(F.col("cos_full") >= threshold)
+        .select("id_a", "id_b", F.round("cos_full", 6).alias("cos_sim"))
     )
 
 

@@ -35,6 +35,7 @@ from .operators.dedup import (
 from .operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_banded,
     hyperplanes,
     lsh_bucket_topk,
 )
@@ -52,6 +53,10 @@ ANN_K = 5
 LSH_PLANES = 4
 EMB_DIMS = 64
 NEARDUP_COS_THRESHOLD = 0.95
+# banded variant: 8 sign bits in 2 bands of 4 — smaller buckets than the
+# 4-bit monolithic key, recall recovered by OR-ing the bands
+NEARDUP_BANDED_PLANES = 8
+NEARDUP_BANDS = 2
 
 
 # ---- DuckDB snippet builders ----------------------------------------
@@ -68,8 +73,8 @@ def _duck_cos(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
-def _duck_bucket(vec: str) -> str:
-    hp = hyperplanes(LSH_PLANES, EMB_DIMS)
+def _duck_bucket(vec: str, planes: int = LSH_PLANES) -> str:
+    hp = hyperplanes(planes, EMB_DIMS)
     signs = []
     for row in hp:
         lit = "[" + ", ".join(repr(x) for x in row) + "]"
@@ -346,6 +351,47 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=NEARDUP_COS_THRESHOLD,
         planes=LSH_PLANES,
+        dims=EMB_DIMS,
+    )
+
+
+def _duck_emb_neardup_banded_sql() -> str:
+    cos = _duck_cos("ea", "eb")
+    r = NEARDUP_BANDED_PLANES // NEARDUP_BANDS
+    band_rows = ", ".join(f"({b})" for b in range(NEARDUP_BANDS))
+    return f"""
+WITH e AS (SELECT vec_id, embedding,
+           {_duck_bucket('embedding', NEARDUP_BANDED_PLANES)} AS sig FROM embeddings),
+banded AS (
+  SELECT vec_id, embedding, t.band, substr(sig, t.band * {r} + 1, {r}) AS key
+  FROM e, (VALUES {band_rows}) AS t(band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round({cos}, 6) AS cos_sim
+FROM cand WHERE {cos} >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine_pairs_banded",
+    _duck_emb_neardup_banded_sql(),
+    doc=f"Banded-LSH embedding near-dup ({NEARDUP_BANDED_PLANES} planes "
+    f"in {NEARDUP_BANDS} OR-ed bands): smaller buckets than the "
+    "monolithic key, recall recovered via band OR-amplification — the "
+    "tunable recall/cost scale path.",
+)
+def dedup_embedding_cosine_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs_banded(
+        df,
+        "vec_id",
+        "embedding",
+        threshold=NEARDUP_COS_THRESHOLD,
+        planes=NEARDUP_BANDED_PLANES,
+        bands=NEARDUP_BANDS,
         dims=EMB_DIMS,
     )
 

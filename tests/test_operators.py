@@ -583,6 +583,67 @@ def test_with_retry_backoff():
         with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)
 
 
+def test_with_retry_k6_semantics(monkeypatch):
+    """K6 partition-index retry parity (postprocess/lambda_function.py:
+    198-221): linear backoff, AlreadyExists tolerated as success,
+    exhaustion swallowed instead of raised."""
+    import time as _time
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.orchestrator import (
+        with_retry,
+    )
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(_time, "sleep", sleeps.append)
+
+    # AlreadyExists -> treated as success (None), no retries burned
+    calls = {"n": 0}
+
+    def exists():
+        calls["n"] += 1
+        raise RuntimeError("AlreadyExistsException: index is there")
+
+    assert (
+        with_retry(exists, attempts=5, tolerate=("AlreadyExists",), on_exhausted="swallow")
+        is None
+    )
+    assert calls["n"] == 1
+
+    # linear backoff: sleeps are 1x, 2x, 3x, 4x the base
+    assert (
+        with_retry(
+            lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+            attempts=5,
+            backoff_s=10.0,
+            backoff="linear",
+            on_exhausted="swallow",
+        )
+        is None  # exhaustion swallowed — maintenance never fails a run
+    )
+    assert sleeps == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_post_write_maintenance_analyzes_table(spark, tmp_path):
+    """post_write_maintenance computes stats on the registered table and
+    never raises, even for a missing table (swallowed exhaustion)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        post_write_maintenance,
+    )
+
+    spark.range(100).selectExpr("id", "id % 3 AS g").write.mode("overwrite").saveAsTable(
+        "t_pwm"
+    )
+    post_write_maintenance(spark, "t_pwm", columns=["g"])
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED t_pwm").collect()
+    }
+    assert "Statistics" in desc
+    # non-existent table: exhaustion is swallowed, not raised
+    post_write_maintenance(spark, "t_pwm_does_not_exist", attempts=2)
+    spark.sql("DROP TABLE t_pwm")
+
+
 def test_tsql_idiom_rewrites():
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
         to_spark_sql,
