@@ -91,6 +91,38 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # Stage breakdown for the flagship composition (it chains the two
+    # hottest operators): dedup alone vs the full dedup+quality+split.
+    breakdown: dict[str, float] = {}
+    try:
+        from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+            drop_near_duplicates,
+        )
+        from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_ml import (
+            JACCARD_THRESHOLD,
+            MINHASH_BANDS,
+            MINHASH_HASHES,
+            SHINGLE_N,
+        )
+        from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+            load_table,
+        )
+
+        t0 = time.perf_counter()
+        drop_near_duplicates(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+            shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        ).write.format("noop").mode("overwrite").save()
+        breakdown["curate_training_corpus/dedup"] = round(time.perf_counter() - t0, 3)
+        full = timings.get("curate_training_corpus")
+        if full is not None:
+            breakdown["curate_training_corpus/quality_split"] = round(
+                max(0.0, full - breakdown["curate_training_corpus/dedup"]), 3
+            )
+    except Exception as e:  # breakdown is diagnostics, never fails the bench
+        print(f"# breakdown skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "breakdown": breakdown,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
