@@ -849,3 +849,199 @@ sql_query(
     doc="Anomaly flagging: per-type z-score over a full-partition "
     "window, |z| > 2.5 outliers.",
 )
+
+
+# =====================================================================
+# TPC-H-style fill-out (adapted to the testdata's column subset: no
+# partsupp table, no commit/receipt dates, no phone/container/comment
+# columns — each query keeps the ORIGINAL's plan shape and swaps the
+# missing column for an available analog).
+# =====================================================================
+
+sql_query(
+    "q4_priority_late_exists",
+    "SELECT o_orderpriority, count(*) AS order_count "
+    "FROM orders "
+    "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority",
+    doc="TPC-H Q4-style: correlated EXISTS semi-join (late-shipment "
+    "analog of commitdate<receiptdate) + priority rollup.",
+)
+
+sql_query(
+    "q6_forecast_revenue",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+    doc="TPC-H Q6-style: pure scan-side conjunctive filter + single "
+    "aggregate — the predicate-pushdown showcase.",
+)
+
+sql_query(
+    "q8_market_share",
+    "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_5' THEN volume "
+    "ELSE 0 END) / sum(volume), 4) AS mkt_share FROM ("
+    "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, "
+    "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "JOIN region ON n1.n_regionkey = r_regionkey "
+    "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' "
+    "AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31') v "
+    "GROUP BY o_year",
+    doc="TPC-H Q8-style: 7-table snowflake join (nation twice), "
+    "conditional market-share ratio per year.",
+)
+
+sql_query(
+    "q9_profit_by_nation_year",
+    "SELECT nation, o_year, round(sum(amount), 2) AS profit FROM ("
+    "SELECT n_name AS nation, "
+    "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, "
+    "l_extendedprice * (1 - l_discount) AS amount "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE p_name LIKE '%red%') v "
+    "GROUP BY nation, o_year",
+    doc="TPC-H Q9-style: profit by supplier nation × order year with a "
+    "LIKE-filtered part dimension (supplycost column absent by design).",
+)
+
+sql_query(
+    "q12_priority_line_classes",
+    "SELECT l_linestatus, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+    "GROUP BY l_linestatus",
+    doc="TPC-H Q12-style: join + dual conditional counts per class "
+    "(linestatus stands in for the absent shipmode).",
+)
+
+sql_query(
+    "q13_customer_distribution",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "SELECT c_custkey, count(o_orderkey) AS c_count "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "AND o_orderpriority <> '5-LOW' "
+    "GROUP BY c_custkey) c_orders "
+    "GROUP BY c_count",
+    doc="TPC-H Q13-style: outer-join count distribution (histogram of "
+    "orders per customer, zero bucket preserved).",
+)
+
+sql_query(
+    "q15_top_supplier",
+    "WITH revenue AS ("
+    "SELECT l_suppkey AS supplier_no, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01' "
+    "GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)",
+    doc="TPC-H Q15-style: CTE reused twice (join side + scalar-subquery "
+    "max) — the view-based top-supplier pattern.",
+)
+
+sql_query(
+    "q16_supplier_part_variety",
+    "SELECT p_brand, p_type, p_size, "
+    "count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' "
+    "AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45) "
+    "AND l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size",
+    doc="TPC-H Q16-style: NOT-IN anti-join + count(DISTINCT) per "
+    "brand/type/size bucket.",
+)
+
+sql_query(
+    "q17_small_qty_revenue",
+    "SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey "
+    "WHERE p_brand = 'Brand#11' "
+    "AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) "
+    "FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)",
+    doc="TPC-H Q17-style: correlated scalar-average subquery per part "
+    "(small-quantity order revenue).",
+)
+
+sql_query(
+    "q19_disjunctive_predicates",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity BETWEEN 20 AND 30)",
+    doc="TPC-H Q19-style: OR-of-conjunction predicates spanning both "
+    "join sides (tests disjunction pushdown through the join).",
+)
+
+sql_query(
+    "q20_promo_part_suppliers",
+    "SELECT s_name, s_acctbal FROM supplier "
+    "WHERE s_suppkey IN ("
+    "SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_name LIKE 'red%' "
+    "AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+    "GROUP BY l_suppkey HAVING sum(l_quantity) > 100)",
+    doc="TPC-H Q20-style: nested IN with aggregated HAVING inside the "
+    "subquery (suppliers moving enough of the filtered parts).",
+)
+
+sql_query(
+    "q21_waiting_suppliers",
+    "SELECT s_name, count(*) AS numwait "
+    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "WHERE o_orderstatus = 'F' "
+    "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+    "WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey "
+    "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY s_name",
+    doc="TPC-H Q21-style: EXISTS + NOT-EXISTS self-joins on lineitem "
+    "(sole late supplier per finished multi-supplier order; 60-day "
+    "lateness stands in for the absent commit/receipt dates).",
+)
+
+sql_query(
+    "q22_idle_customers",
+    "SELECT cntrycode, count(*) AS numcust, "
+    "round(sum(c_acctbal), 2) AS totacctbal FROM ("
+    "SELECT right(c_name, 1) AS cntrycode, c_acctbal, c_custkey "
+    "FROM customer "
+    "WHERE right(c_name, 1) IN ('1', '3', '5', '7') "
+    "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+    "WHERE c_acctbal > 0.0 AND right(c_name, 1) IN ('1', '3', '5', '7')) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate >= '2000-01-01')"
+    ") custsale GROUP BY cntrycode",
+    doc="TPC-H Q22-style: uncorrelated scalar-average threshold + "
+    "NOT-EXISTS anti-join (name-suffix digit stands in for the absent "
+    "phone country code; 'no recent orders' for 'no orders at all' so "
+    "the result is non-empty at every test scale).",
+)
