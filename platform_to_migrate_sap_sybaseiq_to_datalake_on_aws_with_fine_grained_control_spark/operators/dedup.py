@@ -284,6 +284,75 @@ def simhash_dup_groups(
     )
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the
+    verified near-dup pair graph, ``cluster_id`` = smallest member id.
+
+    Min-label propagation (the dataframe form of large-star/small-star
+    CC): each node starts at ``min(self, neighbors)`` and every round
+    takes the min of its neighbors' labels, converging in O(component
+    diameter) rounds — each round is one shuffled join+groupBy, fully
+    distributed; the driver only checks the per-round changed-count.
+    Lineage is cut each round (``localCheckpoint``) so plans stay flat;
+    at cluster scale use reliable ``checkpoint`` to survive executor
+    loss.  Output ``(id, cluster_id)`` for every doc in ≥1 pair.
+
+    The keep-lowest policy of :func:`drop_near_duplicates` is the
+    1-hop greedy version; clusters give the full transitive groups
+    (what you want for "keep one per near-dup *family*" curation).
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    edges.persist()
+
+    labels = (
+        edges.groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("id_b").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "id_b"), "id_b")
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def drop_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -268,12 +268,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_lsh_sql() -> str:
+def _duck_minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
+    the pair entry and the recursive connected-components oracle."""
     rows = MINHASH_HASHES // MINHASH_BANDS
     sig = duck_minhash_signature("text", MINHASH_HASHES, SHINGLE_N)
     sh = duck_distinct_shingles("text", SHINGLE_N)
     return f"""
-WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
 banded AS (
   SELECT doc_id, b.band,
     md5(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], '|')) AS bucket
@@ -282,16 +284,20 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-docs AS (SELECT doc_id, {sh} AS sh FROM documents)
-SELECT id_a, id_b,
-  floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
-        (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 AS jaccard
-FROM cand
-JOIN docs da ON da.doc_id = id_a
-JOIN docs db ON db.doc_id = id_b
-WHERE floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
-        (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 >= {JACCARD_THRESHOLD}
-"""
+docs AS (SELECT doc_id, {sh} AS sh FROM documents),
+pairs AS (
+  SELECT id_a, id_b,
+    floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
+          (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 AS jaccard
+  FROM cand
+  JOIN docs da ON da.doc_id = id_a
+  JOIN docs db ON db.doc_id = id_b
+  WHERE floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
+          (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 >= {JACCARD_THRESHOLD})"""
+
+
+def _duck_minhash_lsh_sql() -> str:
+    return f"WITH {_duck_minhash_pair_ctes()}\nSELECT id_a, id_b, jaccard FROM pairs"
 
 
 @register(
@@ -304,6 +310,46 @@ WHERE floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
+        df,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _duck_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_duplicate_clusters",
+    _duck_dup_clusters_sql(),
+    doc="Transitive near-dup clusters: distributed min-label "
+    "propagation (large-star/small-star CC) over the verified "
+    "MinHash-LSH pair graph; oracle is DuckDB's recursive transitive "
+    "closure — an iterative distributed algorithm with a full SQL "
+    "differential check.",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_clusters
+
+    df = load_table(spark, sf_dir, "documents")
+    return duplicate_clusters(
         df,
         "doc_id",
         "text",

@@ -561,6 +561,31 @@ def test_quality_checks_detect_violations(spark):
     assert out[("allowed", "cat")] == (1, False)  # 'Z'
 
 
+def test_duplicate_clusters_transitive(spark):
+    """CC labels: identical docs land in one cluster labeled by the
+    smallest member id; unrelated docs don't appear at all."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "completely different content about spark shuffles and joins"
+    rows = [
+        (1, dup_a),
+        (2, dup_a),
+        (3, dup_a),
+        (10, dup_b),
+        (11, dup_b),
+        (99, "a unique snowflake document with no duplicate partner here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_with_retry_backoff():
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.orchestrator import (
         with_retry,
