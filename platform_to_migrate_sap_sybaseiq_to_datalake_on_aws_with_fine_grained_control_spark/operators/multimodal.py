@@ -160,6 +160,57 @@ def extract_features(df: DataFrame, dims: int = 16) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """STUB audio featurization: payload body bytes reinterpreted as
+    signed 8-bit PCM samples → per-asset RMS / peak / zero-crossing
+    counts, vectorized with numpy inside Arrow batches.
+
+    A real implementation swaps the byte-reinterpret for a
+    librosa/soundfile decode; the numpy feature math and the
+    ``mapInPandas`` batch shape are exactly what the real kernel uses.
+    Only audio assets produce rows.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, rms, peak, zc = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "audio" or row["payload"] is None:
+                    continue
+                samples = np.frombuffer(bytes(row["payload"])[8:], dtype=np.int8)
+                if samples.size == 0:
+                    continue
+                x = samples.astype(np.float64) / 127.0
+                ids.append(row["asset_id"])
+                ns.append(int(samples.size))
+                rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+                peak.append(round(float(np.max(np.abs(x))), 6))
+                zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
 def real_decode_backend(*_args, **_kwargs):  # pragma: no cover
     """The non-stub decode path — requires Pillow/librosa/av, which the
     build environment does not ship."""

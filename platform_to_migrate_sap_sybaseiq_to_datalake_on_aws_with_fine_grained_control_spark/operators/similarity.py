@@ -300,6 +300,40 @@ def embedding_neardup_pairs_banded(
     )
 
 
+def quantize_embeddings_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage-scale path:
+    4×–8× smaller than float32, enough precision for ANN candidate
+    generation; re-rank with the float vectors).
+
+    ``scale = max(|x|)``, ``q_i = floor(x_i / scale * 127 + 0.5)`` —
+    floor(+0.5) instead of round() so both engines round identically
+    (round() half-tie behavior differs across engines).  Zero vectors
+    are dropped (no meaningful scale).  Output
+    ``(id, scale, q)`` with ``q`` comma-joined (hashable for the
+    differential harness; parquet storage would keep array<tinyint>).
+    """
+    with_scale = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(
+            f"aggregate({vec_col}, CAST(0 AS DOUBLE), "
+            f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        ).alias("_maxabs"),
+    ).filter(F.col("_maxabs") > 0)
+    return with_scale.select(
+        F.col(id_col),
+        (F.floor(F.col("_maxabs") * 1e6) / 1e6).alias("scale"),
+        F.expr(
+            f"concat_ws(',', transform({vec_col}, x -> "
+            f"CAST(CAST(floor(CAST(x AS DOUBLE) / _maxabs * 127 + 0.5) AS INT) AS STRING)))"
+        ).alias("q"),
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -442,6 +442,31 @@ def dedup_embedding_cosine_pairs_banded(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+SELECT vec_id, floor(maxabs * 1000000) / 1000000 AS scale,
+  array_to_string(list_transform(embedding, x ->
+    CAST(CAST(floor(CAST(x AS DOUBLE) / maxabs * 127 + 0.5) AS INT) AS VARCHAR)), ',') AS q
+FROM (SELECT vec_id, embedding,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        (acc, v) -> greatest(acc, v)) AS maxabs
+      FROM embeddings) t
+WHERE maxabs > 0
+""",
+    doc="Symmetric per-vector int8 quantization (4x storage cut for "
+    "the ANN candidate tier): scale = max|x|, q = floor(x/scale*127 "
+    "+ 0.5) — floor-based rounding is engine-identical where round() "
+    "half-ties are not.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize_embeddings_int8
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(df, "vec_id", "embedding")
+
+
 # =====================================================================
 # Similarity search (ANN)
 # =====================================================================
@@ -656,6 +681,38 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = make_synthetic_assets(spark, 64)
     return sample_frames(assets, every_nth=2, max_frames=4)
+
+
+@register(
+    "mm_audio_features",
+    None,
+    doc="Audio featurization stub: payload bytes as int8 PCM -> "
+    "numpy RMS/peak/zero-crossing per asset inside Arrow batches "
+    "(librosa swap-in point; batch shape and feature math are real).",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import audio_features
+
+    assets = make_synthetic_assets(spark, 64)
+    return audio_features(assets)
+
+
+@register(
+    "mm_resize_images",
+    None,
+    doc="Image resize stub: binary-in/binary-out mapInPandas rewrite "
+    "of the payload header dims; output surfaces the new dims plus "
+    "payload md5 (binary column itself is not hashable in the "
+    "rows-only harness).",
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_stub
+
+    assets = make_synthetic_assets(spark, 64)
+    resized = resize_stub(assets, 224, 224)
+    return resized.select(
+        "asset_id", "width", "height", F.md5(F.col("payload")).alias("payload_md5")
+    )
 
 
 _ROLLING_MOD = 2147483647
