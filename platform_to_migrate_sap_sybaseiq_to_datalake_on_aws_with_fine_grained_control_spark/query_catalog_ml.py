@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 from .functions.text import (
     BPE_TOKEN_RE,
     QUALITY_STOPWORDS,
+    distinct_shingles,
     duck_distinct_shingles,
     duck_lang_id,
     duck_minhash_signature,
     duck_simhash_bits,
+    duck_word_ngrams,
     fingerprint_md5,
     fingerprint_min_shingle,
     lang_id,
@@ -667,6 +669,129 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
         .agg(F.count("*").cast("bigint").alias("rank"))
         .select("token", "n", "rank")
+    )
+
+
+#: contamination: fraction of a doc's distinct shingles that appear in
+#: the benchmark set (docs 0-9 stand in for an eval suite)
+CONTAM_BENCH_MAX_ID = 10
+CONTAM_MIN_OVERLAP = 0.2
+
+
+@register(
+    "text_contamination_overlap",
+    f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({duck_distinct_shingles('text', SHINGLE_N)}) AS shingle
+  FROM documents WHERE doc_id < {CONTAM_BENCH_MAX_ID}),
+corpus AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM (
+    SELECT doc_id, {duck_distinct_shingles('text', SHINGLE_N)} AS sh
+    FROM documents WHERE doc_id >= {CONTAM_BENCH_MAX_ID}) t),
+totals AS (
+  SELECT doc_id, CAST(len({duck_distinct_shingles('text', SHINGLE_N)}) AS BIGINT) AS n_total
+  FROM documents WHERE doc_id >= {CONTAM_BENCH_MAX_ID}),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM corpus
+  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id)
+SELECT t.doc_id, h.n_hit, t.n_total,
+  floor(h.n_hit::DOUBLE / t.n_total * 10000) / 10000 AS overlap
+FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+WHERE floor(h.n_hit::DOUBLE / t.n_total * 10000) / 10000 >= {CONTAM_MIN_OVERLAP}
+""",
+    doc="Benchmark-contamination detection: per-doc fraction of "
+    "distinct word shingles that appear in a (broadcast-small) "
+    "benchmark shingle set — the LLM eval-leak check. Scale shape: "
+    "the benchmark set broadcasts; the corpus side is one "
+    "explode + semi-join + groupBy, linear in corpus shingles.",
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+        .select(F.explode(distinct_shingles("text", SHINGLE_N)).alias("shingle"))
+        .distinct()
+    )
+    corpus_docs = docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    corpus = corpus_docs.select(
+        "doc_id", F.explode(distinct_shingles("text", SHINGLE_N)).alias("shingle")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = corpus_docs.select(
+        "doc_id",
+        F.size(distinct_shingles("text", SHINGLE_N)).cast("bigint").alias("n_total"),
+    )
+    overlap = F.floor(F.col("n_hit").cast("double") / F.col("n_total") * 10000) / 10000
+    return (
+        totals.join(hits, "doc_id")
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= CONTAM_MIN_OVERLAP)
+        .select("doc_id", "n_hit", "n_total", "overlap")
+    )
+
+
+@register(
+    "text_intradoc_repetition",
+    f"""
+SELECT doc_id, n_total, n_distinct,
+  floor((1 - n_distinct::DOUBLE / n_total) * 10000) / 10000 AS repetition
+FROM (
+  SELECT doc_id,
+    CAST(len({duck_word_ngrams('text', SHINGLE_N)}) AS BIGINT) AS n_total,
+    CAST(len({duck_distinct_shingles('text', SHINGLE_N)}) AS BIGINT) AS n_distinct
+  FROM documents) t
+WHERE n_total > 0
+""",
+    doc="Intra-document repetition score: 1 - distinct/total shingles "
+    "(boilerplate and loop-generation detector) — pure per-row "
+    "expressions, no shuffle at all.",
+)
+def text_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.size(word_ngrams("text", SHINGLE_N)).cast("bigint").alias("n_total"),
+        F.size(distinct_shingles("text", SHINGLE_N)).cast("bigint").alias("n_distinct"),
+    ).filter(F.col("n_total") > 0)
+    rep = F.floor((1 - F.col("n_distinct").cast("double") / F.col("n_total")) * 10000) / 10000
+    return out.withColumn("repetition", rep)
+
+
+@register(
+    "text_char_entropy",
+    """
+SELECT doc_id,
+  floor(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(list_sort(list_distinct(chars)), c ->
+      (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)) *
+      log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)))),
+    (acc, v) -> acc + v) * 10000) / 10000 AS entropy
+FROM (SELECT doc_id,
+      list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS chars
+      FROM documents WHERE length(text) > 0) t
+""",
+    doc="Per-document Shannon character entropy (gibberish / "
+    "low-information detector): terms folded in sorted-char order so "
+    "the double summation is order-deterministic in both engines.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = "transform(sequence(1, length(text)), i -> substr(text, i, 1))"
+    entropy = (
+        f"floor(-aggregate("
+        f"transform(array_sort(array_distinct({chars})), c -> "
+        f"(CAST(size(filter({chars}, x -> x = c)) AS DOUBLE) / size({chars})) * "
+        f"log2(CAST(size(filter({chars}, x -> x = c)) AS DOUBLE) / size({chars}))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 10000) / 10000"
+    )
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id", F.expr(entropy).alias("entropy")
     )
 
 
