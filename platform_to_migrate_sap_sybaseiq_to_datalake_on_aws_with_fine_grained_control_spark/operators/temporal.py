@@ -1,0 +1,103 @@
+"""Temporal join operators (as-of / point-in-time).
+
+Spark has no native as-of join (pandas ``merge_asof`` is single-node);
+the distributed form here is the union-marker pattern:
+
+1. dedupe the right side to one row per ``(key, ts)`` (deterministic
+   tiebreak — without it the matched row is arbitrary under retries);
+2. union both sides with a source marker, right rows sorting BEFORE
+   left rows at equal timestamps (inclusive ``s <= t`` semantics);
+3. one window per key ordered by ``(ts, marker)`` forward-fills the
+   right columns with ``last(..., ignorenulls=True)``;
+4. keep only left rows.
+
+Cost: one hash shuffle per side on the key + a per-key sort — the same
+shape as a sort-merge join, with NO range-explosion (a naive
+``l.ts >= r.ts`` range join is quadratic per key).  Skewed keys are
+split by AQE; salting does not apply (the fill is order-dependent
+within a key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join_backward"]
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Backward as-of left join: for each left row, attach the right
+    row with the greatest ``right_ts <= left_ts`` for the same ``on``
+    key (or nulls when none exists / it is older than ``tolerance_s``).
+
+    ``right_cols`` are the right-side payload columns to carry (must
+    not collide with left column names).  ``right_tiebreak`` orders
+    duplicate ``(key, ts)`` right rows (max wins) so the result is
+    deterministic.  Output = all left columns + ``right_cols`` +
+    ``_matched_ts`` (the matched right timestamp, null when no match).
+    """
+    right_cols = right_cols or []
+    tb = right_tiebreak or (right_cols[0] if right_cols else right_ts)
+    w_dedup = Window.partitionBy(on, right_ts).orderBy(F.col(tb).desc())
+    r = (
+        right.select(on, right_ts, *right_cols)
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    left_cols = [c for c in left.columns]
+    r_schema = {f.name: f.dataType for f in r.schema.fields}
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(r_schema[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(r_schema[right_ts]).alias("_r_ts"),
+    )
+    r_tagged = r.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts_f"),
+    )
+    out = filled.filter(F.col("_is_left") == 1)
+
+    in_tol = F.lit(True)
+    if tolerance_s is not None:
+        in_tol = (
+            F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_matched_ts_f"))
+        ) <= int(tolerance_s * 1_000_000)
+    return out.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.when(in_tol, F.col(f"_f_{c}")).alias(c)
+            for c in right_cols
+        ],
+        F.when(in_tol, F.col("_matched_ts_f")).alias("_matched_ts"),
+    )

@@ -838,6 +838,56 @@ sql_query(
     "rounding absorbs accumulation-order noise).",
 )
 
+@register(
+    "events_asof_attribution",
+    """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+v0 AS (SELECT event_id AS view_event_id, user_id, ts FROM events
+       WHERE event_type = 'view'),
+v AS (SELECT view_event_id, user_id, ts FROM (
+  SELECT v0.*, row_number() OVER (PARTITION BY user_id, ts
+    ORDER BY view_event_id DESC) AS rn FROM v0) t WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.value,
+  COALESCE(v.view_event_id, -1) AS view_event_id,
+  COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    doc="As-of (point-in-time) join: each purchase is attributed to "
+    "the same user's latest view at-or-before it. Spark side is the "
+    "distributed union-marker fill (one shuffle per side, per-key "
+    "sort, NO quadratic range join); oracle is DuckDB's native ASOF "
+    "LEFT JOIN. Unmatched rows surface as -1 so both engines keep "
+    "int64 dtypes (nullable-int pandas coercion differs).",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts"
+    )
+    j = asof_join_backward(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=["view_event_id"],
+        right_tiebreak="view_event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("_matched_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
 sql_query(
     "events_zscore_anomalies",
     "SELECT event_id, event_type, round(value, 2) AS value, "

@@ -561,6 +561,47 @@ def test_quality_checks_detect_violations(spark):
     assert out[("allowed", "cat")] == (1, False)  # 'Z'
 
 
+def test_asof_join_tolerance_and_dedup(spark):
+    """Backward as-of: inclusive <= match, deterministic max-tiebreak on
+    duplicate (key, ts) right rows, tolerance nulls out stale matches,
+    and left rows with no prior right row survive with nulls."""
+    from datetime import datetime
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.temporal import (
+        asof_join_backward,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(5)), (3, 2, t(30)), (4, 3, t(10))],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(5)), (102, 1, t(8)), (200, 2, t(1))],
+        ["rid", "k", "ts"],
+    )
+    out = {
+        r.lid: (r.rid, r._matched_ts)
+        for r in asof_join_backward(
+            left, right, on="k", right_cols=["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert out[1][0] == 102          # latest at-or-before t=10
+    assert out[2][0] == 101          # inclusive ts=5, max-rid tiebreak wins
+    assert out[3][0] == 200
+    assert out[4] == (None, None)    # key 3 has no right rows
+
+    tol = {
+        r.lid: r.rid
+        for r in asof_join_backward(
+            left, right, on="k", right_cols=["rid"], right_tiebreak="rid",
+            tolerance_s=5,
+        ).collect()
+    }
+    assert tol[1] == 102             # gap 2s within tolerance
+    assert tol[3] is None            # gap 29s > 5s tolerance -> nulled
+
+
 def test_duplicate_clusters_transitive(spark):
     """CC labels: identical docs land in one cluster labeled by the
     smallest member id; unrelated docs don't appear at all."""
