@@ -23,7 +23,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join_backward"]
+__all__ = ["asof_join_backward", "range_join_bucketed"]
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Interval (range) join without the quadratic blow-up: each point
+    matched to every interval of the same key containing it.
+
+    A naive ``p.ts BETWEEN i.start AND i.end`` join plans as a
+    nested-loop per key (quadratic).  Here time is chunked into
+    ``bucket_s``-second buckets: an interval is exploded to the buckets
+    it spans (``len/bucket_s + 1`` rows — pick ``bucket_s`` ≥ typical
+    interval length so this is ~2), a point maps to exactly ONE bucket,
+    and the join is a plain equi-join on ``(key, bucket)`` refined by
+    the exact BETWEEN predicate.  Shuffle volume is linear in points +
+    exploded intervals; each (point, interval) pair meets in exactly
+    one bucket, so no dedup is needed.
+
+    Output: all interval columns + all point columns (inner semantics;
+    aggregate + right-join the intervals afterwards to keep empty
+    ones).
+    """
+    us = bucket_s * 1_000_000
+    ivl = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / us),
+                F.floor(F.unix_micros(F.col(end_ts)) / us),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(point_ts)) / us)
+    )
+    return (
+        ivl.join(pts, [on, "_bucket"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_bucket")
+    )
 
 
 def asof_join_backward(

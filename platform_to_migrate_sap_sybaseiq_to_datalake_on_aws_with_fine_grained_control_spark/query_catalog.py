@@ -654,6 +654,28 @@ def approx_count_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users")
     )
 
+@register(
+    "approx_quantiles_value",
+    None,  # quantile-sketch internals differ across engines — rows-only
+    doc="Quantile sketch (Greenwald-Khanna percentile_approx, accuracy "
+    "10000) of event value per type — the single-pass mergeable-sketch "
+    "path for 100 TB percentiles (exact percentile_stats is the "
+    "oracle-checked twin); the unit test bounds rank error vs exact.",
+)
+def approx_quantiles_value(spark, sf_dir):
+    from .sources.registry import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_50_90_99")
+    ).select(
+        "event_type",
+        F.concat_ws(
+            ",", F.expr("transform(q_50_90_99, x -> CAST(round(x, 2) AS STRING))")
+        ).alias("q_50_90_99"),
+    )
+
+
 sql_query(
     "events_hourly_rollup",
     "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') AS hour, "
@@ -885,6 +907,48 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.unix_micros("ts") - F.unix_micros("_matched_ts"), F.lit(-1)
         ).alias("gap_us"),
+    )
+
+
+@register(
+    "events_range_join_bursts",
+    """
+WITH ivl AS (SELECT event_id AS err_id, user_id, ts AS start_ts,
+             ts + INTERVAL 600 SECOND AS end_ts
+             FROM events WHERE event_type = 'error'),
+clicks AS (SELECT user_id, ts AS click_ts FROM events
+           WHERE event_type = 'click')
+SELECT i.err_id, CAST(count(c.click_ts) AS BIGINT) AS n_clicks
+FROM ivl i LEFT JOIN clicks c
+  ON c.user_id = i.user_id
+  AND c.click_ts >= i.start_ts AND c.click_ts <= i.end_ts
+GROUP BY i.err_id
+""",
+    doc="Range (interval) join: clicks landing inside each user's "
+    "10-minute post-error window. Spark side buckets time so the "
+    "interval join is a (key, bucket) equi-join + exact refine — "
+    "linear shuffle, never the nested-loop range join; zero-click "
+    "windows preserved by the final right join.",
+)
+def events_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECOND")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = range_join_bucketed(
+        clicks, errors, "user_id", "click_ts", "start_ts", "end_ts", bucket_s=600
+    )
+    counts = joined.groupBy("err_id").agg(F.count("*").alias("n"))
+    return errors.select("err_id").join(counts, "err_id", "left").select(
+        "err_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_clicks")
     )
 
 

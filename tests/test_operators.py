@@ -561,6 +561,34 @@ def test_quality_checks_detect_violations(spark):
     assert out[("allowed", "cat")] == (1, False)  # 'Z'
 
 
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """percentile_approx (GK sketch) must land within a small rank
+    error of the exact percentile — the sketch analog of the HLL
+    error-bound test."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r.event_type: r.q
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.9, 10000).alias("q"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.q
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.9)").alias("q"))
+        .collect()
+    }
+    for et, q in exact.items():
+        # accuracy 10000 -> rank error 1/10000; values are dense, allow 2%
+        assert abs(approx[et] - q) <= max(0.5, abs(q) * 0.02)
+
+
 def test_asof_join_tolerance_and_dedup(spark):
     """Backward as-of: inclusive <= match, deterministic max-tiebreak on
     duplicate (key, ts) right rows, tolerance nulls out stale matches,
