@@ -676,6 +676,34 @@ def approx_quantiles_value(spark, sf_dir):
     )
 
 
+@register(
+    "events_rollup_cascade_daily",
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+    "event_type, count(*) AS n_events, "
+    "round(sum(value), 2) AS total_value, "
+    "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value "
+    "FROM events GROUP BY 1, 2",
+    doc="Hypertable-style continuous-aggregate cascade: the daily grain "
+    "is re-aggregated from the HOURLY materialization (sum-of-sums / "
+    "min-of-mins — 24 rows per bucket, raw never re-scanned); the "
+    "oracle computes daily straight from raw, so a hash match proves "
+    "the cascade invariant.",
+)
+def events_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import cascade_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = cascade_rollup(ev, "ts", ["event_type"], "value", ("hour", "day"))["day"]
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
 sql_query(
     "events_hourly_rollup",
     "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') AS hour, "
