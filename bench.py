@@ -114,11 +114,15 @@ def main() -> None:
             num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
             shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
         ).write.format("noop").mode("overwrite").save()
-        breakdown["curate_training_corpus/dedup"] = round(time.perf_counter() - t0, 3)
+        dedup_t = round(time.perf_counter() - t0, 3)
+        breakdown["curate_training_corpus/dedup"] = dedup_t
         full = timings.get("curate_training_corpus")
-        if full is not None:
+        # the derived stage time is only meaningful when both measures
+        # ran against the same cache state (dedup re-measured here may
+        # rebuild a plan the headline run had cached)
+        if full is not None and dedup_t <= full:
             breakdown["curate_training_corpus/quality_split"] = round(
-                max(0.0, full - breakdown["curate_training_corpus/dedup"]), 3
+                full - dedup_t, 3
             )
     except Exception as e:  # breakdown is diagnostics, never fails the bench
         print(f"# breakdown skipped: {e}", file=sys.stderr)
