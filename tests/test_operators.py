@@ -630,6 +630,80 @@ def test_asof_join_tolerance_and_dedup(spark):
     assert tol[3] is None            # gap 29s > 5s tolerance -> nulled
 
 
+def test_asof_join_matches_bruteforce_random(spark):
+    """Randomized differential check of the union-marker as-of join
+    against a brute-force per-row scan (ties, gaps, missing keys)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.temporal import (
+        asof_join_backward,
+    )
+
+    rnd = random.Random(42)
+    base = datetime(2024, 1, 1)
+    lrows = [
+        (i, rnd.randint(1, 5), base + timedelta(seconds=rnd.randint(0, 120)))
+        for i in range(60)
+    ]
+    rrows = [
+        (1000 + i, rnd.randint(1, 6), base + timedelta(seconds=rnd.randint(0, 120)))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts"])
+    got = {
+        r.lid: r.rid
+        for r in asof_join_backward(
+            left, right, on="k", right_cols=["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    for lid, k, lts in lrows:
+        cand = [(rts, rid) for rid, rk, rts in rrows if rk == k and rts <= lts]
+        want = max(cand)[1] if cand else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    """Randomized differential check of the bucketed range join,
+    including intervals spanning multiple buckets."""
+    import random
+    from datetime import datetime, timedelta
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    rnd = random.Random(7)
+    base = datetime(2024, 1, 1)
+    ivls = []
+    for i in range(40):
+        s = rnd.randint(0, 300)
+        ivls.append(
+            (i, rnd.randint(1, 4), base + timedelta(seconds=s),
+             base + timedelta(seconds=s + rnd.randint(0, 150)))  # may span >1 60s bucket
+        )
+    pts = [
+        (500 + i, rnd.randint(1, 4), base + timedelta(seconds=rnd.randint(0, 450)))
+        for i in range(120)
+    ]
+    intervals = spark.createDataFrame(ivls, ["ivl_id", "k", "start_ts", "end_ts"])
+    points = spark.createDataFrame(pts, ["pid", "k", "pts"])
+    got = {
+        (r.ivl_id, r.pid)
+        for r in range_join_bucketed(
+            points, intervals, "k", "pts", "start_ts", "end_ts", bucket_s=60
+        ).collect()
+    }
+    want = {
+        (ivl_id, pid)
+        for ivl_id, ik, s, e in ivls
+        for pid, pk, t in pts
+        if pk == ik and s <= t <= e
+    }
+    assert got == want
+
+
 def test_duplicate_clusters_transitive(spark):
     """CC labels: identical docs land in one cluster labeled by the
     smallest member id; unrelated docs don't appear at all."""
