@@ -170,6 +170,26 @@ def replay_events_stream(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    (slowly-changing) dimension snapshot.
+
+    The static side is re-resolved every micro-batch (so a dimension
+    refresh is picked up without restarting the query) and broadcast —
+    the stream side never shuffles, which is the only sane shape when
+    the stream is the 100 TB/day side and the dimension is a user/
+    account table.  Left join keeps events with no dimension row.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim.select(on, *dim_cols)), on, "left")
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

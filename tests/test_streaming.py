@@ -179,3 +179,40 @@ def test_streaming_dedup(spark, events_stream_parts, tmp_path):
     total = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0].n
     assert n == total  # every surviving row unique
     assert total == full.count()  # nothing lost, duplicates dropped
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream_parts):
+    """Stream-static broadcast enrichment: joining each micro-batch to
+    a dimension snapshot yields exactly the batch join result."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        enrich_with_dimension,
+        replay_events_stream,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    dim = (
+        full.select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod("user_id", F.lit(3)))
+    )
+    stream = replay_events_stream(spark, stream_dir, schema)
+    _run_stream_to_memory(
+        enrich_with_dimension(stream, dim, "user_id", ["tier"]).select(
+            "event_id", "user_id", "tier"
+        ),
+        "enrich_sink",
+        "append",
+    )
+    got = {
+        (r.event_id, r.user_id, r.tier)
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    }
+    expect = {
+        (r.event_id, r.user_id, r.tier)
+        for r in enrich_with_dimension(full, dim, "user_id", ["tier"])
+        .select("event_id", "user_id", "tier")
+        .collect()
+    }
+    assert got == expect
