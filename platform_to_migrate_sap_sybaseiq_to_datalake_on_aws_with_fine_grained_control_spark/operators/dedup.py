@@ -92,13 +92,16 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
     if max_shingle_df:
-        good = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
+        # document frequency as a count-over-window: ONE shuffle on the
+        # shingle (vs groupBy + join = two), and the output stays
+        # hash-partitioned by shingle so the downstream self-join can
+        # reuse the exchange
+        w_df = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w_df))
             .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+            .drop("_df")
         )
-        sh = sh.join(good, "shingle")
     # the shingle table feeds three consumers (per-doc counts + both
     # sides of the self-join); persist so the explode/normalize work
     # runs once (at 100 TB: write the shingle table to parquet instead)
