@@ -104,6 +104,41 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: formats the file-source path supports beyond parquet.  CSV/JSON get
+#: schema inference ONLY when no explicit schema is passed — at real
+#: scale always pass one (inference is a full extra pass over the data).
+FILE_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching file read (S1's non-JDBC side).
+
+    Parquet goes through :func:`read_parquet` (ns-timestamp tolerant);
+    CSV defaults to ``header=true`` and both CSV/JSON infer the schema
+    only when none is given.  All formats are splittable sources here
+    (CSV/JSON uncompressed, ORC/parquet natively), so partitioned scans
+    and predicate pushdown behave the same way downstream.
+    """
+    if fmt not in FILE_FORMATS:
+        raise ValueError(f"unsupported source format: {fmt!r} (one of {FILE_FORMATS})")
+    if fmt == "parquet" and not options and schema is None:
+        return read_parquet(spark, path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        options = {"header": "true", **options}
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
 #: (session id, view name) -> sf_dir already registered; avoids paying
 #: footer reads + view DDL on every catalog query in the same session.
 _VIEW_CACHE: dict[tuple[int, str], str] = {}
@@ -151,19 +186,30 @@ class SourceRegistry:
     spark: SparkSession
     parquet_root: str | None = None
     table_paths: dict[str, str] = field(default_factory=dict)
+    #: per-table source format ("parquet" default; csv/json/orc)
+    table_formats: dict[str, str] = field(default_factory=dict)
     jdbc_enabled: bool = False
 
     def resolve_path(self, table: str) -> str | None:
         if table in self.table_paths:
             return self.table_paths[table]
         if self.parquet_root:
-            p = Path(self.parquet_root) / f"{table}.parquet"
-            if p.exists():
-                return str(p)
-            p = Path(self.parquet_root) / table
-            if p.exists():
-                return str(p)
+            ext = self.table_formats.get(table, "parquet")
+            for candidate in (f"{table}.{ext}", table):
+                p = Path(self.parquet_root) / candidate
+                if p.exists():
+                    return str(p)
         return None
+
+    def read_table(self, table: str, schema=None, **options) -> DataFrame:
+        """Resolve + read a registered table in its declared format."""
+        path = self.resolve_path(table)
+        if path is None:
+            raise FileNotFoundError(table)
+        return read_source(
+            self.spark, path, self.table_formats.get(table, "parquet"),
+            schema=schema, **options,
+        )
 
     def register_views_for_query(self, tables: list[str] | None = None) -> dict[str, str]:
         """Register views for the tables a plan query may touch; returns
@@ -174,7 +220,9 @@ class SourceRegistry:
         for t in tables:
             path = self.resolve_path(t)
             if path:
-                read_parquet(self.spark, path).createOrReplaceTempView(t)
+                read_source(
+                    self.spark, path, self.table_formats.get(t, "parquet")
+                ).createOrReplaceTempView(t)
                 mapping[t] = t
         return mapping
 

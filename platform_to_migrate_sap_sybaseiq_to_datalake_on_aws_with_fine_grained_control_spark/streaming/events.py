@@ -170,6 +170,31 @@ def replay_events_stream(
     )
 
 
+def streaming_neardup(
+    docs: DataFrame,
+    text_col: str = "props",
+    ts_col: str = "ts",
+    num_bits: int = 16,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming near-duplicate suppression: drop arrivals whose
+    SimHash signature collides with one already seen inside the
+    watermark horizon — the streaming analog of the batch SimHash
+    dedup (exact-collision form; for hamming ≤ k, band the signature
+    into multiple keys the way MinHash-LSH does).
+
+    State is one row per distinct signature, expired by the watermark —
+    bounded, unlike an unbounded ``dropDuplicates`` key set.
+    """
+    from ..functions.text import simhash_bits
+
+    keyed = docs.withColumn("_sig", simhash_bits(text_col, num_bits))
+    out = keyed.withWatermark(ts_col, watermark)
+    if out.isStreaming:
+        return out.dropDuplicatesWithinWatermark(["_sig"]).drop("_sig")
+    return out.dropDuplicates(["_sig"]).drop("_sig")
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

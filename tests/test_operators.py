@@ -846,3 +846,38 @@ def test_tsql_rewrite_executes(spark):
     rows = spark.sql(q).collect()
     assert len(rows) == 7
     assert rows[0].o_orderkey == 0
+
+
+def test_multi_format_source_roundtrip(spark, tmp_path, sf_dir):
+    """CSV/JSON/ORC sources resolve, read, and register for plan
+    queries exactly like parquet (S1's non-JDBC side)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+        load_table,
+        read_source,
+    )
+
+    base = load_table(spark, sf_dir, "nation")
+    base.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "nation.csv"))
+    base.write.mode("overwrite").json(str(tmp_path / "nation.json"))
+    base.write.mode("overwrite").orc(str(tmp_path / "nation.orc"))
+
+    n = base.count()
+    for fmt in ("csv", "json", "orc"):
+        df = read_source(spark, str(tmp_path / f"nation.{fmt}"), fmt)
+        assert df.count() == n
+        assert {c.lower() for c in df.columns} == {c.lower() for c in base.columns}
+
+    reg = SourceRegistry(
+        spark, parquet_root=str(tmp_path), table_formats={"nation": "csv"}
+    )
+    assert reg.resolve_path("nation").endswith("nation.csv")
+    assert reg.read_table("nation").count() == n
+    mapping = reg.register_views_for_query(["nation"])
+    assert mapping == {"nation": "nation"}
+    assert spark.sql("SELECT count(*) AS c FROM nation").collect()[0].c == n
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_source(spark, "/nope", "avro")

@@ -216,3 +216,28 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_parts):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_neardup_suppresses_simhash_collisions(spark, events_stream_parts, tmp_path):
+    """Near-dup suppression keys state on the SimHash signature: the
+    streamed survivor set carries exactly the distinct signatures."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.text import (
+        simhash_bits,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        replay_events_stream,
+        streaming_neardup,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    stream = replay_events_stream(spark, stream_dir, schema)
+    _run_stream_to_memory(
+        streaming_neardup(stream, "props", "ts", 16, watermark="60 days"),
+        "neardup_sink",
+        "append",
+    )
+    got = spark.sql("SELECT * FROM neardup_sink")
+    n_sigs = full.select(simhash_bits("props", 16).alias("s")).distinct().count()
+    # one survivor per distinct signature, and no signature repeats
+    assert got.count() == n_sigs
+    assert got.select(simhash_bits("props", 16)).distinct().count() == n_sigs
