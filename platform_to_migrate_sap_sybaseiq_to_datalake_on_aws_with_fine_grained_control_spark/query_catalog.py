@@ -829,7 +829,10 @@ sql_query(
 
 sql_query(
     "q2_min_cost_supplier",
-    "SELECT s_suppkey, s_name, p_partkey, round(ps_cost, 2) AS cost FROM ("
+    # floor-scaled (not round): the synthetic cost lands on exact .xx5
+    # halves (acctbal/12 etc.), where round() half-tie behavior differs
+    # between engines — floor is bit-identical in both
+    "SELECT s_suppkey, s_name, p_partkey, floor(ps_cost * 100) / 100 AS cost FROM ("
     "SELECT s.s_suppkey, s.s_name, p.p_partkey, "
     "s.s_acctbal / (1 + p.p_partkey % 100) AS ps_cost, "
     "min(s.s_acctbal / (1 + p.p_partkey % 100)) OVER (PARTITION BY p.p_partkey) AS min_cost "
