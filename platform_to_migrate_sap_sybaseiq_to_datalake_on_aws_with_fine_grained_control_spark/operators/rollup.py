@@ -19,7 +19,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cascade_rollup"]
+__all__ = ["cascade_rollup", "refresh_rollup_incremental"]
+
+
+def refresh_rollup_incremental(
+    spark,
+    hourly_path: str,
+    new_events: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Merge a batch of new events into an existing ``grain``-level
+    materialization, touching ONLY the dirty buckets.
+
+    The continuous-aggregate refresh: aggregate the delta, read back
+    just the existing rows for the affected day partitions (partition
+    pruning — the materialization is day-partitioned), merge with the
+    decomposable re-aggregation (sum+sum / min-of-mins), and rewrite
+    only those day partitions via dynamic partition overwrite.  Cost is
+    O(delta + dirty buckets), never O(history) — the reason hypertable
+    rollups stay cheap on append-mostly streams.
+
+    Returns the merged dirty-bucket rows (what was just written).
+    """
+    delta = (
+        new_events.groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket"), *keys
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    ).withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+
+    dirty_days = [r.day for r in delta.select("day").distinct().collect()]
+    try:
+        existing = spark.read.parquet(hourly_path).filter(
+            F.col("day").isin(dirty_days)  # prunes to dirty partitions
+        )
+        merged_src = existing.unionByName(delta)
+    except Exception:  # first refresh: nothing materialized yet
+        merged_src = delta
+
+    merged = (
+        merged_src.groupBy("bucket", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+    )
+    # materialize before writing: `merged` reads the same path it is
+    # about to overwrite (localCheckpoint cuts the file-source lineage,
+    # so this is not a read-while-overwrite)
+    merged = merged.localCheckpoint()
+    # dynamic partition overwrite (set in the session factory) replaces
+    # only the day partitions present in `merged`
+    merged.write.mode("overwrite").partitionBy("day").parquet(hourly_path)
+    return spark.read.parquet(hourly_path).filter(F.col("day").isin(dirty_days))
 
 
 def cascade_rollup(

@@ -881,3 +881,42 @@ def test_multi_format_source_roundtrip(spark, tmp_path, sf_dir):
 
     with _pytest.raises(ValueError):
         read_source(spark, "/nope", "avro")
+
+
+def test_incremental_rollup_refresh_matches_full(spark, tmp_path, sf_dir):
+    """Two incremental refreshes (history + late delta) converge to the
+    same hourly materialization as a one-shot rollup over all raw data
+    — the continuous-aggregate merge invariant."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.rollup import (
+        cascade_rollup,
+        refresh_rollup_incremental,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(600).cache()
+    cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5) AS c").collect()[0].c
+    half1 = ev.filter(F.col("ts").cast("double") <= cut)
+    half2 = ev.filter(F.col("ts").cast("double") > cut)
+    path = str(tmp_path / "hourly")
+
+    refresh_rollup_incremental(spark, path, half1, "ts", ["event_type"], "value")
+    refresh_rollup_incremental(spark, path, half2, "ts", ["event_type"], "value")
+
+    got = {
+        (str(r.bucket), r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (str(r.bucket), r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in cascade_rollup(ev, "ts", ["event_type"], "value", ("hour",))["hour"].collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tot, mn, mx) in want.items():
+        gn, gtot, gmn, gmx = got[k]
+        assert gn == n and gmn == mn and gmx == mx
+        assert abs(gtot - tot) < 1e-6  # double sum order differs across paths
+    ev.unpersist()
