@@ -137,3 +137,62 @@ def test_schedule_scan(orch):
     (d / "a.json").write_text(json.dumps(_plan_dict()))
     outcomes = orch.dispatch({"schedule_number": 2})
     assert len(outcomes) == 1 and outcomes[0].succeeded
+
+
+REFERENCE_PLAN_DIR = "/root/reference/MigrationPlans/sybaseiq/migrationplans"
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(REFERENCE_PLAN_DIR).exists(),
+    reason="reference plans not present",
+)
+def test_reference_example_plans_run_verbatim(spark, tmp_path):
+    """The reference repo's own example plan JSONs run UNMODIFIED:
+    bracket identifiers, three-part names, sequential two-part chains,
+    S3 date partitioning, and reconciliation mismatch -> WITH WARNING
+    all behave as the reference platform would (JDBC falls back to the
+    registered local table since no Sybase server exists here)."""
+    from datetime import date
+    from pathlib import Path
+
+    # the table the reference example extracts
+    rows = [
+        (i, date(2024, 1 + (i % 3), 1 + (i % 27)), f"cat{i % 4}", i * 1.5)
+        for i in range(1, 101)
+    ]
+    src = spark.createDataFrame(
+        rows, ["Row ID", "order_date", "category", "Sales$"]
+    )
+    src_path = str(tmp_path / "superstore_src")
+    src.write.mode("overwrite").parquet(src_path)
+
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, table_paths={"tb_tableau_superstore": src_path}),
+        EngineConfig(target_root=str(tmp_path / "lake"), register_catalog=False),
+        Ledger(tmp_path / "ledger.jsonl"),
+        NotificationLog(tmp_path / "notify.jsonl"),
+    )
+    plan_file = Path(REFERENCE_PLAN_DIR) / "run_on_schedule_1" / "example1-sybase.json"
+    plan = ExtractionPlan.from_file(plan_file)
+    assert plan.active and len(plan.jobs) == 2
+
+    results = [eng.run_job(j) for j in plan.jobs]
+    assert [r.status for r in results] == ["SUCCEEDED", "SUCCEEDED"]
+    # part 1 extracts Row ID <= 4997 (all 100 local rows); part 2 none
+    assert results[0].row_count == 100
+    assert results[1].row_count == 0
+    # expected 4997 vs 100 -> mismatch -> ' WITH WARNING' subject
+    assert results[0].reconcile_status == "mismatch"
+    subjects = [e["subject"] for e in eng.notifications.entries()]
+    assert any(" WITH WARNING" in s for s in subjects)
+    # S3 partition column order_date is temporal -> year/month/day dirs
+    out = results[0].sink
+    assert out.partition_keys == ["year", "month", "day"]
+    part_dirs = {p.name for p in Path(out.path).iterdir() if p.is_dir()}
+    assert any(d.startswith("year=") for d in part_dirs)
+    # the second reference example (postgres engine) parses verbatim too
+    p2 = ExtractionPlan.from_file(
+        Path(REFERENCE_PLAN_DIR) / "run_on_schedule_1" / "example2-postgre.json"
+    )
+    assert p2.jobs and p2.jobs[0].jdbc_connection_string
