@@ -106,6 +106,16 @@ def rewrite_tsql_idioms(sql: str) -> str:
     * ``ISNULL(a, b)``    →  ``coalesce(a, b)`` (T-SQL 2-arg isnull —
       Spark's 1-arg ``isnull`` predicate is never called with 2 args,
       so the name rewrite is safe in plan queries)
+    * ``DATEADD(unit, n, d)``   →  ``d + n * INTERVAL 1 unit`` (simple
+      args only; nested-paren args pass through unchanged — Spark ≥3.3
+      natively accepts ``dateadd(unit, n, expr)``)
+    * ``DATEDIFF(unit, a, b)``  →  ``timestampdiff(unit, a, b)``
+      (T-SQL argument order is already Spark's: b - a in ``unit``)
+    * ``LEN(s)``          →  ``length(s)``
+    * ``CHARINDEX(x, s)`` →  ``locate(x, s)`` (same 1-based, 0 = miss)
+    * ``CONVERT(T, x)``   →  ``CAST(x AS T)`` (simple type form only;
+      style-code variants are left untouched for the engine to reject
+      loudly rather than silently misconvert)
     """
     parts = re.split(r"('(?:[^']|'')*')", sql)
     top_n: str | None = None
@@ -116,6 +126,21 @@ def rewrite_tsql_idioms(sql: str) -> str:
             parts[i] = _TOP_RE.sub(r"\1 ", parts[i], count=1)
         parts[i] = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", parts[i], flags=re.IGNORECASE)
         parts[i] = re.sub(r"\bISNULL\s*\(", "coalesce(", parts[i], flags=re.IGNORECASE)
+        parts[i] = re.sub(
+            r"\bDATEADD\s*\(\s*(\w+)\s*,\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)",
+            r"(\3 + (\2) * INTERVAL 1 \1)",
+            parts[i],
+            flags=re.IGNORECASE,
+        )
+        parts[i] = re.sub(r"\bDATEDIFF\s*\(", "timestampdiff(", parts[i], flags=re.IGNORECASE)
+        parts[i] = re.sub(r"\bLEN\s*\(", "length(", parts[i], flags=re.IGNORECASE)
+        parts[i] = re.sub(r"\bCHARINDEX\s*\(", "locate(", parts[i], flags=re.IGNORECASE)
+        parts[i] = re.sub(
+            r"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+\s*\))?)\s*,\s*([^()]+?)\s*\)",
+            r"CAST(\2 AS \1)",
+            parts[i],
+            flags=re.IGNORECASE,
+        )
     out = "".join(parts)
     if top_n is not None:
         out = f"{out.rstrip()} LIMIT {top_n}"

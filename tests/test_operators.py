@@ -828,6 +828,21 @@ def test_tsql_idiom_rewrites():
     # string literal untouched
     assert "'keep TOP 3 GETDATE() ISNULL(x,y)'" in out
 
+    out2 = to_spark_sql(
+        "SELECT DATEADD(day, 5, d), DATEDIFF(month, a, b), LEN(s), "
+        "CHARINDEX('x', s), CONVERT(VARCHAR(10), n), "
+        "'LEN(s) CONVERT(INT, 1) stays' FROM t"
+    )
+    assert "(d + (5) * INTERVAL 1 day)" in out2
+    assert "timestampdiff(month, a, b)" in out2
+    assert "length(s)" in out2
+    assert "locate('x', s)" in out2
+    assert "CAST(n AS VARCHAR(10))" in out2
+    assert "'LEN(s) CONVERT(INT, 1) stays'" in out2
+    # nested-paren DATEADD args pass through (Spark-native dateadd form)
+    out3 = to_spark_sql("SELECT DATEADD(day, 1, CAST(d AS DATE)) FROM t")
+    assert "DATEADD(day, 1, CAST(d AS DATE))" in out3
+
 
 def test_tsql_rewrite_executes(spark):
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
