@@ -672,6 +672,40 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_nation_volumes",
+    "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders, "
+    "round(sum(o_totalprice), 2) AS volume "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name",
+    doc="Skew-toolkit semantics proof: the customer->nation hop runs "
+    "through salted_join (16-way deterministic key fan-out, dimension "
+    "side exploded per salt) and must hash-match the plain-join "
+    "oracle. round(2) not floor: the summands are 2dp-exact, so sums "
+    "sit ON 2dp boundaries where floor flips on accumulation order. "
+    "oracle — salting changes the physical shuffle layout, never the "
+    "result.",
+)
+def salted_join_nation_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = salted_join(
+        orders.join(customer, orders.o_custkey == customer.c_custkey),
+        nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+        on="c_nationkey",
+        salt=16,
+        big_salt_cols=["o_orderkey"],
+    )
+    return enriched.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("volume"),
+    )
+
+
 #: contamination: fraction of a doc's distinct shingles that appear in
 #: the benchmark set (docs 0-9 stand in for an eval suite)
 CONTAM_BENCH_MAX_ID = 10
