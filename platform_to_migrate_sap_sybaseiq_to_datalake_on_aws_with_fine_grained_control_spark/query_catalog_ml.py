@@ -983,6 +983,43 @@ WHERE {quality} >= {QUALITY_MIN}
 """
 
 
+def _duck_curate_clean_sql() -> str:
+    """Full-pipeline oracle: curation result anti-joined against the
+    benchmark-contamination list (nested WITHs are scoped per subquery)."""
+    return f"""
+SELECT c.* FROM ({_duck_curate_sql()}) c
+ANTI JOIN (
+  SELECT t.doc_id FROM (
+    SELECT doc_id, CAST(len({duck_distinct_shingles('text', SHINGLE_N)}) AS BIGINT) AS n_total
+    FROM documents WHERE doc_id >= {CONTAM_BENCH_MAX_ID}) t
+  JOIN (
+    SELECT doc_id, count(*) AS n_hit FROM (
+      SELECT doc_id, unnest(sh) AS shingle FROM (
+        SELECT doc_id, {duck_distinct_shingles('text', SHINGLE_N)} AS sh
+        FROM documents WHERE doc_id >= {CONTAM_BENCH_MAX_ID}) x) corpus
+    WHERE shingle IN (
+      SELECT DISTINCT unnest({duck_distinct_shingles('text', SHINGLE_N)})
+      FROM documents WHERE doc_id < {CONTAM_BENCH_MAX_ID})
+    GROUP BY doc_id) h ON t.doc_id = h.doc_id
+  WHERE floor(h.n_hit::DOUBLE / t.n_total * 10000) / 10000 >= {CONTAM_MIN_OVERLAP}
+) ct ON c.doc_id = ct.doc_id
+"""
+
+
+@register(
+    "curate_clean_corpus",
+    _duck_curate_clean_sql(),
+    doc="The complete training-data pipeline in one plan: near-dup "
+    "removal -> quality filter -> benchmark decontamination (anti-join "
+    "on the broadcast-small contaminated-doc list) -> deterministic "
+    "hash split.",
+)
+def curate_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = curate_training_corpus(spark, sf_dir)
+    contaminated = text_contamination_overlap(spark, sf_dir).select("doc_id")
+    return base.join(contaminated, "doc_id", "left_anti")
+
+
 @register(
     "curate_training_corpus",
     _duck_curate_sql(),
