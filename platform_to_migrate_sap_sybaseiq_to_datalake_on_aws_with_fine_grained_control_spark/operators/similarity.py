@@ -389,6 +389,22 @@ def ivf_topk(
         scored = df.crossJoin(cents.select(
             F.col(label_col).alias("list_label"), "centroid"
         )).withColumn("cos_c", F.expr(cosine_expr(vec_col, "centroid")))
+        if keep == 1:
+            # corpus-side argmax as an aggregation, not a window: the
+            # partial max_by combines map-side, so the shuffle carries
+            # one row per vector instead of one per (vector, centroid)
+            ord_ = F.struct(
+                F.col("cos_c"), (-F.col("list_label")).alias("_nl")
+            )
+            return (
+                scored.groupBy(id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("list_label"), F.col(vec_col)), ord_
+                    ).alias("_m")
+                )
+                .select(id_col, F.col("_m.list_label"), F.col(f"_m.{vec_col}"))
+            )
         w = Window.partitionBy(id_col).orderBy(
             F.col("cos_c").desc(), F.col("list_label").asc()
         )
