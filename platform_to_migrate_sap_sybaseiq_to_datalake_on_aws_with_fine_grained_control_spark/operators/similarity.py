@@ -188,11 +188,25 @@ def lsh_bucket_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
     )
+    # same two-phase top-k as brute_force_topk: a bucket is N/2^planes
+    # expected but can still be huge at corpus scale, so don't funnel
+    # a whole candidate set through one per-query window task
+    scored = scored.withColumn(
+        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+    )
+    w_local = Window.partitionBy("query_id", "_grp").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_grp", "_lr")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -425,6 +439,20 @@ def ivf_topk(
         lists.join(F.broadcast(probes), "list_label")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+    )
+    # two-phase top-k (see brute_force_topk): probed lists are
+    # nprobe/k of the corpus — still corpus-scale, so bound the final
+    # per-query window to LOCAL_PRUNE_GROUPS * k rows
+    scored = scored.withColumn(
+        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+    )
+    w_local = Window.partitionBy("query_id", "_grp").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    scored = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_grp", "_lr")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col(id_col).asc()
