@@ -983,7 +983,7 @@ def events_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sql_query(
+@register(
     "events_zscore_anomalies",
     "SELECT event_id, event_type, round(value, 2) AS value, "
     "round((value - avg_v) / sd_v, 2) AS zscore "
@@ -991,9 +991,28 @@ sql_query(
     "avg(value) OVER (PARTITION BY event_type) AS avg_v, "
     "stddev_samp(value) OVER (PARTITION BY event_type) AS sd_v FROM events) "
     "WHERE abs((value - avg_v) / sd_v) > 2.5",
-    doc="Anomaly flagging: per-type z-score over a full-partition "
-    "window, |z| > 2.5 outliers.",
+    doc="Anomaly flagging: per-type z-score, |z| > 2.5 outliers. Spark "
+    "side is groupBy stats + broadcast join back (a PARTITION BY "
+    "event_type window puts a whole type's data in ONE task — with 5 "
+    "types that's 1/5 of 100 TB per task); the oracle keeps the window "
+    "form, proving the shapes are equivalent.",
 )
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("avg_v"), F.stddev_samp("value").alias("sd_v")
+    )
+    z = (F.col("value") - F.col("avg_v")) / F.col("sd_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 2).alias("zscore"),
+        )
+    )
 
 
 # =====================================================================
