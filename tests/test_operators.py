@@ -935,3 +935,31 @@ def test_incremental_rollup_refresh_matches_full(spark, tmp_path, sf_dir):
         assert gn == n and gmn == mn and gmx == mx
         assert abs(gtot - tot) < 1e-6  # double sum order differs across paths
     ev.unpersist()
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    """int8 quantization: codes within [-127, 127], and dequantized
+    values within half a quantization step of the originals."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = quantize_embeddings_int8(emb, "vec_id", "embedding")
+    rows = {r.vec_id: r for r in q.collect()}
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert set(rows) <= set(orig)
+    for vid, r in rows.items():
+        codes = [int(c) for c in r.q.split(",")]
+        assert len(codes) == len(orig[vid])
+        assert all(-127 <= c <= 127 for c in codes)
+        # scale was floor-truncated at 1e-6 for output; reconstruction
+        # uses it, so allow the step/2 plus the truncation slack
+        step = r.scale / 127
+        for c, x in zip(codes, orig[vid]):
+            assert abs(c * step - x) <= step / 2 + 1e-6 * abs(x) + 1e-9
