@@ -21,9 +21,11 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from dataclasses import dataclass
 from datetime import datetime
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,16 +62,59 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _driver_verified_names() -> set[str]:
+    """Names that already hold a green row in any past driver CORRECTNESS file.
+
+    The driver verifies only the first 50 ``queries()`` entries per round, so
+    the catalog self-rotates: entries without a green row yet sort first (see
+    ``_ordered_names``), and once a round's ``CORRECTNESS_r{N}.json`` lands in
+    the repo root they drop behind the still-unverified tail automatically.
+    """
+    root = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is None and row.get("rows_match"):
+                seen.add(name)
+    return seen
+
+
+def _ordered_names() -> list[str]:
+    """Catalog names with never-driver-verified, oracle-backed entries first.
+
+    Sort groups (stable within each, preserving registration order):
+      0. has an oracle, no green driver row yet  — needs a CORRECTNESS row;
+      1. rows-only (no oracle), no green row     — driver records a weaker check;
+      2. already driver-verified                 — r{N} rows stand as evidence.
+    """
+    verified = _driver_verified_names()
+
+    def group(e: CatalogEntry) -> int:
+        if e.name in verified:
+            return 2
+        return 0 if e.oracle is not None else 1
+
+    return [e.name for e in sorted(_CATALOG.values(), key=group)]
+
+
 def catalog() -> dict[str, CatalogEntry]:
-    return dict(_CATALOG)
+    return {name: _CATALOG[name] for name in _ordered_names()}
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: e.fn for name, e in _CATALOG.items()}
+    return {name: _CATALOG[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in _CATALOG.items() if e.oracle is not None}
+    return {
+        name: _CATALOG[name].oracle
+        for name in _ordered_names()
+        if _CATALOG[name].oracle is not None
+    }
 
 
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
