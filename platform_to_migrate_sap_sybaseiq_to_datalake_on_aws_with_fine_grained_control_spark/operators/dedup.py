@@ -300,11 +300,16 @@ def duplicate_clusters(
     """Transitive duplicate clusters: connected components over the
     verified near-dup pair graph, ``cluster_id`` = smallest member id.
 
-    Min-label propagation (the dataframe form of large-star/small-star
-    CC): each node starts at ``min(self, neighbors)`` and every round
-    takes the min of its neighbors' labels, converging in O(component
-    diameter) rounds — each round is one shuffled join+groupBy, fully
-    distributed; the driver only checks the per-round changed-count.
+    Plain min-label propagation: each node starts at ``min(self,
+    neighbors)`` and every round takes the min of its neighbors'
+    labels, converging in O(component diameter) rounds (NOT the
+    O(log n) of large-star/small-star — near-dup components are
+    dense and shallow, so diameter is small in practice; switch to
+    the star alternation if pathological chains appear) — each round
+    is one shuffled join+groupBy, fully distributed; the driver only
+    checks the per-round changed-count.  Raises ``RuntimeError`` if
+    labels are still changing after ``max_iterations`` rounds, so a
+    chain deeper than the budget can never silently split a cluster.
     Lineage is cut each round (``localCheckpoint``) so plans stay flat;
     at cluster scale use reliable ``checkpoint`` to survive executor
     loss.  Output ``(id, cluster_id)`` for every doc in ≥1 pair.
@@ -350,6 +355,14 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            f"label-propagation rounds ({changed} labels still changing); "
+            "a duplicate chain has graph diameter beyond the budget — "
+            "raise max_iterations rather than accept split clusters"
+        )
     edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")

@@ -100,6 +100,13 @@ def compact_partitions(
     (no atomic rename) use a table format (Delta/Iceberg) instead —
     this operator is the raw-parquet analog.
 
+    Crash recovery: the displaced original uses the DETERMINISTIC name
+    ``.{name}.old`` so a process death between the two renames (dataset
+    momentarily lives only under ``.old``) is self-healing — the next
+    call finds the orphan and renames it back before compacting.
+    Readers racing the swap window still see FileNotFound (documented);
+    the data itself is never without a recoverable home.
+
     Layout: ``repartition(*keys)`` puts each Hive partition's rows in
     one task → one file per partition; for N>1 a deterministic salt
     column (hash of all columns, retry-safe, no rand()) splits each
@@ -111,6 +118,14 @@ def compact_partitions(
 
     from pyspark.sql import functions as F
 
+    p = Path(path)
+    old = p.parent / f".{p.name}.old"
+    if old.exists():
+        if p.exists():  # prior run died after writing tmp→p: old is stale
+            shutil.rmtree(old)
+        else:  # prior run died between the two renames: recover
+            old.rename(p)
+
     df = spark.read.parquet(path)
     if target_files_per_partition <= 1:
         laid_out = df.repartition(*[df[k] for k in partition_keys])
@@ -120,9 +135,7 @@ def compact_partitions(
             *[df[k] for k in partition_keys], F.col("_salt")
         ).drop("_salt")
 
-    p = Path(path)
     tmp = p.parent / f".{p.name}.compact-{uuid.uuid4().hex[:8]}"
-    old = p.parent / f".{p.name}.old-{uuid.uuid4().hex[:8]}"
     laid_out.write.partitionBy(*partition_keys).parquet(str(tmp))
     p.rename(old)
     tmp.rename(p)

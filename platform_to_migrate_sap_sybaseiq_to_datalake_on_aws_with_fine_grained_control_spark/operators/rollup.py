@@ -16,10 +16,24 @@ from the events table.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cascade_rollup", "refresh_rollup_incremental"]
+
+
+def _is_path_not_found(exc: AnalysisException) -> bool:
+    """True only for the missing-root-path error class.
+
+    Any other analysis failure (corrupt footer, permission, schema) must
+    propagate: treating it as "first refresh" would let the dynamic
+    partition overwrite below replace dirty-day partitions with
+    delta-only aggregates, silently discarding accumulated history.
+    """
+    get = getattr(exc, "getCondition", None) or getattr(exc, "getErrorClass", None)
+    cls = (get() if get else None) or ""
+    return cls == "PATH_NOT_FOUND"
 
 
 def refresh_rollup_incremental(
@@ -54,15 +68,21 @@ def refresh_rollup_incremental(
             F.max(value_col).alias("max_value"),
         )
     ).withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+    delta = delta.cache()
+    # broadcast semi-join on the tiny dirty-day frame: dynamic partition
+    # pruning reads only the dirty day dirs — no driver-side collect.
+    # localCheckpoint materializes the frame (it outlives delta's cache).
+    dirty = delta.select("day").distinct().localCheckpoint()
 
-    dirty_days = [r.day for r in delta.select("day").distinct().collect()]
     try:
-        existing = spark.read.parquet(hourly_path).filter(
-            F.col("day").isin(dirty_days)  # prunes to dirty partitions
+        existing = spark.read.parquet(hourly_path).join(
+            F.broadcast(dirty), "day", "semi"
         )
         merged_src = existing.unionByName(delta)
-    except Exception:  # first refresh: nothing materialized yet
-        merged_src = delta
+    except AnalysisException as exc:
+        if not _is_path_not_found(exc):
+            raise
+        merged_src = delta  # first refresh: nothing materialized yet
 
     merged = (
         merged_src.groupBy("bucket", *keys)
@@ -81,7 +101,9 @@ def refresh_rollup_incremental(
     # dynamic partition overwrite (set in the session factory) replaces
     # only the day partitions present in `merged`
     merged.write.mode("overwrite").partitionBy("day").parquet(hourly_path)
-    return spark.read.parquet(hourly_path).filter(F.col("day").isin(dirty_days))
+    out = spark.read.parquet(hourly_path).join(F.broadcast(dirty), "day", "semi")
+    delta.unpersist()
+    return out
 
 
 def cascade_rollup(

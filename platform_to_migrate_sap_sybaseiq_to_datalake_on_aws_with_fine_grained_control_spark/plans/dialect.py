@@ -61,7 +61,10 @@ def rewrite_three_part_names(
 
     * the full three-part name is an explicit ``table_map`` key;
     * its ``(db, schema)`` prefix is in ``known_prefixes`` (the plan's
-      ``SourceDatabase``/``SourceSchema`` — covers comma-join lists);
+      ``SourceDatabase``/``SourceSchema`` — covers comma-join lists) or
+      matches the prefix of any three-part ``table_map`` key (so
+      standalone callers that pass only ``table_map`` keep comma-join
+      support without supplying prefixes explicitly);
     * it directly follows a table-position keyword
       (``FROM``/``JOIN``/``INTO``/``UPDATE``/``TABLE``).
     """
@@ -69,6 +72,10 @@ def rewrite_three_part_names(
     prefixes = {
         (a.strip().lower(), b.strip().lower()) for a, b in (known_prefixes or set())
     }
+    for key in table_map:
+        kp = key.split(".")
+        if len(kp) == 3:
+            prefixes.add((kp[0], kp[1]))
 
     parts = re.split(r"('(?:[^']|'')*'|`[^`]*`)", sql)
     three_part = re.compile(
@@ -136,7 +143,7 @@ def rewrite_tsql_idioms(sql: str) -> str:
         parts[i] = re.sub(r"\bLEN\s*\(", "length(", parts[i], flags=re.IGNORECASE)
         parts[i] = re.sub(r"\bCHARINDEX\s*\(", "locate(", parts[i], flags=re.IGNORECASE)
         parts[i] = re.sub(
-            r"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+\s*\))?)\s*,\s*([^()]+?)\s*\)",
+            r"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+\s*\))?)\s*,\s*([^(),]+?)\s*\)",
             r"CAST(\2 AS \1)",
             parts[i],
             flags=re.IGNORECASE,

@@ -963,3 +963,121 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
         step = r.scale / 127
         for c, x in zip(codes, orig[vid]):
             assert abs(c * step - x) <= step / 2 + 1e-6 * abs(x) + 1e-9
+
+
+def test_convert_style_code_passes_through_unchanged():
+    """3-arg CONVERT (T-SQL style-code form) must NOT be mangled into
+    an invalid CAST — it passes through for the engine to reject with
+    the original text visible."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
+        to_spark_sql,
+    )
+
+    out = to_spark_sql("SELECT CONVERT(VARCHAR, d, 112) FROM t")
+    assert "CONVERT(VARCHAR, d, 112)" in out
+    # the 2-arg form still rewrites
+    assert "CAST(d AS VARCHAR)" in to_spark_sql("SELECT CONVERT(VARCHAR, d) FROM t")
+
+
+def test_three_part_comma_join_rewrites_with_table_map_only():
+    """Standalone to_spark_sql callers passing only table_map keep
+    comma-join support: prefixes are derived from three-part keys."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
+        to_spark_sql,
+    )
+
+    out = to_spark_sql(
+        "SELECT a.x, o.address.city FROM iqdemo.dba.t1, iqdemo.dba.t2 "
+        "WHERE t1.id = t2.id",
+        table_map={"iqdemo.dba.t1": "t1", "iqdemo.dba.t2": "t2"},
+    )
+    assert "FROM t1, t2" in out
+    # struct-field access with an unknown prefix stays untouched
+    assert "o.address.city" in out
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark, monkeypatch):
+    """A duplicate chain deeper than the iteration budget must raise,
+    never silently split clusters (ADVICE r2)."""
+    import pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators import (
+        dedup,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"]
+    )
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", lambda *a, **k: chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(
+            spark.createDataFrame([(0, "x")], ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            max_iterations=1,
+        )
+    # an adequate budget converges to one chain-wide cluster
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(
+            spark.createDataFrame([(0, "x")], ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            max_iterations=10,
+        ).collect()
+    }
+    assert out == {i: 1 for i in range(1, 10)}
+
+
+def test_rollup_refresh_propagates_read_failure(spark, tmp_path):
+    """A corrupt/unreadable existing materialization must abort the
+    refresh (ADVICE r2) — only a genuinely missing path means 'first
+    refresh'. A silent fallback would overwrite dirty-day partitions
+    with delta-only aggregates."""
+    import pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.rollup import (
+        refresh_rollup_incremental,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(50)
+    path = tmp_path / "hourly"
+    path.mkdir()  # exists but holds no parquet → NOT path-not-found
+    (path / "part-00000.parquet").write_text("not a parquet file")
+    # corrupt footer surfaces as FAILED_READ_FILE at schema inference
+    with pytest.raises(Exception, match="FAILED_READ_FILE|CANNOT_READ_FILE_FOOTER"):
+        refresh_rollup_incremental(spark, str(path), ev, "ts", ["event_type"], "value")
+    # the corrupt materialization was NOT overwritten
+    assert (path / "part-00000.parquet").read_text() == "not a parquet file"
+
+
+def test_compact_partitions_recovers_from_crash_window(spark, tmp_path):
+    """Death between the two swap renames leaves the dataset under the
+    deterministic `.old` name; the next call must rename it back and
+    proceed (ADVICE r2)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        compact_partitions,
+    )
+
+    path = tmp_path / "t"
+    spark.range(0, 300).selectExpr("id", "CAST(id % 3 AS STRING) AS part").repartition(
+        4
+    ).write.partitionBy("part").parquet(str(path))
+
+    # simulate crash after `p.rename(old)` and before `tmp.rename(p)`
+    old = path.parent / f".{path.name}.old"
+    path.rename(old)
+    assert not path.exists()
+    compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
+    assert spark.read.parquet(str(path)).count() == 300
+    assert not old.exists()
+
+    # stale `.old` left behind after a SUCCESSFUL swap is cleaned up
+    old.mkdir()
+    (old / "junk").write_text("stale")
+    compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
+    assert spark.read.parquet(str(path)).count() == 300
+    assert not old.exists()
