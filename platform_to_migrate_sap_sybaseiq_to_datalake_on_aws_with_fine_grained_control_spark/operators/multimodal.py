@@ -1,4 +1,4 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column processing.
 
 Media are opaque ``binary`` columns with typed metadata — the lakehouse
 pattern for multimodal training data: payload bytes travel through
@@ -7,15 +7,22 @@ functions over ``mapInPandas`` so the Python cost is per-batch, not
 per-row, and the operator parallelizes per input partition (no
 shuffle).
 
-The actual codec work (JPEG decode, audio resample, video frame
-sampling) needs native libraries this container doesn't ship, so the
-decode kernels are STUBS: ``decode_image_meta`` parses only
-self-describing header bytes (deterministic, dependency-free), and
-``extract_features`` produces a deterministic per-item pseudo-feature
-vector (md5-seeded) with the exact schema/batch shape a real extractor
-would have.  Swapping in Pillow/librosa/av later changes ONE inner
-function per kernel — the Spark plumbing (schemas, batching,
-partitioning) is the part under test.
+Codecs (stdlib-only, no Pillow/librosa/av in this environment):
+
+* **PNG — real.** :func:`png_encode_gray` / :func:`png_decode_gray`
+  implement 8-bit grayscale PNG with zlib-compressed IDAT, CRC-checked
+  chunks, and all five scanline filters on decode (the encoder emits
+  filter 0).  :func:`decode_image_meta` parses real IHDR headers and
+  :func:`resize_images` does a full decode → nearest-neighbor resample
+  → re-encode round trip.
+* **WAV — real.** Mono 16-bit PCM via the stdlib ``wave`` module;
+  :func:`audio_features` decodes frames and computes RMS / peak /
+  zero-crossings on the samples.
+* **Video — stand-in.** No stdlib video codec exists, so video assets
+  use a minimal deterministic frame container (``FRAM`` magic +
+  fixed-size frames); :func:`sample_frames` parses it.  Swapping in a
+  libav decode changes one inner function (see
+  :func:`real_decode_backend`).
 
 Scale notes:
 
@@ -30,21 +37,219 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------
+# PNG codec (8-bit grayscale, stdlib-only)
+# ---------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w) uint8`` array as an 8-bit grayscale PNG
+    (color type 0, filter 0 per scanline, one zlib IDAT stream)."""
+    h, w = pixels.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None)
+        raw.extend(pixels[y].astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _iter_png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        yield tag, data
+        pos += 12 + length
+        if tag == b"IEND":
+            return
+    raise ValueError("truncated PNG: no IEND")
+
+
+def png_parse_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse and CRC-check the IHDR: ``(width, height, bit_depth,
+    color_type)``."""
+    for tag, data in _iter_png_chunks(payload):
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            return w, h, depth, color
+        break  # IHDR must come first
+    raise ValueError("PNG missing IHDR")
+
+
+def png_decode_gray(payload: bytes) -> np.ndarray:
+    """Full decode of an 8-bit grayscale PNG to ``(h, w) uint8``.
+
+    Handles all five scanline filters (None/Sub/Up/Average/Paeth) —
+    Sub via cumulative sum, Up vectorized, Average/Paeth per-pixel
+    (correctness path; our encoder emits filter 0 so the hot path is
+    the memcpy).
+    """
+    w, h, depth, color = png_parse_meta(payload)
+    if depth != 8 or color != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+    idat = b"".join(d for t, d in _iter_png_chunks(payload) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + w], dtype=np.uint8)
+        pos += 1 + w
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub: recon = cumsum mod 256
+            cur = np.cumsum(line, dtype=np.uint64).astype(np.uint8)
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            cur = np.empty(w, dtype=np.uint8)
+            left = 0
+            for x in range(w):
+                left = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+                cur[x] = left
+        elif ftype == 4:  # Paeth
+            cur = np.empty(w, dtype=np.uint8)
+            for x in range(w):
+                a = int(cur[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the deterministic baseline kernel —
+    a real bilinear/Lanczos swap-in changes only this function)."""
+    h, w = pixels.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return pixels[np.ix_(ys, xs)]
+
+
+# ---------------------------------------------------------------------
+# WAV codec (mono PCM16, stdlib wave module)
+# ---------------------------------------------------------------------
+
+
+def wav_encode_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+            raise ValueError("expected mono PCM16 WAV")
+        rate = wv.getframerate()
+        data = np.frombuffer(wv.readframes(wv.getnframes()), dtype="<i2")
+    return data, rate
+
+
+# ---------------------------------------------------------------------
+# Frame container (video stand-in: FRAM magic | n_frames | frame_size)
+# ---------------------------------------------------------------------
+
+_FRAM_MAGIC = b"FRAM"
+
+
+def fram_encode(frames: list[bytes]) -> bytes:
+    size = len(frames[0]) if frames else 0
+    return _FRAM_MAGIC + struct.pack(">HH", len(frames), size) + b"".join(frames)
+
+
+def fram_decode(payload: bytes) -> list[bytes]:
+    if payload[:4] != _FRAM_MAGIC:
+        raise ValueError("not a FRAM container")
+    n, size = struct.unpack(">HH", payload[4:8])
+    body = payload[8:]
+    return [body[i * size : (i + 1) * size] for i in range(n)]
+
+
+def media_meta(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Sniff container magic → ``(format, width, height)``; dims only
+    for images.  Unknown/corrupt bytes → all-None (a real pipeline
+    routes those rows to a quarantine sink rather than failing the
+    batch)."""
+    if payload is None or len(payload) < 12:
+        return None, None, None
+    try:
+        if payload[:8] == _PNG_SIG:
+            w, h, _, _ = png_parse_meta(payload)
+            return "png", w, h
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "wav", None, None
+        if payload[:4] == _FRAM_MAGIC:
+            return "fram", None, None
+    except ValueError:
+        return None, None, None
+    return None, None, None
+
+
+# ---------------------------------------------------------------------
+# Deterministic synthetic assets (pure function — shared by the Spark
+# generator and the catalog oracle builders)
+# ---------------------------------------------------------------------
 
 #: schema of a multimodal asset table (payload + typed metadata).
 ASSET_SCHEMA = StructType(
@@ -56,6 +261,53 @@ ASSET_SCHEMA = StructType(
         StructField("source_uri", StringType(), True),
     ]
 )
+
+
+def synthetic_image_dims(i: int) -> tuple[int, int]:
+    return 16 + (i * 7) % 64, 16 + (i * 13) % 64
+
+
+def synthetic_image_pixels(i: int) -> np.ndarray:
+    w, h = synthetic_image_dims(i)
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    return ((ys[:, None] * 5 + xs[None, :] * 3 + i) % 256).astype(np.uint8)
+
+
+def synthetic_audio_samples(i: int) -> np.ndarray:
+    n = 256 + (i * 37) % 512
+    k = np.arange(n, dtype=np.int64)
+    return (((k * (31 + i)) % 4001 - 2000) * 8).astype(np.int16)
+
+
+def synthetic_video_frames(i: int) -> list[bytes]:
+    n_frames = 4 + (i % 5) * 3
+    return [hashlib.md5(f"frame:{i}:{f}".encode()).digest() for f in range(n_frames)]
+
+
+def synthetic_asset_rows(n: int = 64) -> list[tuple]:
+    """Deterministic asset rows cycling image (real PNG) / audio (real
+    WAV) / video (FRAM container)."""
+    rows = []
+    for i in range(n):
+        media = ["image", "audio", "video"][i % 3]
+        if media == "image":
+            payload = png_encode_gray(synthetic_image_pixels(i))
+        elif media == "audio":
+            payload = wav_encode_pcm16(synthetic_audio_samples(i))
+        else:
+            payload = fram_encode(synthetic_video_frames(i))
+        rows.append((i, media, payload, len(payload), f"synth://assets/{i}"))
+    return rows
+
+
+def make_synthetic_assets(spark, n: int = 64) -> DataFrame:
+    return spark.createDataFrame(synthetic_asset_rows(n), ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Operators (Arrow-batched mapInPandas kernels)
+# ---------------------------------------------------------------------
 
 IMAGE_META_SCHEMA = StructType(
     [
@@ -69,49 +321,16 @@ IMAGE_META_SCHEMA = StructType(
     ]
 )
 
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("asset_id", LongType(), False),
-        StructField("media_type", StringType(), True),
-        StructField("feature", ArrayType(FloatType()), True),
-    ]
-)
-
-
-def make_synthetic_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table: payload bytes carry a minimal
-    self-describing header (magic + dims) so the stub decoder has real
-    work to do.  Layout: ``b'FAKE' | H(width) | H(height) | md5-filler``.
-    """
-    rows = []
-    for i in range(n):
-        w, h = 64 + (i * 7) % 512, 64 + (i * 13) % 512
-        filler = hashlib.md5(f"asset:{i}".encode()).digest() * 4
-        payload = b"FAKE" + struct.pack(">HH", w, h) + filler
-        media = ["image", "audio", "video"][i % 3]
-        rows.append((i, media, payload, len(payload), f"synth://assets/{i}"))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
-
 
 def decode_image_meta(df: DataFrame) -> DataFrame:
-    """STUB decode: parse the payload header into (format, width,
-    height) + content md5, via Arrow-batched ``mapInPandas``.
-
-    A real implementation replaces ``_decode_one`` with Pillow/libav
-    calls; everything else (schema, batching, partition parallelism)
-    stays identical.
-    """
-
-    def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
-        if payload is None or len(payload) < 8 or payload[:4] != b"FAKE":
-            # real codecs raise on corrupt input; the stub degrades
-            return None, None, None
-        w, h = struct.unpack(">HH", payload[4:8])
-        return "fake", int(w), int(h)
+    """Media metadata decode via Arrow-batched ``mapInPandas``: real
+    PNG IHDR parse (CRC-checked) for images, container sniffing for
+    WAV/FRAM, plus content md5.  Corrupt payloads yield null meta
+    instead of failing the batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = pdf["payload"].map(_decode_one)
+            meta = pdf["payload"].map(media_meta)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -129,31 +348,33 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def pseudo_feature(payload: bytes | None, dims: int = 16) -> list[float] | None:
+    """Deterministic md5-seeded pseudo-embedding (the CLIP/wav2vec
+    stand-in — schema and batch shape of a real extractor head; see
+    :func:`real_decode_backend` for the swap-in point)."""
+    if payload is None:
+        return None
+    h = hashlib.md5(payload).digest()
+    return [round((h[d % len(h)] / 255.0) * 2 - 1, 6) for d in range(dims)]
+
+
 def extract_features(df: DataFrame, dims: int = 16) -> DataFrame:
-    """STUB feature extraction: a deterministic md5-seeded pseudo
-    embedding per asset (schema/shape of a real CLIP/wav2vec head).
-
-    Raises ``NotImplementedError`` from the kernel if asked for a real
-    backend explicitly (``real=True`` path kept visible for the judge).
-    """
-
-    def _embed_one(payload: bytes | None) -> list[float] | None:
-        if payload is None:
-            return None
-        out = []
-        h = hashlib.md5(payload).digest()
-        for d in range(dims):
-            b = h[d % len(h)]
-            out.append(round((b / 255.0) * 2 - 1, 6))
-        return out
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "feature": pdf["payload"].map(_embed_one),
+                    "feature": pdf["payload"].map(lambda b: pseudo_feature(b, dims)),
                 }
             )
 
@@ -164,24 +385,28 @@ AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
         StructField("n_samples", IntegerType(), True),
-        StructField("rms", FloatType(), True),
-        StructField("peak", FloatType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
         StructField("zero_crossings", IntegerType(), True),
     ]
 )
 
 
-def audio_features(df: DataFrame) -> DataFrame:
-    """STUB audio featurization: payload body bytes reinterpreted as
-    signed 8-bit PCM samples → per-asset RMS / peak / zero-crossing
-    counts, vectorized with numpy inside Arrow batches.
+def audio_feature_values(samples: np.ndarray) -> tuple[int, float, float, int]:
+    """RMS / peak / zero-crossings of PCM16 samples (float64 math,
+    ``floor``-truncated to 6 dp — decimal-half-tie-safe across
+    engines)."""
+    x = samples.astype(np.float64) / 32768.0
+    rms = float(np.floor(np.sqrt(np.mean(x * x)) * 1e6) / 1e6)
+    peak = float(np.floor(np.max(np.abs(x)) * 1e6) / 1e6)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return int(samples.size), rms, peak, zc
 
-    A real implementation swaps the byte-reinterpret for a
-    librosa/soundfile decode; the numpy feature math and the
-    ``mapInPandas`` batch shape are exactly what the real kernel uses.
-    Only audio assets produce rows.
-    """
-    import numpy as np
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Real WAV decode (stdlib ``wave``) → per-asset RMS / peak /
+    zero-crossing features, numpy-vectorized inside Arrow batches.
+    Only decodable audio assets produce rows."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -189,15 +414,18 @@ def audio_features(df: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 if row["media_type"] != "audio" or row["payload"] is None:
                     continue
-                samples = np.frombuffer(bytes(row["payload"])[8:], dtype=np.int8)
+                try:
+                    samples, _ = wav_decode_pcm16(bytes(row["payload"]))
+                except (ValueError, wave.Error, EOFError):
+                    continue
                 if samples.size == 0:
                     continue
-                x = samples.astype(np.float64) / 127.0
+                n, r, p, z = audio_feature_values(samples)
                 ids.append(row["asset_id"])
-                ns.append(int(samples.size))
-                rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
-                peak.append(round(float(np.max(np.abs(x))), 6))
-                zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                ns.append(n)
+                rms.append(r)
+                peak.append(p)
+                zc.append(z)
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
@@ -211,46 +439,51 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
-def real_decode_backend(*_args, **_kwargs):  # pragma: no cover
-    """The non-stub decode path — requires Pillow/librosa/av, which the
-    build environment does not ship."""
-    raise NotImplementedError(
-        "media codecs (Pillow/librosa/av) are not available in this "
-        "environment; decode_image_meta/extract_features run the "
-        "deterministic stub kernels instead"
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_image_bytes(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Pure resize kernel: PNG decode → nearest-neighbor → re-encode."""
+    return png_encode_gray(
+        resize_nearest(png_decode_gray(payload), target_w, target_h)
     )
 
 
-def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """STUB resize: passes payload through, rewrites the header dims —
-    the plumbing (binary in/binary out via mapInPandas) is real."""
-
-    out_schema = StructType(
-        [
-            StructField("asset_id", LongType(), False),
-            StructField("payload", BinaryType(), True),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-        ]
-    )
-
-    def _resize_one(payload: bytes | None) -> bytes | None:
-        if payload is None or len(payload) < 8 or payload[:4] != b"FAKE":
-            return None
-        return b"FAKE" + struct.pack(">HH", target_w, target_h) + payload[8:]
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Real image resize: full PNG decode, nearest-neighbor resample,
+    PNG re-encode — binary in / binary out through ``mapInPandas``.
+    Only decodable PNG rows produce output."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            ids, payloads = [], []
+            for _, row in pdf.iterrows():
+                b = row["payload"]
+                if b is None:
+                    continue
+                try:
+                    out = resize_image_bytes(bytes(b), target_w, target_h)
+                except ValueError:
+                    continue  # not a decodable PNG (audio/video/corrupt)
+                ids.append(row["asset_id"])
+                payloads.append(out)
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
-                    "payload": pdf["payload"].map(_resize_one),
-                    "width": target_w,
-                    "height": target_h,
+                    "asset_id": ids,
+                    "payload": payloads,
+                    "width": [target_w] * len(ids),
+                    "height": [target_h] * len(ids),
                 }
             )
 
-    return df.mapInPandas(batches, out_schema)
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -263,14 +496,10 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, every_nth: int = 4, max_frames: int = 8) -> DataFrame:
-    """STUB video frame sampling: emits every ``every_nth`` "frame" of
-    the payload (stub: 16-byte payload windows stand in for decoded
-    frames), up to ``max_frames`` per asset.
-
-    One input row fans out to N output rows — the mapInPandas generator
-    shape a real libav-based sampler has.  Only video assets produce
-    frames.
-    """
+    """Video frame sampling over the FRAM container: emits every
+    ``every_nth`` frame up to ``max_frames`` per asset — the 1→N
+    mapInPandas fan-out shape a libav-based sampler has.  Only video
+    assets produce frames."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -278,17 +507,28 @@ def sample_frames(df: DataFrame, every_nth: int = 4, max_frames: int = 8) -> Dat
             for _, row in pdf.iterrows():
                 if row["media_type"] != "video" or row["payload"] is None:
                     continue
-                body = bytes(row["payload"])[8:]
-                n_frames = max(0, len(body) // 16)
-                for k, f in enumerate(range(0, n_frames, every_nth)):
+                try:
+                    frames = fram_decode(bytes(row["payload"]))
+                except ValueError:
+                    continue
+                for k, f in enumerate(range(0, len(frames), every_nth)):
                     if k >= max_frames:
                         break
-                    chunk = body[f * 16 : (f + 1) * 16]
                     ids.append(row["asset_id"])
                     idxs.append(f)
-                    hashes.append(hashlib.md5(chunk).hexdigest())
+                    hashes.append(hashlib.md5(frames[f]).hexdigest())
             yield pd.DataFrame(
                 {"asset_id": ids, "frame_idx": idxs, "frame_md5": hashes}
             )
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def real_decode_backend(*_args, **_kwargs):  # pragma: no cover
+    """Swap-in point for native codecs this environment doesn't ship
+    (JPEG via Pillow, MP3/FLAC via librosa, video via av).  PNG and
+    WAV are decoded for real by the stdlib codecs above."""
+    raise NotImplementedError(
+        "only stdlib codecs are available: PNG (zlib) and WAV (wave) "
+        "are decoded for real; JPEG/MP3/video need Pillow/librosa/av"
+    )

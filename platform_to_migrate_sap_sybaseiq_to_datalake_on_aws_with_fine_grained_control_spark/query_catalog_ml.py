@@ -527,44 +527,152 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # Multimodal columns (binary payload + typed metadata; stubbed codecs)
-# — no DuckDB oracle (mapInPandas kernels are not SQL-expressible),
-# so the driver applies its rows-only check.
+# The kernels are mapInPandas (not SQL-expressible), but the synthetic
+# asset table is a DETERMINISTIC pure function, so each entry gets a
+# golden VALUES oracle computed by running the same pure codec
+# functions driver-side at registration time — the driver compare then
+# verifies the distributed Arrow path reproduces the local reference
+# computation bit-for-bit (incl. a real PNG encode→decode round trip).
 # =====================================================================
 
+import hashlib as _hashlib  # noqa: E402
+
 from .operators.multimodal import (  # noqa: E402
+    audio_feature_values,
     decode_image_meta,
     extract_features,
     make_synthetic_assets,
+    media_meta,
+    pseudo_feature,
+    resize_image_bytes,
+    synthetic_asset_rows,
+    synthetic_audio_samples,
+    synthetic_image_dims,
+    synthetic_video_frames,
 )
+
+_MM_N_ASSETS = 64
+
+
+def _values_oracle(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Golden-row oracle: ``SELECT ... FROM (VALUES ...)`` with every
+    column cast to a fixed type (DuckDB literal inference would
+    otherwise give int32 where Spark emits int64)."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)  # int or float (repr round-trips doubles)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    names = ", ".join(name for name, _ in cols)
+    casts = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
+    return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
+def _mm_meta_golden() -> list[tuple]:
+    """Expected decode_image_meta output, re-derived from the generator
+    SPEC (intended dims per ``synthetic_image_dims``), not the decoder
+    — so the oracle genuinely checks the encode→decode round trip."""
+    out = []
+    for asset_id, media, payload, n_bytes, _uri in synthetic_asset_rows(_MM_N_ASSETS):
+        if media == "image":
+            w, h = synthetic_image_dims(asset_id)
+            fmt: str | None = "png"
+        else:
+            w, h = None, None
+            fmt = "wav" if media == "audio" else "fram"
+        out.append(
+            (
+                asset_id,
+                media,
+                n_bytes,
+                fmt,
+                -1 if w is None else w,
+                -1 if h is None else h,
+                _hashlib.md5(payload).hexdigest(),
+            )
+        )
+    return out
 
 
 @register(
     "mm_decode_image_meta",
-    None,
-    doc="Multimodal metadata decode: binary payload headers → typed "
-    "meta via Arrow-batched mapInPandas (stub codec, real plumbing).",
+    _values_oracle(
+        _mm_meta_golden(),
+        [
+            ("asset_id", "BIGINT"),
+            ("media_type", "VARCHAR"),
+            ("n_bytes", "BIGINT"),
+            ("format", "VARCHAR"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+            ("payload_md5", "VARCHAR"),
+        ],
+    ),
+    doc="Multimodal metadata decode: real PNG IHDR parse (CRC-checked) "
+    "+ WAV/FRAM container sniffing via Arrow-batched mapInPandas; "
+    "oracle = golden rows from the generator spec, so the round trip "
+    "(stdlib PNG encode → distributed decode) is what's verified.",
 )
 def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = make_synthetic_assets(spark, 64)
-    return decode_image_meta(assets)
+    assets = make_synthetic_assets(spark, _MM_N_ASSETS)
+    meta = decode_image_meta(assets)
+    return meta.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "format",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        "payload_md5",
+    )
+
+
+def _mm_features_golden() -> list[tuple]:
+    # micro-scaled ints: feature values are exact-6dp doubles, so
+    # round(v*1e6) is integral in both engines (no float formatting)
+    return [
+        (
+            asset_id,
+            media,
+            ",".join(str(round(v * 1e6)) for v in pseudo_feature(payload, 16)),
+        )
+        for asset_id, media, payload, _n, _u in synthetic_asset_rows(_MM_N_ASSETS)
+    ]
 
 
 @register(
     "mm_extract_features",
-    None,
+    _values_oracle(
+        _mm_features_golden(),
+        [
+            ("asset_id", "BIGINT"),
+            ("media_type", "VARCHAR"),
+            ("feature_csv", "VARCHAR"),
+        ],
+    ),
     doc="Multimodal feature extraction: deterministic md5-seeded "
-    "pseudo-embeddings with the schema/batch shape of a real extractor. "
-    "The vector is emitted as a comma-joined string so the rows-only "
-    "harness (pandas canonicalizer) can sort/hash it — list cells are "
-    "unhashable.",
+    "pseudo-embeddings with the schema/batch shape of a real extractor "
+    "(see real_decode_backend for the swap-in point). The vector is "
+    "emitted as a comma-joined string so both engines hash it "
+    "identically — list cells are unhashable in pandas.",
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = make_synthetic_assets(spark, 64)
+    assets = make_synthetic_assets(spark, _MM_N_ASSETS)
     feats = extract_features(assets, dims=16)
     return feats.select(
         "asset_id",
         "media_type",
-        F.concat_ws(",", F.col("feature").cast("array<string>")).alias("feature_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda v: F.round(v * F.lit(1e6)).cast("long").cast("string"),
+            ),
+        ).alias("feature_csv"),
     )
 
 
@@ -829,46 +937,105 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_frames_golden(every_nth: int = 2, max_frames: int = 4) -> list[tuple]:
+    out = []
+    for i in range(_MM_N_ASSETS):
+        if i % 3 != 2:  # only video assets
+            continue
+        frames = synthetic_video_frames(i)
+        for k, f in enumerate(range(0, len(frames), every_nth)):
+            if k >= max_frames:
+                break
+            out.append((i, f, _hashlib.md5(frames[f]).hexdigest()))
+    return out
+
+
 @register(
     "mm_sample_frames",
-    None,
-    doc="Video frame sampling stub: 1->N row fan-out through "
-    "mapInPandas with deterministic frame hashes.",
+    _values_oracle(
+        _mm_frames_golden(),
+        [
+            ("asset_id", "BIGINT"),
+            ("frame_idx", "INTEGER"),
+            ("frame_md5", "VARCHAR"),
+        ],
+    ),
+    doc="Video frame sampling: 1->N row fan-out through mapInPandas "
+    "over the FRAM frame container; oracle = golden rows from the "
+    "generator's frame spec.",
 )
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import sample_frames
 
-    assets = make_synthetic_assets(spark, 64)
+    assets = make_synthetic_assets(spark, _MM_N_ASSETS)
     return sample_frames(assets, every_nth=2, max_frames=4)
+
+
+def _mm_audio_golden() -> list[tuple]:
+    out = []
+    for i in range(_MM_N_ASSETS):
+        if i % 3 != 1:  # only audio assets
+            continue
+        n, rms, peak, zc = audio_feature_values(synthetic_audio_samples(i))
+        out.append((i, n, rms, peak, zc))
+    return out
 
 
 @register(
     "mm_audio_features",
-    None,
-    doc="Audio featurization stub: payload bytes as int8 PCM -> "
-    "numpy RMS/peak/zero-crossing per asset inside Arrow batches "
-    "(librosa swap-in point; batch shape and feature math are real).",
+    _values_oracle(
+        _mm_audio_golden(),
+        [
+            ("asset_id", "BIGINT"),
+            ("n_samples", "INTEGER"),
+            ("rms", "DOUBLE"),
+            ("peak", "DOUBLE"),
+            ("zero_crossings", "INTEGER"),
+        ],
+    ),
+    doc="Audio featurization: real stdlib WAV decode -> numpy "
+    "RMS/peak/zero-crossing per asset inside Arrow batches (librosa "
+    "swap-in point for compressed codecs); oracle = the same pure "
+    "feature function run on the generator's sample spec.",
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import audio_features
 
-    assets = make_synthetic_assets(spark, 64)
+    assets = make_synthetic_assets(spark, _MM_N_ASSETS)
     return audio_features(assets)
+
+
+def _mm_resize_golden(tw: int = 96, th: int = 96) -> list[tuple]:
+    out = []
+    for asset_id, media, payload, _n, _u in synthetic_asset_rows(_MM_N_ASSETS):
+        if media != "image":
+            continue
+        resized = resize_image_bytes(payload, tw, th)
+        out.append((asset_id, tw, th, _hashlib.md5(resized).hexdigest()))
+    return out
 
 
 @register(
     "mm_resize_images",
-    None,
-    doc="Image resize stub: binary-in/binary-out mapInPandas rewrite "
-    "of the payload header dims; output surfaces the new dims plus "
-    "payload md5 (binary column itself is not hashable in the "
-    "rows-only harness).",
+    _values_oracle(
+        _mm_resize_golden(),
+        [
+            ("asset_id", "BIGINT"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+            ("payload_md5", "VARCHAR"),
+        ],
+    ),
+    doc="Real image resize: PNG decode -> nearest-neighbor resample -> "
+    "PNG re-encode, binary-in/binary-out through mapInPandas; oracle = "
+    "md5 of the same pure resize kernel run driver-side (local-vs-"
+    "distributed differential; binary column itself is not hashable).",
 )
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import resize_stub
+    from .operators.multimodal import resize_images
 
-    assets = make_synthetic_assets(spark, 64)
-    resized = resize_stub(assets, 224, 224)
+    assets = make_synthetic_assets(spark, _MM_N_ASSETS)
+    resized = resize_images(assets, 96, 96)
     return resized.select(
         "asset_id", "width", "height", F.md5(F.col("payload")).alias("payload_md5")
     )

@@ -20,7 +20,7 @@ from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_contr
     decode_image_meta,
     extract_features,
     make_synthetic_assets,
-    resize_stub,
+    resize_images,
 )
 from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
     to_spark_sql,
@@ -192,10 +192,23 @@ def test_jdbc_scan_options_partitioned_vs_query():
 
 
 def test_multimodal_decode_and_features(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        synthetic_image_dims,
+    )
+
     assets = make_synthetic_assets(spark, 12)
     meta = decode_image_meta(assets).collect()
     assert len(meta) == 12
-    assert all(m.format == "fake" and m.width >= 64 for m in meta)
+    by_id = {m.asset_id: m for m in meta}
+    for i in range(12):
+        m = by_id[i]
+        if i % 3 == 0:  # image: real PNG, dims must round-trip
+            assert m.format == "png"
+            assert (m.width, m.height) == synthetic_image_dims(i)
+        elif i % 3 == 1:
+            assert m.format == "wav" and m.width is None
+        else:
+            assert m.format == "fram" and m.width is None
     # deterministic: same payload -> same md5
     again = {m.asset_id: m.payload_md5 for m in decode_image_meta(assets).collect()}
     assert all(again[m.asset_id] == m.payload_md5 for m in meta)
@@ -206,14 +219,84 @@ def test_multimodal_decode_and_features(spark):
     assert all(-1.0 <= v <= 1.0 for f in feats for v in f.feature)
 
 
-def test_multimodal_resize_rewrites_header(spark):
-    assets = make_synthetic_assets(spark, 3)
-    out = resize_stub(assets, 128, 96)
-    meta = decode_image_meta(
-        out.withColumnRenamed("payload", "payload")
-        .join(assets.select("asset_id", "media_type", "n_bytes"), "asset_id")
-    ).collect()
-    assert all((m.width, m.height) == (128, 96) for m in meta)
+def test_multimodal_resize_roundtrip(spark):
+    """resize_images does a REAL decode→resample→re-encode: the output
+    payload is a valid PNG whose decoded pixels match the driver-side
+    reference kernel."""
+    import numpy as np
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        png_decode_gray,
+        resize_nearest,
+        synthetic_image_pixels,
+    )
+
+    assets = make_synthetic_assets(spark, 6)  # assets 0 and 3 are images
+    out = {r.asset_id: r for r in resize_images(assets, 48, 32).collect()}
+    assert set(out) == {0, 3}
+    for i in (0, 3):
+        row = out[i]
+        assert (row.width, row.height) == (48, 32)
+        got = png_decode_gray(bytes(row.payload))
+        want = resize_nearest(synthetic_image_pixels(i), 48, 32)
+        assert got.shape == (32, 48)
+        assert np.array_equal(got, want)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The PNG decoder handles every scanline filter type; the encoder
+    emits filter 0 and round-trips bit-exactly."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        png_decode_gray,
+        png_encode_gray,
+        png_parse_meta,
+    )
+
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(23, 31)).astype(np.uint8)
+    payload = png_encode_gray(pixels)
+    assert png_parse_meta(payload) == (31, 23, 8, 0)
+    assert np.array_equal(png_decode_gray(payload), pixels)
+
+    # hand-build a PNG using filters 1..4 and check reconstruction
+    h, w = pixels.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        ftype = 1 + (y % 4)
+        cur = pixels[y].astype(np.int64)
+        raw.append(ftype)
+        for x in range(w):
+            a = int(cur[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    filtered_png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode_gray(filtered_png), pixels)
 
 
 # ---- S5 secrets / K6 maintenance / C7 conf mapping -------------------
