@@ -45,6 +45,9 @@ __all__ = [
     "bucket_expr",
     "brute_force_topk",
     "lsh_bucket_topk",
+    "kmeans_centroids",
+    "ivf_topk",
+    "label_centroids",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_banded",
 ]
@@ -375,6 +378,88 @@ def label_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means codebook — a real trained IVF
+    coarse quantizer, reproducible bit-for-bit across engines and
+    cluster layouts.
+
+    Determinism levers (each one is load-bearing):
+
+    * **init**: the ``k`` corpus vectors with the smallest
+      ``md5(cast(id as string))`` — no RNG state, identical in any
+      engine; selected via ``orderBy().limit(k)``
+      (TakeOrderedAndProject, no global window over the corpus);
+    * **assignment**: nearest centroid by cosine with the lowest-
+      centroid-id tiebreak, computed as a ``max_by`` aggregation
+      (map-side combine — the shuffle carries one row per vector,
+      never one per (vector, centroid));
+    * **update**: per-dimension mean ROUNDED to ``decimals`` before
+      the next distance step — double accumulation order differs
+      between engines and partition layouts, so un-rounded centroids
+      would diverge; 6 decimals is far above the ~1e-13 noise floor;
+    * **iterations**: a FIXED count (not a convergence test), so every
+      run executes the identical computation; empty clusters keep
+      their previous centroid.
+
+    Train-once / assign-many: persist the returned ``(cid, centroid)``
+    frame and feed it to :func:`ivf_topk` as ``codebook``.  Each
+    iteration is one broadcast cross join (corpus × k, linear) + one
+    aggregation; the k-row centroid frame is localCheckpoint'd per
+    round to keep the plan flat.
+    """
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seeds = (
+        base.select(
+            "_id", "_v", F.md5(F.col("_id").cast("string")).alias("_seed")
+        )
+        .orderBy(F.col("_seed").asc(), F.col("_id").asc())
+        .limit(k)
+    )
+    w_seed = Window.orderBy(F.col("_seed").asc(), F.col("_id").asc())
+    cents = (
+        seeds.withColumn("_rn", F.row_number().over(w_seed))  # k rows only
+        .select(
+            (F.col("_rn") - 1).cast("int").alias("cid"),
+            F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "cos_c", F.expr(cosine_expr("_v", "centroid"))
+        )
+        ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
+        assigned = (
+            scored.groupBy("_id")
+            .agg(F.max_by(F.struct(F.col("cid"), F.col("_v")), ord_).alias("_m"))
+            .select(F.col("_m.cid").alias("cid"), F.col("_m._v").alias("_v"))
+        )
+        new_cents = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(new_cents, "cid", "left")
+            .select("cid", F.coalesce("_new", "centroid").alias("centroid"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -383,26 +468,38 @@ def ivf_topk(
     query_ids: list[int] | None = None,
     k: int = 5,
     nprobe: int = 2,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into inverted
     lists (nearest centroid by cosine, deterministic label tiebreak),
     probe the query's ``nprobe`` nearest lists, rank candidates by
     exact cosine.
 
-    The codebook here comes from :func:`label_centroids` (k = number
-    of labels); at scale the codebook is trained once (k-means) and
-    the assignment/probe/search pipeline below is unchanged.  The
-    cross join is corpus × k centroids — linear in the corpus — and
-    the candidate search touches only ``nprobe/k`` of the corpus in
-    expectation.
+    The codebook is either a trained quantizer passed as ``codebook``
+    (``(cid, centroid)`` from :func:`kmeans_centroids` — train once,
+    assign many) or, by default, the label-space stand-in from
+    :func:`label_centroids`.  The cross join is corpus × k centroids —
+    linear in the corpus — and the candidate search touches only
+    ``nprobe/k`` of the corpus in expectation.
     """
     query_ids = query_ids or [0, 1, 2]
-    cents = F.broadcast(label_centroids(corpus, vec_col, label_col))
+    if codebook is not None:
+        cents = F.broadcast(
+            codebook.select(
+                F.col(codebook.columns[0]).alias("list_label"), "centroid"
+            )
+        )
+    else:
+        cents = F.broadcast(
+            label_centroids(corpus, vec_col, label_col).select(
+                F.col(label_col).alias("list_label"), "centroid"
+            )
+        )
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
-        scored = df.crossJoin(cents.select(
-            F.col(label_col).alias("list_label"), "centroid"
-        )).withColumn("cos_c", F.expr(cosine_expr(vec_col, "centroid")))
+        scored = df.crossJoin(cents).withColumn(
+            "cos_c", F.expr(cosine_expr(vec_col, "centroid"))
+        )
         if keep == 1:
             # corpus-side argmax as an aggregation, not a window: the
             # partial max_by combines map-side, so the shuffle carries

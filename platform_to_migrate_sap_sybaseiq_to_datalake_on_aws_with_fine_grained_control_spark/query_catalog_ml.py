@@ -1276,3 +1276,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, "vec_id", "embedding", "label",
         query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _duck_kmeans_ivf_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The trained-codebook IVF oracle: deterministic Lloyd's k-means
+    UNROLLED into chained CTEs (fixed iteration count makes the loop
+    a straight-line query), then the same probe/search as
+    ``_duck_ivf_sql``.  Mirrors ``kmeans_centroids`` decision for
+    decision: md5-seeded init, cosine assignment with lowest-cid
+    tiebreak, per-dim mean rounded to 6 dp, empty clusters keep the
+    previous centroid."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos_cent = _duck_cos("embedding", "centroid")
+    cos_full = _duck_cos("qvec", "embedding")
+    ctes = [
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"cent{t - 1}"
+        ctes.append(
+            f"""asg{t} AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_cent} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {prev} c)
+  WHERE rn = 1),
+newc{t} AS (
+  SELECT cid, list(c ORDER BY pos) AS centroid
+  FROM (SELECT cid, pos, round(avg(v), 6) AS c
+        FROM (SELECT cid, unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+              FROM asg{t})
+        GROUP BY cid, pos)
+  GROUP BY cid),
+cent{t} AS (
+  SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN newc{t} n USING (cid))"""
+        )
+    final = f"cent{iters}"
+    ctes.append(
+        f"""assigned AS (
+  SELECT vec_id, embedding, cid AS list_label,
+    row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cent} DESC, cid) AS rn
+  FROM embeddings CROSS JOIN {final}),
+lists AS (SELECT vec_id, embedding, list_label FROM assigned WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, list_label
+  FROM assigned WHERE vec_id IN ({ids}) AND rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, l.vec_id, p.qvec, l.embedding
+  FROM lists l JOIN probes p ON l.list_label = p.list_label
+  WHERE l.vec_id <> p.query_id)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id, round({cos_full}, 6) AS cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY {cos_full} DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    _duck_kmeans_ivf_sql(),
+    doc="IVF top-k over a TRAINED coarse quantizer: deterministic "
+    f"Lloyd's k-means (k={KMEANS_K}, {KMEANS_ITERS} fixed iterations, "
+    "md5-seeded init, 6-dp centroid rounding per round) builds the "
+    "codebook, then the same inverted-list probe/search as "
+    "ann_ivf_topk. Train-once/assign-many: the codebook frame is "
+    "computed once and broadcast. Oracle = the identical k-means "
+    "unrolled into chained DuckDB CTEs.",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk, kmeans_centroids
+
+    df = load_table(spark, sf_dir, "embeddings")
+    codebook = kmeans_centroids(
+        df, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    return ivf_topk(
+        df, "vec_id", "embedding",
+        query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
+        codebook=codebook,
+    )

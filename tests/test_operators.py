@@ -1164,3 +1164,46 @@ def test_compact_partitions_recovers_from_crash_window(spark, tmp_path):
     compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
     assert spark.read.parquet(str(path)).count() == 300
     assert not old.exists()
+
+
+def test_ivf_trained_codebook_recall(spark, sf_dir):
+    """kmeans_centroids is a genuine index build: recall vs the exact
+    brute-force ground truth rises with nprobe, and probing ALL k
+    lists recovers the exact result (IVF with full probe = exhaustive
+    search)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    qids = list(range(8))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(df, "vec_id", "embedding", qids, 5).collect()
+    }
+    cb = kmeans_centroids(df, k=4, iters=3).cache()
+    # codebook is deterministic: training twice gives identical centroids
+    again = kmeans_centroids(df, k=4, iters=3)
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, again.collect()))
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(
+                df, "vec_id", "embedding",
+                query_ids=qids, k=5, nprobe=nprobe, codebook=cb,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 == 1.0  # full probe == exhaustive search
+    assert r1 > 0.0
+    df.unpersist()
+    cb.unpersist()
