@@ -45,6 +45,8 @@ __all__ = [
     "bucket_expr",
     "brute_force_topk",
     "lsh_bucket_topk",
+    "lsh_multiprobe_topk",
+    "with_multiprobe_buckets",
     "kmeans_centroids",
     "ivf_topk",
     "label_centroids",
@@ -92,17 +94,127 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def plane_dot_expr(vec_col: str, plane: list[float]) -> str:
+    """Spark SQL text: left-to-right double fold of ``vec_col`` against
+    one fixed hyperplane (bit-reproducible)."""
+    return (
+        f"aggregate(zip_with({vec_col}, {_vec_sql(plane)}, (p, q) -> "
+        f"CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
     """Spark SQL text: sign-pattern LSH bucket id ('+'/'-' string) of a
     vector against the fixed hyperplanes."""
-    signs = []
-    for row in planes:
-        d = (
-            f"aggregate(zip_with({vec_col}, {_vec_sql(row)}, (p, q) -> "
-            f"CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        signs.append(f"CASE WHEN {d} >= 0 THEN '+' ELSE '-' END")
+    signs = [
+        f"CASE WHEN {plane_dot_expr(vec_col, row)} >= 0 THEN '+' ELSE '-' END"
+        for row in planes
+    ]
     return "concat(" + ", ".join(signs) + ")"
+
+
+def with_multiprobe_buckets(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    nprobe_bits: int,
+    out_col: str = "probes",
+) -> DataFrame:
+    """Add an array column of probe buckets for query-directed
+    multiprobe — the vector's own sign bucket plus the
+    ``nprobe_bits`` Hamming-distance-1 buckets obtained by flipping
+    the LEAST-CONFIDENT sign bits (smallest ``|dot|`` — the planes the
+    vector sits closest to, where a true neighbor most likely landed on
+    the other side).  Ties in ``|dot|`` break by plane index, so the
+    probe set is deterministic.
+    """
+    n = len(planes)
+    dots = "array(" + ", ".join(plane_dot_expr(vec_col, row) for row in planes) + ")"
+    sig = (
+        "array_join(transform(_dots, d -> "
+        "CASE WHEN d >= 0 THEN '+' ELSE '-' END), '')"
+    )
+    flip_order = (
+        f"transform(array_sort(transform(sequence(1, {n}), "
+        "j -> struct(abs(element_at(_dots, j)) AS a, j AS j))), s -> s.j)"
+    )
+    flips = (
+        f"transform(slice({flip_order}, 1, {nprobe_bits}), i -> "
+        "concat(substring(_sig, 1, i - 1), "
+        "CASE WHEN substring(_sig, i, 1) = '+' THEN '-' ELSE '+' END, "
+        f"substring(_sig, i + 1, {n})))"
+    )
+    return (
+        df.withColumn("_dots", F.expr(dots))
+        .withColumn("_sig", F.expr(sig))
+        .withColumn(out_col, F.expr(f"array_distinct(concat(array(_sig), {flips}))"))
+        .drop("_dots", "_sig")
+    )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    planes: int = 4,
+    dims: int = 64,
+    nprobe_bits: int = 2,
+) -> DataFrame:
+    """Multiprobe LSH top-k: like :func:`lsh_bucket_topk` but each
+    query also probes its ``nprobe_bits`` least-confident
+    Hamming-distance-1 buckets, recovering most of the recall a single
+    sign bucket loses at a cost of ``1 + nprobe_bits`` bucket lookups
+    (instead of the 2× memory of doubling hash tables).
+
+    A corpus vector lives in exactly one bucket and the probe set is
+    distinct, so no candidate dedup is needed.  Same output shape and
+    two-phase top-k as the other ANN variants.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    hp = hyperplanes(planes, dims)
+    bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
+    queries = (
+        with_multiprobe_buckets(
+            corpus.filter(F.col(id_col).isin(query_ids)), vec_col, hp, nprobe_bits
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode("probes").alias("bucket"),
+        )
+    )
+    scored = (
+        bucketed.alias("c")
+        .join(F.broadcast(queries), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+    )
+    scored = scored.withColumn(
+        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+    )
+    w_local = Window.partitionBy("query_id", "_grp").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_grp", "_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
 
 
 def brute_force_topk(

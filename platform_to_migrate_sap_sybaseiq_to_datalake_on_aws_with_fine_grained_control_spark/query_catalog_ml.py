@@ -525,6 +525,78 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIPROBE_BITS = 2
+
+
+def _duck_plane_dots(vec: str, planes: int = LSH_PLANES) -> str:
+    hp = hyperplanes(planes, EMB_DIMS)
+    dots = []
+    for row in hp:
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        dots.append(
+            f"list_reduce(list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            f"(acc, v) -> acc + v)"
+        )
+    return "[" + ", ".join(dots) + "]"
+
+
+def _duck_multiprobe_sql(planes: int = LSH_PLANES, nprobe_bits: int = MULTIPROBE_BITS) -> str:
+    """Query-directed multiprobe oracle: same probe construction as
+    ``with_multiprobe_buckets`` — own sign bucket + Hamming-1 flips of
+    the ``nprobe_bits`` least-confident bits (ties by plane index)."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = _duck_cos("qvec", "embedding")
+    flip = (
+        "list_transform("
+        f"list_sort(list_transform(generate_series(1, {planes}), "
+        "j -> {'a': abs(dots[j]), 'j': j}))"
+        f"[1:{nprobe_bits}], s -> "
+        "substr(sig, 1, s.j - 1) || "
+        "(CASE WHEN substr(sig, s.j, 1) = '+' THEN '-' ELSE '+' END) || "
+        f"substr(sig, s.j + 1, {planes}))"
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_duck_bucket("embedding", planes)} AS bucket FROM embeddings),
+qdots AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS sig,
+         {_duck_plane_dots("embedding", planes)} AS dots
+  FROM bucketed WHERE vec_id IN ({ids})),
+qprobes AS (
+  SELECT query_id, qvec, unnest(list_distinct(list_concat([sig], {flip}))) AS bucket
+  FROM qdots),
+scored AS (
+  SELECT q.query_id, c.vec_id, {cos} AS cos_full
+  FROM bucketed c JOIN qprobes q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, vec_id, round(cos_full, 6) AS cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    _duck_multiprobe_sql(),
+    doc="Multiprobe LSH top-k: each query probes its own sign bucket "
+    f"plus the {MULTIPROBE_BITS} least-confident Hamming-distance-1 "
+    "buckets (query-directed multiprobe — smallest |dot| bits flip "
+    "first, deterministic tiebreak by plane index). Recovers most of "
+    "the recall a single bucket loses for 1+bits lookups instead of "
+    "doubled hash tables.",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_multiprobe_topk
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        df, "vec_id", "embedding", ANN_QUERY_IDS, ANN_K,
+        LSH_PLANES, EMB_DIMS, nprobe_bits=MULTIPROBE_BITS,
+    )
+
+
 # =====================================================================
 # Multimodal columns (binary payload + typed metadata; stubbed codecs)
 # The kernels are mapInPandas (not SQL-expressible), but the synthetic
@@ -1368,4 +1440,69 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, "vec_id", "embedding",
         query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
         codebook=codebook,
+    )
+
+
+# =====================================================================
+# Streaming operators, batch-equivalent driver entries (§7 M5)
+# Structured Streaming transformations are identical in batch mode (the
+# stream-vs-batch pytest in tests/test_streaming.py proves equivalence);
+# these entries run the SAME functions on the batch events table so the
+# streaming surface gets driver CORRECTNESS rows.
+# =====================================================================
+
+
+@register(
+    "streaming_neardup_batch",
+    f"""
+WITH sig AS (
+  SELECT event_id, user_id, event_type,
+         {duck_simhash_bits("props", 16)} AS _sig
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY _sig ORDER BY event_id) AS rn FROM sig)
+WHERE rn = 1
+""",
+    doc="Batch replay of streaming_neardup (SimHash-collision dedup "
+    "with watermark-bounded state in stream mode): same function, "
+    "deterministic min-event_id survivor per signature. The "
+    "stream-vs-batch test proves mode equivalence; this entry gives "
+    "the streaming operator a driver-checkable form.",
+)
+def streaming_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import streaming_neardup
+
+    events = load_table(spark, sf_dir, "events")
+    kept = streaming_neardup(
+        events, text_col="props", ts_col="ts", num_bits=16,
+        batch_tiebreak="event_id",
+    )
+    return kept.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream_enrich_events_batch",
+    """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+       round(e.value, 2) AS value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+    doc="Batch form of enrich_with_dimension (stream-static broadcast "
+    "join: the dimension snapshot is broadcast, the event stream never "
+    "shuffles — the only sane shape when the stream side is 100 TB/day). "
+    "Left join keeps events with no dimension row.",
+)
+def stream_enrich_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import enrich_with_dimension
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    enriched = enrich_with_dimension(
+        events, dim, on="user_id", dim_cols=["c_name", "c_mktsegment"]
+    )
+    return enriched.select(
+        "event_id", "user_id", "c_name", "c_mktsegment",
+        F.round("value", 2).alias("value"),
     )

@@ -176,6 +176,7 @@ def streaming_neardup(
     ts_col: str = "ts",
     num_bits: int = 16,
     watermark: str = "1 hour",
+    batch_tiebreak: str | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate suppression: drop arrivals whose
     SimHash signature collides with one already seen inside the
@@ -185,13 +186,29 @@ def streaming_neardup(
 
     State is one row per distinct signature, expired by the watermark —
     bounded, unlike an unbounded ``dropDuplicates`` key set.
+
+    In streaming mode the survivor is the first arrival (the only
+    causal choice).  In batch mode pass ``batch_tiebreak`` (a unique
+    column) to make the survivor deterministic — min tiebreak per
+    signature via one hash-partitioned window — so batch replays are
+    reproducible and oracle-checkable; without it the batch path keeps
+    ``dropDuplicates``' arbitrary-survivor semantics.
     """
+    from pyspark.sql import Window
+
     from ..functions.text import simhash_bits
 
     keyed = docs.withColumn("_sig", simhash_bits(text_col, num_bits))
     out = keyed.withWatermark(ts_col, watermark)
     if out.isStreaming:
         return out.dropDuplicatesWithinWatermark(["_sig"]).drop("_sig")
+    if batch_tiebreak is not None:
+        w = Window.partitionBy("_sig").orderBy(F.col(batch_tiebreak).asc())
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_sig")
+        )
     return out.dropDuplicates(["_sig"]).drop("_sig")
 
 

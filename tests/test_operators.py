@@ -1207,3 +1207,40 @@ def test_ivf_trained_codebook_recall(spark, sf_dir):
     assert r1 > 0.0
     df.unpersist()
     cb.unpersist()
+
+
+def test_lsh_multiprobe_recall_uplift(spark, sf_dir):
+    """Query-directed multiprobe: probing Hamming-1 flips of the
+    least-confident sign bits strictly widens the candidate set, so
+    top-k recall vs exact ground truth is >= the single-bucket LSH
+    recall, and grows with nprobe_bits."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    qids = list(range(8))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(df, "vec_id", "embedding", qids, 5).collect()
+    }
+
+    def recall(result) -> float:
+        got = {(r.query_id, r.vec_id) for r in result.collect()}
+        return len(got & truth) / len(truth)
+
+    r_single = recall(lsh_bucket_topk(df, "vec_id", "embedding", qids, 5, 4, 64))
+    r_mp1 = recall(
+        lsh_multiprobe_topk(df, "vec_id", "embedding", qids, 5, 4, 64, nprobe_bits=1)
+    )
+    r_mp4 = recall(
+        lsh_multiprobe_topk(df, "vec_id", "embedding", qids, 5, 4, 64, nprobe_bits=4)
+    )
+    assert r_single <= r_mp1 <= r_mp4
+    assert r_mp4 > r_single  # probing must actually add candidates
+    df.unpersist()
