@@ -1,0 +1,211 @@
+"""Change-data-capture / merge operators (snapshot maintenance).
+
+The reference's sink is append-only parquet + catalog registration
+(`sybaseiq_extractor.py:132-136` documents the caveat explicitly: the
+partition-overwrite path was designed but disabled, so re-extracted
+source rows accumulate as duplicate keys in the lake).  These
+operators supply the merge-on-read half a migration platform needs
+downstream of that sink:
+
+* ``latest_snapshot``     — collapse an append-only key log to the
+                            newest version of every key;
+* ``apply_change_stream`` — apply an explicit insert/update/delete
+                            change feed to a base snapshot;
+* ``scd2_apply``          — maintain a slowly-changing Type-2
+                            dimension (validity intervals + current
+                            flag) from an update batch.
+
+Scale notes
+-----------
+* ``latest_snapshot`` / ``apply_change_stream`` aggregate with
+  ``max_by(payload_struct, version_struct)`` — a hash aggregation
+  with map-side partial combine: each map task emits ONE candidate
+  row per key, so the shuffle volume is ~|distinct keys|, not |rows|.
+  The equivalent ``row_number`` window shuffles every row and sorts
+  each partition; for append-heavy logs (many versions per key) the
+  partial-combine form is strictly cheaper and never worse.
+* ``scd2_apply`` is one shuffle join on the key (Catalyst broadcasts
+  the update batch when it is small) plus a shuffle-free union with
+  the already-closed history rows.
+* No driver-side collection anywhere; every output is a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["latest_snapshot", "apply_change_stream", "scd2_apply"]
+
+
+def _payload_cols(df: DataFrame, keys: list[str]) -> list[str]:
+    return [c for c in df.columns if c not in keys]
+
+
+def latest_snapshot(
+    df: DataFrame, keys: list[str], version_cols: list[str]
+) -> DataFrame:
+    """Newest version of every key from an append-only log.
+
+    ``version_cols`` order the versions of one key (compared as a
+    struct, first column most significant).  The combination must be
+    unique per key — append a unique id as the last element if the
+    primary ordering can tie (ties would otherwise make the survivor
+    partition-order-dependent and non-deterministic under retries).
+
+    Output columns = input columns, one row per distinct key.
+    """
+    payload = _payload_cols(df, keys)
+    version = F.struct(*[F.col(c) for c in version_cols])
+    picked = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), version).alias("_v")
+    )
+    return picked.select(
+        *keys, *[F.col(f"_v.{c}").alias(c) for c in payload]
+    )
+
+
+def apply_change_stream(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_ops: tuple[str, ...] = ("D", "delete"),
+) -> DataFrame:
+    """Apply an insert/update/delete change feed to a base snapshot.
+
+    ``base`` holds at most one row per key (a snapshot); ``changes``
+    holds the base columns plus ``seq_col`` (change order within a
+    key — unique per key) and ``op_col`` (upsert unless the value is
+    in ``delete_ops``).  Every change row outranks every base row;
+    among changes the highest ``seq_col`` wins; a winning delete
+    removes the key.
+
+    Single hash aggregation on the key (map-side combined) over
+    ``base ∪ changes`` — the same shuffle shape as ``latest_snapshot``.
+    """
+    payload = _payload_cols(base, keys)
+    seq_type = changes.schema[seq_col].dataType
+    b = base.select(
+        *keys,
+        *payload,
+        F.lit(0).alias("_rank"),
+        F.lit(None).cast(seq_type).alias("_seq"),
+        F.lit(None).cast("string").alias("_op"),
+    )
+    c = changes.select(
+        *keys,
+        *payload,
+        F.lit(1).alias("_rank"),
+        F.col(seq_col).alias("_seq"),
+        F.col(op_col).alias("_op"),
+    )
+    version = F.struct(F.col("_rank"), F.col("_seq"))
+    merged = (
+        b.unionByName(c)
+        .groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload, "_op"), version).alias("_v"))
+    )
+    survivor = merged.filter(
+        F.col("_v._op").isNull() | ~F.col("_v._op").isin(*delete_ops)
+    )
+    return survivor.select(
+        *keys, *[F.col(f"_v.{c}").alias(c) for c in payload]
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing Type-2 merge: close out changed rows, append
+    new versions, pass unchanged and historical rows through.
+
+    ``current`` is the dimension table (attribute columns + the three
+    SCD columns); ``updates`` carries the key and attribute columns
+    (no SCD columns).  A key whose ``tracked`` columns differ
+    (null-safe struct compare) gets its open row closed at
+    ``effective`` and a new open version appended; a brand-new key is
+    inserted; an update row identical on ``tracked`` is a no-op.
+    Keys absent from ``updates`` are untouched (this is a merge, not
+    a full snapshot diff — deletions are out of scope for SCD2).
+
+    One full-outer shuffle join on the key between the open rows and
+    the update batch; closed history is unioned back without a
+    shuffle.
+    """
+    eff = effective if isinstance(effective, F.Column) else F.lit(effective)
+    attrs = [
+        c
+        for c in current.columns
+        if c not in keys and c not in (valid_from, valid_to, current_flag)
+    ]
+    closed_history = current.filter(~F.col(current_flag))
+    open_rows = current.filter(F.col(current_flag))
+
+    # presence detection must not rely on a nullable attribute: each
+    # side carries a non-null sentinel instead
+    j = (
+        open_rows.select(
+            *[F.col(k).alias(f"_ck_{k}") for k in keys],
+            *[F.col(a).alias(f"_c_{a}") for a in attrs],
+            F.col(valid_from).alias("_c_vf"),
+            F.lit(True).alias("_c_present"),
+        )
+        .join(
+            updates.select(
+                *[F.col(k).alias(f"_uk_{k}") for k in keys],
+                *[F.col(a).alias(f"_u_{a}") for a in attrs],
+                F.lit(True).alias("_u_present"),
+            ),
+            on=[F.col(f"_ck_{k}").eqNullSafe(F.col(f"_uk_{k}")) for k in keys],
+            how="full_outer",
+        )
+    )
+    key_cols = [
+        F.coalesce(F.col(f"_ck_{k}"), F.col(f"_uk_{k}")).alias(k) for k in keys
+    ]
+    c_present = F.col("_c_present").isNotNull()
+    u_present = F.col("_u_present").isNotNull()
+    differs = ~F.struct(*[F.col(f"_c_{t}") for t in tracked]).eqNullSafe(
+        F.struct(*[F.col(f"_u_{t}") for t in tracked])
+    )
+    changed = c_present & u_present & differs
+    is_new = u_present & ~c_present
+
+    to_ts = lambda col: col.cast("timestamp")  # noqa: E731
+
+    unchanged = j.filter(c_present & ~changed).select(
+        *key_cols,
+        *[F.col(f"_c_{a}").alias(a) for a in attrs],
+        F.col("_c_vf").alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    closed_out = j.filter(changed).select(
+        *key_cols,
+        *[F.col(f"_c_{a}").alias(a) for a in attrs],
+        F.col("_c_vf").alias(valid_from),
+        to_ts(eff).alias(valid_to),
+        F.lit(False).alias(current_flag),
+    )
+    new_version = j.filter(changed | is_new).select(
+        *key_cols,
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        to_ts(eff).alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    return (
+        closed_history.select(*current.columns)
+        .unionByName(unchanged.select(*current.columns))
+        .unionByName(closed_out.select(*current.columns))
+        .unionByName(new_version.select(*current.columns))
+    )

@@ -1254,3 +1254,5 @@ sql_query(
     "phone country code; 'no recent orders' for 'no orders at all' so "
     "the result is non-empty at every test scale).",
 )
+
+from . import query_catalog_cdc  # noqa: E402,F401  (registration side effect — keep last)

@@ -1,0 +1,152 @@
+"""CDC / merge-on-read catalog entries (operators/cdc.py).
+
+Registered LAST so these brand-new entries queue behind the
+longer-waiting unverified entries in the driver's 50-slot window
+(see query_catalog._ordered_names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .query_catalog import register
+from .sources.registry import load_table
+
+
+# =====================================================================
+# CDC / merge-on-read (operators.cdc) — the update half the reference's
+# append-only sink lacks (sybaseiq_extractor.py:132-136 documents the
+# disabled overwrite path; duplicate keys accumulate in the lake)
+# =====================================================================
+
+
+@register(
+    "cdc_latest_event_state",
+    """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) t WHERE rn = 1
+""",
+    doc="Collapse the append-only event log to the newest row per key "
+    "via max_by(payload, version) hash aggregation — map-side partial "
+    "combine ships ONE candidate per key per task (|keys| shuffle rows, "
+    "not |rows|), unlike the oracle's row_number window which shuffles "
+    "and sorts everything. operators/cdc.py:latest_snapshot.",
+)
+def cdc_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import latest_snapshot
+
+    # project BEFORE the aggregation: the payload struct inside max_by
+    # is opaque to Catalyst's column pruning, so any column kept here
+    # would be scanned AND shuffled — prune by hand first.
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    latest = latest_snapshot(events, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "cdc_apply_order_changes",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 10 <> 0
+""",
+    doc="Apply an insert/update/delete change feed to a base snapshot "
+    "(operators/cdc.py:apply_change_stream): base = keys not "
+    "divisible by 3, changes = price-bump upserts (seq 1) for keys "
+    "divisible by 3 and deletes (seq 2) for keys divisible by 10. "
+    "One map-side-combined hash aggregation over base ∪ changes; the "
+    "oracle is the algebraically collapsed CASE form.",
+)
+def cdc_apply_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import apply_change_stream
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    upserts = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("_seq", F.lit(1))
+        .withColumn("_op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("_seq", F.lit(2))
+        .withColumn("_op", F.lit("D"))
+    )
+    changes = upserts.unionByName(deletes)
+    return apply_change_stream(
+        base, changes, keys=["o_orderkey"], seq_col="_seq", op_col="_op"
+    )
+
+
+@register(
+    "scd2_customer_balance_history",
+    """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM customer WHERE c_custkey % 4 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       TIMESTAMP '1992-01-01 00:00:00', TIMESTAMP '1998-06-01 00:00:00',
+       FALSE
+FROM customer WHERE c_custkey % 4 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 500.0,
+       TIMESTAMP '1998-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+FROM customer WHERE c_custkey % 4 = 0
+""",
+    doc="Slowly-changing Type-2 merge (operators/cdc.py:scd2_apply): "
+    "an update batch covering every even key, but only keys divisible "
+    "by 4 actually change balance — the null-safe tracked-struct "
+    "compare must treat the rest as no-ops. Changed keys get their "
+    "open row closed at the effective ts plus a new open version. "
+    "One full-outer shuffle join (broadcast-able update batch).",
+)
+def scd2_customer_balance_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from .operators.cdc import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(datetime(1992, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + F.lit(500.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return scd2_apply(
+        current,
+        updates,
+        keys=["c_custkey"],
+        tracked=["c_acctbal"],
+        effective=datetime(1998, 6, 1),
+    )

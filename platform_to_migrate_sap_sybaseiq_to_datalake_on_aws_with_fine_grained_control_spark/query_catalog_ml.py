@@ -1506,3 +1506,4 @@ def stream_enrich_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "c_name", "c_mktsegment",
         F.round("value", 2).alias("value"),
     )
+

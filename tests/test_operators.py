@@ -1314,3 +1314,145 @@ def test_aqe_skew_join_and_salting_evidence(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------
+# CDC / merge-on-read (operators/cdc.py)
+# ---------------------------------------------------------------------
+
+
+def test_latest_snapshot_picks_highest_version_deterministically(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        latest_snapshot,
+    )
+
+    rows = [
+        (1, 10, "a"),
+        (1, 30, "c"),
+        (1, 20, "b"),
+        (2, 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "val"])
+    out = {
+        r["k"]: (r["seq"], r["val"])
+        for r in latest_snapshot(df, ["k"], ["seq"]).collect()
+    }
+    assert out == {1: (30, "c"), 2: (5, "x")}
+
+
+def test_apply_change_stream_insert_update_delete_semantics(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        apply_change_stream,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["k", "val"]
+    )
+    # k=2 updated twice (seq order decides), k=3 deleted, k=4 inserted,
+    # k=5 delete of a key that never existed (must not resurrect),
+    # k=1 untouched base row passes through
+    changes = spark.createDataFrame(
+        [
+            (2, "two-v1", 1, "U"),
+            (2, "two-v2", 2, "U"),
+            (3, None, 1, "D"),
+            (4, "four", 1, "I"),
+            (5, None, 1, "D"),
+        ],
+        ["k", "val", "seq", "op"],
+    )
+    out = {
+        r["k"]: r["val"]
+        for r in apply_change_stream(
+            base, changes, ["k"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+    assert out == {1: "one", 2: "two-v2", 4: "four"}
+
+
+def test_apply_change_stream_delete_then_reinsert(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        apply_change_stream,
+    )
+
+    base = spark.createDataFrame([(1, "old")], ["k", "val"])
+    changes = spark.createDataFrame(
+        [(1, None, 1, "D"), (1, "reborn", 2, "I")], ["k", "val", "seq", "op"]
+    )
+    out = apply_change_stream(
+        base, changes, ["k"], seq_col="seq", op_col="op"
+    ).collect()
+    assert [(r["k"], r["val"]) for r in out] == [(1, "reborn")]
+
+
+def test_scd2_apply_versions_changed_keys_only(spark):
+    from datetime import datetime
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        scd2_apply,
+    )
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2021, 1, 1), datetime(2022, 1, 1)
+    current = spark.createDataFrame(
+        [
+            # k=1: one closed + one open version already in history
+            (1, "alpha", 100.0, t0, t1, False),
+            (1, "alpha", 150.0, t1, None, True),
+            (2, "beta", 200.0, t0, None, True),
+            (3, "gamma", 300.0, t0, None, True),
+        ],
+        ["k", "name", "bal", "valid_from", "valid_to", "is_current"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "alpha", 175.0),   # changed -> close + new version
+            (2, "beta", 200.0),    # identical -> no-op
+            (9, "new", 900.0),     # brand-new key -> insert
+        ],
+        ["k", "name", "bal"],
+    )
+    out = scd2_apply(
+        current, updates, keys=["k"], tracked=["bal"], effective=t2
+    )
+    rows = sorted(
+        (
+            (r["k"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ),
+    )
+    assert rows == [
+        (1, 100.0, t0, t1, False),      # untouched closed history
+        (1, 150.0, t1, t2, False),      # closed out at effective ts
+        (1, 175.0, t2, None, True),     # new open version
+        (2, 200.0, t0, None, True),     # no-op update: unchanged
+        (3, 300.0, t0, None, True),     # not in update batch: unchanged
+        (9, 900.0, t2, None, True),     # brand-new key
+    ]
+
+
+def test_scd2_apply_null_safe_tracked_compare(spark):
+    from datetime import datetime
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        scd2_apply,
+    )
+
+    t0, t2 = datetime(2020, 1, 1), datetime(2022, 1, 1)
+    current = spark.createDataFrame(
+        [(1, None, t0, None, True), (2, 5.0, t0, None, True)],
+        "k int, bal double, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, None), (2, None)], "k int, bal double"
+    )
+    out = sorted(
+        (
+            (r["k"], r["bal"], r["is_current"])
+            for r in scd2_apply(
+                current, updates, keys=["k"], tracked=["bal"], effective=t2
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1] or 0.0),
+    )
+    # null==null is a no-op; 5.0 -> null is a real change
+    assert out == [(1, None, True), (2, None, True), (2, 5.0, False)]
