@@ -150,3 +150,103 @@ def scd2_customer_balance_history(spark: SparkSession, sf_dir: str) -> DataFrame
         tracked=["c_acctbal"],
         effective=datetime(1998, 6, 1),
     )
+
+
+# =====================================================================
+# Corpus chunking / stratified sampling (operators.chunking) — the
+# curation stages between raw documents and tokenization
+# =====================================================================
+
+
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 40
+_STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents_fixed",
+    f"""
+SELECT doc_id, lang, chunk_id,
+       substring(text, CAST(chunk_id * {_STRIDE} + 1 AS INT), {CHUNK_CHARS}) AS chunk_text,
+       length(substring(text, CAST(chunk_id * {_STRIDE} + 1 AS INT), {CHUNK_CHARS})) AS chunk_chars
+FROM (
+  SELECT doc_id, lang, text,
+         unnest(generate_series(0,
+           CAST(greatest(1, ceil((length(text) - {CHUNK_OVERLAP}) / {float(_STRIDE)})) AS BIGINT) - 1
+         )) AS chunk_id
+  FROM documents
+) t
+""",
+    doc="Fixed-size overlapping character chunking "
+    f"({CHUNK_CHARS} chars, {CHUNK_OVERLAP} overlap) via "
+    "explode(sequence) + substring — a narrow (shuffle-free) fan-out "
+    "whose cost scales with the scan; character semantics so "
+    "multi-byte scripts slice identically across engines. "
+    "operators/chunking.py:chunk_documents.",
+)
+def chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST(
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         AS INT) AS bucket
+  FROM documents
+) t
+WHERE bucket < (CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END)
+""",
+    doc="Deterministic per-stratum downsampling (en 25%, zh 100%, "
+    "default 50%) via md5 hash buckets — reproducible across engines, "
+    "runs, retries and cluster layouts, unlike seeded sampleBy whose "
+    "per-partition RNG shifts with the split. Narrow filter: no "
+    "shuffle, predicate evaluated at the scan. "
+    "operators/chunking.py:stratified_sample.",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, "lang", "doc_id", rates={"en": 0.25, "zh": 1.0}, default_rate=0.5
+    )
+
+
+@register(
+    "corpus_balance_report",
+    """
+SELECT lang, n_docs, total_chars,
+       round(total_chars / (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents), 6) AS char_share
+FROM (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+) g
+""",
+    doc="Corpus composition report (per-language doc counts, "
+    "character totals, share of corpus). The grand total is a scalar "
+    "aggregate broadcast into the per-group frame — no global "
+    "unpartitioned window at any scale.",
+)
+def corpus_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    grand = docs.agg(F.sum("n_chars").cast("double").alias("_grand"))
+    return per_lang.crossJoin(F.broadcast(grand)).select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("_grand"), 6).alias("char_share"),
+    )

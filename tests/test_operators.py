@@ -1456,3 +1456,63 @@ def test_scd2_apply_null_safe_tracked_compare(spark):
     )
     # null==null is a no-op; 5.0 -> null is a real change
     assert out == [(1, None, True), (2, None, True), (2, 5.0, False)]
+
+
+# ---------------------------------------------------------------------
+# Chunking / stratified sampling (operators/chunking.py)
+# ---------------------------------------------------------------------
+
+
+def test_chunk_documents_boundary_math(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),   # 10 chars: chunks at 0, 4, 8 (stride 4)
+            (2, "abc"),          # shorter than chunk -> exactly 1 chunk
+            (3, "abcdef"),       # == chunk_chars -> exactly 1 chunk
+            (4, ""),             # empty -> 1 empty chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_chars=6, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_chars"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): ("abcdef", 6),
+        (1, 1): ("efghij", 6),   # overlap of 2 with previous chunk
+        (2, 0): ("abc", 3),
+        (3, 0): ("abcdef", 6),
+        (4, 0): ("", 0),
+    }
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_chars=4, overlap=4)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.chunking import (
+        stratified_sample,
+    )
+
+    rows = [(i, "keep_all" if i % 3 == 0 else ("drop_all" if i % 3 == 1 else "other"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = stratified_sample(
+        df, "stratum", "id", rates={"keep_all": 1.0, "drop_all": 0.0},
+        default_rate=0.5,
+    )
+    pdf = out.toPandas()
+    by = pdf.groupby("stratum")["id"].count().to_dict()
+    assert by.get("keep_all") == 100          # rate 1.0 keeps every row
+    assert "drop_all" not in by               # rate 0.0 drops the stratum
+    assert 20 <= by.get("other", 0) <= 80     # ~50% of 100, hash-spread
+    # deterministic: a second evaluation yields the identical id set
+    again = stratified_sample(
+        df, "stratum", "id", rates={"keep_all": 1.0, "drop_all": 0.0},
+        default_rate=0.5,
+    ).toPandas()
+    assert sorted(pdf["id"]) == sorted(again["id"])
