@@ -524,6 +524,60 @@ def sample_frames(df: DataFrame, every_nth: int = 4, max_frames: int = 8) -> Dat
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("ahash", StringType(), True),
+    ]
+)
+
+
+def image_ahash_value(payload: bytes) -> str:
+    """Pure average-hash kernel: PNG decode → 8×8 nearest-neighbor
+    downsample → threshold each cell at the integer mean (``>=``) →
+    64 bits row-major, rendered as 16 hex chars.
+
+    Integer mean (``sum // 64``) keeps the threshold exact — a float
+    mean would make bits flip with summation order across BLAS
+    builds.  Identical images always collide; near-identical images
+    land within a small Hamming distance (group on equality for exact
+    perceptual dedup, or band the 16 hex chars like SimHash for a
+    wider net — see operators/dedup.py).
+    """
+    small = resize_nearest(png_decode_gray(payload), 8, 8).astype(np.int64)
+    mean = int(small.sum()) // 64
+    v = 0
+    for bit in (small >= mean).flatten():
+        v = (v << 1) | int(bit)
+    return f"{v:016x}"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual fingerprints for every decodable PNG via
+    Arrow-batched ``mapInPandas`` — the multimodal analog of the text
+    SimHash path: downstream exact-dup grouping is a plain groupBy on
+    ``ahash`` (map-side combined), never a pairwise image compare.
+    Non-image / corrupt rows are dropped, mirroring ``resize_images``.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                b = row["payload"]
+                if b is None:
+                    continue
+                try:
+                    h = image_ahash_value(bytes(b))
+                except ValueError:
+                    continue
+                ids.append(row["asset_id"])
+                hashes.append(h)
+            yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
 def real_decode_backend(*_args, **_kwargs):  # pragma: no cover
     """Swap-in point for native codecs this environment doesn't ship
     (JPEG via Pillow, MP3/FLAC via librosa, video via av).  PNG and

@@ -250,3 +250,61 @@ def corpus_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.round(F.col("total_chars") / F.col("_grand"), 6).alias("char_share"),
     )
+
+
+# =====================================================================
+# Multimodal perceptual hash (operators.multimodal.image_ahash)
+# =====================================================================
+
+
+def _mm_ahash_golden() -> list[tuple]:
+    """Expected aHash per image asset, derived from the generator's
+    pre-encode pixel SPEC (synthetic_image_pixels → downsample →
+    threshold) — never from the PNG bytes, so the oracle genuinely
+    checks the distributed encode→decode→hash round trip."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        resize_nearest,
+        synthetic_asset_rows,
+        synthetic_image_pixels,
+    )
+
+    out = []
+    for asset_id, media, _payload, _n, _uri in synthetic_asset_rows(64):
+        if media != "image":
+            continue
+        small = resize_nearest(synthetic_image_pixels(asset_id), 8, 8).astype(
+            np.int64
+        )
+        mean = int(small.sum()) // 64
+        v = 0
+        for bit in (small >= mean).flatten():
+            v = (v << 1) | int(bit)
+        out.append((asset_id, f"{v:016x}"))
+    return out
+
+
+def _mm_ahash_oracle() -> str:
+    from .query_catalog_ml import _values_oracle
+
+    return _values_oracle(
+        _mm_ahash_golden(), [("asset_id", "BIGINT"), ("ahash", "VARCHAR")]
+    )
+
+
+@register(
+    "mm_image_ahash",
+    _mm_ahash_oracle(),
+    doc="Perceptual average-hash per image (PNG decode → 8×8 "
+    "nearest-neighbor → integer-mean threshold → 64-bit hex) via "
+    "Arrow-batched mapInPandas; exact perceptual dedup is then a "
+    "map-side-combined groupBy on the hash, never a pairwise image "
+    "compare. Oracle = golden rows from the pre-encode pixel spec. "
+    "operators/multimodal.py:image_ahash.",
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import image_ahash, make_synthetic_assets
+
+    assets = make_synthetic_assets(spark, 64)
+    return image_ahash(assets)

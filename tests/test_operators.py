@@ -1516,3 +1516,37 @@ def test_stratified_sample_rates_and_determinism(spark):
         default_rate=0.5,
     ).toPandas()
     assert sorted(pdf["id"]) == sorted(again["id"])
+
+
+def test_image_ahash_collides_on_duplicates_only(spark):
+    import numpy as np
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        image_ahash,
+        png_encode_gray,
+        synthetic_image_pixels,
+    )
+
+    px = synthetic_image_pixels(3)
+    noisy = px.copy()
+    noisy[0, 0] = (int(noisy[0, 0]) + 1) % 256  # 1-pixel change
+    inverted = (255 - px).astype(np.uint8)      # structurally different
+    rows = [
+        (0, "image", png_encode_gray(px), 0, "a"),
+        (1, "image", png_encode_gray(px), 0, "b"),        # exact dup
+        (2, "image", png_encode_gray(noisy), 0, "c"),     # near dup
+        (3, "image", png_encode_gray(inverted), 0, "d"),
+        (4, "audio", b"not a png", 0, "e"),               # skipped
+    ]
+    out = {
+        r["asset_id"]: r["ahash"]
+        for r in image_ahash(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0] == out[1]                    # exact dup collides
+    assert out[0] == out[2]                    # 1-pixel noise collides
+    hamming = bin(int(out[0], 16) ^ int(out[3], 16)).count("1")
+    assert hamming > 16                        # inversion is far away
