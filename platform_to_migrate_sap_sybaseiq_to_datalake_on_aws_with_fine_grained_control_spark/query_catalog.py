@@ -1255,4 +1255,29 @@ sql_query(
     "the result is non-empty at every test scale).",
 )
 
+
+sql_query(
+    "q11_important_stock",
+    "SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value "
+    "FROM lineitem "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_12' "
+    "GROUP BY l_partkey "
+    "HAVING sum(l_extendedprice * l_quantity) > 1.5 * ("
+    "SELECT avg(part_value) FROM ("
+    "SELECT sum(l_extendedprice * l_quantity) AS part_value "
+    "FROM lineitem "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_12' GROUP BY l_partkey))",
+    doc="TPC-H Q11-style important-stock: per-part value held by one "
+    "nation's suppliers, kept only above an uncorrelated scalar-"
+    "subquery threshold (1.5x the average part value — the avg-"
+    "relative form stays populated at every scale factor, unlike "
+    "Q11's fraction-of-total which needs per-SF retuning; threshold "
+    "margin >=7e-5 relative at sf0.001-0.1, far above double-sum "
+    "drift). lineitem x supplier stands in for the absent partsupp.",
+)
+
 from . import query_catalog_cdc  # noqa: E402,F401  (registration side effect — keep last)
