@@ -241,3 +241,70 @@ def test_streaming_neardup_suppresses_simhash_collisions(spark, events_stream_pa
     # one survivor per distinct signature, and no signature repeats
     assert got.count() == n_sigs
     assert got.select(simhash_bits("props", 16)).distinct().count() == n_sigs
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, demonstrated end-to-end: a straggler event
+    whose window closed two micro-batches ago must be dropped by the
+    watermark (its window never appears in append output), while
+    on-time windows match the batch result.  A batch run over the
+    same files WOULD include the late window, proving the drop is
+    watermark-driven.
+
+    Note Spark's late-record filter uses the watermark as of the
+    PREVIOUS micro-batch (the eviction watermark advances one batch
+    ahead of the filter), so the straggler must arrive >= 2 batches
+    after the watermark passed its window — which is also the honest
+    streaming scenario.
+    """
+    import time as _time
+    from datetime import datetime
+
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    parts = [
+        # batch 0: on-time events; watermark after = 09:54
+        [(1, t(10, 0), 1, "click", 1.0, ""), (2, t(10, 4), 1, "click", 1.0, "")],
+        # batch 1: fresh event advances the watermark to 11:50
+        [(3, t(12, 0), 2, "click", 1.0, "")],
+        # batch 2: straggler from 09:00 — 2h50m beyond the filter
+        # watermark (09:54): must be discarded
+        [(4, t(9, 0), 3, "click", 99.0, "")],
+    ]
+    for rows in parts:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stream_dir))
+        _time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    stream = replay_events_stream(
+        spark, str(stream_dir), spark.createDataFrame([], schema).schema
+    )
+    q = _run_stream_to_memory(
+        tumbling_counts(stream), "late_data_sink", "append"
+    )
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    emitted = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM late_data_sink").collect()
+    }
+    # on-time 10:00 window finalized with both batch-0 events
+    assert emitted.get(t(10, 0)) == (2, 2.0)
+    # the straggler was dropped: counted by the state operator and its
+    # window absent from the stream output
+    assert dropped == 1
+    assert t(9, 0) not in emitted
+    # ...whereas the same files in batch mode DO include it
+    batch = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in tumbling_counts(spark.read.parquet(str(stream_dir))).collect()
+    }
+    assert batch.get(t(9, 0)) == (1, 99.0)
