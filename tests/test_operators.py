@@ -996,9 +996,11 @@ def test_incremental_rollup_refresh_matches_full(spark, tmp_path, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events").limit(600).cache()
-    cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5) AS c").collect()[0].c
-    half1 = ev.filter(F.col("ts").cast("double") <= cut)
-    half2 = ev.filter(F.col("ts").cast("double") > cut)
+    # TIMESTAMP_NTZ can't cast to DOUBLE; split on epoch micros instead
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.select(F.percentile(epoch, F.lit(0.5)).alias("c")).collect()[0].c
+    half1 = ev.filter(epoch <= cut)
+    half2 = ev.filter(epoch > cut)
     path = str(tmp_path / "hourly")
 
     refresh_rollup_incremental(spark, path, half1, "ts", ["event_type"], "value")
