@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.temporal import epoch_us
+
 __all__ = ["asof_join_backward", "range_join_bucketed"]
 
 
@@ -57,13 +59,13 @@ def range_join_bucketed(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_ts)) / us),
-                F.floor(F.unix_micros(F.col(end_ts)) / us),
+                F.floor(epoch_us(start_ts) / us),
+                F.floor(epoch_us(end_ts) / us),
             )
         ),
     )
     pts = points.withColumn(
-        "_bucket", F.floor(F.unix_micros(F.col(point_ts)) / us)
+        "_bucket", F.floor(epoch_us(point_ts) / us)
     )
     return (
         ivl.join(pts, [on, "_bucket"])
@@ -140,7 +142,7 @@ def asof_join_backward(
     in_tol = F.lit(True)
     if tolerance_s is not None:
         in_tol = (
-            F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_matched_ts_f"))
+            epoch_us("_t") - epoch_us("_matched_ts_f")
         ) <= int(tolerance_s * 1_000_000)
     return out.select(
         *[F.col(c) for c in left_cols],

@@ -37,6 +37,7 @@ from .operators.cleaning import (
     trim_string_columns,
 )
 from .operators.layout import coalesce_tier
+from .functions.temporal import epoch_us
 from .plans.dialect import to_spark_sql
 from .sources.registry import TESTDATA_TABLES, load_table, ranged_scan, register_parquet_views
 
@@ -596,7 +597,11 @@ _SESSIONIZE_TMPL = (
 
 sql_query(
     "events_sessionize",
-    _SESSIONIZE_TMPL.format(epoch="CAST(ts AS DOUBLE)"),
+    # NTZ-safe: ts arrives as TIMESTAMP_NTZ from naive parquet, and
+    # NTZ->DOUBLE is an illegal cast in Spark 4; unix_micros over an
+    # explicit TIMESTAMP cast is value-preserving under the UTC session
+    # TZ and keeps microsecond precision like DuckDB's epoch(ts).
+    _SESSIONIZE_TMPL.format(epoch="(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0)"),
     _SESSIONIZE_TMPL.format(epoch="epoch(ts)"),
     doc="Gaps-and-islands sessionization (30-min inactivity gap) — batch "
     "equivalent of session_window; lag + conditional cumsum.",
@@ -844,19 +849,23 @@ sql_query(
 
 sql_query(
     "array_functions_sampler",
+    # line_numbers is emitted as a comma-joined STRING, not ARRAY: the
+    # driver's pandas canonicalizer sorts on every output column and a
+    # top-level list is unhashable there (r3 red row).
     "SELECT l_orderkey, "
-    "array_sort(collect_list(l_linenumber)) AS line_numbers, "
+    "array_join(transform(array_sort(collect_list(l_linenumber)), x -> CAST(x AS STRING)), ',') AS line_numbers, "
     "CAST(size(collect_set(l_returnflag)) AS BIGINT) AS n_flags, "
     "round(aggregate(collect_list(l_quantity), CAST(0 AS DOUBLE), (a, x) -> a + x), 2) AS qty_sum "
     "FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey",
     "SELECT l_orderkey, "
-    "list_sort(list(l_linenumber ORDER BY l_linenumber)) AS line_numbers, "
+    "array_to_string(list_sort(list(l_linenumber ORDER BY l_linenumber)), ',') AS line_numbers, "
     "CAST(len(list_distinct(list(l_returnflag))) AS BIGINT) AS n_flags, "
     "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber)), (a, x) -> a + x), 2) AS qty_sum "
     "FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey",
-    doc="Array aggregation surface: sorted collect, distinct-set size, "
-    "lambda fold over a collected list (sum fold is order-normalized "
-    "by the 2-decimal input values).",
+    doc="Array aggregation surface: sorted collect (joined to a string "
+    "for cross-engine canonicalization), distinct-set size, lambda fold "
+    "over a collected list (sum fold is order-normalized by the "
+    "2-decimal input values).",
 )
 
 sql_query(
@@ -981,7 +990,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
         F.coalesce(
-            F.unix_micros("ts") - F.unix_micros("_matched_ts"), F.lit(-1)
+            epoch_us("ts") - epoch_us("_matched_ts"), F.lit(-1)
         ).alias("gap_us"),
     )
 

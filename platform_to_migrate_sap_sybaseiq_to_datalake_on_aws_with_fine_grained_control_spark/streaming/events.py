@@ -31,8 +31,23 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
+
+
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP.
+
+    Parquet written with naive ``timestamp[us]`` is inferred as
+    ``TIMESTAMP_NTZ``, and ``withWatermark`` rejects NTZ event time
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``).  The session TZ is
+    pinned UTC, so the cast is value-preserving; it is a no-op when the
+    column is already TIMESTAMP.
+    """
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def tumbling_counts(
@@ -40,7 +55,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event type."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
@@ -61,7 +76,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Watermarked sliding-window event counts."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -78,7 +93,7 @@ def session_counts(
     """Gap-based session windows per user (the streaming-native form of
     the batch gaps-and-islands ``events_sessionize`` query)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -134,7 +149,10 @@ def stateful_user_counter(events: DataFrame, timeout_ms: int = 60_000) -> DataFr
         n, last_us = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+            # normalize to µs regardless of the Arrow-delivered unit
+            # (ns for TIMESTAMP, us for naive-parquet NTZ columns)
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            last_us = max(last_us, int(ts_us.max()))
         state.update((n, last_us))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
@@ -199,7 +217,7 @@ def streaming_neardup(
     from ..functions.text import simhash_bits
 
     keyed = docs.withColumn("_sig", simhash_bits(text_col, num_bits))
-    out = keyed.withWatermark(ts_col, watermark)
+    out = _with_event_time(keyed, ts_col).withWatermark(ts_col, watermark)
     if out.isStreaming:
         return out.dropDuplicatesWithinWatermark(["_sig"]).drop("_sig")
     if batch_tiebreak is not None:
@@ -245,7 +263,7 @@ def streaming_dedup(
     continuously-arriving corpora.
     """
     keys = keys or ["event_id"]
-    out = events.withWatermark("ts", watermark)
+    out = _with_event_time(events, "ts").withWatermark("ts", watermark)
     if out.isStreaming:
         return out.dropDuplicatesWithinWatermark(keys)
     return out.dropDuplicates(keys)
