@@ -706,23 +706,41 @@ def approx_count_distinct_users(spark, sf_dir):
 
 @register(
     "approx_quantiles_value",
-    None,  # quantile-sketch internals differ across engines — rows-only
+    # Sketch values themselves differ across engines, but the GK
+    # guarantee (rank error <= max(1, eps*N)) is checkable: emit
+    # "approx lies between the exact (q-delta) and (q+delta)
+    # percentiles" booleans Spark-side; the oracle asserts the same
+    # booleans are true per group, so a hash match proves the sketch
+    # honored its error bound — a true value check, not rows-only.
+    "SELECT event_type, CAST(1 AS BOOLEAN) AS q50_ok, "
+    "CAST(1 AS BOOLEAN) AS q90_ok, CAST(1 AS BOOLEAN) AS q99_ok "
+    "FROM events GROUP BY event_type",
     doc="Quantile sketch (Greenwald-Khanna percentile_approx, accuracy "
     "10000) of event value per type — the single-pass mergeable-sketch "
     "path for 100 TB percentiles (exact percentile_stats is the "
-    "oracle-checked twin); the unit test bounds rank error vs exact.",
+    "oracle-checked twin). Output encodes the GK error bound as "
+    "booleans: approx within the exact [q-1%, q+1%] percentile band "
+    "(rank slack >> max(1, N/10000) at every test SF).",
 )
 def approx_quantiles_value(spark, sf_dir):
     from .sources.registry import load_table as _lt
 
+    qs = [0.5, 0.9, 0.99]
+    delta = 0.01
     ev = _lt(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_50_90_99")
-    ).select(
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("approx"),
+        F.percentile("value", F.array(*[F.lit(max(q - delta, 0.0)) for q in qs])).alias("lo"),
+        F.percentile("value", F.array(*[F.lit(min(q + delta, 1.0)) for q in qs])).alias("hi"),
+    )
+    def ok(i: int):
+        a = F.element_at("approx", i + 1)
+        return (a >= F.element_at("lo", i + 1)) & (a <= F.element_at("hi", i + 1))
+    return agg.select(
         "event_type",
-        F.concat_ws(
-            ",", F.expr("transform(q_50_90_99, x -> CAST(round(x, 2) AS STRING))")
-        ).alias("q_50_90_99"),
+        ok(0).alias("q50_ok"),
+        ok(1).alias("q90_ok"),
+        ok(2).alias("q99_ok"),
     )
 
 

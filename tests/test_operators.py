@@ -1552,3 +1552,70 @@ def test_image_ahash_collides_on_duplicates_only(spark):
     assert out[0] == out[2]                    # 1-pixel noise collides
     hamming = bin(int(out[0], 16) ^ int(out[3], 16)).count("1")
     assert hamming > 16                        # inversion is far away
+
+
+@pytest.mark.parametrize("ts_type", ["timestamp", "timestamp_ntz", "date"])
+def test_temporal_operators_survive_ts_type_drift(spark, ts_type):
+    """asof_join_backward / range_join_bucketed / sessionize arithmetic
+    must behave identically for TIMESTAMP, TIMESTAMP_NTZ (what Spark 4
+    infers from naive parquet), and DATE event-time columns — the
+    round-3 regression was exactly this drift.  Differential check
+    against a brute-force scan at the granularity of the cast type."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.temporal import (
+        asof_join_backward,
+        range_join_bucketed,
+    )
+
+    rnd = random.Random(13)
+    base = datetime(2024, 1, 1)
+    step = timedelta(days=1) if ts_type == "date" else timedelta(seconds=30)
+    lrows = [(i, rnd.randint(1, 4), base + step * rnd.randint(0, 40)) for i in range(50)]
+    rrows = [(1000 + i, rnd.randint(1, 5), base + step * rnd.randint(0, 40)) for i in range(60)]
+
+    def _frame(rows, cols, ts_cols):
+        df = spark.createDataFrame(rows, cols)
+        for c in ts_cols:
+            df = df.withColumn(c, F.col(c).cast(ts_type))
+        return df
+
+    left = _frame(lrows, ["lid", "k", "ts"], ["ts"])
+    right = _frame(rrows, ["rid", "k", "ts"], ["ts"])
+    assert dict(left.dtypes)["ts"] == ts_type
+
+    got = {
+        r.lid: r.rid
+        for r in asof_join_backward(
+            left, right, on="k", right_cols=["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    for lid, k, lts in lrows:
+        cand = [(rts, rid) for rid, rk, rts in rrows if rk == k and rts <= lts]
+        want = max(cand)[1] if cand else None
+        assert got[lid] == want, (ts_type, lid, got[lid], want)
+
+    ivls = []
+    for i in range(30):
+        s = rnd.randint(0, 40)
+        ivls.append((i, rnd.randint(1, 3), base + step * s, base + step * (s + rnd.randint(0, 6))))
+    pts = [(500 + i, rnd.randint(1, 3), base + step * rnd.randint(0, 50)) for i in range(80)]
+    intervals = _frame(ivls, ["ivl_id", "k", "start_ts", "end_ts"], ["start_ts", "end_ts"])
+    points = _frame(pts, ["pid", "k", "pts"], ["pts"])
+    bucket_s = int(step.total_seconds()) * 3
+    got_rj = {
+        (r.ivl_id, r.pid)
+        for r in range_join_bucketed(
+            points, intervals, "k", "pts", "start_ts", "end_ts", bucket_s=bucket_s
+        ).collect()
+    }
+    want_rj = {
+        (ivl_id, pid)
+        for ivl_id, ik, s, e in ivls
+        for pid, pk, t in pts
+        if pk == ik and s <= t <= e
+    }
+    assert got_rj == want_rj, ts_type

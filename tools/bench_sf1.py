@@ -17,6 +17,10 @@ Scaling recipe (honest linear scaling, not duplicate-pair inflation):
 * ``embeddings`` ×10 — per-replica deterministic jitter on each
   component, so replicas are near but not identical (realistic ANN
   neighborhoods instead of 10-way exact ties).
+* ``events`` / ``orders`` / ``customer`` ×10 — key-offset replication
+  (each replica is an independent key space), so the CDC merge and
+  SCD2 history paths see 10× the keys with per-key change structure
+  preserved exactly — linear work growth, no artificial key skew.
 
 Run:  python tools/bench_sf1.py          (writes BENCH_sf1.json)
 Data: /tmp/spark_graft_sf1 (regenerated when missing; ~120 MB).
@@ -48,6 +52,9 @@ HEAVY = [
     "ann_ivf_kmeans_topk",
     "curate_training_corpus",
     "text_top_tokens",
+    "cdc_latest_event_state",
+    "cdc_apply_order_changes",
+    "scd2_customer_balance_history",
 ]
 
 
@@ -96,6 +103,26 @@ def generate(spark) -> None:
     )
     scaled_emb.repartition(32).write.mode("overwrite").parquet(f"{OUT_DIR}/embeddings.parquet")
 
+    # CDC / SCD2 inputs: key-offset replication — every id/key column
+    # is shifted into a disjoint range per replica, so per-key change
+    # sequences (what the merge operators chew on) replicate exactly.
+    for table, id_cols in [
+        ("events", ["event_id", "user_id"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey"]),
+    ]:
+        src = load_table(spark, SRC_SF, table)
+        offsets = {c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
+        scaled = src.crossJoin(replicas).select(
+            *[
+                (F.col(c) + F.col("replica") * offsets[c]).alias(c)
+                if c in id_cols
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+        scaled.repartition(32).write.mode("overwrite").parquet(f"{OUT_DIR}/{table}.parquet")
+
 
 def main() -> None:
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
@@ -104,7 +131,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(app_name="bench_sf1")
-    if not Path(f"{OUT_DIR}/embeddings.parquet").exists():
+    if not Path(f"{OUT_DIR}/customer.parquet").exists():  # newest table in the set
         print("# generating sf1 corpus ...", file=sys.stderr)
         t0 = time.perf_counter()
         generate(spark)
@@ -112,15 +139,22 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     for name in HEAVY:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, OUT_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2, mirroring bench.py: the first execution at a new
+        # scale pays one-off page-cache/codegen/shuffle-setup costs
+        # that are 3-15x steady state right after corpus generation in
+        # the same JVM; the second run is the engine-time signal.
+        best = None
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, OUT_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     out = {
