@@ -84,45 +84,122 @@ def ngram_jaccard_pairs(
     ``id_a < id_b``, jaccard floor-scaled to 4 decimals (tie-free
     cross-engine rounding).
 
-    Scale: the self-join shuffles on the shingle; pairs sharing zero
-    shingles are never materialized.  ``max_shingle_df`` prunes
-    stopword-shingles (df-capped suffix filtering) to bound skew —
-    exactness is preserved when ``threshold`` is high because a pair
-    at Jaccard ≥ t must share rare shingles too.
+    Plan: **prefix filtering** (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07) instead of the naive shingle self-join.
+    A naive self-join materializes one row per (pair, common shingle) —
+    at sf0.1 that is 1.13M colliding pairs of which only ~250 survive
+    the threshold; 99.98 % of the shuffle is junk pairs sharing 1-2
+    stopword shingles.  Instead:
+
+    1. order shingles globally by (document frequency, shingle) asc —
+       rarest first;
+    2. index only each doc's PREFIX: its first ``n - ceil(t*n) + 1``
+       shingles in that order.  If ``J(A,B) >= t`` then
+       ``|A∩B| >= t*|A∪B| >= t*max(|A|,|B|)``, and the pigeonhole
+       argument puts ``min(A∩B)`` inside both prefixes — so the
+       prefix⨝prefix equi-join yields a candidate SUPERSET;
+    3. length filter: ``t*n_a <= n_b <= n_a/t`` (necessary for
+       ``J >= t``), applied inside the candidate join, plus PPJoin
+       positional filtering (Xiao et al., WWW'08): a collision at
+       rarest-first positions ``(rk_a, rk_b)`` can lead to at most
+       ``1 + min(n_a - rk_a, n_b - rk_b)`` common shingles, which must
+       reach the pair overlap bound ``ceil(t/(1+t) * (n_a + n_b))`` —
+       collisions deep in both prefixes are discarded before the pair
+       ever materializes (safe: for a qualifying pair the bound holds
+       at ``min(A∩B)``'s collision);
+    4. verify candidates exactly — join each candidate to the two
+       docs' full shingle ARRAYS (one row per doc) and count the true
+       overlap with ``array_intersect`` (JVM-side, no re-explode: the
+       exploded verify join would shuffle candidates × shingles rows,
+       re-inflating what the prefix filter just pruned).
+
+    At sf0.1 this is 43k candidate pairs vs 1.25M collision rows for
+    the naive self-join (29×); candidate volume is governed by
+    rare-shingle df (~1-3) instead of avg df, so shuffle work tracks
+    the TRUE near-dup pair count, not the collision count.
+    ``max_shingle_df`` prunes stopword-shingles before any of this
+    (mirrored in the oracle — the cap is part of the operator spec)
+    and doubles as the skew bound.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    # document frequency as a count-over-window: ONE shuffle on the
+    # shingle (vs groupBy + join = two); _df doubles as the global
+    # rarest-first order key for prefix selection below
+    w_df = Window.partitionBy("shingle")
+    sh = sh.withColumn("_df", F.count("*").over(w_df))
     if max_shingle_df:
-        # document frequency as a count-over-window: ONE shuffle on the
-        # shingle (vs groupBy + join = two), and the output stays
-        # hash-partitioned by shingle so the downstream self-join can
-        # reuse the exchange
-        w_df = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count("*").over(w_df))
-            .filter(F.col("_df") <= max_shingle_df)
-            .drop("_df")
-        )
-    # the shingle table feeds three consumers (per-doc counts + both
-    # sides of the self-join); persist so the explode/normalize work
-    # runs once (at 100 TB: write the shingle table to parquet instead)
-    sh.persist()
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("common"))
+        sh = sh.filter(F.col("_df") <= max_shingle_df)
+    # One shuffle by doc id feeds BOTH derived tables (Catalyst reuses
+    # the exchange): the rarest-first prefix rows and the per-doc
+    # shingle array used for exact verification.
+    w_doc = Window.partitionBy(id_col)
+    w_rank = w_doc.orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    ranked = sh.select(
+        F.col(id_col),
+        "shingle",
+        F.count("*").over(w_doc).alias("_n"),
+        F.row_number().over(w_rank).alias("_rk"),
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # ranked feeds two consumers; persist so the explode + df-window +
+    # rank work runs once (at 100 TB: write it to parquet instead)
+    ranked.persist()
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(id_col, "shingle", "_n", "_rk")
+    doc_sets = ranked.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_shs")
+    )
+
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("_n").alias("n_a"),
+        F.col("_rk").alias("_rk_a"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("_n").alias("n_b"),
+        F.col("_rk").alias("_rk_b"),
+    )
+    # pair overlap bound for J >= t: common >= t/(1+t) * (n_a + n_b)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t*n_a <= n_b <= n_a/t
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_b") <= F.floor(F.col("n_a") / F.lit(threshold)))
+            # positional filter: remaining-suffix budget must cover alpha
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("_rk_a"), F.col("n_b") - F.col("_rk_b")
+                )
+                >= alpha
+            )
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact verification: overlap of the two docs' shingle arrays,
+    # computed per candidate pair without re-exploding
+    da = doc_sets.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_shs_a"))
+    db = doc_sets.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_shs_b"))
     out = (
-        pairs.join(ca, "id_a")
-        .join(cb, "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_shs_a", "_shs_b")).cast("long").alias("common"),
+        )
         .withColumn(
             "jaccard",
             F.floor(
