@@ -1619,3 +1619,62 @@ def test_temporal_operators_survive_ts_type_drift(spark, ts_type):
         if pk == ik and s <= t <= e
     }
     assert got_rj == want_rj, ts_type
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark, threshold):
+    """Randomized differential check of the prefix-filter + positional-
+    filter + array-verify Jaccard pipeline against a brute-force python
+    all-pairs computation (df cap applied in both, as the spec does).
+    Guards the candidate-pruning math: a pruned TRUE pair would show up
+    here as a missing row."""
+    import random
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        if i % 5 == 0 and i > 0:
+            # near-dup of a previous doc: copy + small mutation
+            base_tokens = docs[rnd.randrange(len(docs))][1].split()
+            j = rnd.randrange(len(base_tokens))
+            base_tokens[j] = rnd.choice(vocab)
+            docs.append((i, " ".join(base_tokens)))
+        else:
+            docs.append((i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(8, 20)))))
+
+    shingle_n, cap = 3, 8
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
+
+    raw = {i: shingles(t) for i, t in docs}
+    df_count = {}
+    for s in (sh for shs in raw.values() for sh in shs):
+        df_count[s] = df_count.get(s, 0) + 1
+    capped = {i: {s for s in shs if df_count[s] <= cap} for i, shs in raw.items()}
+    want = set()
+    for a in raw:
+        for b in raw:
+            if a < b and capped[a] and capped[b]:
+                common = len(capped[a] & capped[b])
+                union = len(capped[a] | capped[b])
+                import math
+                j = math.floor(common / union * 10000) / 10000 if union else 0.0
+                if j >= threshold:
+                    want.add((a, b, common, len(capped[a]), len(capped[b])))
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.common, r.n_a, r.n_b)
+        for r in ngram_jaccard_pairs(
+            sdf, "doc_id", "text", shingle_n=shingle_n,
+            threshold=threshold, max_shingle_df=cap,
+        ).collect()
+    }
+    assert got == want, (threshold, got ^ want)
