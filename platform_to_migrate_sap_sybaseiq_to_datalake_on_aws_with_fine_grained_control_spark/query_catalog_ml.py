@@ -1507,3 +1507,142 @@ def stream_enrich_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
     )
 
+
+
+# ---- round-4 additions: cluster representatives + sequence packing ----
+
+
+def _duck_cluster_reps_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
+clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node),
+q AS (SELECT doc_id, quality_score FROM ({_duck_quality_sql()}) t),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN q USING (doc_id))
+SELECT cluster_id, doc_id AS rep_doc_id, quality_score AS rep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_cluster_representatives",
+    _duck_cluster_reps_sql(),
+    doc="Canonical-document selection: for each near-dup cluster keep the "
+    "highest-quality member (composite quality score, min-doc_id "
+    "tiebreak) — the step after clustering in a real dedup pipeline "
+    "(which copy of the page do we train on?). Spark side is one "
+    "map-side-combinable max_by over the cluster labels joined to the "
+    "quality projection; oracle recomputes clusters via recursive "
+    "transitive closure + a rank window.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_clusters
+
+    df = load_table(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(
+        df,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+    quality = df.select(
+        "doc_id", quality_features("text")["quality_score"].alias("quality_score")
+    )
+    # max_by with (quality, -doc_id) order: best quality wins, lowest
+    # doc_id breaks ties — partial aggregates combine map-side, so the
+    # shuffle carries one row per cluster, not per member
+    ord_ = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("_nd"))
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("doc_id").alias("d"), F.col("quality_score").alias("q")
+                ),
+                ord_,
+            ).alias("_m"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_m.d").alias("rep_doc_id"),
+            F.col("_m.q").alias("rep_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+PACK_TOKEN_BUDGET = 256
+
+_PACK_SQL_TMPL = """
+SELECT lang, doc_id, n_tokens,
+       CAST(floor(cum_excl / {budget}) AS BIGINT) AS pack_id
+FROM (
+  SELECT lang, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           AS cum_excl
+  FROM (SELECT lang, doc_id,
+               CAST({n_tokens_expr} AS BIGINT) AS n_tokens
+        FROM documents) t0
+) t1
+"""
+
+
+@register(
+    "pack_sequences_greedy",
+    _PACK_SQL_TMPL.format(
+        budget=PACK_TOKEN_BUDGET,
+        n_tokens_expr="len(string_split(text, ' '))",
+    ),
+    doc="Sequence packing for pretraining batches: within each lang "
+    "shard, docs (in doc_id order) are packed next-fit into bins of "
+    f"~{PACK_TOKEN_BUDGET} tokens — pack_id = floor(exclusive-cumsum / "
+    "budget). One window per shard (single hash shuffle on lang, "
+    "linear); the same contiguous-fill definition runs in both "
+    "engines, so the assignment is hash-checkable. At 100 TB the "
+    "lang shard is replaced by (lang, file-split) to keep window "
+    "partitions bounded.",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("double")
+            / PACK_TOKEN_BUDGET
+        )
+        .cast("bigint")
+        .alias("pack_id"),
+    )
