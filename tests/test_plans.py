@@ -1,0 +1,91 @@
+"""Physical-plan assertions — the scale contract, enforced.
+
+EXPLAINS.md documents the plans; these tests make the key properties
+regression-proof: no accidental cartesian products anywhere in the
+catalog, pushed filters / pruned schemas on the scan paths, and the
+zero-shuffle claim of the chunking operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# crossJoin(broadcast(...)) lowers to BroadcastNestedLoopJoin — linear
+# (corpus × k broadcast rows), intentional in the similarity family and
+# the q2 decorrelated min-cost shape. Everything else must not BNLJ.
+BNLJ_OK = {
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_cosine_pairs_banded",
+    "embedding_quantize_int8",
+    "q2_min_cost_supplier",
+    "q22_idle_customers",
+    # 25x25 rank self-join on the already-limited top-k (documented)
+    "text_top_tokens",
+    # per-group stats x single-row broadcast total (scalar join)
+    "corpus_balance_report",
+}
+
+# iterative operators run jobs while BUILDING the frame (k-means
+# training, label propagation) — planning them here would execute the
+# whole algorithm; their join shapes are covered by the entries that
+# share their building blocks.
+SKIP_HEAVY_BUILD = {
+    "dedup_duplicate_clusters",
+    "dedup_cluster_representatives",
+    "ann_ivf_kmeans_topk",
+    "refresh_rollup_incremental",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_no_cartesian_product_anywhere(name, spark):
+    if name in SKIP_HEAVY_BUILD:
+        pytest.skip("frame construction executes the iterative algorithm")
+    df = entry_mod.queries()[name](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join (non-equi or missing join key?)"
+        )
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    df = entry_mod.queries()["q1_pricing_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "l_shipdate filter not pushed to the parquet scan"
+    # projection pruning: the lineitem scan must not read all 16 columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(",") <= 7, f"q1 scan reads too many columns: {read_schema}"
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(entry_mod.queries()["q3_shipping_priority"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_zero_shuffle(spark):
+    plan = _plan(entry_mod.queries()["chunk_documents_fixed"](spark, SF_ORACLE))
+    assert "Exchange" not in plan, "chunking should be a narrow explode, no shuffle"
+
+
+def test_jaccard_has_no_exploded_verify(spark):
+    plan = _plan(entry_mod.queries()["dedup_ngram_jaccard_pairs"](spark, SF_ORACLE))
+    assert "array_intersect" in plan, "verification should use array_intersect"
+    assert "CartesianProduct" not in plan
