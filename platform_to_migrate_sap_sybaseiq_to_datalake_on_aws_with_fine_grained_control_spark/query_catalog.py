@@ -1324,3 +1324,71 @@ sql_query(
 )
 
 from . import query_catalog_cdc  # noqa: E402,F401  (registration side effect — keep last)
+
+
+# ---------------------------------------------------------------------
+# Round-4 surface additions
+# ---------------------------------------------------------------------
+
+sql_query(
+    "events_gapfill_locf",
+    # hypertable-style gap filling: materialize the full hourly bucket
+    # grid per event_type (explode(sequence) — the same zero-shuffle
+    # generator as chunking), left-join the real aggregates, and
+    # carry the last observed value forward (LOCF) across empty
+    # buckets with an ignore-nulls window. Grid size = series span,
+    # independent of event volume; one shuffle for the aggregate, one
+    # per-series window for the fill.
+    "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, "
+    "round(sum(value), 2) AS v, count(*) AS n FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1), "
+    "grid AS (SELECT event_type, explode(sequence(mn, mx, interval 1 hour)) AS bucket FROM bounds), "
+    "j AS (SELECT g.event_type, g.bucket, b.n, b.v FROM grid g "
+    "LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket) "
+    "SELECT event_type, date_format(bucket, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
+    "CAST(coalesce(n, 0) AS BIGINT) AS n_events, "
+    "CAST(coalesce(n, 0) > 0 AS BOOLEAN) AS observed, "
+    "last_value(v, true) OVER (PARTITION BY event_type ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf "
+    "FROM j",
+    "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, "
+    "round(sum(value), 2) AS v, count(*) AS n FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1), "
+    "grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM bounds), "
+    "j AS (SELECT g.event_type, g.bucket, b.n, b.v FROM grid g "
+    "LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket) "
+    "SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, "
+    "CAST(coalesce(n, 0) AS BIGINT) AS n_events, "
+    "CAST(coalesce(n, 0) > 0 AS BOOLEAN) AS observed, "
+    "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf "
+    "FROM j",
+    doc="Time-series gap filling with last-observation-carried-forward "
+    "(the hypertable time_bucket_gapfill + locf analog): full hourly "
+    "grid per series via explode(sequence), left join of real "
+    "aggregates, ignore-nulls window fill. Grid volume is span-bound, "
+    "not event-bound; the fill is one per-series window.",
+)
+
+sql_query(
+    "grouping_sets_flag_status",
+    # explicit GROUPING SETS (finer control than rollup/cube — the
+    # ()-level and the two single-column levels, skipping the pair):
+    # grouping() markers disambiguate real NULLs from subtotal rows.
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(grouping(l_returnflag) AS BIGINT) AS g_flag, "
+    "CAST(grouping(l_linestatus) AS BIGINT) AS g_status, "
+    "count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+    "FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(grouping(l_returnflag) AS BIGINT) AS g_flag, "
+    "CAST(grouping(l_linestatus) AS BIGINT) AS g_status, "
+    "count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+    "FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+    doc="Explicit GROUPING SETS with grouping() markers — the "
+    "finer-grained sibling of the rollup/cube entries (identical "
+    "expansion semantics in both engines; one shuffle, Expand-based "
+    "multi-grouping in Spark).",
+)
