@@ -308,3 +308,50 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for r in tumbling_counts(spark.read.parquet(str(stream_dir))).collect()
     }
     assert batch.get(t(9, 0)) == (1, 99.0)
+
+
+def test_foreachbatch_rollup_maintenance_matches_batch(spark, events_stream_parts, tmp_path):
+    """Continuous-aggregate maintenance from a live stream: each
+    micro-batch is merged into the hourly materialization via
+    foreachBatch(refresh_rollup_incremental) — the streaming form of
+    the hypertable refresh. The final materialization must equal a
+    one-shot batch rollup over all raw events (the cascade invariant,
+    now proven end-to-end through the streaming write path)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.rollup import (
+        cascade_rollup,
+        refresh_rollup_incremental,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    hourly = str(tmp_path / "hourly")
+    stream = replay_events_stream(spark, stream_dir, schema)
+
+    def merge_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        refresh_rollup_incremental(
+            spark, hourly, batch_df, "ts", ["event_type"], "value"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {
+        (str(r.bucket), r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(hourly).collect()
+    }
+    want = {
+        (str(r.bucket), r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in cascade_rollup(full, "ts", ["event_type"], "value", ("hour",))["hour"].collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tot, mn, mx) in want.items():
+        gn, gtot, gmn, gmx = got[k]
+        assert gn == n and gmn == mn and gmx == mx
+        assert abs(gtot - tot) < 1e-6  # double-sum order differs across paths
