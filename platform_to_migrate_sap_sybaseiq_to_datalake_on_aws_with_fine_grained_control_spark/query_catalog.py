@@ -1392,3 +1392,30 @@ sql_query(
     "expansion semantics in both engines; one shuffle, Expand-based "
     "multi-grouping in Spark).",
 )
+
+sql_query(
+    "events_rolling_10min_sum",
+    # time-based rolling aggregate: RANGE frame over the epoch-micros
+    # ordering key — each row sees the true trailing 10 minutes, not a
+    # fixed row count. NTZ-safe via the epoch_us idiom; one hash
+    # shuffle on user_id + a per-key sort, the same cost shape as any
+    # keyed window.
+    "SELECT user_id, event_id, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_10min, "
+    "round(sum(value) OVER w, 2) AS sum_10min "
+    "FROM (SELECT user_id, event_id, value, "
+    "unix_micros(CAST(ts AS TIMESTAMP)) AS es FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY es "
+    "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)",
+    "SELECT user_id, event_id, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_10min, "
+    "round(sum(value) OVER w, 2) AS sum_10min "
+    "FROM (SELECT user_id, event_id, value, "
+    "CAST(epoch_us(ts) AS BIGINT) AS es FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY es "
+    "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)",
+    doc="Time-based rolling aggregate (trailing 10-minute count/sum per "
+    "user) via a RANGE window frame over epoch microseconds — the "
+    "moving-average building block; value-identical RANGE semantics in "
+    "both engines once the ordering key is numeric.",
+)
