@@ -95,6 +95,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
+        # isolate entries: operators persist() their reused tables
+        # (signature/shingle frames) and never unpersist — after a
+        # dozen queries the accumulated storage causes GC churn that
+        # bleeds into later timings (observed: ann_ivf_topk 5.2 s in
+        # the 14th slot vs 1.5 s in a fresh session).
+        spark.catalog.clearCache()
         # best-of-2: the first execution of a plan at a new scale pays
         # one-off costs (page cache, codegen at size, shuffle-file
         # setup, a young-gen resize) that are 3-4x steady state and

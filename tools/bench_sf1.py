@@ -143,6 +143,10 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
+        # isolate entries (mirrors bench.py): operators persist() their
+        # reused tables and never unpersist — accumulated storage from
+        # earlier queries causes GC churn in later timings.
+        spark.catalog.clearCache()
         # best-of-2, mirroring bench.py: the first execution at a new
         # scale pays one-off page-cache/codegen/shuffle-setup costs
         # that are 3-15x steady state right after corpus generation in
