@@ -123,6 +123,13 @@ def rewrite_tsql_idioms(sql: str) -> str:
     * ``CONVERT(T, x)``   →  ``CAST(x AS T)`` (simple type form only;
       style-code variants are left untouched for the engine to reject
       loudly rather than silently misconvert)
+    * ``NOW(*)`` / ``NOW()``    →  ``current_timestamp()`` (Sybase IQ's
+      NOW takes ``*``)
+    * ``DATEPART(unit, d)``     →  ``date_part('unit', d)``
+    * ``STRING(a, b, …)``  →  ``concat(a, b, …)`` (multi-arg flat form
+      only — Sybase STRING concatenates with implicit casts, which is
+      Spark concat's behavior; single-arg STRING(x) is already valid
+      Spark (cast-to-string) and passes through)
     """
     parts = re.split(r"('(?:[^']|'')*')", sql)
     top_n: str | None = None
@@ -148,10 +155,75 @@ def rewrite_tsql_idioms(sql: str) -> str:
             parts[i],
             flags=re.IGNORECASE,
         )
-    out = "".join(parts)
+        parts[i] = re.sub(
+            r"\bNOW\s*\(\s*\*?\s*\)", "current_timestamp()", parts[i], flags=re.IGNORECASE
+        )
+        parts[i] = re.sub(
+            r"\bDATEPART\s*\(\s*(\w+)\s*,",
+            r"date_part('\1',",
+            parts[i],
+            flags=re.IGNORECASE,
+        )
+    out = _rewrite_string_concat("".join(parts))
     if top_n is not None:
         out = f"{out.rstrip()} LIMIT {top_n}"
     return out
+
+
+_STRING_CALL_RE = re.compile(r"STRING\s*\(", re.IGNORECASE)
+
+
+def _rewrite_string_concat(sql: str) -> str:
+    """``STRING(a, b, …)`` → ``concat(a, b, …)`` — multi-arg calls only.
+
+    Args may contain string literals and nested parens, so this is a
+    literal-aware balanced-paren scan rather than a regex (a ``'-'``
+    separator argument splits the call across literal boundaries).
+    Single-arg ``STRING(x)`` is left alone: it is already valid Spark
+    (cast-to-string) with the same semantics as Sybase's 1-arg form.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+
+    def _skip_literal(k: int) -> int:
+        k += 1
+        while k < n:
+            if sql[k] == "'":
+                if k + 1 < n and sql[k + 1] == "'":
+                    k += 2
+                    continue
+                return k + 1
+            k += 1
+        return k
+
+    while i < n:
+        if sql[i] == "'":
+            j = _skip_literal(i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _STRING_CALL_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            depth, commas, k = 1, 0, m.end()
+            while k < n and depth:
+                ch = sql[k]
+                if ch == "'":
+                    k = _skip_literal(k)
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 1:
+                    commas += 1
+                k += 1
+            if depth == 0 and commas >= 1:
+                out.append("concat(")
+                i = m.end()
+                continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
 
 
 def to_spark_sql(

@@ -926,6 +926,15 @@ def test_tsql_idiom_rewrites():
     out3 = to_spark_sql("SELECT DATEADD(day, 1, CAST(d AS DATE)) FROM t")
     assert "DATEADD(day, 1, CAST(d AS DATE))" in out3
 
+    out4 = to_spark_sql(
+        "SELECT NOW(*), DATEPART(year, d), STRING(a, '-', b), STRING(x) "
+        "FROM t WHERE note <> 'NOW(*) DATEPART(year, d) stays'"
+    )
+    assert "current_timestamp(), date_part('year', d)" in out4
+    assert "concat(a, '-', b)" in out4
+    assert "STRING(x)" in out4  # single-arg form is already valid Spark
+    assert "'NOW(*) DATEPART(year, d) stays'" in out4
+
 
 def test_tsql_rewrite_executes(spark):
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
