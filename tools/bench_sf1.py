@@ -131,10 +131,22 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(app_name="bench_sf1")
-    if not Path(f"{OUT_DIR}/customer.parquet").exists():  # newest table in the set
+    # regenerate when missing OR when the driver has regenerated the
+    # source testdata since the corpus was built (round 3 lesson:
+    # stale derived data silently measures the wrong corpus)
+    src_fp = {
+        p.name: [p.stat().st_size, int(p.stat().st_mtime)]
+        for p in sorted(Path(SRC_SF).glob("*.parquet"))
+    }
+    marker = Path(OUT_DIR) / "_source_fingerprint.json"
+    stale = True
+    if Path(f"{OUT_DIR}/customer.parquet").exists() and marker.exists():
+        stale = json.loads(marker.read_text()) != src_fp
+    if stale:
         print("# generating sf1 corpus ...", file=sys.stderr)
         t0 = time.perf_counter()
         generate(spark)
+        marker.write_text(json.dumps(src_fp))
         print(f"# generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     queries = entry_mod.queries()
