@@ -1687,3 +1687,38 @@ def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark, threshold):
         ).collect()
     }
     assert got == want, (threshold, got ^ want)
+
+
+def test_dialect_literals_never_rewritten_property():
+    """Property check (hypothesis): whatever appears inside single-quoted
+    string literals — including idiom lookalikes like GETDATE(),
+    STRING(a,b), TOP 5 — survives to_spark_sql byte-for-byte, and the
+    rewritten query never leaks a literal boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.dialect import (
+        to_spark_sql,
+    )
+
+    idiom = st.sampled_from(
+        ["GETDATE()", "ISNULL(x,y)", "STRING(a, '-', b)".replace("'", "''"),
+         "TOP 5", "DATEPART(year, d)", "NOW(*)", "LEN(s)", "CONVERT(INT, 1)"]
+    )
+    word = st.text(alphabet="abcxyz_ ", min_size=0, max_size=8)
+    literal_body = st.lists(st.one_of(idiom, word), min_size=0, max_size=3).map(
+        " ".join
+    )
+
+    @given(lits=st.lists(literal_body, min_size=1, max_size=3))
+    @settings(max_examples=100, deadline=None)
+    def check(lits):
+        cols = ", ".join(f"'{b}' AS c{i}" for i, b in enumerate(lits))
+        sql = f"SELECT {cols}, GETDATE() FROM t"
+        out = to_spark_sql(sql)
+        for b in lits:
+            assert f"'{b}'" in out, (b, out)
+        assert out.count("'") == sql.count("'")
+        assert "current_timestamp()" in out
+
+    check()
