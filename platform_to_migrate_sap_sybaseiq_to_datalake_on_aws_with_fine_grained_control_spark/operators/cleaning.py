@@ -155,3 +155,37 @@ def clean_pipeline(
 def schema_tree_string(df: DataFrame) -> str:
     """Schema capture for the ledger (``sybaseiq_extractor.py:129,180,211``)."""
     return df._jdf.schema().treeString()
+
+
+def normalize_text_nfc(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Unicode NFC normalization + control-char strip + whitespace
+    collapse on ``cols`` — the standard corpus-cleaning first pass
+    (composing é from e+combining-acute, dropping C0/C1 noise,
+    canonical single-space separation).
+
+    Spark has no NFC builtin, so this is the legitimate use of the
+    Arrow batch path: ``mapInPandas`` with python ``unicodedata``,
+    cost per BATCH not per row, schema unchanged (narrow — no
+    shuffle).  The DuckDB oracle twin is ``nfc_normalize`` + the same
+    two regexes, which agree with python's NFC (both implement
+    Unicode canonical composition).
+    """
+    import re as _re
+    import unicodedata
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = _re.compile(r"\s+")
+    schema = df.schema
+
+    def _norm(s):
+        if s is None:
+            return None
+        return ws.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", s))).strip()
+
+    def batches(it):
+        for pdf in it:
+            for c in cols:
+                pdf[c] = pdf[c].map(_norm)
+            yield pdf
+
+    return df.mapInPandas(batches, schema)

@@ -1646,3 +1646,32 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+@register(
+    "text_normalize_nfc",
+    "SELECT doc_id, "
+    "trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
+    "'\\s+', ' ', 'g')) AS text_norm, "
+    "CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
+    "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+    "FROM documents",
+    doc="Unicode NFC normalization + control-char strip + whitespace "
+    "collapse — the corpus-cleaning first pass. Spark side is an "
+    "Arrow-batched mapInPandas (no NFC builtin; per-batch python "
+    "cost, schema-preserving narrow op); oracle is DuckDB's "
+    "nfc_normalize with the same regex pipeline. Unit test covers "
+    "combining marks / ligatures the synthetic corpus lacks.",
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import normalize_text_nfc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = normalize_text_nfc(docs, ["text"])
+    return out.select(
+        "doc_id",
+        F.col("text").alias("text_norm"),
+        F.length("text").cast("bigint").alias("n_chars_norm"),
+    )

@@ -1722,3 +1722,31 @@ def test_dialect_literals_never_rewritten_property():
         assert "current_timestamp()" in out
 
     check()
+
+
+def test_normalize_text_nfc_unicode_semantics(spark):
+    """The oracle corpus is ASCII, so NFC is identity there; this test
+    proves the real semantics: combining marks compose, ligatures are
+    NOT decomposed (NFC, not NFKC), control chars drop, whitespace
+    collapses, None passes through."""
+    import unicodedata
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cleaning import (
+        normalize_text_nfc,
+    )
+
+    decomposed = "café"            # e + combining acute
+    rows = [
+        (1, decomposed),
+        (2, "ﬁsh"),                      # fi ligature — NFC keeps it
+        (3, "a\x00b\x1fc"),              # control chars stripped
+        (4, "  too   many\tspaces \n"),  # ws collapse + trim
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.text for r in normalize_text_nfc(df, ["text"]).collect()}
+    assert got[1] == unicodedata.normalize("NFC", decomposed) == "café"
+    assert got[2] == "ﬁsh"
+    assert got[3] == "abc"
+    assert got[4] == "too many spaces"
+    assert got[5] is None
