@@ -364,41 +364,32 @@ def simhash_dup_groups(
     )
 
 
-def duplicate_clusters(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 12,
-    bands: int = 4,
-    shingle_n: int = 3,
-    threshold: float = 0.8,
-    max_iterations: int = 20,
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
-    """Transitive duplicate clusters: connected components over the
-    verified near-dup pair graph, ``cluster_id`` = smallest member id.
+    """Distributed connected components over an undirected edge list
+    ``(id_a, id_b)``; output ``(node, label)`` with ``label`` = the
+    smallest member id of the node's component.
 
-    Plain min-label propagation: each node starts at ``min(self,
-    neighbors)`` and every round takes the min of its neighbors'
-    labels, converging in O(component diameter) rounds (NOT the
-    O(log n) of large-star/small-star — near-dup components are
-    dense and shallow, so diameter is small in practice; switch to
-    the star alternation if pathological chains appear) — each round
-    is one shuffled join+groupBy, fully distributed; the driver only
-    checks the per-round changed-count.  Raises ``RuntimeError`` if
-    labels are still changing after ``max_iterations`` rounds, so a
-    chain deeper than the budget can never silently split a cluster.
-    Lineage is cut each round (``localCheckpoint``) so plans stay flat;
-    at cluster scale use reliable ``checkpoint`` to survive executor
-    loss.  Output ``(id, cluster_id)`` for every doc in ≥1 pair.
+    Min-label propagation **with pointer jumping** (path doubling):
+    each round (a) takes the min of the neighbors' labels — one
+    shuffled join+groupBy over the edges — and (b) follows the label
+    graph one hop (``label ← label[label]``) — one self-join over the
+    much smaller node→label table.  The jump doubles the distance
+    information travels, so convergence is O(log diameter) rounds
+    instead of the O(diameter) of plain propagation — a 1000-deep
+    duplicate chain converges in ~10 rounds, where plain propagation
+    would exhaust any sane round budget.  Near-dup components are
+    usually dense and shallow, but the log bound means pathological
+    chains cost rounds, not correctness.
 
-    The keep-lowest policy of :func:`drop_near_duplicates` is the
-    1-hop greedy version; clusters give the full transitive groups
-    (what you want for "keep one per near-dup *family*" curation).
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` rounds, so a component can never silently
+    split.  Lineage is cut each round (``localCheckpoint``) so plans
+    stay flat; at cluster scale use reliable ``checkpoint`` to
+    survive executor loss.
     """
-    pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
-    ).select("id_a", "id_b")
-    edges = pairs.union(
+    edges = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     edges.persist()
@@ -415,11 +406,21 @@ def duplicate_clusters(
             .groupBy(F.col("id_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jump: label <- label[label]. The label table is one
+        # row per node (smaller than the edge list), and labels only
+        # ever decrease, so following the chain is always safe.
+        parent = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(prop, "node", "left")
+            stepped.join(parent, "label", "left")
             .select(
                 "node",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.least("label", F.coalesce("_plabel", "label")).alias("label"),
             )
             .localCheckpoint()
         )
@@ -435,12 +436,37 @@ def duplicate_clusters(
     else:
         edges.unpersist()
         raise RuntimeError(
-            f"duplicate_clusters did not converge within {max_iterations} "
-            f"label-propagation rounds ({changed} labels still changing); "
-            "a duplicate chain has graph diameter beyond the budget — "
-            "raise max_iterations rather than accept split clusters"
+            f"connected_components did not converge within {max_iterations} "
+            f"rounds ({changed} labels still changing); raise "
+            "max_iterations rather than accept split components"
         )
     edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clusters: :func:`connected_components` over
+    the verified MinHash-LSH near-dup pair graph, ``cluster_id`` =
+    smallest member id.  Output ``(id, cluster_id)`` for every doc in
+    ≥1 pair.
+
+    The keep-lowest policy of :func:`drop_near_duplicates` is the
+    1-hop greedy version; clusters give the full transitive groups
+    (what you want for "keep one per near-dup *family*" curation).
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, max_iterations=max_iterations)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -1750,3 +1750,50 @@ def test_normalize_text_nfc_unicode_semantics(spark):
     assert got[3] == "abc"
     assert got[4] == "too many spaces"
     assert got[5] is None
+
+
+def test_connected_components_deep_chain_and_random(spark):
+    """Pointer jumping must close a 300-deep path graph well inside the
+    20-round budget (plain propagation would need 300 rounds), and
+    random graphs must match a union-find reference exactly."""
+    import random
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # 300-node path: 0-1-2-...-299 => one component labeled 0
+    chain = [(i, i + 1) for i in range(299)]
+    cdf = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r.node: r.label for r in connected_components(cdf).collect()}
+    assert len(got) == 300 and set(got.values()) == {0}
+
+    # random graph vs union-find
+    rnd = random.Random(5)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    # canonicalize union-find roots to the true min of each component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want.items()}
+
+    gdf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got2 = {r.node: r.label for r in connected_components(gdf).collect()}
+    assert got2 == want
