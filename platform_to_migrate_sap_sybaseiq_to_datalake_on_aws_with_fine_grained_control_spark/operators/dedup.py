@@ -371,17 +371,20 @@ def connected_components(
     ``(id_a, id_b)``; output ``(node, label)`` with ``label`` = the
     smallest member id of the node's component.
 
-    Min-label propagation **with pointer jumping** (path doubling):
-    each round (a) takes the min of the neighbors' labels — one
-    shuffled join+groupBy over the edges — and (b) follows the label
-    graph one hop (``label ← label[label]``) — one self-join over the
-    much smaller node→label table.  The jump doubles the distance
-    information travels, so convergence is O(log diameter) rounds
-    instead of the O(diameter) of plain propagation — a 1000-deep
-    duplicate chain converges in ~10 rounds, where plain propagation
-    would exhaust any sane round budget.  Near-dup components are
-    usually dense and shallow, but the log bound means pathological
-    chains cost rounds, not correctness.
+    Min-label propagation **with adaptive pointer jumping** (path
+    doubling): every round takes the min of the neighbors' labels —
+    one shuffled join+groupBy over the edges — and, from round 3 on,
+    also follows the label graph one hop (``label ← label[label]``) —
+    one self-join over the much smaller node→label table.  The jump
+    doubles the distance information travels per round, so deep
+    components converge in O(log diameter) rounds instead of
+    O(diameter) — a 1000-deep duplicate chain closes in ~10 rounds,
+    where plain propagation would exhaust any sane round budget.  The
+    jump is deferred because near-dup components are usually dense
+    and shallow (identical-doc clusters close in ≤2 plain rounds);
+    engaging it only when round 2 hasn't converged keeps the common
+    case at baseline cost while pathological chains cost rounds, not
+    correctness.
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iterations`` rounds, so a component can never silently
@@ -400,7 +403,7 @@ def connected_components(
         .select("node", F.least("node", "nbr_min").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    for round_idx in range(max_iterations):
         prop = (
             edges.join(labels.withColumnRenamed("node", "id_b"), "id_b")
             .groupBy(F.col("id_a").alias("node"))
@@ -410,20 +413,18 @@ def connected_components(
             "node",
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
-        # pointer jump: label <- label[label]. The label table is one
-        # row per node (smaller than the edge list), and labels only
-        # ever decrease, so following the chain is always safe.
-        parent = stepped.select(
-            F.col("node").alias("label"), F.col("label").alias("_plabel")
-        )
-        new_labels = (
-            stepped.join(parent, "label", "left")
-            .select(
+        if round_idx >= 2:
+            # pointer jump: label <- label[label]. The label table is
+            # one row per node (smaller than the edge list), and labels
+            # only ever decrease, so following the chain is always safe.
+            parent = stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("_plabel")
+            )
+            stepped = stepped.join(parent, "label", "left").select(
                 "node",
                 F.least("label", F.coalesce("_plabel", "label")).alias("label"),
             )
-            .localCheckpoint()
-        )
+        new_labels = stepped.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
