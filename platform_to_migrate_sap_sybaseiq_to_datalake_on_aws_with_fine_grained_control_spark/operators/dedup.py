@@ -492,3 +492,58 @@ def drop_near_duplicates(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def shared_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document exact n-gram span dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    exact-substring pass, discretized to token n-grams).
+
+    For every document with at least ``n`` whitespace tokens, counts how
+    many of its token n-gram positions carry an n-gram that also occurs
+    in at least one OTHER document.  Output per doc: total n-gram
+    positions, shared positions, and the shared ratio — the signal used
+    to drop or trim documents dominated by boilerplate spans.
+
+    Scale shape: the n-gram table is O(total tokens) rows; the document
+    frequency is one hash ``groupBy`` with map-side partial aggregation,
+    and the flag comes back via a shuffle equi-join on the n-gram (AQE
+    plans/skew-splits both).  No self-join on documents, no quadratic
+    candidate set.  At 100 TB you would group on ``xxhash64(gram)``
+    (collision odds ~N²/2⁶⁴) to shrink the shuffle key; the string key
+    is kept here so the DuckDB oracle can reproduce the result
+    bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    ).filter(F.size("_t") >= n)
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {n - 1}),"
+                f" i -> array_join(slice(_t, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    doc_freq = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    return (
+        grams.join(doc_freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio", F.round(F.col("n_shared") / F.col("n_ngrams"), 4)
+        )
+    )

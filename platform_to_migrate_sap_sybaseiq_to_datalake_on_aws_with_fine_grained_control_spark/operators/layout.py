@@ -50,3 +50,44 @@ def apply_output_sizing(
         spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
         return df
     raise ValueError(f"unknown output sizing mode: {mode!r}")
+
+
+def zorder_key(x: "Column", y: "Column", bits: int = 16) -> "Column":
+    """Morton/Z-order key: bit-interleave the low ``bits`` bits of two
+    non-negative integer dimensions (x gets the even bit positions).
+
+    The lakehouse multi-dimensional clustering primitive (Delta
+    ``OPTIMIZE ZORDER BY``, Hudi/Iceberg z-ordering): range-partitioning
+    and sorting by this key co-locates rows that are close in BOTH
+    dimensions, so per-file min/max column stats prune scans filtered on
+    either one.  Pure bit arithmetic on Columns — whole-stage codegen,
+    no UDF, no shuffle of its own.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for b in range(bits):
+        parts.append(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b))
+        parts.append(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The same interleave as :func:`zorder_key`, as an engine-neutral SQL
+    expression (``>> & <<`` operators — DuckDB dialect, used by the
+    catalog oracle)."""
+    parts = []
+    for b in range(bits):
+        parts.append(f"((({x_expr} >> {b}) & 1) << {2 * b})")
+        parts.append(f"((({y_expr} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_layout(df: DataFrame, zkey_col: str, num_partitions: int) -> DataFrame:
+    """Cluster a frame for write: range-partition on the z-key (contiguous
+    key ranges per output file → tight min/max stats on both interleaved
+    dimensions) and sort within partitions so row groups stay clustered."""
+    return df.repartitionByRange(num_partitions, zkey_col).sortWithinPartitions(zkey_col)

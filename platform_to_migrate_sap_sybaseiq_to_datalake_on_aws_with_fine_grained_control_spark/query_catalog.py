@@ -1419,3 +1419,5 @@ sql_query(
     "moving-average building block; value-identical RANGE semantics in "
     "both engines once the ordering key is numeric.",
 )
+
+from . import query_catalog_analytics  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,334 @@
+"""Product-analytics / IR / layout catalog entries (round 5).
+
+The behavioral-analytics surface every event-warehouse user of the
+reference platform runs downstream of the extraction (funnels,
+retention, drift monitoring), plus BM25 keyword search over the
+document corpus, exact n-gram span dedup, UNPIVOT, and z-order
+clustering.  Registered into the same ``_CATALOG`` as
+``query_catalog``; every entry is value-checked against DuckDB.
+
+Determinism: every float aggregate is rounded, every LIMIT/ntile sits
+under a total order (unique tiebreak), timestamps never appear raw in
+an output column (module docstring of ``query_catalog``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.temporal import epoch_us
+from .operators.dedup import shared_ngram_spans
+from .operators.layout import zorder_key, zorder_key_sql
+from .query_catalog import register, sql_query
+from .sources.registry import load_table
+
+# ---- shared constants (Spark impl and oracle MUST agree) -------------
+
+FUNNEL_VIEW_WINDOW_US = 3_600_000_000  # signup -> view within 1 h
+FUNNEL_PURCHASE_WINDOW_US = 1_800_000_000  # view -> purchase within 30 min
+PSI_BIN_WIDTH = 50.0
+PSI_BINS = 10
+PSI_SPLIT_DATE = "2024-01-16"
+BM25_TERMS = ("spark", "join", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+SHARED_NGRAM_N = 8
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 16
+
+
+# =====================================================================
+# Ordered funnel conversion (signup -> view -> purchase with windows)
+# =====================================================================
+
+def _funnel_sql(epoch: str) -> str:
+    """Min-timestamp cascade funnel; ``epoch`` is the dialect's
+    micros-since-epoch idiom applied to a timestamp expression."""
+    return f"""
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t0
+        AND {epoch.format('e.ts')} - {epoch.format('s.t0')}
+            <= {FUNNEL_VIEW_WINDOW_US}
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+        AND {epoch.format('e.ts')} - {epoch.format('v.t1')}
+            <= {FUNNEL_PURCHASE_WINDOW_US}
+      GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 'signup' AS stage, 1 AS stage_ord,
+         CAST(count(*) AS BIGINT) AS users FROM s
+  UNION ALL SELECT 'view_1h', 2, CAST(count(*) AS BIGINT) FROM v
+  UNION ALL SELECT 'purchase_30m', 3, CAST(count(*) AS BIGINT) FROM p
+) funnel ORDER BY stage_ord
+"""
+
+
+sql_query(
+    "events_funnel_conversion",
+    _funnel_sql("unix_micros(CAST({0} AS TIMESTAMP))"),
+    _funnel_sql("epoch_us({0})"),
+    doc="Ordered conversion funnel (signup -> view within 1 h -> purchase "
+    "within 30 min of the view) via a min-timestamp cascade: three keyed "
+    "aggregations + two equi-joins on user_id, no window over raw event "
+    "rows, no self-join explosion.  Each stage's frame shrinks, so at "
+    "100 TB the later joins ride AQE's runtime-size broadcasts.  NTZ-safe "
+    "via the unix_micros(CAST) idiom.",
+)
+
+
+# =====================================================================
+# Retention cohorts (daily cohort x day offset triangle)
+# =====================================================================
+
+def _retention_sql(datediff_expr: str, strtype: str = "VARCHAR") -> str:
+    return f"""
+WITH first_ev AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                  FROM events GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day
+             FROM events)
+SELECT CAST(f.cohort_day AS {strtype}) AS cohort_day,
+       CAST({datediff_expr} AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM first_ev f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+sql_query(
+    "events_retention_cohorts",
+    _retention_sql("datediff(a.activity_day, f.cohort_day)", "STRING"),
+    _retention_sql("datediff('day', f.cohort_day, a.activity_day)", "VARCHAR"),
+    doc="Classic retention triangle: cohort = date of a user's first "
+    "event, one row per (cohort_day, day_offset) with distinct active "
+    "users.  Two aggregations on user_id (same shuffle key, reused "
+    "exchange) + one equi-join; the DISTINCT activity projection caps "
+    "the join input at users x days regardless of event volume.",
+)
+
+
+# =====================================================================
+# PSI distribution drift (baseline vs current period)
+# =====================================================================
+
+_PSI_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) < DATE '{PSI_SPLIT_DATE}'
+              THEN 'base' ELSE 'cur' END AS period,
+         LEAST(CAST(floor(value / {PSI_BIN_WIDTH}) AS INT), {PSI_BINS - 1}) AS bin
+  FROM events),
+counts AS (
+  SELECT event_type, bin,
+         count(*) FILTER (WHERE period = 'base') AS nb,
+         count(*) FILTER (WHERE period = 'cur') AS nc
+  FROM binned GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(nb) AS tb, sum(nc) AS tc
+        FROM counts GROUP BY 1)
+SELECT c.event_type,
+       round(sum( ((c.nb + 1.0) / (t.tb + {PSI_BINS}.0)
+                   - (c.nc + 1.0) / (t.tc + {PSI_BINS}.0))
+                * ln( ((c.nb + 1.0) / (t.tb + {PSI_BINS}.0))
+                    / ((c.nc + 1.0) / (t.tc + {PSI_BINS}.0)) ) ), 6) AS psi
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type ORDER BY c.event_type
+"""
+
+sql_query(
+    "events_psi_drift",
+    _PSI_SQL,
+    doc="Population Stability Index drift monitor: fixed-width value "
+    "bins, Laplace-smoothed (+1 per observed bin) base-vs-current "
+    "proportions, PSI per event_type.  One FILTER-pivoted aggregation "
+    "over (type, bin) — a few hundred rows after the first groupBy no "
+    "matter the input size, so drift checks on 100 TB cost one scan.  "
+    "Identical ANSI text runs on both engines.",
+)
+
+
+# =====================================================================
+# BM25 keyword search over documents
+# =====================================================================
+
+def _bm25_sql(tokenize: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {tokenize} AS tok FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+       WHERE tok IN ({terms}) GROUP BY tok)
+SELECT t.doc_id,
+       round(sum( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                * t.tf * {BM25_K1 + 1.0}
+                / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * d.dl / s.avgdl)) ),
+             4) AS bm25
+FROM tf t JOIN df f ON t.tok = f.tok
+JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id LIMIT {BM25_TOPK}
+"""
+
+
+sql_query(
+    "text_bm25_search",
+    _bm25_sql("explode(split(text, ' '))"),
+    _bm25_sql("unnest(string_split(text, ' '))"),
+    doc="Lucene-flavored BM25 (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)) "
+    "top-10 for a fixed conjunctive term set.  The tf table is filtered to "
+    "the query terms BEFORE any join (matching-postings rows only, the "
+    "inverted-index access path); df and corpus stats are scalar-broadcast. "
+    "Total order on (rounded score, doc_id) keeps the LIMIT deterministic.",
+)
+
+
+# =====================================================================
+# Cross-document exact n-gram span dedup
+# =====================================================================
+
+_SHARED_NGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE len(string_split(text, ' ')) >= {SHARED_NGRAM_N}),
+pos AS (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {SHARED_NGRAM_N - 1})) AS i
+        FROM toks),
+ngrams AS (SELECT doc_id, array_to_string(t[i:i + {SHARED_NGRAM_N - 1}], ' ') AS g
+           FROM pos),
+gcount AS (SELECT g, count(DISTINCT doc_id) AS nd FROM ngrams GROUP BY g)
+SELECT n.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS n_shared,
+       round(CAST(count(*) FILTER (WHERE c.nd >= 2) AS DOUBLE) / count(*), 4)
+         AS shared_ratio
+FROM ngrams n JOIN gcount c ON n.g = c.g
+GROUP BY n.doc_id
+"""
+
+
+@register(
+    "dedup_shared_ngram_spans",
+    _SHARED_NGRAM_ORACLE,
+    doc="Exact-substring dedup discretized to token 8-grams (Lee et al. "
+    "ACL 2022): per document, how many of its 8-gram positions occur in "
+    "at least one other document.  O(total tokens) n-gram table, one "
+    "doc-frequency groupBy, one equi-join back — no document self-join.",
+)
+def dedup_shared_ngram_spans_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_ngram_spans(docs, "doc_id", "text", n=SHARED_NGRAM_N)
+
+
+# =====================================================================
+# UNPIVOT / melt
+# =====================================================================
+
+_UNPIVOT_MEASURES = ["sum_qty", "sum_price", "sum_disc", "sum_tax"]
+
+_UNPIVOT_ORACLE = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 2) AS sum_disc,
+         round(sum(l_tax), 2) AS sum_tax
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, measure, amount
+FROM agg UNPIVOT (amount FOR measure IN ({', '.join(_UNPIVOT_MEASURES)}))
+"""
+
+
+@register(
+    "unpivot_lineitem_measures",
+    _UNPIVOT_ORACLE,
+    doc="Wide-to-long UNPIVOT/melt: per-(flag, status) measure sums "
+    "rotated into (measure, amount) rows via the native DataFrame "
+    "``unpivot`` (Expand node — no join, no shuffle beyond the "
+    "aggregation's own exchange).",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        _UNPIVOT_MEASURES,
+        "measure",
+        "amount",
+    )
+
+
+# =====================================================================
+# Z-order clustering layout
+# =====================================================================
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT event_id, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         {zorder_key_sql(
+             '(user_id & 65535)',
+             f'(CAST(floor(epoch_us(ts) / 60000000) AS BIGINT) & 65535)',
+             ZORDER_BITS,
+         )} AS zkey
+  FROM events),
+bucketed AS (
+  SELECT *, ntile({ZORDER_BUCKETS}) OVER (ORDER BY zkey, event_id) AS bucket
+  FROM keyed)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       min(day) AS min_day, max(day) AS max_day
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "layout_zorder_events",
+    _ZORDER_ORACLE,
+    doc="Z-order (Morton) clustering readout: interleave (user_id, "
+    "epoch-minute) bits, split the key space into 16 contiguous range "
+    "buckets, report per-bucket min/max of BOTH dimensions — the "
+    "file-level stats a z-ordered write produces, which let the scan "
+    "prune on either column.  The write path is "
+    "``operators.layout.zorder_layout`` (repartitionByRange + "
+    "sortWithinPartitions on the key); the ntile here is only the "
+    "oracle-checkable stand-in for file assignment.",
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        zorder_key(
+            F.col("user_id").bitwiseAND(F.lit(65535)),
+            F.floor(epoch_us(F.col("ts")) / 60_000_000)
+            .cast("bigint")
+            .bitwiseAND(F.lit(65535)),
+            ZORDER_BITS,
+        ).alias("zkey"),
+    )
+    w = Window.orderBy("zkey", "event_id")
+    return (
+        keyed.withColumn("bucket", F.ntile(ZORDER_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("bucket")
+    )
