@@ -267,3 +267,124 @@ def streaming_dedup(
     if out.isStreaming:
         return out.dropDuplicatesWithinWatermark(keys)
     return out.dropDuplicates(keys)
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stateful_sessionizer(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the arbitrary-state form of the batch gaps-and-islands
+    ``events_sessionize`` query (30-min inactivity gap), emitting one row
+    per CLOSED session.
+
+    Unlike ``F.session_window`` (which holds every open window in the
+    window operator's state), this is the escape-hatch shape for
+    semantics the built-in can't express — e.g. emitting per-session
+    custom payloads, capping session length, or carrying bespoke
+    per-session accumulators.  State is one open session per user
+    (O(users), keyed, horizontally partitioned); sessions close either
+    when a later event for the same user arrives past the gap, or by
+    event-time timeout once the watermark passes ``last + gap``.
+
+    Ordering contract: event-time order is guaranteed *within* a
+    micro-batch (sorted here); across micro-batches the replay must be
+    time-monotonic at file granularity (see ``replay_events_stream`` —
+    the same contract any log-compacted source provides).
+    """
+    gap_us = gap_s * 1_000_000
+    gap_ms = gap_s * 1_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        import numpy as np
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+
+        # vectorized gap split of THIS batch: segment k spans
+        # rows starts_idx[k] .. starts_idx[k+1]-1
+        starts_idx = np.r_[0, np.flatnonzero(np.diff(ts_us) > gap_us) + 1]
+        seg_first = ts_us[starts_idx]
+        seg_last = ts_us[np.r_[starts_idx[1:] - 1, len(ts_us) - 1]]
+        seg_cnt = np.diff(np.r_[starts_idx, len(ts_us)])
+
+        closed: list[pd.DataFrame] = []
+        if state.exists:
+            start_us, last_us, n = state.get
+            if int(seg_first[0]) - last_us <= gap_us:
+                # first batch segment extends the open session
+                seg_first[0] = -1  # marker: keep carried start_us
+            else:
+                closed.append(emit(start_us, last_us, n))
+                n = 0
+        else:
+            n = 0
+
+        # all but the trailing segment close inside this batch
+        for k in range(len(starts_idx)):
+            s = start_us if seg_first[k] == -1 else int(seg_first[k])
+            cnt = (n if seg_first[k] == -1 else 0) + int(seg_cnt[k])
+            if k < len(starts_idx) - 1:
+                closed.append(emit(s, int(seg_last[k]), cnt))
+            else:
+                start_us, last_us, n = s, int(seg_last[k]), cnt
+
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and wm_ms >= last_us // 1000 + gap_ms:
+            closed.append(emit(start_us, last_us, n))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp(max(last_us // 1000 + gap_ms, wm_ms + 1))
+
+        for frame in closed:
+            yield frame
+
+    return (
+        _with_event_time(events, "ts")
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -355,3 +355,129 @@ def test_foreachbatch_rollup_maintenance_matches_batch(spark, events_stream_part
         gn, gtot, gmn, gmx = got[k]
         assert gn == n and gmn == mn and gmx == mx
         assert abs(gtot - tot) < 1e-6  # double-sum order differs across paths
+
+
+def test_stateful_sessionizer_matches_batch(spark, events_stream_parts, tmp_path):
+    """The applyInPandasWithState sessionizer, fed the same events plus a
+    far-future flush sentinel per user, emits exactly the sessions the
+    batch gaps-and-islands computation produces (30-min gap)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        stateful_sessionizer,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    gap_s = 1800
+
+    # rebuild the 3-slice replay plus a 4th sentinel slice that closes
+    # every user's trailing session through the arrival path
+    rows = full.orderBy("ts").collect()
+    third = len(rows) // 3
+    sess_dir = tmp_path / "sess_stream"
+    sess_dir.mkdir()
+    for i in range(3):
+        part = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("append").parquet(
+            str(sess_dir)
+        )
+    pdf = full.toPandas()
+    flush_ts = pdf["ts"].max() + pd.Timedelta(seconds=4 * gap_s)
+    sentinel = pd.DataFrame(
+        {
+            "event_id": range(10_000_000, 10_000_000 + pdf["user_id"].nunique()),
+            "ts": flush_ts,
+            "user_id": sorted(pdf["user_id"].unique()),
+            "event_type": "sentinel",
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+        str(sess_dir)
+    )
+
+    stream = replay_events_stream(spark, str(sess_dir), schema)
+    _run_stream_to_memory(
+        stateful_sessionizer(stream, gap_s=gap_s), "sessionizer_sink", "append"
+    )
+    got = spark.sql("SELECT * FROM sessionizer_sink").toPandas()
+
+    # batch expectation (pure pandas gaps-and-islands over the real rows)
+    exp_sessions = {}
+    exp_events = {}
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        es = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        n_sessions = 1 + int(((es[1:] - es[:-1]) > gap_s * 1_000_000).sum())
+        exp_sessions[uid] = n_sessions
+        exp_events[uid] = len(g)
+
+    got_by_user = got.groupby("user_id").agg(
+        n_sessions=("n_events", "size"), n_events=("n_events", "sum")
+    )
+    assert int(got["n_events"].sum()) == len(pdf)
+    for uid, n_sessions in exp_sessions.items():
+        assert int(got_by_user.loc[uid, "n_sessions"]) == n_sessions, uid
+        assert int(got_by_user.loc[uid, "n_events"]) == exp_events[uid], uid
+    assert (got["session_start"] <= got["session_end"]).all()
+
+
+def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
+    """A user that never returns is flushed by the event-time timeout
+    once later traffic from OTHER users advances the watermark."""
+    import pandas as pd
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        stateful_sessionizer,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [base, base + pd.Timedelta(minutes=5)],
+            "user_id": [1, 1],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    # user 2 hours later: watermark (max - 30 min) passes user 1's
+    # last+gap, so user 1's state times out with no user-1 arrival
+    f2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": [base + pd.Timedelta(hours=3)],
+            "user_id": [2],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    f3 = pd.DataFrame(
+        {
+            "event_id": [4],
+            "ts": [base + pd.Timedelta(hours=6)],
+            "user_id": [3],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "timeout_stream"
+    d.mkdir()
+    schema = None
+    for frame in (f1, f2, f3):
+        sdf = spark.createDataFrame(frame)
+        schema = sdf.schema
+        sdf.coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = replay_events_stream(spark, str(d), schema)
+    _run_stream_to_memory(
+        stateful_sessionizer(stream, gap_s=1800), "timeout_sink", "append"
+    )
+    got = spark.sql("SELECT * FROM timeout_sink").toPandas()
+    u1 = got[got["user_id"] == 1]
+    assert len(u1) == 1
+    assert int(u1.iloc[0]["n_events"]) == 2
