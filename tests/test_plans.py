@@ -36,6 +36,8 @@ BNLJ_OK = {
     "text_top_tokens",
     # per-group stats x single-row broadcast total (scalar join)
     "corpus_balance_report",
+    # postings x single-row broadcast corpus stats (N, avgdl) — scalar join
+    "text_bm25_search",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
