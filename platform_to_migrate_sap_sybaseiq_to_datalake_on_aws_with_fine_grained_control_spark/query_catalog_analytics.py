@@ -332,3 +332,226 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# =====================================================================
+# Robust (median/MAD) outlier detection
+# =====================================================================
+
+def _mad_sql(p50: str) -> str:
+    """``p50`` is the dialect's exact interpolating median aggregate."""
+    return f"""
+WITH med AS (SELECT event_type, {p50.format('value')} AS med
+             FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        FROM events e JOIN med m ON e.event_type = m.event_type),
+mad AS (SELECT event_type, {p50.format('dev')} AS mad FROM dev GROUP BY 1)
+SELECT d.event_type,
+       round(max(d.med), 4) AS med,
+       round(max(m2.mad), 4) AS mad,
+       CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * m2.mad) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+sql_query(
+    "events_mad_outliers",
+    _mad_sql("percentile({0}, 0.5)"),
+    _mad_sql("quantile_cont({0}, 0.5)"),
+    doc="Robust outlier detection per event_type: median + MAD "
+    "(median absolute deviation), flagging |x - med| > 3 sigma-hat "
+    "(1.4826*MAD) — immune to the outliers themselves, unlike the "
+    "z-score entry.  Two median aggregations on the same grouping key "
+    "(reused exchange) + one small broadcast join back.",
+)
+
+
+# =====================================================================
+# Equal-frequency quantile binning
+# =====================================================================
+
+_NTILE_BIN_SQL = """
+WITH b AS (SELECT o_totalprice,
+                  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+sql_query(
+    "quantile_binning_prices",
+    _NTILE_BIN_SQL,
+    doc="Equal-frequency decile binning of order totals (feature "
+    "bucketing for ML preprocessing) — exact ntile readout under a "
+    "total order for the oracle.  At 100 TB the same result shape "
+    "comes from broadcast approx_percentile boundaries + width_bucket "
+    "(no global sort); the exact form is kept because the oracle "
+    "checks values.",
+)
+
+
+# =====================================================================
+# TF-IDF top terms per document
+# =====================================================================
+
+def _tfidf_sql(tokenize: str) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {tokenize} AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks GROUP BY doc_id, tok),
+dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (SELECT t.doc_id, t.tok,
+                  round(t.tf * ln(n.n / f.df), 6) AS tfidf
+           FROM tf t JOIN dfr f ON t.tok = f.tok CROSS JOIN nd n),
+ranked AS (SELECT doc_id, tok, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS rk
+           FROM scored)
+SELECT doc_id, tok AS term, tfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+sql_query(
+    "text_tfidf_top_terms",
+    _tfidf_sql("explode(split(text, ' '))"),
+    _tfidf_sql("unnest(string_split(text, ' '))"),
+    doc="Top-3 TF-IDF terms per document (keyword extraction): tf and "
+    "df from the same tokenization, idf = ln(N/df), per-doc "
+    "row_number window under a (rounded score, term) total order.  "
+    "The df table and the 1-row corpus count broadcast; the per-doc "
+    "window shuffles once on doc_id.",
+)
+
+
+# =====================================================================
+# Inverted-index postings materialization
+# =====================================================================
+
+_POSTINGS_TERMS = ("spark", "join", "hash", "scan", "filter")
+
+
+def _postings_sql(tokenize: str, listagg: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _POSTINGS_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {tokenize} AS tok FROM documents)
+SELECT tok AS term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       {listagg} AS postings
+FROM toks WHERE tok IN ({terms})
+GROUP BY tok ORDER BY tok
+"""
+
+
+sql_query(
+    "text_inverted_postings",
+    _postings_sql(
+        "explode(split(text, ' '))",
+        "array_join(transform(array_sort(collect_set(doc_id)),"
+        " x -> cast(x AS STRING)), ',')",
+    ),
+    _postings_sql(
+        "unnest(string_split(text, ' '))",
+        "array_to_string(list_sort(list(DISTINCT doc_id)), ',')",
+    ),
+    doc="Inverted-index postings for a fixed dictionary: df + the "
+    "sorted doc-id posting list per term (comma-joined for the "
+    "canonicalizer).  The WHERE prunes the token stream to dictionary "
+    "hits before the aggregation — the materialization pass behind "
+    "the BM25 entry's access path.",
+)
+
+
+# =====================================================================
+# Perceptual image dedup groups (planted duplicates)
+# =====================================================================
+
+def _ahash_dup_golden() -> list[tuple]:
+    """Golden dup groups from the generator's pre-encode pixel SPEC:
+    every even-id image is re-labeled (+1000) as a planted duplicate, so
+    each group is exactly {i, i+1000} — derived without touching the PNG
+    bytes, which keeps the distributed decode->hash->group round trip
+    honestly under test."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        resize_nearest,
+        synthetic_asset_rows,
+        synthetic_image_pixels,
+    )
+
+    rows = []
+    for asset_id, media, _p, _n, _u in synthetic_asset_rows(64):
+        if media != "image" or asset_id % 2 != 0:
+            continue
+        small = resize_nearest(synthetic_image_pixels(asset_id), 8, 8).astype(
+            np.int64
+        )
+        mean = int(small.sum()) // 64
+        v = 0
+        for bit in (small >= mean).flatten():
+            v = (v << 1) | int(bit)
+        rows.append(
+            (f"{v:016x}", 2, asset_id, f"{asset_id},{asset_id + 1000}")
+        )
+    rows.sort()
+    return rows
+
+
+def _ahash_dup_oracle() -> str:
+    from .query_catalog_ml import _values_oracle
+
+    return _values_oracle(
+        _ahash_dup_golden(),
+        [
+            ("ahash", "VARCHAR"),
+            ("n_members", "BIGINT"),
+            ("min_asset", "BIGINT"),
+            ("members", "VARCHAR"),
+        ],
+    )
+
+
+@register(
+    "mm_image_dup_groups",
+    _ahash_dup_oracle(),
+    doc="Exact perceptual image dedup end-to-end: plant a re-labeled "
+    "copy of every even-id image, PNG-decode + aHash via Arrow-batched "
+    "mapInPandas, then ONE map-side-combined groupBy on the hash "
+    "(never a pairwise image compare) — groups of >=2 are the "
+    "duplicate sets.  Oracle = golden groups from the pre-encode "
+    "pixel spec.",
+)
+def mm_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import image_ahash, make_synthetic_assets
+
+    assets = make_synthetic_assets(spark, 64)
+    planted = (
+        assets.filter(
+            (F.col("media_type") == "image") & (F.col("asset_id") % 2 == 0)
+        )
+        .withColumn("asset_id", F.col("asset_id") + 1000)
+    )
+    hashes = image_ahash(assets.unionByName(planted))
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("asset_id").alias("min_asset"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("asset_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("ahash")
+    )

@@ -38,6 +38,8 @@ BNLJ_OK = {
     "corpus_balance_report",
     # postings x single-row broadcast corpus stats (N, avgdl) — scalar join
     "text_bm25_search",
+    # (doc, term) tf rows x single-row broadcast corpus count — scalar join
+    "text_tfidf_top_terms",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
@@ -91,3 +93,38 @@ def test_jaccard_has_no_exploded_verify(spark):
     plan = _plan(entry_mod.queries()["dedup_ngram_jaccard_pairs"](spark, SF_ORACLE))
     assert "array_intersect" in plan, "verification should use array_intersect"
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    """A day-partitioned lake table joined to a selectively-filtered
+    dimension gets a dynamicpruning PartitionFilter — the fact scan
+    reads only the dimension's surviving days, the mechanism that keeps
+    a 100 TB fact scan proportional to the filter, not the table."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    keyed = ev.withColumn("day", F.col("ts").cast("date").cast("string"))
+    keyed.write.partitionBy("day").mode("overwrite").parquet(str(tmp_path / "ev"))
+    days = (
+        keyed.select("day").distinct()
+        .withColumn(
+            "tag",
+            F.when(F.col("day") < "2024-01-08", "promo").otherwise("normal"),
+        )
+    )
+    days.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == "promo")
+    joined = fact.join(dim, "day").groupBy("tag").count()
+
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), "expected a DPP PartitionFilter"
+
+    expected = keyed.filter(F.col("day") < "2024-01-08").count()
+    got = joined.collect()
+    assert got[0]["count"] == expected
