@@ -109,3 +109,16 @@ def stratified_sample(
         F.when(F.lit(False), F.lit(0)),
     ).otherwise(F.lit(threshold(default_rate)))
     return df.filter(bucket < cutoff)
+
+
+def weighted_sample(df: DataFrame, id_col: str, rate_col: Column) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff its
+    md5 hash bucket falls under ``floor(256 * rate)`` where ``rate_col``
+    is a per-row inclusion probability in [0, 1] (quantized to /256,
+    like :func:`stratified_sample` — same reproducibility contract:
+    no RNG, no seed, no partition dependence, safe under speculative
+    re-execution).  The per-row rate is what distinguishes it from the
+    per-stratum form — e.g. quality-weighted corpus downsampling where
+    better documents survive with higher probability."""
+    bucket = hash_bucket_256(F.col(id_col))
+    return df.filter(bucket < F.floor(F.lit(256.0) * rate_col).cast("int"))

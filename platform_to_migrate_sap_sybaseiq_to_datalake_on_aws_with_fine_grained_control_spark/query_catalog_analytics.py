@@ -555,3 +555,162 @@ def mm_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("ahash")
     )
+
+
+# =====================================================================
+# Token-budget corpus mix (uniform per-language rebalance)
+# =====================================================================
+
+MIX_BUDGET_FRAC = 0.3
+
+
+def _mix_sql(tokens: str) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, lang, n_chars, {tokens} AS toks FROM documents),
+tot AS (SELECT CAST(floor({MIX_BUDGET_FRAC} * sum(toks) / count(DISTINCT lang))
+               AS BIGINT) AS budget FROM d),
+c AS (SELECT lang, toks,
+             sum(toks) OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) AS cum
+      FROM d)
+SELECT c.lang,
+       max(t.budget) AS budget_tokens,
+       CAST(count(*) FILTER (WHERE c.cum <= t.budget) AS BIGINT) AS n_docs_kept,
+       CAST(coalesce(sum(c.toks) FILTER (WHERE c.cum <= t.budget), 0) AS BIGINT)
+         AS tokens_kept
+FROM c CROSS JOIN tot t
+GROUP BY c.lang ORDER BY c.lang
+"""
+
+
+sql_query(
+    "corpus_token_budget_mix",
+    _mix_sql("size(split(text, ' '))"),
+    _mix_sql("len(string_split(text, ' '))"),
+    doc="Training-mix scheduling: give every language an equal share of "
+    f"a {MIX_BUDGET_FRAC:.0%}-of-corpus token budget (upweighting rare "
+    "languages, the standard rebalancing move), fill each share "
+    "best-documents-first (n_chars desc, doc_id tiebreak) via one "
+    "per-language cumulative-sum window, report kept docs/tokens vs "
+    "budget.  One window shuffle on lang + a 1-row broadcast budget; "
+    "the budget is derived from the data so the entry is "
+    "scale-factor-invariant.",
+)
+
+
+# =====================================================================
+# Quality-weighted deterministic sampling
+# =====================================================================
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH m AS (SELECT max(n_chars) AS maxc FROM documents),
+k AS (SELECT lang, doc_id, n_chars,
+             CAST((strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS INT) AS bucket,
+             CAST(floor(256.0 * n_chars / m.maxc) AS INT) AS rate
+      FROM documents CROSS JOIN m)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE bucket < rate) AS BIGINT) AS n_kept
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "sample_weighted_by_quality",
+    _WEIGHTED_SAMPLE_ORACLE,
+    doc="Per-row weighted Bernoulli sampling "
+    "(operators/chunking.py:weighted_sample): inclusion probability "
+    "proportional to document length (quality proxy), decided by the "
+    "same md5 hash-bucket idiom as the stratified sampler — fully "
+    "deterministic across engines/runs/retries, no RNG.  Narrow "
+    "filter + one small aggregation; the length normalizer is a 1-row "
+    "broadcast.",
+)
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    maxc = docs.agg(F.max("n_chars").alias("maxc"))
+    rated = docs.crossJoin(F.broadcast(maxc))
+    kept = weighted_sample(
+        rated, "doc_id", F.col("n_chars") / F.col("maxc")
+    ).select("lang", "doc_id")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_total"))
+        .join(
+            kept.groupBy("lang").agg(F.count("*").alias("n_kept")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
+# Event-type transition matrix (first-order Markov)
+# =====================================================================
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+sql_query(
+    "events_transition_matrix",
+    _TRANSITION_SQL,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() window on (user_id, time) then a (from, to) "
+    "count with row-normalized probabilities via a window over the "
+    "aggregate.  One keyed window shuffle + one 25-row aggregate; "
+    "identical ANSI text on both engines.",
+)
+
+
+# =====================================================================
+# Unigram LM surprisal scoring
+# =====================================================================
+
+def _unigram_sql(tokenize: str) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {tokenize} AS tok FROM documents),
+uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(u.c / s.n)), 4) AS avg_nll
+FROM toks t JOIN uni u ON t.tok = u.tok CROSS JOIN tot s
+GROUP BY t.doc_id
+"""
+
+
+sql_query(
+    "text_unigram_logprob",
+    _unigram_sql("explode(split(text, ' '))"),
+    _unigram_sql("unnest(string_split(text, ' '))"),
+    doc="Unigram LM surprisal per document (mean negative log "
+    "likelihood under corpus unigram frequencies) — the cheapest "
+    "perplexity-style quality signal for corpus filtering; documents "
+    "of rare tokens score high, boilerplate scores low.  The unigram "
+    "table broadcasts; per-doc aggregation shuffles once on doc_id.",
+)

@@ -40,6 +40,12 @@ BNLJ_OK = {
     "text_bm25_search",
     # (doc, term) tf rows x single-row broadcast corpus count — scalar join
     "text_tfidf_top_terms",
+    # per-lang rows x single-row broadcast token budget — scalar join
+    "corpus_token_budget_mix",
+    # docs x single-row broadcast length normalizer — scalar join
+    "sample_weighted_by_quality",
+    # token stream x single-row broadcast corpus token count — scalar join
+    "text_unigram_logprob",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means

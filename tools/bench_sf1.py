@@ -55,6 +55,11 @@ HEAVY = [
     "cdc_latest_event_state",
     "cdc_apply_order_changes",
     "scd2_customer_balance_history",
+    # round-5 heavy additions: token-level gram table (shared spans),
+    # full-corpus tokenize + rank (tf-idf), postings + scoring (bm25)
+    "dedup_shared_ngram_spans",
+    "text_tfidf_top_terms",
+    "text_bm25_search",
 ]
 
 
