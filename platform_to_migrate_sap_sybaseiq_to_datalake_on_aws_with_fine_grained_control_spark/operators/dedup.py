@@ -391,11 +391,22 @@ def connected_components(
     split.  Lineage is cut each round (``localCheckpoint``) so plans
     stay flat; at cluster scale use reliable ``checkpoint`` to
     survive executor loss.
+
+    Convergence detection is a label checksum, not a join: labels only
+    ever decrease, so ``sum(label)`` (exact DECIMAL(38,0) accumulation,
+    overflow-free) is strictly decreasing until the fixed point — one
+    scan of the already-checkpointed table per round instead of a
+    shuffled old-vs-new join.
     """
     edges = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     edges.persist()
+
+    def _checksum(lbls: DataFrame):
+        return lbls.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
 
     labels = (
         edges.groupBy(F.col("id_a").alias("node"))
@@ -403,6 +414,7 @@ def connected_components(
         .select("node", F.least("node", "nbr_min").alias("label"))
         .localCheckpoint()
     )
+    prev_sum = _checksum(labels)
     for round_idx in range(max_iterations):
         prop = (
             edges.join(labels.withColumnRenamed("node", "id_b"), "id_b")
@@ -425,20 +437,16 @@ def connected_components(
                 F.least("label", F.coalesce("_plabel", "label")).alias("label"),
             )
         new_labels = stepped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        cur_sum = _checksum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
-            f"rounds ({changed} labels still changing); raise "
+            "rounds (label checksum still decreasing); raise "
             "max_iterations rather than accept split components"
         )
     edges.unpersist()

@@ -388,3 +388,47 @@ def stateful_sessionizer(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_click_purchase_join(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase
+    to every click by the same user in the preceding ``window_minutes``.
+
+    Both sides carry a watermark and the join condition bounds
+    purchase_ts to [click_ts, click_ts + window], so the state store
+    can expire rows once the watermark passes the interval — bounded
+    state, the requirement for an unbounded 100 TB/day stream pair.
+    The same code runs in batch (identical semantics, one range join),
+    which is how the equivalence test validates it.
+    """
+    base = _with_event_time(events, "ts")
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", f"{window_minutes} minutes")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", f"{window_minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {window_minutes} minutes"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", "purchase_value"
+    )

@@ -481,3 +481,31 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
     u1 = got[got["user_id"] == 1]
     assert len(u1) == 1
     assert int(u1.iloc[0]["n_events"]) == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_parts):
+    """The watermarked stream-stream click->purchase interval join over
+    the replayed stream emits exactly the pairs the identical batch
+    range join produces."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        stream_click_purchase_join,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    # 4 h attribution window: the sf0.001 sample's click->purchase
+    # pairs are hours apart, not minutes
+    stream = replay_events_stream(spark, stream_dir, schema)
+    _run_stream_to_memory(
+        stream_click_purchase_join(stream, window_minutes=240),
+        "ss_join_sink",
+        "append",
+    )
+    got = spark.sql("SELECT * FROM ss_join_sink").toPandas()
+    exp = stream_click_purchase_join(full, window_minutes=240).toPandas()
+
+    key = ["user_id", "click_id", "purchase_id"]
+    got_s = set(map(tuple, got[key].itertuples(index=False)))
+    exp_s = set(map(tuple, exp[key].itertuples(index=False)))
+    assert len(exp_s) > 0, "fixture should contain click->purchase pairs"
+    assert got_s == exp_s
+    assert abs(got["purchase_value"].sum() - exp["purchase_value"].sum()) < 1e-6
