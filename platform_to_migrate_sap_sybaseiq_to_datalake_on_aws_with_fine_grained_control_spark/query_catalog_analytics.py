@@ -714,3 +714,84 @@ sql_query(
     "of rare tokens score high, boilerplate scores low.  The unigram "
     "table broadcasts; per-doc aggregation shuffles once on doc_id.",
 )
+
+
+# =====================================================================
+# Session duration statistics (gaps-and-islands full sessions)
+# =====================================================================
+
+def _session_stats_sql(epoch: str) -> str:
+    return f"""
+WITH o AS (SELECT user_id, {epoch} AS es,
+                  lag({epoch}) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_es
+           FROM events),
+m AS (SELECT user_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, es,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY es) AS session_id
+      FROM m),
+sess AS (SELECT user_id, session_id,
+                max(es) - min(es) AS dur_s,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, session_id)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       round(avg(dur_s), 2) AS avg_dur_s,
+       round(max(dur_s), 2) AS max_dur_s,
+       round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events,
+       CAST(max(n_events) AS BIGINT) AS max_events
+FROM sess
+"""
+
+
+sql_query(
+    "events_session_stats",
+    _session_stats_sql("(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"),
+    _session_stats_sql("epoch(ts)"),
+    doc="Session duration/size distribution over the full "
+    "gaps-and-islands sessionization (30-min gap): conditional-cumsum "
+    "session ids, per-session duration + event count, global "
+    "aggregate.  Two windows on the same (user_id, time) ordering — "
+    "one shuffle, one sort, reused across both — then two hash "
+    "aggregations; NTZ-safe epoch idiom.",
+)
+
+
+# =====================================================================
+# One-pass column profiling (Deequ-style)
+# =====================================================================
+
+_PROFILE_SQL = """
+SELECT * FROM (
+SELECT 'lang' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(lang) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+       CAST(min(lang) AS VARCHAR) AS min_val,
+       CAST(max(lang) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+) p ORDER BY col_name
+"""
+
+sql_query(
+    "profile_documents",
+    _PROFILE_SQL.replace("AS VARCHAR", "AS STRING"),
+    _PROFILE_SQL,
+    doc="Deequ-style column profile (completeness, distinctness, "
+    "min/max) for the documents table — the data-quality summary a "
+    "pipeline records per ingest batch.  Catalyst merges the three "
+    "branch scans of the UNION into grouped aggregations over one "
+    "pass' worth of I/O; output is O(columns).",
+)
