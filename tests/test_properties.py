@@ -107,3 +107,108 @@ def test_approx_count_distinct_error_bound(spark):
     }
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(1, 0.06 * ex), (k, approx[k], ex)
+
+
+def _py_zorder(x: int, y: int, bits: int) -> int:
+    v = 0
+    for b in range(bits):
+        v |= ((x >> b) & 1) << (2 * b)
+        v |= ((y >> b) & 1) << (2 * b + 1)
+    return v
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zorder_key_matches_reference(spark, pairs):
+    """The Column bit-interleave agrees with a direct Python Morton
+    encode, and is monotone-compatible with the SQL form used by the
+    oracle (same function, two renderings)."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+    }
+    sql_got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.selectExpr(
+            "x", "y", f"{zorder_key_sql('x', 'y', 16)} AS z"
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_zorder(x, y, 16), (x, y)
+        assert sql_got[(x, y)] == z, (x, y)
+
+
+def test_shared_ngram_spans_matches_bruteforce(spark):
+    """shared_ngram_spans agrees with a per-doc brute-force n-gram
+    membership check, including docs below the n-gram length (dropped)
+    and single-source unique docs (zero shared)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        shared_ngram_spans,
+    )
+
+    docs = [
+        (1, "a b c d e f"),         # shares the full 4-gram run with doc 2
+        (2, "a b c d e f"),
+        (3, "a b c d x y"),         # shares only the leading 4-gram
+        (4, "q w e r t z"),         # unique
+        (5, "too short"),           # < n tokens: dropped
+    ]
+    n = 4
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_shared"])
+        for r in shared_ngram_spans(sdf, "doc_id", "text", n=n).collect()
+    }
+
+    grams = {
+        d: [" ".join(t.split()[i : i + n]) for i in range(len(t.split()) - n + 1)]
+        for d, t in docs
+        if len(t.split()) >= n
+    }
+    for d, gs in grams.items():
+        shared = sum(
+            1
+            for g in gs
+            if any(g in og for od, og in grams.items() if od != d)
+        )
+        assert got[d] == (len(gs), shared), d
+    assert 5 not in got
+
+
+def test_weighted_sample_rate_edges(spark):
+    """rate=1.0 keeps every row (floor(256*1)=256 > any bucket),
+    rate=0.0 keeps none, and rates are monotone: raising every row's
+    rate never drops a previously-kept row."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.chunking import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    assert weighted_sample(df, "doc_id", F.lit(1.0)).count() == 500
+    assert weighted_sample(df, "doc_id", F.lit(0.0)).count() == 0
+    half = {r["doc_id"] for r in weighted_sample(df, "doc_id", F.lit(0.5)).collect()}
+    most = {r["doc_id"] for r in weighted_sample(df, "doc_id", F.lit(0.9)).collect()}
+    assert half <= most
+    assert 0 < len(half) < len(most) < 500
