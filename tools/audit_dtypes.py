@@ -78,6 +78,22 @@ def main() -> int:
             # column is exactly the iterrows-upcast hazard -> flag it
             if a != b:
                 bad.append(f"{name}.{col}: spark={spdf[col].dtype} duck={odf[col].dtype}")
+            # container-valued cells (list/ndarray/dict) are unhashable in
+            # the driver's pandas canonicalizer (`TypeError: unhashable
+            # type: 'list'` killed array_functions_sampler in round 3) —
+            # any top-level ARRAY/MAP output must be serialized
+            # (array_join / to_json) in BOTH dialects before emission.
+            for frame, eng in ((spdf, "spark"), (odf, "duck")):
+                s = frame[col].dropna()
+                if len(s) and (
+                    isinstance(s.iloc[0], (list, tuple, dict, set))
+                    or type(s.iloc[0]).__name__ == "ndarray"
+                ):
+                    bad.append(
+                        f"{name}.{col}: {eng} emits container values "
+                        f"({type(s.iloc[0]).__name__}) — unhashable in the "
+                        "driver canonicalizer"
+                    )
     if bad:
         print("DTYPE MISMATCHES:")
         for line in bad:
