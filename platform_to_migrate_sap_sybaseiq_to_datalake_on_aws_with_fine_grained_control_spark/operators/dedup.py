@@ -247,6 +247,29 @@ def minhash_feature_table(
     return feat
 
 
+def banded_signatures(
+    feat: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id, band, bucket)`` LSH bucket rows from a signature table:
+    the signature is cut into ``bands`` equal row-groups and each
+    group's values are md5-folded into a bucket key.  One narrow
+    explode — docs × bands rows, no shuffle.  This IS the dedup index:
+    at 100 TB it is written to parquet partitioned by ``(band,
+    bucket-prefix)`` once and joined against by every later batch."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return feat.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bucket', "
+                f"md5(concat_ws('|', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -263,20 +286,9 @@ def minhash_lsh_candidates(
     md5 of the band's joined signature values.  Shuffle = docs × bands
     rows keyed by (band, bucket) — linear, never quadratic.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     if feat is None:
         feat = minhash_feature_table(df, id_col, text_col, num_hashes, shingle_n)
-    banded = feat.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'bucket', "
-                f"md5(concat_ws('|', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))))"
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_signatures(feat, id_col, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -331,6 +343,89 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs touching a NEW batch only — the incremental form
+    of :func:`minhash_lsh_pairs` for a growing corpus.
+
+    A 100 TB corpus is never re-deduped from scratch when a day's data
+    lands: the base corpus's banded signature table
+    (:func:`banded_signatures`) is a persisted index, and the new
+    batch is joined against it.  Candidate generation is
+
+    * ``batch × base`` — equi-join of the batch's bucket rows against
+      the index (shuffle = O(batch-bands + matching index buckets),
+      never O(corpus²)), plus
+    * ``batch × batch`` — the usual self-join within the batch;
+
+    ``base × base`` pairs are never generated — that work was done
+    when those docs were ingested.  Verification is exact Jaccard on
+    the candidates' distinct-shingle arrays, identical to the full
+    operator, so the result equals ``minhash_lsh_pairs(base ∪ batch)``
+    minus its base×base rows (property-tested).
+
+    Output: ``(id_a, id_b, jaccard, pair_kind)`` with ``id_a < id_b``
+    and ``pair_kind ∈ {'base-batch', 'batch-batch'}``.
+    """
+    feat_base = minhash_feature_table(base, id_col, text_col, num_hashes, shingle_n)
+    feat_batch = minhash_feature_table(batch, id_col, text_col, num_hashes, shingle_n)
+    banded_base = banded_signatures(feat_base, id_col, num_hashes, bands)
+    banded_batch = banded_signatures(feat_batch, id_col, num_hashes, bands)
+
+    nb = banded_batch.select(
+        F.col(id_col).alias("_new_id"), "band", "bucket"
+    )
+    cross = nb.join(
+        banded_base.select(F.col(id_col).alias("_old_id"), "band", "bucket"),
+        ["band", "bucket"],
+    ).select(
+        F.least("_new_id", "_old_id").alias("id_a"),
+        F.greatest("_new_id", "_old_id").alias("id_b"),
+        F.lit("base-batch").alias("pair_kind"),
+    )
+    within = (
+        nb.join(
+            banded_batch.select(F.col(id_col).alias("_new_id2"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("_new_id") < F.col("_new_id2"))
+        .select(
+            F.col("_new_id").alias("id_a"),
+            F.col("_new_id2").alias("id_b"),
+            F.lit("batch-batch").alias("pair_kind"),
+        )
+    )
+    cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+
+    all_feat = feat_base.unionByName(feat_batch)
+    da = all_feat.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    db = all_feat.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter)
+                * 10000
+            )
+            / 10000,
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "pair_kind")
     )
 
 

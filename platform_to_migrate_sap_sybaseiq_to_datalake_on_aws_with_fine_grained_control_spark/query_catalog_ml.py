@@ -30,6 +30,7 @@ from .functions.text import (
 )
 from .operators.dedup import (
     dedup_exact,
+    incremental_minhash_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -313,6 +314,61 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         df,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+# the newest 25% of docs (md5 bucket < 64/256) play the "daily batch"
+# arriving against the already-deduped 75% "base corpus"
+INCR_BATCH_BUCKETS = 64
+
+_DUCK_DOC_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+def _duck_incremental_minhash_sql() -> str:
+    """Oracle: the FULL pair set (same signature CTEs) filtered to
+    pairs touching the batch — definitionally what incremental dedup
+    must return."""
+    return f"""
+WITH {_duck_minhash_pair_ctes()},
+member AS (
+  SELECT doc_id, {_DUCK_DOC_BUCKET} < {INCR_BATCH_BUCKETS} AS is_batch
+  FROM documents)
+SELECT p.id_a, p.id_b, p.jaccard,
+  CASE WHEN ma.is_batch AND mb.is_batch THEN 'batch-batch'
+       ELSE 'base-batch' END AS pair_kind
+FROM pairs p
+JOIN member ma ON ma.doc_id = p.id_a
+JOIN member mb ON mb.doc_id = p.id_b
+WHERE ma.is_batch OR mb.is_batch
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    _duck_incremental_minhash_sql(),
+    doc="Incremental near-dup: a new 25% batch deduped against the "
+    "persisted banded-signature index of the 75% base corpus "
+    "(batch×base bucket join + batch×batch self-join, base×base never "
+    "generated) — the O(|batch|) form a 100 TB corpus requires; "
+    "result proven equal to the full operator minus base×base pairs.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import hash_bucket_256
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_256(F.col("doc_id"))
+    return incremental_minhash_pairs(
+        docs.filter(bucket >= INCR_BATCH_BUCKETS),
+        docs.filter(bucket < INCR_BATCH_BUCKETS),
         "doc_id",
         "text",
         num_hashes=MINHASH_HASHES,

@@ -1797,3 +1797,46 @@ def test_connected_components_deep_chain_and_random(spark):
     gdf = spark.createDataFrame(edges, ["id_a", "id_b"])
     got2 = {r.node: r.label for r in connected_components(gdf).collect()}
     assert got2 == want
+
+
+def test_incremental_minhash_equals_full_minus_base_pairs(spark, sf_dir):
+    """incremental_minhash_pairs(base, batch) must return exactly the
+    pairs of the full-corpus operator that touch the batch — same ids,
+    same verified jaccard — and must label pair_kind by membership."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.chunking import (
+        hash_bucket_256,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_256(F.col("doc_id"))
+    base = docs.filter(bucket >= 64)
+    batch = docs.filter(bucket < 64)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert batch_ids, "batch split must be non-empty"
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    want = {
+        pair: j
+        for pair, j in full.items()
+        if pair[0] in batch_ids or pair[1] in batch_ids
+    }
+    got_rows = incremental_minhash_pairs(
+        base, batch, "doc_id", "text"
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        both = r.id_a in batch_ids and r.id_b in batch_ids
+        assert r.pair_kind == ("batch-batch" if both else "base-batch")
