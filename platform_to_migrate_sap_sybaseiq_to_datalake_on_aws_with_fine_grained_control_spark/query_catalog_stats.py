@@ -1,0 +1,424 @@
+"""Statistical / curation catalog entries (round 4 widening):
+
+group-wise OLS regression, linear-interpolation gap fill, multi-touch
+attribution (built on the bucketed range join), Johnson-Lindenstrauss
+random projection of embeddings, length-blocked edit-distance near-dup
+pairs, and a Gopher-style rule-based document quality filter.
+
+Registered into the same ``_CATALOG`` as ``query_catalog``; every
+entry is value-checked against DuckDB.  Determinism follows the
+``query_catalog`` module rules: float aggregates rounded, ratios
+floor-scaled (no decimal-tie ambiguity), identical left-to-right
+double folds for vector math in both engines, timestamps never appear
+raw in an output column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.temporal import epoch_us
+from .functions.text import QUALITY_STOPWORDS
+from .operators.similarity import hyperplanes, plane_dot_expr
+from .operators.temporal import range_join_bucketed
+from .query_catalog import register, sql_query
+from .sources.registry import load_table
+
+# ---- shared constants (Spark impl and oracle MUST agree) -------------
+
+GAPFILL_USER_MOD = 50  # per-user grid kept span-bound: every 50th user
+TOUCH_WINDOW_S = 1800  # view/click within 30 min before a purchase
+RP_OUT_DIMS = 16  # 64-d -> 16-d Johnson-Lindenstrauss projection
+ED_PREFIX = 64  # edit distance computed on this codepoint prefix
+ED_THRESH = 12  # keep pairs with prefix edit distance <= this
+ED_BUCKET = 16  # n_chars blocking bucket width (>= ED_THRESH + 1, so
+#                 the +-1-bucket probe admits every |len diff| <= thresh)
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.7
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+# =====================================================================
+# Group-wise OLS regression (regr_* aggregates — identical ANSI text
+# in both engines; single map-side-combinable aggregation)
+# =====================================================================
+
+sql_query(
+    "stats_groupwise_regression",
+    # one-pass moment aggregation per group: regr_* aggregates are
+    # algebraic (sum/count/sum-of-products), so Spark computes partial
+    # moments map-side and merges — no second pass over the data, one
+    # shuffle of 3 tiny moment rows regardless of input size.
+    "SELECT l_returnflag, "
+    "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, "
+    "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+    "round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, "
+    "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+    "round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty, "
+    "round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Group-wise OLS regression (price ~ quantity per return flag) "
+    "via the ANSI regr_* aggregate family — algebraic moments, so the "
+    "plan is a single map-side-combined aggregation; both engines run "
+    "the identical SQL text.",
+)
+
+
+# =====================================================================
+# Linear-interpolation gap fill (the LOCF entry's numeric sibling)
+# =====================================================================
+
+_GAPFILL_SELECT = (
+    "SELECT user_id, h, "
+    "CASE WHEN v IS NOT NULL THEN 'obs' "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp' "
+    "ELSE 'edge' END AS src, "
+    # floor-scaled, not round()ed: the lerp double is bit-identical in
+    # both engines, and floor(x * 10000) is a pure double op with no
+    # decimal-tie ambiguity (Spark's BigDecimal HALF_UP vs DuckDB's
+    # multiply-round disagree on knife-edge .5 values).
+    "floor(CASE WHEN v IS NOT NULL THEN v "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+    "pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / (nh - ph)) "
+    "ELSE coalesce(pv, nv) END * 10000) / 10000 AS val_filled "
+    "FROM w"
+)
+
+
+def _gapfill_linear_sql(epoch: str, gen: str, lastv: str, firstv: str) -> str:
+    """Dialect-paramed gap-fill-with-lerp: ``epoch`` is the
+    micros-since-epoch idiom, ``gen`` the grid generator expression,
+    ``lastv``/``firstv`` the dialect's ignore-nulls window spellings."""
+    return (
+        "WITH k AS (SELECT user_id, "
+        f"CAST(floor({epoch} / 3600000000) AS BIGINT) AS h, "
+        "round(avg(value), 6) AS v FROM events "
+        f"WHERE user_id % {GAPFILL_USER_MOD} = 0 GROUP BY 1, 2), "
+        "bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM k GROUP BY 1), "
+        f"grid AS (SELECT user_id, {gen} AS h FROM bounds), "
+        "j AS (SELECT g.user_id, g.h, k.v FROM grid g "
+        "LEFT JOIN k ON k.user_id = g.user_id AND k.h = g.h), "
+        "w AS (SELECT user_id, h, v, "
+        f"{lastv.format('v')} OVER wp AS pv, "
+        f"{lastv.format('CASE WHEN v IS NOT NULL THEN h END')} OVER wp AS ph, "
+        f"{firstv.format('v')} OVER wn AS nv, "
+        f"{firstv.format('CASE WHEN v IS NOT NULL THEN h END')} OVER wn AS nh "
+        "FROM j WINDOW "
+        "wp AS (PARTITION BY user_id ORDER BY h "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "wn AS (PARTITION BY user_id ORDER BY h "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " + _GAPFILL_SELECT
+    )
+
+
+sql_query(
+    "events_gapfill_linear",
+    # span-bound grid (explode(sequence) — zero-shuffle generator),
+    # then ONE per-series ordered window computing both fill
+    # directions; the lerp itself is pure rowwise arithmetic.
+    _gapfill_linear_sql(
+        "unix_micros(CAST(ts AS TIMESTAMP))",
+        "explode(sequence(mn, mx))",
+        "last_value({0}, true)",
+        "first_value({0}, true)",
+    ),
+    _gapfill_linear_sql(
+        "epoch_us(ts)",
+        "unnest(generate_series(mn, mx))",
+        "last_value({0} IGNORE NULLS)",
+        "first_value({0} IGNORE NULLS)",
+    ),
+    doc="Time-series gap filling with LINEAR interpolation between the "
+    "surrounding observations (sibling of events_gapfill_locf): hourly "
+    "per-user grid via explode(sequence), ignore-nulls windows find the "
+    "previous/next observed (value, position) pairs, then a rowwise "
+    "lerp. Grid volume is span-bound; the fill is one per-series "
+    "window pass over both frame directions.",
+)
+
+
+# =====================================================================
+# Multi-touch attribution over the bucketed range join
+# =====================================================================
+
+
+def _duck_multitouch_sql() -> str:
+    us = TOUCH_WINDOW_S * 1_000_000
+    return f"""
+WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pt, value
+  FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, epoch_us(ts) AS tt, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')),
+m AS (SELECT p.pid, p.value, t.touch_type FROM p JOIN t
+  ON p.user_id = t.user_id AND t.tt >= p.pt - {us} AND t.tt <= p.pt),
+c AS (SELECT pid, value, touch_type,
+  count(*) OVER (PARTITION BY pid) AS n FROM m)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+  round(sum(value / n), 4) AS credit
+FROM c GROUP BY touch_type
+"""
+
+
+@register(
+    "events_multitouch_attribution",
+    _duck_multitouch_sql(),
+    doc="Linear multi-touch attribution: each purchase's value is split "
+    "evenly across the view/click touches of the same user in the 30 "
+    "minutes before it. The touch<->purchase match runs through "
+    "range_join_bucketed (time-bucketed equi-join, no per-key "
+    "nested-loop range scan), so the plan stays linear in touches + "
+    "purchases at any scale; the oracle states the same semantics as a "
+    "plain BETWEEN join.",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = TOUCH_WINDOW_S * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.timestamp_micros(epoch_us("ts") - us).alias("w_start"),
+        F.timestamp_micros(epoch_us("ts")).alias("w_end"),
+        "value",
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.timestamp_micros(epoch_us("ts")).alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    matched = range_join_bucketed(
+        touches,
+        purchases,
+        on="user_id",
+        point_ts="t_ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket_s=TOUCH_WINDOW_S,
+    )
+    credited = matched.withColumn(
+        "n", F.count("*").over(Window.partitionBy("pid"))
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.countDistinct("pid").cast("bigint").alias("n_purchases"),
+        F.round(F.sum(F.col("value") / F.col("n")), 4).alias("credit"),
+    )
+
+
+# =====================================================================
+# Johnson-Lindenstrauss random projection of embeddings
+# =====================================================================
+
+_RP_PLANES = hyperplanes(RP_OUT_DIMS, 64)
+
+
+def _duck_plane_dot(vec: str, row: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in row) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({vec})), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _duck_rp_sql() -> str:
+    cols = ", ".join(
+        f"round({_duck_plane_dot('embedding', row)}, 6) AS p{j:02d}"
+        for j, row in enumerate(_RP_PLANES)
+    )
+    sq = " + ".join(f"p{j:02d} * p{j:02d}" for j in range(RP_OUT_DIMS))
+    orig_norm = (
+        "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
+        "(acc, v) -> acc + v))"
+    )
+    return (
+        f"WITH proj AS (SELECT vec_id, {cols}, {orig_norm} AS onorm FROM embeddings) "
+        f"SELECT vec_id, "
+        + ", ".join(f"p{j:02d}" for j in range(RP_OUT_DIMS))
+        + f", floor(sqrt({sq}) / onorm * 10000) / 10000 AS norm_ratio FROM proj"
+    )
+
+
+@register(
+    "embedding_random_projection",
+    _duck_rp_sql(),
+    doc="Johnson-Lindenstrauss dimensionality reduction: 64-d float "
+    f"embeddings projected to {RP_OUT_DIMS}-d with the deterministic "
+    "md5-seeded hyperplane matrix (same coefficients both engines, "
+    "left-to-right double folds — bit-reproducible). norm_ratio "
+    "reports per-vector norm preservation, the JL quality signal. "
+    "Rowwise map, zero shuffles; the matrix is a plan literal, so at "
+    "cluster scale it ships inside the serialized plan, not as data.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "embeddings")
+    proj_cols = [
+        F.expr(f"round({plane_dot_expr('embedding', row)}, 6)").alias(f"p{j:02d}")
+        for j, row in enumerate(_RP_PLANES)
+    ]
+    onorm = F.expr(
+        "sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> "
+        "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v))"
+    )
+    proj = df.select("vec_id", *proj_cols, onorm.alias("onorm"))
+    sq = " + ".join(f"p{j:02d} * p{j:02d}" for j in range(RP_OUT_DIMS))
+    return proj.select(
+        "vec_id",
+        *[f"p{j:02d}" for j in range(RP_OUT_DIMS)],
+        F.expr(f"floor(sqrt({sq}) / onorm * 10000) / 10000").alias("norm_ratio"),
+    )
+
+
+# =====================================================================
+# Length-blocked edit-distance near-dup pairs
+# =====================================================================
+
+
+def _duck_edit_distance_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, lang,
+  substring(text, 1, {ED_PREFIX}) AS prefix,
+  CAST(floor(n_chars / {ED_BUCKET}) AS BIGINT) AS b FROM documents)
+SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b, a.lang,
+  CAST(levenshtein(a.prefix, c.prefix) AS BIGINT) AS edit_distance
+FROM d a JOIN d c
+  ON a.lang = c.lang AND abs(a.b - c.b) <= 1 AND a.doc_id < c.doc_id
+WHERE levenshtein(a.prefix, c.prefix) <= {ED_THRESH}
+"""
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    _duck_edit_distance_sql(),
+    doc="Edit-distance near-dup pairs with length blocking: docs are "
+    f"bucketed by floor(n_chars/{ED_BUCKET}); each left doc probes its "
+    "own and both adjacent buckets (explode of 3 bucket ids), so the "
+    "match is a pure (lang, bucket) EQUI-join — no inequality join, no "
+    "per-key nested loop — refined by Levenshtein over the "
+    f"{ED_PREFIX}-codepoint prefix. Bucket width > threshold "
+    "guarantees no candidate with |len diff| <= threshold is missed; "
+    "each qualifying pair meets in exactly one probe bucket, so no "
+    "dedup pass is needed. The oracle states the identical predicate "
+    "as abs(bucket diff) <= 1.",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(f"substring(text, 1, {ED_PREFIX})").alias("prefix"),
+        F.floor(F.col("n_chars") / ED_BUCKET).alias("b"),
+    )
+    left = d.select(
+        "doc_id",
+        "lang",
+        "prefix",
+        F.explode(F.expr("array(b - 1, b, b + 1)")).alias("pb"),
+    )
+    right = d.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("prefix_b"),
+        F.col("b").alias("pb"),
+    )
+    return (
+        left.join(
+            right,
+            (left.lang == right.lang_b)
+            & (left.pb == right.pb)
+            & (left.doc_id < right.doc_id_b),
+        )
+        .withColumn(
+            "edit_distance", F.levenshtein("prefix", "prefix_b").cast("bigint")
+        )
+        .filter(F.col("edit_distance") <= ED_THRESH)
+        .select(F.col("doc_id").alias("doc_id_a"), "doc_id_b", "lang", "edit_distance")
+    )
+
+
+# =====================================================================
+# Gopher-style rule-based quality filter
+# =====================================================================
+
+
+def _gopher_texts() -> tuple[str, str]:
+    """Build the Spark and DuckDB texts of the Gopher rule set from one
+    template; the five rule flags and the composite keep decision are
+    integer-exact or single-division doubles, so the booleans need no
+    rounding."""
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+    def build(
+        toks: str,
+        size_fn: str,
+        filter_fn: str,
+        distinct_fn: str,
+        alpha_pred: str,
+        replace_fn: str,
+    ) -> str:
+        n_words = f"{size_fn}({toks})"
+        mean_len = f"(CAST(length(text) - ({n_words} - 1) AS DOUBLE) / {n_words})"
+        symbols = f"length({replace_fn})"
+        alpha = f"{size_fn}({filter_fn}({toks}, t -> {alpha_pred}))"
+        stops = (
+            f"{size_fn}({distinct_fn}({filter_fn}({toks}, "
+            f"t -> lower(t) IN ({stop_list}))))"
+        )
+        rules = {
+            "r_word_count": f"({n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+            "r_mean_word_len": (
+                f"({mean_len} >= {GOPHER_MIN_MEAN_LEN} "
+                f"AND {mean_len} <= {GOPHER_MAX_MEAN_LEN})"
+            ),
+            "r_symbol_ratio": (
+                f"(CAST({symbols} AS DOUBLE) / {n_words}) < {GOPHER_MAX_SYMBOL_RATIO}"
+            ),
+            "r_alpha_words": (
+                f"(CAST({alpha} AS DOUBLE) / {n_words}) >= {GOPHER_MIN_ALPHA_RATIO}"
+            ),
+            "r_stopwords": f"{stops} >= {GOPHER_MIN_DISTINCT_STOPWORDS}",
+        }
+        flags = ", ".join(f"{expr} AS {name}" for name, expr in rules.items())
+        keep = " AND ".join(f"({expr})" for expr in rules.values())
+        return f"SELECT doc_id, lang, {flags}, ({keep}) AS keep FROM documents"
+
+    spark_text = build(
+        "split(text, ' ')",
+        "size",
+        "filter",
+        "array_distinct",
+        "t RLIKE '[A-Za-z]'",
+        "regexp_replace(text, '[^#*]', '')",
+    )
+    duck_text = build(
+        "string_split(text, ' ')",
+        "len",
+        "list_filter",
+        "list_distinct",
+        "regexp_matches(t, '[A-Za-z]')",
+        "regexp_replace(text, '[^#*]', '', 'g')",
+    )
+    return spark_text, duck_text
+
+
+_GOPHER_SPARK, _GOPHER_DUCK = _gopher_texts()
+
+sql_query(
+    "text_gopher_quality_filter",
+    _GOPHER_SPARK,
+    _GOPHER_DUCK,
+    doc="Gopher-style rule-based document quality filter: word-count "
+    "range, mean word length, symbol-to-word ratio, alphabetic-word "
+    "ratio, and distinct-stopword presence, each emitted as a named "
+    "boolean flag plus the composite keep decision. Pure rowwise "
+    "Catalyst expressions (array lambdas, no UDF), zero shuffles; the "
+    "per-rule flags make filter-rate monitoring a trivial downstream "
+    "aggregation.",
+)
