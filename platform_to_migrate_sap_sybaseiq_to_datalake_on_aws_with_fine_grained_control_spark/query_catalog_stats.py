@@ -410,6 +410,178 @@ def _gopher_texts() -> tuple[str, str]:
 
 _GOPHER_SPARK, _GOPHER_DUCK = _gopher_texts()
 
+# =====================================================================
+# Event-path mining (trigram sequences per user)
+# =====================================================================
+
+
+def _paths_sql() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type AS e1, "
+        "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT concat(e1, '>', e2, '>', e3) AS path, "
+        "CAST(count(*) AS BIGINT) AS n FROM s "
+        "WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+    )
+
+
+sql_query(
+    "events_top_paths",
+    # one per-user ordered window builds the trigrams (lead x2 shares
+    # the single sort), then a plain count/top-k; total order under the
+    # LIMIT via the (n DESC, path) tiebreak.
+    _paths_sql(),
+    _paths_sql(),
+    doc="Behavioral path mining: the 20 most common 3-step event-type "
+    "sequences across user timelines (transition-matrix's trigram "
+    "sibling). One per-user window sort feeds both lead() offsets; the "
+    "aggregation is map-side combinable on the path string.",
+)
+
+
+# =====================================================================
+# Partition-skew diagnostics (the salting decision input)
+# =====================================================================
+
+
+def _skew_sql(pct: str) -> str:
+    return (
+        "WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+        "CAST(min(n) AS BIGINT) AS min_rows, "
+        "CAST(max(n) AS BIGINT) AS max_rows, "
+        "round(avg(n), 4) AS avg_rows, "
+        f"round({pct.format('n', '0.5')}, 4) AS p50_rows, "
+        f"round({pct.format('n', '0.99')}, 4) AS p99_rows, "
+        "round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio "
+        "FROM k"
+    )
+
+
+sql_query(
+    "skew_key_diagnostics",
+    _skew_sql("percentile({0}, {1})"),
+    _skew_sql("quantile_cont({0}, {1})"),
+    doc="Join-key skew diagnostics over orders.o_custkey: per-key row "
+    "counts reduced to min/max/avg/p50/p99 and the max/avg skew ratio "
+    "— the measurement that decides whether a join needs salting or "
+    "AQE skew splitting. Two cheap aggregations (keys, then 1-row "
+    "stats); the heavy first groupBy is map-side combinable.",
+)
+
+
+# =====================================================================
+# Iterative PageRank over the nation-to-nation trade graph
+# =====================================================================
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+PR_ROUND = 8  # per-iteration rounding keeps cross-engine sum-order
+#               drift (~1e-12 relative) far below the emitted precision
+
+
+def _duck_pagerank_sql() -> str:
+    """PageRank unrolled into chained CTEs (the kmeans-IVF precedent:
+    a fixed iteration count makes the loop a straight-line query)."""
+    edges = """
+edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+e AS (SELECT src, dst, w / ow AS p FROM edges JOIN outw USING (src)),
+nodes AS (SELECT n_name AS node FROM nation),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ctes = [edges]
+    for t in range(1, PR_ITERS + 1):
+        prev = f"pr{t - 1}"
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst, sum(e.p * p.pr) AS acc
+  FROM e JOIN {prev} p ON e.src = p.node GROUP BY e.dst),
+pr{t} AS (SELECT n.node,
+  round({1 - PR_DAMPING} / (SELECT n FROM nn)
+    + {PR_DAMPING} * coalesce(c.acc, 0), {PR_ROUND}) AS pr
+  FROM nodes n LEFT JOIN c{t} c ON n.node = c.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM pr{PR_ITERS}"
+    )
+
+
+@register(
+    "trade_pagerank_nations",
+    _duck_pagerank_sql(),
+    doc="Iterative weighted PageRank over the customer-nation -> "
+    f"supplier-nation trade graph (damping {PR_DAMPING}, {PR_ITERS} "
+    "fixed iterations): edge weight = revenue share of the source "
+    "nation's outbound trade. The Spark loop re-joins the 25-row rank "
+    "frame against the edge frame per iteration (both broadcast-small; "
+    "at a billion-edge scale the same loop shape holds with the rank "
+    "frame shuffled on node id). Per-iteration rounding keeps "
+    "cross-engine float-sum ordering drift below emitted precision; "
+    "oracle = the identical recursion unrolled into chained CTEs.",
+)
+def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("c_nkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("s_nkey"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("w")
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    nodes = nation.select(F.col("n_name").alias("node"))
+    n_nodes = nodes.count()  # control-plane scalar (25 rows)
+
+    e = e.persist()
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("acc"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            F.round(
+                F.lit((1 - PR_DAMPING) / n_nodes)
+                + PR_DAMPING * F.coalesce("acc", F.lit(0.0)),
+                PR_ROUND,
+            ).alias("pr"),
+        )
+    return pr
+
+
 sql_query(
     "text_gopher_quality_filter",
     _GOPHER_SPARK,
