@@ -216,6 +216,11 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 # =====================================================================
 
 _RP_PLANES = hyperplanes(RP_OUT_DIMS, 64)
+# JL scaling: hyperplane coefficients are uniform on [-1, 1) (variance
+# 1/3), so E[||Px||^2] = d_out/3 * ||x||^2; scaling each component by
+# sqrt(3/d_out) makes the projection norm-preserving in expectation
+# (norm_ratio concentrates around 1). Same double literal both engines.
+RP_SCALE = (3.0 / RP_OUT_DIMS) ** 0.5
 
 
 def _duck_plane_dot(vec: str, row: list[float]) -> str:
@@ -229,7 +234,7 @@ def _duck_plane_dot(vec: str, row: list[float]) -> str:
 
 def _duck_rp_sql() -> str:
     cols = ", ".join(
-        f"round({_duck_plane_dot('embedding', row)}, 6) AS p{j:02d}"
+        f"round({_duck_plane_dot('embedding', row)} * {RP_SCALE!r}, 6) AS p{j:02d}"
         for j, row in enumerate(_RP_PLANES)
     )
     sq = " + ".join(f"p{j:02d} * p{j:02d}" for j in range(RP_OUT_DIMS))
@@ -252,15 +257,19 @@ def _duck_rp_sql() -> str:
     doc="Johnson-Lindenstrauss dimensionality reduction: 64-d float "
     f"embeddings projected to {RP_OUT_DIMS}-d with the deterministic "
     "md5-seeded hyperplane matrix (same coefficients both engines, "
-    "left-to-right double folds — bit-reproducible). norm_ratio "
-    "reports per-vector norm preservation, the JL quality signal. "
+    "left-to-right double folds — bit-reproducible), scaled by "
+    "sqrt(3/d_out) so the projection is norm-preserving in "
+    "expectation. norm_ratio reports per-vector norm preservation, "
+    "the JL quality signal. "
     "Rowwise map, zero shuffles; the matrix is a plan literal, so at "
     "cluster scale it ships inside the serialized plan, not as data.",
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "embeddings")
     proj_cols = [
-        F.expr(f"round({plane_dot_expr('embedding', row)}, 6)").alias(f"p{j:02d}")
+        F.expr(
+            f"round({plane_dot_expr('embedding', row)} * {RP_SCALE!r}D, 6)"
+        ).alias(f"p{j:02d}")
         for j, row in enumerate(_RP_PLANES)
     ]
     onorm = F.expr(

@@ -1840,3 +1840,68 @@ def test_incremental_minhash_equals_full_minus_base_pairs(spark, sf_dir):
     for r in got_rows:
         both = r.id_a in batch_ids and r.id_b in batch_ids
         assert r.pair_kind == ("batch-batch" if both else "base-batch")
+
+
+# ---- round-4 stats/curation entries (query_catalog_stats.py) ---------
+
+
+def test_random_projection_norm_concentration(spark):
+    """The sqrt(3/d_out)-scaled JL projection must preserve norms in
+    expectation: mean norm_ratio near 1, individual vectors within the
+    loose concentration band for d_out=16."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_stats import (
+        embedding_random_projection,
+    )
+
+    rows = embedding_random_projection(spark, "/root/testdata/sf0.001").collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    assert rows, "projection produced no rows"
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 <= mean <= 1.15, f"mean norm_ratio {mean} not ~1"
+    assert all(0.3 <= r <= 2.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_edit_distance_blocking_complete(spark, duck):
+    """Blocking guarantee: every same-lang pair with prefix edit
+    distance <= threshold AND full-length difference <= threshold is
+    found (bucket width > threshold => such pairs are always within
+    one bucket of each other)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_stats import (
+        ED_BUCKET,
+        ED_PREFIX,
+        ED_THRESH,
+        dedup_edit_distance_pairs,
+    )
+
+    assert ED_BUCKET > ED_THRESH  # the inclusion proof's precondition
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_edit_distance_pairs(spark, "/root/testdata/sf0.001").collect()
+    }
+    brute = duck.execute(
+        f"""
+        WITH d AS (SELECT doc_id, lang, n_chars,
+          substring(text, 1, {ED_PREFIX}) AS prefix FROM documents)
+        SELECT a.doc_id, c.doc_id FROM d a JOIN d c
+          ON a.lang = c.lang AND a.doc_id < c.doc_id
+          AND abs(a.n_chars - c.n_chars) <= {ED_THRESH}
+        WHERE levenshtein(a.prefix, c.prefix) <= {ED_THRESH}
+        """
+    ).fetchall()
+    missing = [p for p in brute if tuple(p) not in got]
+    assert not missing, f"blocking dropped in-threshold pairs: {missing[:5]}"
+
+
+def test_pagerank_mass_conservation(spark):
+    """PageRank sanity: ranks positive; total mass 1 minus whatever
+    leaks through dangling nations (nations with no outbound trade),
+    never more than 1."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_stats import (
+        trade_pagerank_nations,
+    )
+
+    rows = trade_pagerank_nations(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 25
+    total = sum(r["pr"] for r in rows)
+    assert all(r["pr"] > 0 for r in rows)
+    assert 0.5 <= total <= 1.000001, total
