@@ -46,6 +46,8 @@ BNLJ_OK = {
     "sample_weighted_by_quality",
     # token stream x single-row broadcast corpus token count — scalar join
     "text_unigram_logprob",
+    # brand-pair supports x single-row broadcast order total — scalar join
+    "orders_market_basket",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
