@@ -315,6 +315,206 @@ def _pq_duck_sql() -> str:
     )
 
 
+# =====================================================================
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# =====================================================================
+
+HYBRID_QUERY_ID = 7  # query = this document's embedding (exists at all SFs)
+HYBRID_LIST_K = 20  # depth of each input ranking
+HYBRID_TOP = 10  # fused results kept
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+def _hybrid_sql(tokenize: str, cos: str) -> str:
+    from .query_catalog_analytics import BM25_B, BM25_K1, BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {tokenize} AS tok FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+       WHERE tok IN ({terms}) GROUP BY tok),
+lex_score AS (
+  SELECT t.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                  * t.tf * {BM25_K1 + 1.0}
+                  / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * d.dl / s.avgdl)) ),
+               4) AS bm25
+  FROM tf t JOIN df f ON t.tok = f.tok
+  JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY t.doc_id),
+lex_top AS (SELECT doc_id, bm25 FROM lex_score
+            ORDER BY bm25 DESC, doc_id LIMIT {HYBRID_LIST_K}),
+lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS BIGINT) AS lex_rank FROM lex_top),
+q AS (SELECT embedding AS qvec FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_ID}),
+sem_score AS (SELECT vec_id AS doc_id, round({cos}, 6) AS sim
+              FROM embeddings CROSS JOIN q
+              WHERE vec_id <> {HYBRID_QUERY_ID}),
+sem_top AS (SELECT doc_id, sim FROM sem_score
+            ORDER BY sim DESC, doc_id LIMIT {HYBRID_LIST_K}),
+sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                            AS BIGINT) AS sem_rank FROM sem_top)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       floor((coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank), CAST(0 AS DOUBLE))
+            + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + s.sem_rank), CAST(0 AS DOUBLE)))
+             * 1000000) / 1000000 AS rrf
+FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+"""
+
+
+def _hybrid_entry_sqls() -> tuple[str, str]:
+    from .operators.similarity import cosine_expr
+    from .query_catalog_ml import _duck_cos
+
+    spark_text = _hybrid_sql(
+        "explode(split(text, ' '))", cosine_expr("embedding", "qvec")
+    )
+    duck_text = _hybrid_sql(
+        "unnest(string_split(text, ' '))", _duck_cos("embedding", "qvec")
+    )
+    return spark_text, duck_text
+
+
+@register(
+    "search_hybrid_rrf",
+    _hybrid_entry_sqls()[1],
+    doc="Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical "
+    "ranking (text_bm25_search's scorer) and an embedding-cosine "
+    "semantic ranking (query = one document's vector, scalar-broadcast) "
+    "each produce a depth-20 list under a (rounded score, doc_id) total "
+    "order; RRF = sum of 1/(60 + rank), missing lists contribute 0. "
+    "Both rankings come off TakeOrderedAndProject (per-partition "
+    "partial top-k — the rank window runs on the 20 survivors, never "
+    "the corpus); the fuse is one 20x20 full-outer join. Rank ties are "
+    "impossible (unique doc_id tiebreak), so fused output is "
+    "deterministic in both engines; RRF floor-scaled at 1e-6.",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query_catalog import _sql
+
+    return _sql(spark, sf_dir, _hybrid_entry_sqls()[0])
+
+
+# =====================================================================
+# OHLC (open-high-low-close) bars — min_by/max_by positional aggregates
+# =====================================================================
+
+_OHLC_ORDKEY_SPARK = (
+    "lpad(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING), 20, '0') || "
+    "lpad(CAST(event_id AS STRING), 10, '0')"
+)
+_OHLC_ORDKEY_DUCK = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 10, '0')"
+)
+
+sql_query(
+    "events_ohlc_hourly",
+    "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') AS hour, "
+    "event_type, "
+    f"min_by(value, {_OHLC_ORDKEY_SPARK}) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    f"max_by(value, {_OHLC_ORDKEY_SPARK}) AS close, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 2) AS volume "
+    "FROM events GROUP BY 1, 2",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, "
+    "event_type, "
+    f"arg_min(value, {_OHLC_ORDKEY_DUCK}) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    f"arg_max(value, {_OHLC_ORDKEY_DUCK}) AS close, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 2) AS volume "
+    "FROM events GROUP BY 1, 2",
+    doc="OHLC candlestick bars per (hour, event_type): open/close via "
+    "min_by/max_by on a zero-padded (epoch, event_id) string key — "
+    "positional aggregates with a total-order tiebreak, so the bar is "
+    "deterministic under retries and partial-aggregate merge order. "
+    "All six measures combine map-side (min_by/max_by are algebraic); "
+    "one shuffle of |buckets| rows. Open/high/low/close are stored "
+    "values (bit-exact both engines), only the sum is rounded.",
+)
+
+
+# =====================================================================
+# Triangle counting on the nation trade graph (oriented edge join)
+# =====================================================================
+
+_TRIANGLE_SQL = (
+    # undirected edges = nation pairs with above-average trade volume,
+    # oriented a < b (each triangle counted exactly once as a<b<c —
+    # the standard forward/compact orientation that keeps the edge
+    # join linear in triangles instead of 6x-overcounting).
+    "WITH pairw AS (SELECT least(cn.n_name, sn.n_name) AS a, "
+    "greatest(cn.n_name, sn.n_name) AS b, "
+    "sum(l_extendedprice * (1 - l_discount)) AS w "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "WHERE cn.n_name <> sn.n_name GROUP BY 1, 2), "
+    "edges AS (SELECT a, b FROM pairw "
+    "WHERE w > (SELECT avg(w) FROM pairw)), "
+    "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM edges e1 "
+    "JOIN edges e2 ON e1.b = e2.a "
+    "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "members AS (SELECT x AS nation FROM tri UNION ALL "
+    "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+    "SELECT nation, CAST(count(*) AS BIGINT) AS n_triangles "
+    "FROM members GROUP BY nation ORDER BY nation"
+)
+
+sql_query(
+    "trade_triangle_count",
+    _TRIANGLE_SQL,
+    doc="Per-node triangle counting on the nation trade graph (edges = "
+    "above-average customer-nation to supplier-nation volume). Edges "
+    "are oriented a < b so each triangle materializes exactly once "
+    "(x<y<z) from two equi-joins — the compact-forward algorithm whose "
+    "join work is O(sum of deg^2) rather than the 6x-overcounting "
+    "naive form; per-node counts then fall out of one union + groupBy. "
+    "The sparsifying threshold is a scalar subquery (broadcast, one "
+    "row). Identical ANSI text both engines.",
+)
+
+
+# =====================================================================
+# Null-safe equality join (IS NOT DISTINCT FROM as an equi-join key)
+# =====================================================================
+
+sql_query(
+    "null_safe_join_sampler",
+    # nullif() manufactures NULL keys from testdata (group 0 -> NULL);
+    # IS NOT DISTINCT FROM matches NULL with NULL, and Spark plans it
+    # as an EqualNullSafe equi-join key (hash/sort-merge able), NOT a
+    # nested loop — the correct way to join on nullable keys at scale.
+    "WITH c AS (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k "
+    "FROM customer), "
+    "s AS (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS k "
+    "FROM supplier) "
+    "SELECT c.k AS key_group, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers, "
+    "CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers "
+    "FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k "
+    "GROUP BY c.k ORDER BY key_group NULLS FIRST",
+    doc="Null-safe equality join: nullable keys matched with IS NOT "
+    "DISTINCT FROM (NULL meets NULL), aggregated per key group "
+    "including the NULL group. Spark compiles the predicate to an "
+    "EqualNullSafe join KEY — hash-partitionable, so the join stays "
+    "shuffle-based at scale instead of degenerating to a nested loop. "
+    "Identical ANSI text both engines.",
+)
+
+
 @register(
     "embedding_pq_codes",
     _pq_duck_sql(),

@@ -48,6 +48,8 @@ BNLJ_OK = {
     "text_unigram_logprob",
     # brand-pair supports x single-row broadcast order total — scalar join
     "orders_market_basket",
+    # corpus x single-row broadcast query vector — scalar join
+    "search_hybrid_rrf",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
