@@ -222,6 +222,121 @@ sql_query(
 
 
 # =====================================================================
+# Count-Min sketch frequency estimation (third sketch family, after
+# HLL distinct counts and GK quantiles — here BOTH the estimate and
+# the exact count are emitted as hard values, fully hash-checked)
+# =====================================================================
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row (2 md5 hex digits)
+
+_CMS_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', k)), 1, 2), "
+    "16, 10) AS INT)"
+)
+_CMS_BUCKET_DUCK = (
+    "((strpos('0123456789abcdef', "
+    "substr(md5(CAST(i AS VARCHAR) || ':' || k), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', "
+    "substr(md5(CAST(i AS VARCHAR) || ':' || k), 2, 1)) - 1))"
+)
+
+
+def _cms_sql(explode_i: str, bucket: str, vchar: str) -> str:
+    # counters built from the per-key counts (all occurrences of a key
+    # share a bucket, so sum-of-key-counts == count-of-rows per bucket)
+    return f"""
+WITH keys AS (SELECT CAST(user_id AS {vchar}) AS k,
+                     CAST(count(*) AS BIGINT) AS exact_n
+              FROM events GROUP BY 1),
+hashes AS (SELECT k, exact_n, {explode_i} AS i FROM keys),
+buckets AS (SELECT k, exact_n, i, {bucket} AS b FROM hashes),
+counters AS (SELECT i, b, sum(exact_n) AS c FROM buckets GROUP BY i, b),
+est AS (SELECT h.k, min(h.exact_n) AS exact_n, min(c.c) AS cms_est
+        FROM buckets h JOIN counters c ON h.i = c.i AND h.b = c.b
+        GROUP BY h.k)
+SELECT CAST(k AS BIGINT) AS user_id, exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       cms_est >= exact_n AS lower_ok,
+       CAST(cms_est - exact_n AS DOUBLE)
+         <= 2.718281828459045 / {CMS_WIDTH}
+            * (SELECT CAST(count(*) AS DOUBLE) FROM events) AS upper_ok
+FROM est
+"""
+
+
+sql_query(
+    "sketch_count_min_users",
+    _cms_sql(
+        f"explode(sequence(1, {CMS_DEPTH}))", _CMS_BUCKET_SPARK, "STRING"
+    ),
+    _cms_sql(
+        f"unnest(range(1, {CMS_DEPTH + 1}))", _CMS_BUCKET_DUCK, "VARCHAR"
+    ),
+    doc="Count-Min sketch frequency estimation (d=4 md5 hash rows, "
+    "w=256): counters come from one groupBy over the keyed counts "
+    "(all occurrences of a key share its bucket, so sum-of-key-counts "
+    "equals the row count per cell); the estimate is the min over the "
+    "d counters, re-attached via a broadcast join against the "
+    "4x256-row counter table. The sketch is mergeable (pure sums) — "
+    "the map-side-combine path for frequency estimates over 100 TB. "
+    "Unlike the HLL/GK entries, md5 hashing is engine-reproducible, so "
+    "the estimate itself is a hash-checked hard value; the CMS "
+    "guarantees (est >= exact; overshoot <= (e/w)*N) ride along as "
+    "booleans.",
+)
+
+
+# =====================================================================
+# Window distribution functions (percent_rank / cume_dist / ntile)
+# =====================================================================
+
+sql_query(
+    "window_distribution_functions",
+    # shared ANSI text. The WINDOW clause carries a full total order
+    # (quantity, orderkey, linenumber) so ntile's positional split is
+    # deterministic; percent_rank/cume_dist are floor-scaled.
+    "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, "
+    "floor(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank, "
+    "floor(cume_dist() OVER w * 1000000) / 1000000 AS cume_d, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile "
+    "FROM lineitem WHERE l_orderkey % 100 = 0 "
+    "WINDOW w AS (PARTITION BY l_returnflag "
+    "ORDER BY l_quantity, l_orderkey, l_linenumber)",
+    doc="Window distribution functions — percent_rank, cume_dist, "
+    "ntile(4) over one shared WINDOW clause (single sort per "
+    "partition feeds all three). The frame carries a unique tiebreak "
+    "so ntile's positional assignment is deterministic; rank ratios "
+    "are floor-scaled. Partitioned by return flag — no unpartitioned "
+    "global window at any scale. Identical ANSI text both engines.",
+)
+
+
+# =====================================================================
+# LATERAL correlated subquery (per-row dependent top-k)
+# =====================================================================
+
+sql_query(
+    "lateral_topk_customers",
+    # identical ANSI text. Spark decorrelates the LATERAL order-limit
+    # into a per-key window (DomainJoin rewrite) — no nested loop over
+    # the outer side at scale.
+    "SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS balance "
+    "FROM nation n, LATERAL ("
+    "SELECT c_name, c_acctbal FROM customer "
+    "WHERE c_nationkey = n.n_nationkey "
+    "ORDER BY c_acctbal DESC, c_name LIMIT 3) t",
+    doc="LATERAL correlated subquery: per-nation top-3 customers by "
+    "balance via a correlated ORDER BY ... LIMIT — the dependent-join "
+    "form of window_topk_per_group. Spark's optimizer decorrelates "
+    "the lateral limit (rewritten onto the joined relation), so the "
+    "plan is a shuffle join + per-key limit, not an outer-row-driven "
+    "nested loop. Balances are stored doubles (bit-exact); identical "
+    "ANSI text both engines.",
+)
+
+
+# =====================================================================
 # Product quantization of embeddings (deterministic literal codebook)
 # =====================================================================
 
