@@ -37,39 +37,6 @@ PQ_CENTROIDS = 16  # codebook size per subspace (4-bit codes)
 
 
 # =====================================================================
-# GROUPING SETS subtotal lattice (beyond the ROLLUP/CUBE entries —
-# an arbitrary explicit set list with grouping() indicator columns)
-# =====================================================================
-
-_GROUPING_SETS_SQL = (
-    # identical ANSI text in both engines.  One Expand + one hash
-    # aggregate in Spark: the input is replicated once per grouping
-    # set map-side and partially aggregated before the single shuffle,
-    # so the exchange carries |groups|, not 4x the input.
-    "SELECT coalesce(l_returnflag, '(all)') AS flag, "
-    "coalesce(l_linestatus, '(all)') AS status, "
-    "CAST(grouping(l_returnflag) AS INT) AS g_flag, "
-    "CAST(grouping(l_linestatus) AS INT) AS g_status, "
-    "CAST(count(*) AS BIGINT) AS n_rows, "
-    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
-    "FROM lineitem "
-    "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
-    "(l_returnflag), (l_linestatus), ())"
-)
-
-sql_query(
-    "grouping_sets_revenue",
-    _GROUPING_SETS_SQL,
-    doc="Arbitrary GROUPING SETS subtotal lattice with grouping() "
-    "indicator columns — the explicit-set general form of the rollup/"
-    "cube entries (reference plans aggregate per partition column and "
-    "per full table in separate passes; one Expand-based aggregation "
-    "replaces both). Plans as a single Expand + partially-aggregated "
-    "hash aggregate: one shuffle of |groups| rows at any scale.",
-)
-
-
-# =====================================================================
 # Market-basket affinity: brand pairs co-occurring in an order
 # =====================================================================
 
