@@ -1905,3 +1905,108 @@ def test_pagerank_mass_conservation(spark):
     total = sum(r["pr"] for r in rows)
     assert all(r["pr"] > 0 for r in rows)
     assert 0.5 <= total <= 1.000001, total
+
+
+# ---- round-4 third pass: mining/compression differential tests ------
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """events_user_ewma vs pandas ewm(adjust=False) — the same
+    recurrence computed by an independent implementation (not the
+    DuckDB oracle's fold)."""
+    import pandas as pd
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
+        _CATALOG,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_mining import (
+        EWMA_ALPHA,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in _CATALOG["events_user_ewma"].fn(spark, sf).collect()
+    }
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    import math
+
+    for uid, grp in ev.groupby("user_id"):
+        ref = grp["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+        n, ewma = got[uid]
+        assert n == len(grp)
+        assert ewma == math.floor(ref * 10000) / 10000, (uid, ewma, ref)
+
+
+def test_pq_codes_match_numpy(spark):
+    """embedding_pq_codes vs a numpy argmin over the same codebook."""
+    import numpy as np
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
+        _CATALOG,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_mining import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["vec_id"]: [int(c) for c in r["codes"].split(",")]
+        for r in _CATALOG["embedding_pq_codes"].fn(spark, sf).collect()
+    }
+    cb = np.array(pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM))
+    embs = load_table(spark, sf, "embeddings").collect()
+    for row in embs:
+        v = np.array(row["embedding"], dtype=np.float64)
+        for s in range(PQ_SUBSPACES):
+            sub = v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            d = ((cb[s] - sub) ** 2).sum(axis=1)
+            # 1-based first-min index, matching array_position semantics
+            assert got[row["vec_id"]][s] == int(np.argmin(d)) + 1, (
+                row["vec_id"],
+                s,
+            )
+
+
+def test_cms_estimate_dominates_exact(spark):
+    """Count-Min invariants: est >= exact for every key (structural,
+    not probabilistic) and the (e/w)*N overshoot bound booleans hold."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
+        _CATALOG,
+    )
+
+    rows = _CATALOG["sketch_count_min_users"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"], r
+        assert r["lower_ok"] and r["upper_ok"], r
+
+
+def test_triangle_counts_sum_divisible_by_three(spark):
+    """Each triangle contributes exactly one count to each of its
+    three members — the per-node total must be 3x the triangle count."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
+        _CATALOG,
+    )
+
+    rows = _CATALOG["trade_triangle_count"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["n_triangles"] for r in rows)
+    assert total > 0 and total % 3 == 0, total

@@ -60,6 +60,11 @@ HEAVY = [
     "dedup_shared_ngram_spans",
     "text_tfidf_top_terms",
     "text_bm25_search",
+    # round-4 third pass: codegen-only PQ over 10x vectors, CMS counter
+    # build over 10x events, hybrid fusion (BM25 + cosine top-k twice)
+    "embedding_pq_codes",
+    "sketch_count_min_users",
+    "search_hybrid_rrf",
 ]
 
 
