@@ -189,6 +189,119 @@ sql_query(
 
 
 # =====================================================================
+# DSIR-style importance resampling (domain-targeted data selection)
+# =====================================================================
+
+DSIR_TARGET_SOURCE = "src18"  # stand-in "high-quality domain" corpus
+DSIR_BASE_RATE = 0.5  # acceptance scale for exp(log-importance)
+
+_DSIR_DOC_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT)"
+)
+_DSIR_DOC_BUCKET_DUCK = (
+    "((strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+def _dsir_sql(tok: str, bucket: str) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, source, {tok} AS tok FROM documents),
+ct AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c_all,
+       CAST(count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS DOUBLE)
+         AS c_tgt
+       FROM toks GROUP BY tok),
+tot AS (SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt,
+        CAST(count(*) AS DOUBLE) AS v FROM ct),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         avg(ln( ((c.c_tgt + 1) / (s.n_tgt + s.v))
+               / ((c.c_all + 1) / (s.n_all + s.v)) )) AS lw
+  FROM toks t JOIN ct c ON t.tok = c.tok CROSS JOIN tot s
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(lw * 10000) / 10000 AS log_importance,
+       (CAST({bucket} AS DOUBLE) / 256.0)
+         < least(exp(lw) * {DSIR_BASE_RATE}, CAST(1 AS DOUBLE)) AS kept
+FROM scored
+"""
+
+
+sql_query(
+    "curate_dsir_importance",
+    _dsir_sql("explode(filter(split(text, ' '), t -> t <> ''))",
+              _DSIR_DOC_BUCKET_SPARK),
+    _dsir_sql("unnest(list_filter(string_split(text, ' '), t -> t <> ''))",
+              _DSIR_DOC_BUCKET_DUCK),
+    doc="DSIR-style importance resampling (Xie et al. 2023): per-doc "
+    "log importance = mean token log-ratio of Laplace-smoothed "
+    "target-domain vs whole-corpus unigram LMs, acceptance via the "
+    "deterministic md5 doc bucket against exp(importance)*rate — "
+    "reproducible across engines/runs/retries, unlike seeded RNG "
+    "sampling. Plan: one token explode, one vocab-keyed count (both "
+    "LMs from the SAME aggregation via FILTER), join back, per-doc "
+    "avg — two linear shuffles (token, doc) regardless of corpus "
+    "size; LM totals ride a 1-row broadcast.",
+)
+
+
+# =====================================================================
+# Logistic quality model scoring (fasttext-style classifier gate,
+# literal weights — the model-based sibling of the Gopher rule filter)
+# =====================================================================
+
+# weights chosen to exercise all features; a trained model would ship
+# the same way (plan literals), which is what the oracle can verify.
+QM_W0 = -3.0
+QM_W_LOGLEN = 0.85  # ln(1 + n_chars)
+QM_W_PUNCT = -4.0  # non-alphanumeric-space ratio
+QM_W_DIGIT = -2.5  # digit ratio
+QM_W_WORDLEN = -0.15  # mean word length (chars per space-token)
+
+
+def _qm_sql(g: str) -> str:
+    # near-identical text both engines; the one divergence is DuckDB's
+    # regexp_replace needing an explicit 'g' flag to strip ALL matches
+    # (Spark is global by default) — ``g`` is ", 'g'" or "".
+    z = (
+        f"{QM_W0} + {QM_W_LOGLEN} * ln(1 + length(text)) "
+        f"+ {QM_W_PUNCT} * (CAST(length(regexp_replace(text, "
+        f"'[a-zA-Z0-9 ]', ''{g})) AS DOUBLE) / length(text)) "
+        f"+ {QM_W_DIGIT} * (CAST(length(text) - length(regexp_replace(text, "
+        f"'[0-9]', ''{g})) AS DOUBLE) / length(text)) "
+        f"+ {QM_W_WORDLEN} * (CAST(length(text) AS DOUBLE) "
+        f"/ (1 + length(text) - length(replace(text, ' ', ''))))"
+    )
+    return (
+        "SELECT doc_id, "
+        f"floor((CAST(1 AS DOUBLE) / (1 + exp(-({z})))) * 10000) / 10000 "
+        "AS quality_score, "
+        f"(CAST(1 AS DOUBLE) / (1 + exp(-({z})))) >= 0.5 AS kept "
+        "FROM documents WHERE length(text) > 0"
+    )
+
+
+sql_query(
+    "text_quality_model_score",
+    _qm_sql(""),
+    _qm_sql(", 'g'"),
+    doc="Model-based quality gate: logistic scorer over four rowwise "
+    "features (log length, punctuation ratio, digit ratio, mean word "
+    "length) with literal weights — the fasttext-classifier-style "
+    "sibling of the rule-based Gopher filter; a trained model ships "
+    "its weights the same way (plan literals, no data movement). "
+    "Pure whole-stage-codegen arithmetic, zero shuffles; score "
+    "floor-scaled. NOTE the regexp_replace character-class trick: "
+    "ratio numerators come from stripped-length deltas, so no token "
+    "explode is needed. Dialect gotcha: DuckDB regexp_replace "
+    "replaces only the FIRST match without the 'g' flag (Spark is "
+    "global by default) — the single divergence between the texts.",
+)
+
+
+# =====================================================================
 # Count-Min sketch frequency estimation (third sketch family, after
 # HLL distinct counts and GK quantiles — here BOTH the estimate and
 # the exact count are emitted as hard values, fully hash-checked)

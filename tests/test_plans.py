@@ -50,6 +50,8 @@ BNLJ_OK = {
     "orders_market_basket",
     # corpus x single-row broadcast query vector — scalar join
     "search_hybrid_rrf",
+    # token stream x single-row broadcast LM totals — scalar join
+    "curate_dsir_importance",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
