@@ -2010,3 +2010,75 @@ def test_triangle_counts_sum_divisible_by_three(spark):
     ).collect()
     total = sum(r["n_triangles"] for r in rows)
     assert total > 0 and total % 3 == 0, total
+
+
+# ---- schema evolution (drift-tolerant union / append alignment) -----
+
+
+def test_union_with_evolution_widens_and_backfills(spark):
+    from pyspark.sql.types import DoubleType, LongType, TimestampType
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.schema_evolution import (
+        SchemaEvolutionError,
+        align_to_schema,
+        merge_schemas,
+        union_with_evolution,
+        widen_type,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10, 1.5)], "id int, qty int, price float"
+    )
+    new = spark.createDataFrame(
+        [(2, 20_000_000_000, 2.5, "web")],
+        "id long, qty long, price double, channel string",
+    )
+    merged = merge_schemas([old.schema, new.schema])
+    assert [f.name for f in merged.fields] == ["id", "qty", "price", "channel"]
+    assert merged["id"].dataType == LongType()
+    assert merged["qty"].dataType == LongType()
+    assert merged["price"].dataType == DoubleType()
+    assert merged["channel"].nullable  # missing from `old`
+
+    rows = {r["id"]: r for r in union_with_evolution([old, new]).collect()}
+    assert rows[1]["channel"] is None and rows[1]["qty"] == 10
+    assert rows[2]["qty"] == 20_000_000_000
+
+    # narrowing must refuse, not truncate
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaEvolutionError):
+        align_to_schema(new, old.schema)
+    # string vs long is irreconcilable
+    with _pytest.raises(SchemaEvolutionError):
+        union_with_evolution(
+            [old, spark.createDataFrame([("x",)], "id string")]
+        )
+    # temporal lattice: date widens into ts; ntz/ts reconcile to ts
+    from pyspark.sql.types import DateType, TimestampNTZType
+
+    assert widen_type(DateType(), TimestampNTZType()) == TimestampNTZType()
+    assert widen_type(TimestampNTZType(), TimestampType()) == TimestampType()
+
+
+def test_union_with_evolution_matches_mergeschema_read(spark, tmp_path):
+    """Writer-side evolution == Spark's reader-side mergeSchema."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.schema_evolution import (
+        union_with_evolution,
+    )
+
+    a = spark.createDataFrame([(1, "a")], "id long, name string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, score double")
+    a.write.parquet(str(tmp_path / "t" / "p=1"))
+    b.write.parquet(str(tmp_path / "t" / "p=2"))
+    via_reader = (
+        spark.read.option("mergeSchema", True)
+        .parquet(str(tmp_path / "t"))
+        .drop("p")
+    )
+    via_writer = union_with_evolution([a, b])
+    assert set(via_reader.columns) == set(via_writer.columns)
+    canon = lambda df: sorted(
+        tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
+    )
+    assert canon(via_reader) == canon(via_writer)
