@@ -71,6 +71,10 @@ class EngineConfig:
     # partition-index retry semantics); off by default — stats refresh
     # is a policy choice, not part of the write path.
     post_write_analyze: bool = False
+    # drift-tolerant appends: align each batch to the widened merge of
+    # the dataset's schema (operators/schema_evolution.py) before the
+    # write; off by default to preserve the reference's strict contract.
+    evolve_schema: bool = False
 
 
 class Engine:
@@ -178,6 +182,7 @@ class Engine:
                 target_database=self.config.target_database if self.config.register_catalog else None,
                 table_name=job.target_table_name if self.config.register_catalog else None,
                 mode=self.config.sink_mode,
+                evolve_schema=self.config.evolve_schema,
             )
             if observation is not None:
                 row_count = int(observation.get["n"])
@@ -317,6 +322,7 @@ class IncrementalMixin:
             target_database=self.config.target_database if self.config.register_catalog else None,
             table_name=job.target_table_name if self.config.register_catalog else None,
             mode="append",
+            evolve_schema=self.config.evolve_schema,
         )
         row_count = int(obs.get["n"])
         new_wm = obs.get["wm"]

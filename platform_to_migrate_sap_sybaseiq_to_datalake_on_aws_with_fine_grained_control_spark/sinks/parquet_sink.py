@@ -36,6 +36,46 @@ def _safe_table_name(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", name)
 
 
+_SCHEMA_SIDECAR = "_schema.json"
+
+
+def _existing_data_schema(spark: SparkSession, path: str, keys: list[str]):
+    """Schema of the data columns already at ``path``, or None when
+    nothing is there yet.
+
+    Source of truth is the ``_schema.json`` sidecar this sink writes on
+    evolving appends (the Delta-transaction-log pattern, O(1) at any
+    dataset size).  Fallback for datasets that predate evolution is a
+    plain footer read — safe there because without evolution every
+    file shares one schema (Spark's own ``mergeSchema`` cannot merge
+    int/long-widened files, which is exactly why the sidecar exists).
+    Partition-key columns are excluded: their read-back types are
+    directory-inferred (``year=2020`` comes back int) and must not
+    participate in type reconciliation."""
+    from pyspark.sql.types import StructType
+
+    import json
+
+    side = Path(path) / _SCHEMA_SIDECAR
+    lk = {k.lower() for k in keys}
+    if side.exists():
+        sch = StructType.fromJson(json.loads(side.read_text()))
+        return StructType([f for f in sch.fields if f.name.lower() not in lk])
+    if not Path(path).exists():
+        return None
+    try:
+        sch = spark.read.parquet(path).schema
+    except Exception:
+        return None
+    return StructType([f for f in sch.fields if f.name.lower() not in lk])
+
+
+def _write_schema_sidecar(path: str, schema) -> None:
+    import json
+
+    (Path(path) / _SCHEMA_SIDECAR).write_text(json.dumps(schema.jsonValue()))
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     root: str,
@@ -44,6 +84,7 @@ def write_partitioned_parquet(
     target_database: str | None = None,
     table_name: str | None = None,
     mode: str = "append",
+    evolve_schema: bool = False,
 ) -> SinkResult:
     """K1/K2 — partitioned parquet write + catalog registration.
 
@@ -52,9 +93,39 @@ def write_partitioned_parquet(
     ``collect_set``) — no second scan, no full-listing ``MSCK`` — so
     catalog registration after an append touches only the just-written
     partitions.
+
+    ``evolve_schema=True`` makes appends drift-tolerant: the incoming
+    frame is aligned to the widened merge of the existing dataset's
+    schema and its own (typed-null backfill for columns it lacks,
+    widen-only casts for columns that grew — see
+    ``operators.schema_evolution``), and the catalog table is
+    re-registered with the merged schema, under which parquet reads
+    surface old files' missing columns as nulls.  Narrowing or
+    incompatible drift still raises — no silent truncation.
     """
     path = str(Path(root) / path_suffix)
     keys = partition_keys or []
+
+    if evolve_schema and mode == "append":
+        from pyspark.sql.types import StructType
+
+        from ..operators.schema_evolution import align_to_schema, merge_schemas
+
+        existing = _existing_data_schema(df.sparkSession, path, keys)
+        if existing is not None:
+            lk = {k.lower() for k in keys}
+            new_data = StructType(
+                [f for f in df.schema.fields if f.name.lower() not in lk]
+            )
+            merged = merge_schemas([existing, new_data])
+            target = StructType(
+                merged.fields
+                + [f for f in df.schema.fields if f.name.lower() in lk]
+            )
+            df = align_to_schema(df, target)
+        _write_schema_sidecar_after = True
+    else:
+        _write_schema_sidecar_after = False
 
     to_write = df
     obs = None
@@ -71,6 +142,8 @@ def write_partitioned_parquet(
     if keys:
         writer = writer.partitionBy(*keys)
     writer.save(path)
+    if _write_schema_sidecar_after:
+        _write_schema_sidecar(path, df.schema)
 
     qualified = None
     if table_name:

@@ -2082,3 +2082,46 @@ def test_union_with_evolution_matches_mergeschema_read(spark, tmp_path):
         tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
     )
     assert canon(via_reader) == canon(via_writer)
+
+
+def test_sink_append_evolves_schema(spark, tmp_path):
+    """Drift-tolerant append: a later batch with a widened type and a
+    new column merges into the dataset; the catalog table exposes the
+    merged schema with nulls for old rows' missing column."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    d1 = spark.createDataFrame([(1, 10, "2024")], "id int, qty int, year string")
+    write_partitioned_parquet(
+        d1, str(tmp_path), "lake/ev", ["year"],
+        target_database="db_evolve", table_name="ev", mode="append",
+        evolve_schema=True,
+    )
+    d2 = spark.createDataFrame(
+        [(2, 20_000_000_000, "web", "2025")],
+        "id long, qty long, channel string, year string",
+    )
+    write_partitioned_parquet(
+        d2, str(tmp_path), "lake/ev", ["year"],
+        target_database="db_evolve", table_name="ev", mode="append",
+        evolve_schema=True,
+    )
+    rows = {r["id"]: r for r in spark.table("db_evolve.ev").collect()}
+    assert rows[1]["channel"] is None and rows[1]["qty"] == 10
+    assert rows[2]["qty"] == 20_000_000_000
+    assert dict(spark.table("db_evolve.ev").dtypes)["qty"] == "bigint"
+    # incompatible drift refuses instead of corrupting the dataset
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.schema_evolution import (
+        SchemaEvolutionError,
+    )
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("x", "2026")], "qty string, year string")
+    with _pytest.raises(SchemaEvolutionError):
+        write_partitioned_parquet(
+            bad, str(tmp_path), "lake/ev", ["year"],
+            target_database="db_evolve", table_name="ev", mode="append",
+            evolve_schema=True,
+        )
+    spark.sql("DROP TABLE db_evolve.ev")
