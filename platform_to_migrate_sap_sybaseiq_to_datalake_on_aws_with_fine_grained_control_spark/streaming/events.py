@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -431,4 +432,64 @@ def stream_click_purchase_join(events: DataFrame, window_minutes: int = 30) -> D
     )
     return joined.select(
         "user_id", "click_id", "purchase_id", "purchase_value"
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+_EWMA_STATE = StructType(
+    [StructField("ewma", DoubleType()), StructField("n", LongType())]
+)
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming form of the batch ``events_user_ewma`` fold: per-user
+    exponentially-weighted moving average maintained as O(1) keyed
+    state (one (ewma, count) pair per user) via
+    ``applyInPandasWithState`` — the unbounded-stream shape of a
+    recurrence the batch entry computes with a bounded collect_list
+    fold.
+
+    Within a micro-batch, rows fold in (ts, event_id) order; across
+    micro-batches the fold applies in arrival order, so replayed
+    event-time-ordered sources (the tests' file replay, or any
+    log-compacted CDC feed) reproduce the batch result exactly.  The
+    per-update emission (outputMode=update) makes the latest smoothed
+    value continuously queryable — the online feature-store shape.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ewma, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+            for v in pdf["value"].astype("float64"):
+                v = float(v)
+                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+                n += 1
+        if ewma is None:
+            return
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "ewma_value": [float(ewma)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

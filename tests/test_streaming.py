@@ -509,3 +509,41 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_parts):
     assert len(exp_s) > 0, "fixture should contain click->purchase pairs"
     assert got_s == exp_s
     assert abs(got["purchase_value"].sum() - exp["purchase_value"].sum()) < 1e-6
+
+
+def test_stateful_ewma_matches_batch(spark, events_stream_parts):
+    """The streaming EWMA state machine, replaying the time-ordered
+    3-slice stream, converges to exactly the batch events_user_ewma
+    fold (same alpha, same (ts, event_id) order, floor-scaled)."""
+    import math
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_mining import (
+        EWMA_ALPHA,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        replay_events_stream,
+        stateful_ewma,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    stream = replay_events_stream(spark, str(stream_dir), schema)
+    _run_stream_to_memory(
+        stateful_ewma(stream, alpha=EWMA_ALPHA), "ewma_sink", "update"
+    )
+    got_pdf = spark.sql("SELECT * FROM ewma_sink").toPandas()
+    # update mode: keep each user's LAST emission (max n_events)
+    last = got_pdf.sort_values("n_events").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (int(r.n_events), math.floor(r.ewma_value * 10000) / 10000)
+        for r in last.itertuples()
+    }
+
+    exp = {}
+    pdf = full.toPandas().dropna(subset=["value"]).sort_values(["ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        ewma = None
+        for v in g["value"].astype("float64"):
+            v = float(v)
+            ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
+        exp[int(uid)] = (len(g), math.floor(ewma * 10000) / 10000)
+    assert got == exp
