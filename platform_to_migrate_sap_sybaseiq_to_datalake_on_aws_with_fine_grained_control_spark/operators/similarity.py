@@ -80,18 +80,33 @@ def _vec_sql(vec: list[float]) -> str:
     return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
 
 
+def dot_expr(x: str, y: str) -> str:
+    """Spark SQL text for the dot product of two array columns as an
+    explicit left-to-right double fold (bit-reproducible)."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (p, q) -> "
+        f"CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(x: str) -> str:
+    """Spark SQL text for the L2 norm (the exact subexpression
+    ``cosine_expr`` uses, so ``dot/(norm_a*norm_b)`` with precomputed
+    norms is bit-identical to the inline form)."""
+    return f"sqrt({dot_expr(x, x)})"
+
+
 def cosine_expr(a: str, b: str) -> str:
     """Spark SQL text for cosine similarity of two array<float/double>
     columns, as explicit left-to-right double folds (bit-reproducible).
-    """
-    def dot(x: str, y: str) -> str:
-        return (
-            f"aggregate(zip_with({x}, {y}, (p, q) -> "
-            f"CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
-            f"(acc, v) -> acc + v)"
-        )
 
-    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+    When one side repeats across many partners (corpus × centroids,
+    candidates × queries), precompute :func:`norm_expr` per side ONCE
+    and divide the dot by the product — 3× less fold arithmetic per
+    pair, same bits.
+    """
+    return f"({dot_expr(a, b)} / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)})))"
 
 
 def plane_dot_expr(vec_col: str, plane: list[float]) -> str:
@@ -527,6 +542,10 @@ def kmeans_centroids(
     round to keep the plan flat.
     """
     base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # corpus-side norms once, not once per (vector, centroid, iteration):
+    # cos = dot/(_vn*_cn) is bit-identical to the inline cosine_expr
+    # (same sqrt(dot) subexpressions) at a third of the fold work.
+    base = base.withColumn("_vn", F.expr(norm_expr("_v")))
     seeds = (
         base.select(
             "_id", "_v", F.md5(F.col("_id").cast("string")).alias("_seed")
@@ -547,11 +566,12 @@ def kmeans_centroids(
             (F.col("_rn") - 1).cast("int").alias("cid"),
             F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("centroid"),
         )
+        .withColumn("_cn", F.expr(norm_expr("centroid")))
         .localCheckpoint()
     )
     for _ in range(iters):
         scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", F.expr(cosine_expr("_v", "centroid"))
+            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
         )
         ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
         assigned = (
@@ -573,9 +593,10 @@ def kmeans_centroids(
         cents = (
             cents.join(new_cents, "cid", "left")
             .select("cid", F.coalesce("_new", "centroid").alias("centroid"))
+            .withColumn("_cn", F.expr(norm_expr("centroid")))
             .localCheckpoint()
         )
-    return cents
+    return cents.drop("_cn")
 
 
 def ivf_topk(
@@ -602,21 +623,26 @@ def ivf_topk(
     """
     query_ids = query_ids or [0, 1, 2]
     if codebook is not None:
-        cents = F.broadcast(
-            codebook.select(
-                F.col(codebook.columns[0]).alias("list_label"), "centroid"
-            )
+        cents = codebook.select(
+            F.col(codebook.columns[0]).alias("list_label"), "centroid"
         )
     else:
-        cents = F.broadcast(
-            label_centroids(corpus, vec_col, label_col).select(
-                F.col(label_col).alias("list_label"), "centroid"
-            )
+        cents = label_centroids(corpus, vec_col, label_col).select(
+            F.col(label_col).alias("list_label"), "centroid"
         )
+    # centroid norms once per codebook row, vector norms once per
+    # corpus row: cos = dot/(_vn*_cn) reuses cosine_expr's exact
+    # sqrt(dot) subexpressions — identical bits, a third of the folds.
+    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn(
-            "cos_c", F.expr(cosine_expr(vec_col, "centroid"))
+        scored = (
+            df.withColumn("_vn", F.expr(norm_expr(vec_col)))
+            .crossJoin(cents)
+            .withColumn(
+                "cos_c",
+                F.expr(f"({dot_expr(vec_col, 'centroid')}) / (_vn * _cn)"),
+            )
         )
         if keep == 1:
             # corpus-side argmax as an aggregation, not a window: the
@@ -640,20 +666,27 @@ def ivf_topk(
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= keep)
-            .drop("cos_c", "centroid", "_rn")
+            .drop("cos_c", "centroid", "_rn", "_vn", "_cn")
         )
 
     base = corpus.select(id_col, vec_col)
-    lists = assign(base, 1)  # inverted list per corpus vector
+    # candidate re-rank reuses the same precomputed-norm identity:
+    # each corpus vector's norm once (not once per probing query), each
+    # query's norm once (not once per candidate)
+    lists = assign(base, 1).withColumn("_vn", F.expr(norm_expr(vec_col)))
     probes = assign(base.filter(F.col(id_col).isin(query_ids)), nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "list_label",
+        F.expr(norm_expr(vec_col)).alias("_qn"),
     )
     scored = (
         lists.join(F.broadcast(probes), "list_label")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+        .withColumn(
+            "cos_full",
+            F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)"),
+        )
     )
     # two-phase top-k (see brute_force_topk): probed lists are
     # nprobe/k of the corpus — still corpus-scale, so bound the final
