@@ -190,6 +190,9 @@ def lsh_multiprobe_topk(
     query_ids = query_ids or [0, 1, 2]
     hp = hyperplanes(planes, dims)
     bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
+    # norms once per side (see cosine_expr note): identical bits,
+    # one fold per row instead of three per (candidate, query) pair
+    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col)))
     queries = (
         with_multiprobe_buckets(
             corpus.filter(F.col(id_col).isin(query_ids)), vec_col, hp, nprobe_bits
@@ -198,13 +201,16 @@ def lsh_multiprobe_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.explode("probes").alias("bucket"),
+            F.expr(norm_expr(vec_col)).alias("_qn"),
         )
     )
     scored = (
         bucketed.alias("c")
         .join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+        .withColumn(
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+        )
     )
     scored = scored.withColumn(
         "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
@@ -255,13 +261,18 @@ def brute_force_topk(
     """
     query_ids = query_ids or [0, 1, 2]
     queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
     )
     scored = (
         corpus.alias("c")
+        .withColumn("_vn", F.expr(norm_expr(vec_col)))
         .crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+        .withColumn(
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+        )
     )
     scored = scored.withColumn(
         "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
@@ -307,16 +318,20 @@ def lsh_bucket_topk(
     query_ids = query_ids or [0, 1, 2]
     hp = hyperplanes(planes, dims)
     bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
+    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col)))
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col("bucket"),
+        F.col("_vn").alias("_qn"),
     )
     scored = (
         bucketed.alias("c")
         .join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_full", F.expr(cosine_expr("qvec", vec_col)))
+        .withColumn(
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+        )
     )
     # same two-phase top-k as brute_force_topk: a bucket is N/2^planes
     # expected but can still be huge at corpus scale, so don't funnel
