@@ -380,7 +380,12 @@ def embedding_neardup_pairs(
     """
     hp = hyperplanes(planes, dims)
     bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), F.expr(bucket_expr(vec_col, hp)).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(bucket_expr(vec_col, hp)).alias("bucket"),
+        # norm once per vector, not once per candidate pair (identical
+        # bits — see cosine_expr)
+        F.expr(norm_expr(vec_col)).alias("_n"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -388,7 +393,10 @@ def embedding_neardup_pairs(
         a.join(b, "bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .withColumn(
-            "cos_full", F.expr(cosine_expr(f"a.{vec_col}", f"b.{vec_col}"))
+            "cos_full",
+            F.expr(
+                f"({dot_expr(f'a.{vec_col}', f'b.{vec_col}')}) / (a._n * b._n)"
+            ),
         )
         .filter(F.col("cos_full") >= threshold)
         .select(
@@ -425,10 +433,12 @@ def embedding_neardup_pairs_banded(
         F.col(id_col),
         F.col(vec_col),
         F.expr(bucket_expr(vec_col, hp)).alias("sig"),
+        F.expr(norm_expr(vec_col)).alias("_n"),
     )
     banded = sig.select(
         id_col,
         vec_col,
+        "_n",
         F.explode(
             F.array(
                 *[
@@ -440,7 +450,7 @@ def embedding_neardup_pairs_banded(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, vec_col, "bk.band", "bk.key")
+    ).select(id_col, vec_col, "_n", "bk.band", "bk.key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -451,9 +461,13 @@ def embedding_neardup_pairs_banded(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("_va"),
             F.col(f"b.{vec_col}").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_full", F.expr(cosine_expr("_va", "_vb")))
+        .withColumn(
+            "cos_full", F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)")
+        )
         .filter(F.col("cos_full") >= threshold)
         .select("id_a", "id_b", F.round("cos_full", 6).alias("cos_sim"))
     )
