@@ -189,6 +189,99 @@ sql_query(
 
 
 # =====================================================================
+# Winsorized statistics (percentile-clamped outlier treatment)
+# =====================================================================
+
+
+def _winsor_sql(pct: str) -> str:
+    # clamp to the per-group [p01, p99] band, then aggregate — the
+    # outlier treatment that, unlike trimming, keeps N constant.
+    clamp = "least(greatest(e.value, b.p01), b.p99)"
+    return f"""
+WITH b AS (SELECT event_type, {pct}(value, 0.01) AS p01,
+                  {pct}(value, 0.99) AS p99
+           FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg({clamp}), 4) AS mean_winsor,
+       round(stddev_samp({clamp}), 4) AS std_winsor,
+       round(min({clamp}), 4) AS min_winsor,
+       round(max({clamp}), 4) AS max_winsor
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type
+"""
+
+
+sql_query(
+    "events_winsorized_stats",
+    _winsor_sql("percentile"),
+    _winsor_sql("quantile_cont"),
+    doc="Winsorized (percentile-clamped) moments per event type: "
+    "values clamped into the group's exact [p01, p99] band before "
+    "mean/std — outlier treatment that keeps N constant, the robust "
+    "sibling of events_mad_outliers. Two passes: one tiny exact-"
+    "percentile aggregate (rows = |groups|, broadcast back) + one "
+    "clamped moment aggregate; percentile/quantile_cont share the "
+    "same linear-interpolation definition (the percentile_stats "
+    "precedent).",
+)
+
+
+# =====================================================================
+# Sentence-boundary chunking (never splits a sentence)
+# =====================================================================
+
+SENT_CHUNK_BUDGET = 400  # chars per chunk (a sentence may overflow it)
+
+
+_SENT_CUM = (
+    "sum(length(s) + 2) OVER (PARTITION BY doc_id ORDER BY i "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+_SENT_CTE_SPARK = (
+    # regex-escaped dot; LATERAL VIEW is Spark's generator-with-alias form
+    "SELECT doc_id, t.i, t.s FROM documents "
+    "LATERAL VIEW posexplode(split(text, '\\\\. ')) t AS i, s"
+)
+_SENT_CTE_DUCK = (
+    "SELECT doc_id, unnest(list_transform("
+    "generate_series(1, len(string_split(text, '. '))), "
+    "j -> {'i': j - 1, 's': string_split(text, '. ')[j]}), "
+    "recursive := true) FROM documents"
+)
+
+
+def _sent_chunk_sql(sents_cte: str) -> str:
+    return f"""
+WITH sents AS ({sents_cte}),
+offs AS (
+  SELECT doc_id, i, length(s) AS sl,
+         {_SENT_CUM} AS cum_end
+  FROM sents WHERE s <> '')
+SELECT doc_id,
+       CAST(floor((cum_end - sl) / {SENT_CHUNK_BUDGET}) AS BIGINT)
+         AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(sl) AS BIGINT) AS n_chars
+FROM offs GROUP BY 1, 2
+"""
+
+
+sql_query(
+    "chunk_documents_sentences",
+    _sent_chunk_sql(_SENT_CTE_SPARK),
+    _sent_chunk_sql(_SENT_CTE_DUCK),
+    doc="Sentence-boundary chunking: split on '. ', assign each "
+    "sentence to the chunk its cumulative start offset falls in "
+    "(floor(start/budget)) — sentences are never split, chunks may "
+    "overflow by at most one sentence (the standard RAG chunker "
+    "contract; chunk_documents_fixed is the exact-size sibling). "
+    "Narrow posexplode + one per-doc cumulative-sum window — the same "
+    "single-sort shape as sessionization, linear at corpus scale.",
+)
+
+
+# =====================================================================
 # DSIR-style importance resampling (domain-targeted data selection)
 # =====================================================================
 

@@ -140,3 +140,27 @@ def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
     expected = keyed.filter(F.col("day") < "2024-01-08").count()
     got = joined.collect()
     assert got[0]["count"] == expected
+
+
+def test_join_strategy_hints_respected(spark):
+    """The engine honors user join-strategy hints — the escape hatch
+    when stats mislead the optimizer at scale: BROADCAST forces a
+    BroadcastHashJoin, MERGE a SortMergeJoin, SHUFFLE_HASH a
+    ShuffledHashJoin, on the identical query."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        TESTDATA_TABLES,
+        register_parquet_views,
+    )
+
+    register_parquet_views(spark, SF_ORACLE, TESTDATA_TABLES)
+    q = (
+        "SELECT /*+ {hint} */ count(*) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    for hint, node in [
+        ("BROADCAST(c)", "BroadcastHashJoin"),
+        ("MERGE(c)", "SortMergeJoin"),
+        ("SHUFFLE_HASH(c)", "ShuffledHashJoin"),
+    ]:
+        plan = _plan(spark.sql(q.format(hint=hint)))
+        assert node in plan, f"{hint} did not produce {node}:\n{plan[:500]}"
