@@ -189,6 +189,79 @@ sql_query(
 
 
 # =====================================================================
+# Time-series diagnostics: lag-k autocorrelation + CUSUM changepoint
+# =====================================================================
+
+_AUTOCORR_SQL = (
+    # shared ANSI text: one per-type window sort feeds both lag offsets;
+    # corr() is algebraic (moment sums — map-side combinable)
+    "WITH o AS (SELECT event_type, value, "
+    "lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2 "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)) "
+    "SELECT event_type, "
+    "round(corr(value, v1), 4) AS autocorr_lag1, "
+    "round(corr(value, v2), 4) AS autocorr_lag2 "
+    "FROM o GROUP BY event_type ORDER BY event_type"
+)
+
+sql_query(
+    "events_autocorrelation",
+    _AUTOCORR_SQL,
+    doc="Lag-1/lag-2 autocorrelation of event value per type — the "
+    "is-this-series-white-noise diagnostic that decides whether "
+    "EWMA/forecast features are worth computing. One per-type window "
+    "sort feeds both lag offsets (shared WINDOW clause), then a "
+    "single algebraic corr() aggregation (moment sums, map-side "
+    "combinable). Identical ANSI text both engines; the (ts, "
+    "event_id) total order pins lag pairing under ties.",
+)
+
+
+def _cusum_sql(epoch: str) -> str:
+    # CUSUM over hourly means: cumulative sum of (hourly mean - global
+    # mean); the hour with max |cusum| is the level-shift candidate.
+    return f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor({epoch} / 3600000000) AS BIGINT) AS h,
+         avg(value) AS hv
+  FROM events GROUP BY 1, 2),
+centered AS (
+  SELECT event_type, h,
+         hv - avg(hv) OVER (PARTITION BY event_type) AS dev
+  FROM hourly),
+cusum AS (
+  SELECT event_type, h,
+         sum(dev) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cs
+  FROM centered),
+ranked AS (
+  SELECT event_type, h, cs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cs) DESC, h) AS rn
+  FROM cusum)
+SELECT event_type, CAST(h AS BIGINT) AS changepoint_hour,
+       floor(cs * 10000) / 10000 AS cusum_value
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+sql_query(
+    "events_cusum_changepoint",
+    _cusum_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
+    _cusum_sql("epoch_us(ts)"),
+    doc="CUSUM changepoint detection per event type: hourly means, "
+    "centered on the series mean, cumulatively summed — the hour of "
+    "maximum |CUSUM| is the level-shift candidate (Page 1954's "
+    "detector over the pre-aggregated series). The raw scan collapses "
+    "to |type × hour| rows FIRST, so the windows run on the tiny "
+    "rollup, not the event stream; (abs, hour) total order pins the "
+    "argmax. NTZ-safe epoch idiom; floor-scaled output.",
+)
+
+
+# =====================================================================
 # Winsorized statistics (percentile-clamped outlier treatment)
 # =====================================================================
 
