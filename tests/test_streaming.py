@@ -547,3 +547,99 @@ def test_stateful_ewma_matches_batch(spark, events_stream_parts):
             ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
         exp[int(uid)] = (len(g), math.floor(ewma * 10000) / 10000)
     assert got == exp
+
+
+def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
+    """Streaming CDC ingestion: an ordered change feed (updates +
+    deletes + late re-inserts) merged into a lake snapshot one
+    micro-batch at a time via foreachBatch(apply_change_stream) must
+    land on exactly the state a one-shot batch apply of the full feed
+    produces — merge-on-read semantics proven through the streaming
+    write path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        apply_change_stream,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        replay_events_stream,
+    )
+
+    base = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    k = F.col("o_orderkey")
+    batches = [
+        # batch 1: price bump on keys % 3
+        base.filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1000, 2))
+        .withColumn("_seq", F.lit(1))
+        .withColumn("_op", F.lit("U")),
+        # batch 2: delete keys % 7
+        base.filter(k % 7 == 0)
+        .withColumn("_seq", F.lit(2))
+        .withColumn("_op", F.lit("D")),
+        # batch 3: re-insert half the deleted keys at doubled price
+        base.filter((k % 7 == 0) & ((k / 10) % 2 == 0))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("_seq", F.lit(3))
+        .withColumn("_op", F.lit("U")),
+    ]
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(str(feed_dir))
+    snap = tmp_path / "snap"
+    base.write.parquet(str(snap))
+
+    stream = replay_events_stream(spark, str(feed_dir), batches[0].schema)
+
+    def merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(str(snap))
+        new = apply_change_stream(
+            cur, batch_df, ["o_orderkey"], seq_col="_seq", op_col="_op"
+        )
+        staged = tmp_path / f"snap_v{batch_id}"
+        new.write.parquet(str(staged))
+        shutil.rmtree(snap)
+        shutil.move(str(staged), str(snap))
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    all_changes = batches[0]
+    for b in batches[1:]:
+        all_changes = all_changes.unionByName(b)
+    want = {
+        r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+        for r in apply_change_stream(
+            base, all_changes, ["o_orderkey"], seq_col="_seq", op_col="_op"
+        ).collect()
+    }
+    got = {
+        r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+        for r in spark.read.parquet(str(snap)).collect()
+    }
+    assert got == want
+    # the deletes actually deleted (non-re-inserted %7 keys stay gone)
+    gone = {
+        r.o_orderkey
+        for r in base.filter((k % 7 == 0) & ((k / 10) % 2 == 1)).collect()
+    }
+    assert gone and not (gone & set(got))
