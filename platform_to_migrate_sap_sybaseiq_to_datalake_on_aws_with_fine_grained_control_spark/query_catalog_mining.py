@@ -895,3 +895,114 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .query_catalog import _sql
 
     return _sql(spark, sf_dir, _pq_spark_sql())
+
+
+# =====================================================================
+# Recursive-CTE graph reachability (WITH RECURSIVE — Spark 4 native)
+# =====================================================================
+
+sql_query(
+    "trade_reachability_recursive",
+    # identical ANSI text both engines: Spark 4 executes WITH RECURSIVE
+    # as an iterative frontier expansion (UnionLoop), DuckDB natively.
+    "WITH RECURSIVE edges AS ("
+    "SELECT cn.n_name AS src, sn.n_name AS dst, "
+    "sum(l_extendedprice * (1 - l_discount)) AS rev "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "WHERE cn.n_name <> sn.n_name "
+    "GROUP BY cn.n_name, sn.n_name), "
+    "strong AS (SELECT src, dst FROM edges "
+    "WHERE rev > (SELECT avg(rev) FROM edges)), "
+    "hub AS (SELECT src FROM strong GROUP BY src "
+    "ORDER BY count(*) DESC, src LIMIT 1), "
+    "reach(nation, hops) AS ("
+    "SELECT src AS nation, 0 AS hops FROM hub "
+    "UNION ALL "
+    "SELECT s.dst, r.hops + 1 "
+    "FROM reach r JOIN strong s ON s.src = r.nation "
+    "WHERE r.hops < 3) "
+    "SELECT nation, CAST(min(hops) AS INT) AS min_hops, "
+    "CAST(count(*) AS BIGINT) AS n_paths "
+    "FROM reach GROUP BY nation ORDER BY min_hops, nation",
+    doc="Recursive-CTE reachability over the revenue-weighted nation "
+    "trade graph (WITH RECURSIVE is native in Spark 4 and DuckDB — "
+    "identical ANSI text, unlike trade_pagerank_nations whose "
+    "fixed-iteration loop is driver-side). Edges above the mean "
+    "revenue form the 'strong' graph; the walk starts at the hub "
+    "nation with the most strong out-edges (deterministic under the "
+    "(count, src) total order) and expands <= 3 hops, counting walks "
+    "and min hops per reached nation. Scale shape: the edge "
+    "aggregation is the only big shuffle (one pass over lineitem); "
+    "the recursion iterates over a <= 25-node frontier joined to a "
+    "<= 600-row broadcast edge list — per-iteration cost is "
+    "negligible, and the depth bound caps the loop at 4 steps "
+    "regardless of data volume. The BFS/transitive-closure surface "
+    "(org charts, BOM explosions, fraud rings) done in pure SQL.",
+)
+
+
+# =====================================================================
+# Bloom-filter membership sketch (m=4096 bits, k=3 md5 hash functions)
+# =====================================================================
+
+_BLOOM_TMPL = (
+    "WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders "
+    "WHERE o_orderpriority = '1-URGENT'), "
+    "probes AS (SELECT c_custkey AS k FROM customer), "
+    "mexp AS (SELECT k, {exploder} AS i FROM members), "
+    "mbits AS (SELECT DISTINCT {pos} AS pos FROM mexp), "
+    "pexp AS (SELECT k, {exploder} AS i FROM probes), "
+    "ppos AS (SELECT k, i, {pos} AS pos FROM pexp), "
+    "hits AS (SELECT p.k, count(*) AS nset FROM ppos p "
+    "JOIN mbits b ON p.pos = b.pos GROUP BY p.k), "
+    "flags AS (SELECT pr.k, COALESCE(h.nset, 0) = 3 AS bloom_hit, "
+    "m.k IS NOT NULL AS is_member "
+    "FROM probes pr LEFT JOIN hits h ON pr.k = h.k "
+    "LEFT JOIN members m ON pr.k = m.k) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_probes, "
+    "CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_members, "
+    "CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS bloom_positives, "
+    "CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS false_positives, "
+    "CAST(sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) "
+    "AS BIGINT) = 0 AS no_false_negatives "
+    "FROM flags"
+)
+
+_BLOOM_POS_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', "
+    "CAST(i AS STRING))), 1, 3), 16, 10) AS INT)"
+)
+_BLOOM_POS_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 1, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 2, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 3, 1)) - 1))"
+)
+
+sql_query(
+    "sketch_bloom_filter_customers",
+    _BLOOM_TMPL.format(exploder="explode(sequence(1, 3))", pos=_BLOOM_POS_SPARK),
+    _BLOOM_TMPL.format(exploder="unnest(range(1, 4))", pos=_BLOOM_POS_DUCK),
+    doc="Bloom-filter membership sketch: urgent-priority customers "
+    "hashed into a 4096-bit filter via k=3 md5 hash positions (3 hex "
+    "chars = exactly 12 bits, no modulo bias), then every customer "
+    "probed against it. The bit set is a DISTINCT over |members| x 3 "
+    "positions — mergeable across partitions/files like the CMS "
+    "entry, and small enough (<= 4096 rows) to broadcast to the probe "
+    "side, so the probe is a map-side hash join however large the "
+    "probe stream is: the semi-join-pushdown primitive (only ship "
+    "rows whose keys might match) for 100 TB joins. md5 is "
+    "engine-reproducible, so bloom_positives / false_positives are "
+    "hash-checked hard values; the no-false-negatives guarantee rides "
+    "along as a checked boolean.",
+)

@@ -603,3 +603,149 @@ sql_query(
     "per-rule flags make filter-rate monitoring a trivial downstream "
     "aggregation.",
 )
+
+
+# =====================================================================
+# Welch's two-sample t-test (A/B experiment readout)
+# =====================================================================
+
+sql_query(
+    "events_ab_test_welch",
+    # one aggregation computes both arms via FILTER; Welch's t and the
+    # Welch-Satterthwaite df are pure scalar arithmetic on the moments.
+    "WITH g AS (SELECT "
+    "count(*) FILTER (WHERE event_type = 'click') AS n_a, "
+    "avg(value) FILTER (WHERE event_type = 'click') AS mean_a, "
+    "var_samp(value) FILTER (WHERE event_type = 'click') AS var_a, "
+    "count(*) FILTER (WHERE event_type = 'view') AS n_b, "
+    "avg(value) FILTER (WHERE event_type = 'view') AS mean_b, "
+    "var_samp(value) FILTER (WHERE event_type = 'view') AS var_b "
+    "FROM events WHERE event_type IN ('click', 'view') "
+    "AND value IS NOT NULL) "
+    "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+    "floor(mean_a * 10000) / 10000 AS mean_a, "
+    "floor(mean_b * 10000) / 10000 AS mean_b, "
+    "floor((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) "
+    "* 10000) / 10000 AS welch_t, "
+    "floor(pow(var_a / n_a + var_b / n_b, 2) / "
+    "(pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)) "
+    "* 100) / 100 AS welch_df "
+    "FROM g",
+    doc="Welch's unequal-variance two-sample t-test between the "
+    "'click' and 'view' arms of the event stream: one FILTER-pivoted "
+    "aggregation produces n/mean/var for both arms (count/avg/var_samp "
+    "are all algebraic — map-side partials, a single exchange of one "
+    "moment row), then the t statistic and Welch-Satterthwaite df are "
+    "scalar arithmetic on that row. The A/B-readout shape for 100 TB "
+    "of events: no per-arm scan, no join, one shuffle of O(1) rows. "
+    "Identical ANSI text in both engines; moments floor-scaled.",
+)
+
+
+# =====================================================================
+# Benford first-digit distribution (data-quality / fraud screen)
+# =====================================================================
+
+sql_query(
+    "dq_benford_amounts",
+    # observed share via a window total (no 1-row cross join); expected
+    # share is log10(1 + 1/d); per-digit chi-square contribution rides
+    # along so sum(chi2_part) is the test statistic downstream.
+    "WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) "
+    "AS BIGINT) AS STRING), 1, 1) AS INT) AS digit FROM orders "
+    "WHERE o_totalprice >= 1), "
+    "obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit) "
+    "SELECT digit, CAST(n AS BIGINT) AS n, "
+    "floor(n / CAST(sum(n) OVER () AS DOUBLE) * 1000000) / 1000000 "
+    "AS observed_p, "
+    "floor(log10(1.0 + 1.0 / digit) * 1000000) / 1000000 AS benford_p, "
+    "floor(CAST(sum(n) OVER () AS DOUBLE) * "
+    "pow(n / CAST(sum(n) OVER () AS DOUBLE) - log10(1.0 + 1.0 / digit), 2) "
+    "/ log10(1.0 + 1.0 / digit) * 1000000) / 1000000 AS chi2_part "
+    "FROM obs ORDER BY digit",
+    doc="Benford's-law first-digit screen over order amounts: digit "
+    "extraction is rowwise string arithmetic, the distribution is one "
+    "9-group aggregation (map-side combined), and the corpus total "
+    "comes from an unpartitioned window over those 9 rows — no 1-row "
+    "cross join, no second scan. Expected shares are log10(1+1/d); "
+    "each digit carries its chi-square contribution so the full test "
+    "statistic is a trivial downstream sum. The classic ledger-fraud / "
+    "synthetic-data smell test at any scale: cost is one count-by-digit "
+    "shuffle of 9 rows.",
+)
+
+
+# =====================================================================
+# Time-weighted average price (TWAP) per event type
+# =====================================================================
+
+_TWAP_TMPL = (
+    "WITH seq AS (SELECT event_type, value, {epoch} AS es, "
+    "lead({epoch}) OVER (PARTITION BY event_type "
+    "ORDER BY ts, event_id) AS next_es "
+    "FROM events WHERE value IS NOT NULL) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, "
+    "floor(sum(value * (next_es - es) / 1000000.0) / "
+    "sum((next_es - es) / 1000000.0) * 10000) / 10000 AS twap, "
+    "floor(avg(value) * 10000) / 10000 AS plain_avg "
+    "FROM seq WHERE next_es IS NOT NULL AND next_es > es "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+sql_query(
+    "events_twap_hourly",
+    _TWAP_TMPL.format(epoch="unix_micros(CAST(ts AS TIMESTAMP))"),
+    _TWAP_TMPL.format(epoch="epoch_us(ts)"),
+    doc="Time-weighted average value per event type: each observation "
+    "is weighted by how long it was the 'current' value (gap to the "
+    "next event via lead() under a unique (ts, event_id) order), the "
+    "estimator finance tickers and metrics pipelines use instead of "
+    "the sampling-rate-biased plain mean (plain_avg rides along to "
+    "show the gap). One window sort per event-type partition feeds "
+    "both lead() and the final keyed aggregation — a single shuffle "
+    "on the grouping key. NTZ-safe epoch idiom on the Spark side "
+    "(unix_micros over an explicit TIMESTAMP cast; the session TZ is "
+    "pinned UTC), DuckDB's epoch_us in the oracle.",
+)
+
+
+# =====================================================================
+# AUC of a rowwise quality score (Mann-Whitney rank-sum form)
+# =====================================================================
+
+_AUC_TMPL = (
+    "WITH scored AS (SELECT "
+    "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, "
+    "floor(CAST(length({alpha}) AS DOUBLE) / length(text) * 10000) "
+    "/ 10000 AS score "
+    "FROM documents WHERE length(text) > 0), "
+    "agg AS (SELECT score, sum(pos) AS np, count(*) AS n "
+    "FROM scored GROUP BY score), "
+    "w AS (SELECT np, n, COALESCE(sum(n) OVER (ORDER BY score "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below "
+    "FROM agg) "
+    "SELECT CAST(sum(np) AS BIGINT) AS n_pos, "
+    "CAST(sum(n) - sum(np) AS BIGINT) AS n_neg, "
+    "floor((sum(np * (below + (n + 1) / 2.0)) "
+    "- sum(np) * (sum(np) + 1) / 2.0) "
+    "/ (CAST(sum(np) AS DOUBLE) * (sum(n) - sum(np))) "
+    "* 1000000) / 1000000 AS auc "
+    "FROM w"
+)
+
+sql_query(
+    "quality_score_auc",
+    _AUC_TMPL.format(alpha="regexp_replace(text, '[^a-zA-Z]', '')"),
+    _AUC_TMPL.format(alpha="regexp_replace(text, '[^a-zA-Z]', '', 'g')"),
+    doc="AUC of the alphabetic-character-ratio quality score as a "
+    "predictor of lang='en', in the Mann-Whitney rank-sum form with "
+    "midrank tie handling. Scale shape: the score is discretized "
+    "(floor at 1e-4), so ranks come from a groupBy over at most 10001 "
+    "distinct scores followed by a cumulative window on that tiny "
+    "aggregate — never a global sort of the corpus. Midranks make the "
+    "result independent of tie order; every sum is cast before the "
+    "final ratio so both engines emit the same dtypes (DuckDB "
+    "sum(BIGINT) would otherwise widen to HUGEINT). The "
+    "classifier-evaluation readout for quality-model gating at corpus "
+    "scale.",
+)
