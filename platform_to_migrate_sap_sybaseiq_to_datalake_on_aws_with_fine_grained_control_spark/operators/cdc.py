@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["latest_snapshot", "apply_change_stream", "scd2_apply"]
+__all__ = [
+    "latest_snapshot",
+    "apply_change_stream",
+    "scd2_apply",
+    "snapshot_diff",
+]
 
 
 def _payload_cols(df: DataFrame, keys: list[str]) -> list[str]:
@@ -208,4 +213,73 @@ def scd2_apply(
         .unionByName(unchanged.select(*current.columns))
         .unionByName(closed_out.select(*current.columns))
         .unionByName(new_version.select(*current.columns))
+    )
+
+
+def snapshot_diff(
+    current: DataFrame,
+    previous: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots (the Iceberg/Delta
+    ``snapshot-diff`` readout, computed from plain tables).
+
+    Returns one row per key present in either snapshot with
+    ``diff_status`` in {'added','removed','changed','unchanged'} plus
+    one ``chg_<col>`` boolean per compared column (null-safe compare),
+    so "which columns drifted" is a downstream aggregation instead of
+    a second scan.
+
+    Scale shape: ONE full-outer shuffle join on the key — no row
+    hashes are materialized or shuffled (the per-column null-safe
+    compares run post-join, JVM-side), and column change flags come
+    for free from the same join. For a 100 TB snapshot pair this is
+    the minimal data movement any diff can do; AQE handles skewed
+    keys, and bucketed snapshots (``write_bucketed``) elide the
+    shuffle entirely.
+    """
+    cmp_cols = compare_cols or [
+        c for c in current.columns if c not in keys
+    ]
+    cur = current.select(
+        *[F.col(c).alias(f"_c_{c}") for c in keys],
+        *[F.col(c).alias(f"_cv_{c}") for c in cmp_cols],
+        F.lit(True).alias("_in_cur"),
+    )
+    prv = previous.select(
+        *[F.col(c).alias(f"_p_{c}") for c in keys],
+        *[F.col(c).alias(f"_pv_{c}") for c in cmp_cols],
+        F.lit(True).alias("_in_prv"),
+    )
+    cond = [
+        cur[f"_c_{k}"].eqNullSafe(prv[f"_p_{k}"]) for k in keys
+    ]
+    j = cur.join(prv, cond, "full_outer")
+    any_chg = F.greatest(
+        *[~F.col(f"_cv_{c}").eqNullSafe(F.col(f"_pv_{c}")) for c in cmp_cols]
+    ) if len(cmp_cols) > 1 else (
+        ~F.col(f"_cv_{cmp_cols[0]}").eqNullSafe(F.col(f"_pv_{cmp_cols[0]}"))
+    )
+    status = (
+        F.when(F.col("_in_prv").isNull(), F.lit("added"))
+        .when(F.col("_in_cur").isNull(), F.lit("removed"))
+        .when(any_chg, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_c_{k}"), F.col(f"_p_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("diff_status"),
+        *[
+            F.when(
+                F.col("_in_cur").isNotNull() & F.col("_in_prv").isNotNull(),
+                ~F.col(f"_cv_{c}").eqNullSafe(F.col(f"_pv_{c}")),
+            )
+            .otherwise(F.lit(False))
+            .alias(f"chg_{c}")
+            for c in cmp_cols
+        ],
     )

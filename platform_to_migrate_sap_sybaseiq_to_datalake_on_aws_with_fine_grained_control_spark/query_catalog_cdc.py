@@ -308,3 +308,94 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = make_synthetic_assets(spark, 64)
     return image_ahash(assets)
+
+
+# =====================================================================
+# Snapshot diff (Iceberg/Delta-style table diff from plain tables)
+# =====================================================================
+
+_DIFF_ORACLE = """
+WITH prev AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN round(o_totalprice * 0.9, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+cur AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+j AS (
+  SELECT
+    CASE WHEN p.o_orderkey IS NULL THEN 'added'
+         WHEN c.o_orderkey IS NULL THEN 'removed'
+         WHEN c.o_totalprice IS DISTINCT FROM p.o_totalprice
+           OR c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+           THEN 'changed'
+         ELSE 'unchanged' END AS diff_status,
+    CASE WHEN p.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+          AND c.o_totalprice IS DISTINCT FROM p.o_totalprice
+         THEN 1 ELSE 0 END AS chg_price,
+    CASE WHEN p.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+          AND c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+         THEN 1 ELSE 0 END AS chg_status
+  FROM cur c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey
+)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(chg_price) AS BIGINT) AS n_price_changed,
+       CAST(sum(chg_status) AS BIGINT) AS n_status_changed
+FROM j GROUP BY diff_status ORDER BY diff_status
+"""
+
+
+@register(
+    "snapshot_diff_orders",
+    _DIFF_ORACLE,
+    doc="Snapshot diff between two versions of the orders table "
+    "(previous = simulated elder snapshot with deterministic deletes "
+    "via key moduli, price restates on %11 keys, status restates on "
+    "%13 keys): added/removed/changed/unchanged classification plus "
+    "per-column change flags from ONE full-outer shuffle join on the "
+    "key — no row hashes shuffled, the null-safe column compares run "
+    "post-join JVM-side. The Iceberg/Delta snapshot-diff readout "
+    "computed from plain tables; bucketed snapshots would elide even "
+    "that single shuffle. operators/cdc.py:snapshot_diff.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    prev = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.round(F.col("o_totalprice") * 0.9, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    cur = orders.filter(F.col("o_orderkey") % 89 != 0)
+    diff = snapshot_diff(
+        cur, prev, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return (
+        diff.groupBy("diff_status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("chg_o_totalprice").cast("int"))
+            .cast("bigint")
+            .alias("n_price_changed"),
+            F.sum(F.col("chg_o_orderstatus").cast("int"))
+            .cast("bigint")
+            .alias("n_status_changed"),
+        )
+        .orderBy("diff_status")
+    )

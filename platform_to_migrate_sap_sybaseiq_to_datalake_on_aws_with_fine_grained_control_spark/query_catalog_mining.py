@@ -427,11 +427,13 @@ QM_W_DIGIT = -2.5  # digit ratio
 QM_W_WORDLEN = -0.15  # mean word length (chars per space-token)
 
 
-def _qm_sql(g: str) -> str:
-    # near-identical text both engines; the one divergence is DuckDB's
-    # regexp_replace needing an explicit 'g' flag to strip ALL matches
-    # (Spark is global by default) — ``g`` is ", 'g'" or "".
-    z = (
+def _qm_z(g: str) -> str:
+    # logistic-model logit, shared by the scoring entry and the
+    # calibration readout. Near-identical text both engines; the one
+    # divergence is DuckDB's regexp_replace needing an explicit 'g'
+    # flag to strip ALL matches (Spark is global by default) — ``g``
+    # is ", 'g'" or "".
+    return (
         f"{QM_W0} + {QM_W_LOGLEN} * ln(1 + length(text)) "
         f"+ {QM_W_PUNCT} * (CAST(length(regexp_replace(text, "
         f"'[a-zA-Z0-9 ]', ''{g})) AS DOUBLE) / length(text)) "
@@ -440,6 +442,10 @@ def _qm_sql(g: str) -> str:
         f"+ {QM_W_WORDLEN} * (CAST(length(text) AS DOUBLE) "
         f"/ (1 + length(text) - length(replace(text, ' ', ''))))"
     )
+
+
+def _qm_sql(g: str) -> str:
+    z = _qm_z(g)
     return (
         "SELECT doc_id, "
         f"floor((CAST(1 AS DOUBLE) / (1 + exp(-({z})))) * 10000) / 10000 "
@@ -1006,3 +1012,92 @@ sql_query(
     "hash-checked hard values; the no-false-negatives guarantee rides "
     "along as a checked boolean.",
 )
+
+
+# =====================================================================
+# Calibration readout for the logistic quality model (reliability
+# bins + per-bin Brier contribution)
+# =====================================================================
+
+
+def _calib_sql(g: str) -> str:
+    z = _qm_z(g)
+    return (
+        "WITH scored AS (SELECT "
+        f"floor((CAST(1 AS DOUBLE) / (1 + exp(-({z})))) * 10000) / 10000 "
+        "AS score, "
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos "
+        "FROM documents WHERE length(text) > 0) "
+        "SELECT CAST(floor(score * 10) AS INT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "floor(avg(score) * 10000) / 10000 AS mean_score, "
+        "floor(avg(CAST(pos AS DOUBLE)) * 10000) / 10000 AS pos_rate, "
+        "floor(avg(pow(score - pos, 2)) * 10000) / 10000 AS brier "
+        "FROM scored GROUP BY CAST(floor(score * 10) AS INT) "
+        "ORDER BY bin"
+    )
+
+
+sql_query(
+    "quality_model_calibration",
+    _calib_sql(""),
+    _calib_sql(", 'g'"),
+    doc="Reliability diagram for the logistic quality model against "
+    "the lang='en' label: decile score bins with empirical positive "
+    "rate and per-bin Brier contribution — the is-the-gate-trustworthy "
+    "readout that belongs next to any model-based corpus filter "
+    "(quality_score_auc ranks, this calibrates). Rowwise scoring is "
+    "whole-stage codegen; the readout is ONE 10-group aggregation "
+    "with map-side partials, so cost at 100 TB is the scan itself. "
+    "The score is floor-discretized before binning, so both engines "
+    "bin identical double bits — no knife edge.",
+)
+
+
+# =====================================================================
+# Bloom-prefiltered fact-dimension join (semi-join pushdown applied)
+# =====================================================================
+
+
+@register(
+    "bloom_prefilter_join_revenue",
+    # the oracle is the PLAIN join — the bloom prefilter must be
+    # invisible in the result (no false negatives, FPs removed by the
+    # final equi-join), which is exactly what this entry proves.
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderkey % 20 = 0 "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc="Fact-dimension join routed through operators/skew.py:"
+    "bloom_prefilter_join: the selective order subset's keys build a "
+    "64K-bit md5 Bloom filter, membership is 3 chained broadcast "
+    "left-semi joins (map-side, zero added shuffles, ReusedExchange "
+    "for the bit set), and only survivors enter the equi-join. The "
+    "oracle is the PLAIN join — proving the prefilter changes "
+    "nothing but the shuffle volume. At 100 TB this is the "
+    "semi-join-pushdown shape AQE's runtime bloom filter applies "
+    "when thresholds allow, available here unconditionally.",
+)
+def bloom_prefilter_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    joined = bloom_prefilter_join(li, od, "l_orderkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1731,3 +1731,56 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_norm"),
         F.length("text").cast("bigint").alias("n_chars_norm"),
     )
+
+
+# =====================================================================
+# Language-ID confusion matrix (heuristic prediction vs label)
+# =====================================================================
+
+
+@register(
+    "text_langid_confusion",
+    f"WITH cm AS (SELECT lang, {duck_lang_id('text')} AS lang_pred, "
+    "count(*) AS n FROM documents GROUP BY 1, 2) "
+    "SELECT lang, lang_pred, CAST(n AS BIGINT) AS n, "
+    "floor(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) "
+    "* 10000) / 10000 AS recall_share, "
+    "floor(n / CAST(sum(n) OVER (PARTITION BY lang_pred) AS DOUBLE) "
+    "* 10000) / 10000 AS precision_share "
+    "FROM cm ORDER BY lang, lang_pred",
+    doc="Confusion matrix of the n-gram-heuristic language identifier "
+    "against the labeled lang column, with per-cell recall share "
+    "(row-normalized) and precision share (column-normalized) — the "
+    "filter-evaluation readout for any lang-gated corpus split. One "
+    "|langs|^2-group aggregation over the rowwise prediction (map-side "
+    "partials), then two windows over the <= 25-row matrix: scan-bound "
+    "at any corpus size. functions/text.py:lang_id.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    cm = (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = Window.partitionBy("lang")
+    w_col = Window.partitionBy("lang_pred")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(
+                F.col("n") / F.sum("n").over(w_row).cast("double") * 10000
+            )
+            / 10000
+        ).alias("recall_share"),
+        (
+            F.floor(
+                F.col("n") / F.sum("n").over(w_col).cast("double") * 10000
+            )
+            / 10000
+        ).alias("precision_share"),
+    ).orderBy("lang", "lang_pred")

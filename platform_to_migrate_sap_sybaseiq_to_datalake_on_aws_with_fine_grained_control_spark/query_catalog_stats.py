@@ -749,3 +749,34 @@ sql_query(
     "classifier-evaluation readout for quality-model gating at corpus "
     "scale.",
 )
+
+
+# =====================================================================
+# Day-of-week seasonality index
+# =====================================================================
+
+_SEASON_TMPL = (
+    "WITH g AS (SELECT CAST({dow} AS INT) AS dow, count(*) AS n, "
+    "avg(value) AS avg_v FROM events WHERE value IS NOT NULL "
+    "GROUP BY CAST({dow} AS INT)) "
+    "SELECT dow, CAST(n AS BIGINT) AS n, "
+    "floor(avg_v * 10000) / 10000 AS avg_value, "
+    "floor(avg_v / (sum(avg_v * n) OVER () / sum(n) OVER ()) "
+    "* 10000) / 10000 AS seasonal_index "
+    "FROM g ORDER BY dow"
+)
+
+sql_query(
+    "events_seasonality_dow",
+    _SEASON_TMPL.format(dow="dayofweek(CAST(ts AS TIMESTAMP)) - 1"),
+    _SEASON_TMPL.format(dow="dayofweek(ts)"),
+    doc="Day-of-week seasonality index over event values: per-dow "
+    "mean relative to the overall mean (recomposed exactly as "
+    "sum(avg*n)/sum(n) via an unpartitioned window over the 7-row "
+    "aggregate — no second scan, no 1-row cross join). The "
+    "multiplicative seasonal-adjustment factor feeding forecast "
+    "baselines and anomaly thresholds; one 7-group map-side-combined "
+    "aggregation at any scale. Dialect note: Spark's dayofweek is "
+    "1-based Sunday, DuckDB's 0-based — the Spark text shifts by one "
+    "so both emit 0=Sunday.",
+)

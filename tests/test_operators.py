@@ -2125,3 +2125,81 @@ def test_sink_append_evolves_schema(spark, tmp_path):
             evolve_schema=True,
         )
     spark.sql("DROP TABLE db_evolve.ev")
+
+
+def test_snapshot_diff_row_level(spark):
+    """snapshot_diff classifies added/removed/changed/unchanged and
+    flags exactly the drifted columns, null-safely."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),   # unchanged
+            (2, 20.0, "B"),   # price changes
+            (3, None, "C"),   # null -> value (changed, price flag)
+            (4, 40.0, None),  # status null both sides (unchanged)
+            (5, 50.0, "E"),   # removed
+        ],
+        "k int, price double, status string",
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, 21.0, "B"),
+            (3, 30.0, "C"),
+            (4, 40.0, None),
+            (6, 60.0, "F"),   # added
+        ],
+        "k int, price double, status string",
+    )
+    out = {
+        r.k: r
+        for r in snapshot_diff(cur, prev, ["k"], ["price", "status"]).collect()
+    }
+    assert len(out) == 6
+    assert out[1].diff_status == "unchanged" and not out[1].chg_price
+    assert out[2].diff_status == "changed" and out[2].chg_price
+    assert not out[2].chg_status
+    assert out[3].diff_status == "changed" and out[3].chg_price
+    assert out[4].diff_status == "unchanged" and not out[4].chg_status
+    assert out[5].diff_status == "removed" and not out[5].chg_price
+    assert out[6].diff_status == "added" and not out[6].chg_price
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """bloom_prefilter_join returns exactly the plain join's rows (no
+    false negatives), and its probe side is filtered via broadcast
+    semi-joins (no added Exchange on the big side)."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+    from tests.conftest import SF_SMALL
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # selective dimension: 5% of orders
+    od = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    got = bloom_prefilter_join(li, od, "l_orderkey")
+    want = li.join(od, "l_orderkey")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 3
+    assert "SortMergeJoin" not in plan  # probe side never reshuffled
+    # outer joins must fall back to the plain join (prefilter would
+    # drop big-side rows the join type keeps)
+    lo = bloom_prefilter_join(li, od, "l_orderkey", how="left")
+    assert lo.count() == li.join(od, "l_orderkey", "left").count()
