@@ -795,3 +795,81 @@ sql_query(
     "branch scans of the UNION into grouped aggregations over one "
     "pass' worth of I/O; output is O(columns).",
 )
+
+
+# =====================================================================
+# Rolling 7-day distinct users (bounded-explode rolling distinct)
+# =====================================================================
+
+_ROLL_TMPL = (
+    "WITH ud AS (SELECT DISTINCT user_id, {eday} AS e FROM events), "
+    "contrib AS (SELECT user_id, {exploder} AS wd FROM ud), "
+    "days AS (SELECT DISTINCT e FROM ud) "
+    "SELECT CAST({wdate} AS STRING) AS day, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d "
+    "FROM contrib JOIN days ON contrib.wd = days.e "
+    "GROUP BY wd ORDER BY wd"
+)
+
+sql_query(
+    "events_rolling_distinct_users",
+    _ROLL_TMPL.format(
+        eday="datediff(CAST(ts AS DATE), DATE '1970-01-01')",
+        exploder="explode(sequence(e, e + 6))",
+        wdate="date_add(DATE '1970-01-01', wd)",
+    ),
+    _ROLL_TMPL.format(
+        eday="date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        exploder="unnest(range(e, e + 7))",
+        wdate="DATE '1970-01-01' + CAST(wd AS INT)",
+    ),
+    doc="Trailing 7-day distinct user count per day. Rolling DISTINCT "
+    "is not a window aggregate (distinct state can't merge across "
+    "frames), so the scale-correct form dedups to (user, day) FIRST "
+    "— collapsing the event stream to at most |users| x |days| rows "
+    "— then explodes each surviving pair into the <= 7 window days "
+    "it serves and counts distinct per window day. The explode is "
+    "bounded by the window length, NOT event volume: 100 TB of "
+    "events still contributes at most 7 x |users x days| rows to "
+    "the final count. Day keys ride as epoch-day ints (engine-"
+    "neutral date arithmetic), stringified on output per the DATE "
+    "canonicalization rule.",
+)
+
+
+# =====================================================================
+# Malformed-record quarantine routing (ingestion error handling)
+# =====================================================================
+
+_QUAR_TMPL = (
+    "WITH raw AS (SELECT event_id, value, "
+    "CASE WHEN event_id % 7 = 0 THEN replace(props, '{{', '') "
+    "ELSE props END AS praw FROM events), "
+    "parsed AS (SELECT event_id, value, {extract} AS k FROM raw) "
+    "SELECT CASE WHEN k IS NULL THEN 'quarantine' ELSE 'ok' END "
+    "AS route, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k, "
+    "floor(avg(value) * 10000) / 10000 AS avg_value "
+    "FROM parsed GROUP BY CASE WHEN k IS NULL THEN 'quarantine' "
+    "ELSE 'ok' END ORDER BY route"
+)
+
+sql_query(
+    "json_quarantine_routing",
+    _QUAR_TMPL.format(extract="get_json_object(praw, '$.k')"),
+    _QUAR_TMPL.format(
+        extract="CASE WHEN json_valid(praw) "
+        "THEN json_extract_string(praw, '$.k') END"
+    ),
+    doc="Malformed-record quarantine routing — the ingestion "
+    "error-handling pattern (badRecordsPath / PERMISSIVE "
+    "_corrupt_record, expressed engine-neutrally): a deterministic "
+    "corruption (brace-stripped JSON on %7 keys) is parsed, rows "
+    "whose extraction fails route to 'quarantine', the rest to 'ok', "
+    "each side carrying its own count / distinct-key / value "
+    "profile. Rowwise parse + one 2-group aggregation: scan-bound, "
+    "no shuffle beyond two rows. Dialect note: Spark's "
+    "get_json_object is null-on-malformed; DuckDB errors on invalid "
+    "JSON, so the oracle gates extraction behind json_valid.",
+)
