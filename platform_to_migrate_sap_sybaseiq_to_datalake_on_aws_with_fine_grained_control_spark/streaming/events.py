@@ -493,3 +493,93 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_MATCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_us", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("latency_s", DoubleType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [StructField("pending", StringType())]  # csv of unmatched signup micros
+)
+
+
+def stateful_funnel_matcher(
+    events: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """CEP-style two-step pattern matcher: emit one row per
+    (signup → purchase within ``window_s``) pair per user, with
+    FIFO one-to-one matching (each purchase consumes the OLDEST
+    still-valid unmatched signup; each signup matches at most once).
+
+    This is the "A followed by B within T" primitive of complex event
+    processing engines, expressed as keyed arbitrary state:
+
+    * state per user is the queue of unmatched signup timestamps —
+      bounded by the signup rate within one ``window_s`` horizon,
+      because every head older than ``purchase_ts - window_s`` is
+      evicted before matching (so state cannot grow with stream
+      length, the requirement for an unbounded run);
+    * within a micro-batch rows fold in (ts, event_id) order; across
+      batches in arrival order — an event-time-ordered replay (file
+      replay, log-compacted CDC) reproduces the batch matching
+      exactly, which is what the equivalence test asserts;
+    * emission is immediate on match (outputMode=append semantics
+      downstream), giving the real-time conversion feed the batch
+      ``events_funnel_conversion`` entry aggregates after the fact.
+
+    Timestamps ride as epoch micros (NTZ-safe — the ts column is
+    normalized through the same cast the batch entries use).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            (csv,) = state.get
+            pending = [int(x) for x in csv.split(",")] if csv else []
+        else:
+            pending = []
+        out: list[tuple[int, int, float]] = []
+        horizon = window_s * 1_000_000
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ets = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+                if str(pdf["ts"].dtype).startswith("datetime")
+                else pdf["ts"].astype("int64")
+            )
+            for us, etype in zip(ets, pdf["event_type"]):
+                us = int(us)
+                if etype == "signup":
+                    pending.append(us)
+                elif etype == "purchase":
+                    while pending and pending[0] <= us - horizon:
+                        pending.pop(0)
+                    if pending and pending[0] < us:
+                        s = pending.pop(0)
+                        out.append((s, us, (us - s) / 1_000_000.0))
+        state.update((",".join(str(x) for x in pending),))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "signup_us": [o[0] for o in out],
+                    "purchase_us": [o[1] for o in out],
+                    "latency_s": [o[2] for o in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_MATCH_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -643,3 +643,49 @@ def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
         for r in base.filter((k % 7 == 0) & ((k / 10) % 2 == 1)).collect()
     }
     assert gone and not (gone & set(got))
+
+
+def test_stateful_funnel_matcher_matches_brute_force(spark, events_stream_parts):
+    """The CEP funnel matcher (signup -> purchase within 1h, FIFO
+    one-to-one), replaying the time-ordered 3-slice stream, emits
+    exactly the pairs a brute-force queue matcher finds on the full
+    batch."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        replay_events_stream,
+        stateful_funnel_matcher,
+    )
+
+    window_s = 3600
+    stream_dir, schema, full = events_stream_parts
+    stream = replay_events_stream(spark, str(stream_dir), schema)
+    _run_stream_to_memory(
+        stateful_funnel_matcher(stream, window_s=window_s),
+        "funnel_sink",
+        "update",
+    )
+    got_pdf = spark.sql("SELECT * FROM funnel_sink").toPandas()
+    got = sorted(
+        (int(r.user_id), int(r.signup_us), int(r.purchase_us))
+        for r in got_pdf.itertuples()
+    )
+
+    pdf = full.toPandas().sort_values(["ts", "event_id"])
+    pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    exp = []
+    horizon = window_s * 1_000_000
+    for uid, g in pdf.groupby("user_id"):
+        pending: list[int] = []
+        for us, etype in zip(g["us"], g["event_type"]):
+            us = int(us)
+            if etype == "signup":
+                pending.append(us)
+            elif etype == "purchase":
+                while pending and pending[0] <= us - horizon:
+                    pending.pop(0)
+                if pending and pending[0] < us:
+                    exp.append((int(uid), pending.pop(0), us))
+    assert got == sorted(exp)
+    assert len(got) > 0  # the sample must actually exercise matching
+    # latency column agrees with the timestamps
+    for r in got_pdf.itertuples():
+        assert abs(r.latency_s - (r.purchase_us - r.signup_us) / 1e6) < 1e-9
