@@ -873,3 +873,76 @@ sql_query(
     "get_json_object is null-on-malformed; DuckDB errors on invalid "
     "JSON, so the oracle gates extraction behind json_valid.",
 )
+
+
+# =====================================================================
+# Interval merge / coverage (gaps-and-islands over ranges)
+# =====================================================================
+
+_IVL_TMPL = (
+    "WITH iv AS (SELECT user_id, {e} - 300000000 AS s, "
+    "{e} + 300000000 AS e FROM events), "
+    "m AS (SELECT user_id, s, e, "
+    "max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max "
+    "FROM iv), "
+    "g AS (SELECT user_id, s, e, "
+    "sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY s, e) AS island FROM m), "
+    "isl AS (SELECT user_id, island, min(s) AS st, max(e) AS en "
+    "FROM g GROUP BY user_id, island) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals, "
+    "CAST(floor(sum(en - st) / 1000000.0) AS BIGINT) AS covered_s "
+    "FROM isl GROUP BY user_id ORDER BY user_id"
+)
+
+sql_query(
+    "events_interval_coverage",
+    _IVL_TMPL.format(e="unix_micros(CAST(ts AS TIMESTAMP))"),
+    _IVL_TMPL.format(e="epoch_us(ts)"),
+    doc="Interval union per user: each event projects a +-5 min "
+    "activity interval; overlapping intervals merge via the "
+    "cumulative-max-end gaps-and-islands pattern (an island starts "
+    "where start > max(prior ends)), yielding merged-interval count "
+    "and exact covered seconds. ONE window sort per user partition "
+    "feeds both the island numbering and the merge — the range-form "
+    "sibling of events_sessionize (points+gap) and the uptime/SLA "
+    "coverage primitive. Dialect gotcha recorded: DuckDB "
+    "CAST(DOUBLE AS BIGINT) rounds half-to-even while Spark "
+    "truncates toward zero — integer-second readouts must go "
+    "through floor() in both texts.",
+)
+
+
+# =====================================================================
+# Pareto / cumulative contribution analysis
+# =====================================================================
+
+sql_query(
+    "orders_pareto_customers",
+    # identical ANSI text: per-customer revenue, cumulative share
+    # under a (revenue DESC, custkey) total order, 80/20 readout.
+    "WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev "
+    "FROM orders GROUP BY o_custkey), "
+    "r AS (SELECT o_custkey, rev, "
+    "sum(rev) OVER (ORDER BY rev DESC, o_custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev, "
+    "sum(rev) OVER () AS tot, "
+    "row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk FROM cr) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+    "CAST(min(CASE WHEN cum_rev >= 0.8 * tot THEN rnk END) AS BIGINT) "
+    "AS customers_to_80pct, "
+    "floor(min(CASE WHEN cum_rev >= 0.8 * tot THEN rnk END) "
+    "/ CAST(count(*) AS DOUBLE) * 10000) / 10000 AS pareto_ratio, "
+    "floor(max(rev) / max(tot) * 10000) / 10000 AS top1_share "
+    "FROM r",
+    doc="Pareto (80/20) contribution analysis: cumulative revenue "
+    "share per customer under a unique (revenue DESC, custkey) total "
+    "order; emits how many customers cover 80% of revenue, that count "
+    "as a fraction of all customers, and the top-1 share. The scale "
+    "shape: revenue aggregates per key first (map-side combined), the "
+    "global sort touches only |customers| aggregate rows, and per-key "
+    "revenue is round()ed before ranking so the order — and therefore "
+    "the rank readout — is engine-stable. The concentration readout "
+    "behind skew decisions and account prioritization.",
+)

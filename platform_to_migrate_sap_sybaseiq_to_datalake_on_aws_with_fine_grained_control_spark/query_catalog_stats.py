@@ -780,3 +780,66 @@ sql_query(
     "1-based Sunday, DuckDB's 0-based — the Spark text shifts by one "
     "so both emit 0=Sunday.",
 )
+
+
+# =====================================================================
+# Holt linear-trend double exponential smoothing (tuple-state fold)
+# =====================================================================
+
+sql_query(
+    "events_holt_trend",
+    # Spark: left-to-right aggregate() fold with named_struct state.
+    "WITH vals AS (SELECT user_id, "
+    "slice(transform(array_sort(collect_list(named_struct("
+    "'e', unix_micros(CAST(ts AS TIMESTAMP)), 'i', event_id, "
+    "'v', CAST(value AS DOUBLE)))), x -> x.v), 1, 20) AS vs "
+    "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+    "f AS (SELECT user_id, size(vs) AS n, "
+    "aggregate(vs, "
+    "named_struct('l', CAST(NULL AS DOUBLE), 't', CAST(0.0 AS DOUBLE)), "
+    "(acc, x) -> CASE WHEN acc.l IS NULL "
+    "THEN named_struct('l', x, 't', CAST(0.0 AS DOUBLE)) "
+    "ELSE named_struct("
+    "'l', 0.3 * x + 0.7 * (acc.l + acc.t), "
+    "'t', 0.2 * ((0.3 * x + 0.7 * (acc.l + acc.t)) - acc.l) "
+    "+ 0.8 * acc.t) END) AS st FROM vals) "
+    "SELECT user_id, CAST(n AS BIGINT) AS n_used, "
+    "floor(st.l * 10000) / 10000 AS level, "
+    "floor(st.t * 10000) / 10000 AS trend, "
+    "floor((st.l + 3 * st.t) * 10000) / 10000 AS forecast_3 "
+    "FROM f ORDER BY user_id",
+    # DuckDB 1.0's list_reduce is 2-arg (no struct init), so the
+    # oracle unrolls the same left-to-right recurrence as a recursive
+    # CTE over the value-list index — identical operation order,
+    # bit-equal doubles.
+    "WITH RECURSIVE arr AS (SELECT user_id, "
+    "list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs "
+    "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+    "lim AS (SELECT user_id, vs[1:20] AS vs, least(len(vs), 20) AS n "
+    "FROM arr), "
+    "f(user_id, i, n, l, t) AS ("
+    "SELECT user_id, 1, n, vs[1], CAST(0.0 AS DOUBLE) FROM lim "
+    "UNION ALL "
+    "SELECT f.user_id, f.i + 1, f.n, "
+    "0.3 * lim.vs[f.i + 1] + 0.7 * (f.l + f.t), "
+    "0.2 * ((0.3 * lim.vs[f.i + 1] + 0.7 * (f.l + f.t)) - f.l) "
+    "+ 0.8 * f.t "
+    "FROM f JOIN lim ON f.user_id = lim.user_id WHERE f.i < f.n) "
+    "SELECT user_id, CAST(n AS BIGINT) AS n_used, "
+    "floor(l * 10000) / 10000 AS level, "
+    "floor(t * 10000) / 10000 AS trend, "
+    "floor((l + 3 * t) * 10000) / 10000 AS forecast_3 "
+    "FROM f WHERE i = n ORDER BY user_id",
+    doc="Holt double exponential smoothing (level + trend coupled "
+    "recurrence, alpha=0.3 / beta=0.2) folded over each user's first "
+    "20 time-ordered values, emitting the smoothed level, trend, and "
+    "3-step-ahead forecast — the next forecasting baseline above the "
+    "single-state EWMA entry. The Spark side is a left-to-right "
+    "aggregate() fold with named_struct tuple state (zero Python, "
+    "one shuffle); the DuckDB oracle unrolls the identical operation "
+    "order as a depth-bounded recursive CTE (2-arg list_reduce can't "
+    "seed struct state), so every double matches bit-for-bit. "
+    "Dialect gotchas recorded: DuckDB types a bare 0.0 anchor column "
+    "DECIMAL(2,1) — recursive numeric anchors need explicit DOUBLE "
+    "casts.",
+)

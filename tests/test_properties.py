@@ -212,3 +212,32 @@ def test_weighted_sample_rate_edges(spark):
     most = {r["doc_id"] for r in weighted_sample(df, "doc_id", F.lit(0.9)).collect()}
     assert half <= most
     assert 0 < len(half) < len(most) < 500
+
+
+@given(
+    big_keys=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=0, max_size=60),
+    small_keys=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=0, max_size=20),
+    num_bits=st.sampled_from([64, 1024, 65536]),
+    num_hashes=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_bloom_prefilter_join_never_loses_rows(spark, big_keys, small_keys, num_bits, num_hashes):
+    """Randomized: for any key multiset, filter size, and hash count,
+    bloom_prefilter_join is row-for-row identical to the plain join —
+    including tiny filters (64 bits) where false positives are
+    common, which must be removed by the final equi-join."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(big_keys)] or [(None, None)], "k long, rowid long"
+    )
+    small = spark.createDataFrame(
+        [(k, -i) for i, k in enumerate(small_keys)] or [(None, None)], "k long, tag long"
+    )
+    got = bloom_prefilter_join(
+        big, small, "k", num_bits=num_bits, num_hashes=num_hashes
+    ).collect()
+    want = big.join(small, "k").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
