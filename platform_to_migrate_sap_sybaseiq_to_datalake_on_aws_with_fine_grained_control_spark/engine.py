@@ -141,6 +141,66 @@ class Engine:
                 df = df.repartitionByRange(job.num_partitions, F.col(actual))
         return df
 
+    def validate_job(self, job: ExtractionJob) -> dict[str, Any]:
+        """Dry-run / EXPLAIN mode: resolve sources, rewrite the dialect,
+        build the FULL cleaned plan, and report schema + physical plan +
+        partitioning facts without executing a write, count, or cache —
+        Catalyst plans (and therefore validates) the query, but no job
+        runs. The pre-flight check a plan author runs before queueing
+        an extraction against a 100 TB source: catches unresolved
+        tables/columns, dialect rewrite failures, and a partition
+        column that did not survive the Query's projection, at
+        planning cost only.
+        """
+        import io
+        from contextlib import redirect_stdout
+
+        out: dict[str, Any] = {
+            "execution_hash_id": job.execution_hash_id,
+            "source_table": job.source_table,
+            "status": "VALID",
+            "issues": [],
+        }
+        try:
+            df = self.build_query_df(job)
+            cleaned, partition_keys = clean_pipeline(
+                df,
+                execution_hash_id=job.execution_hash_id,
+                load_timestamp=datetime.now(timezone.utc).replace(tzinfo=None),
+                partition_column=(
+                    job.column_for_partitioning_on_s3
+                    if job.partitioned_sink
+                    else None
+                ),
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                cleaned.explain("formatted")
+            out["schema"] = schema_tree_string(cleaned)
+            out["partition_keys"] = partition_keys
+            out["physical_plan"] = buf.getvalue()
+            out["source_path"] = (
+                "jdbc"
+                if job.jdbc_connection_string and self.registry.jdbc_enabled
+                else "files"
+            )
+            if job.partitioned_scan and job.num_partitions > 1:
+                col = str(job.column_for_partitioning_on_spark or "").strip()
+                if col.lower() not in {c.lower() for c in df.columns}:
+                    out["issues"].append(
+                        f"scan partition column {col!r} not in the projected "
+                        "columns — repartitionByRange would be skipped"
+                    )
+            if not job.reconciliation_enabled:
+                out["issues"].append(
+                    "no ExpectedAmountOfRecords — reconciliation will be "
+                    "'skipped'"
+                )
+        except Exception as e:  # noqa: BLE001 — validator reports, not raises
+            out["status"] = "INVALID"
+            out["error"] = str(e)
+        return out
+
     def run_job(self, job: ExtractionJob) -> RunResult:
         hash_id = job.execution_hash_id
         t0 = time.time()

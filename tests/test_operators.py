@@ -2203,3 +2203,77 @@ def test_bloom_prefilter_join_equals_plain_join(spark):
     # drop big-side rows the join type keeps)
     lo = bloom_prefilter_join(li, od, "l_orderkey", how="left")
     assert lo.count() == li.join(od, "l_orderkey", "left").count()
+
+
+def test_engine_validate_job_dry_run(spark, tmp_path):
+    """validate_job plans the full query (schema, physical plan,
+    partition keys, issue list) without writing anything; an
+    unresolvable query reports INVALID instead of raising."""
+    import os
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+        Engine,
+        EngineConfig,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+    )
+    from tests.conftest import SF_SMALL
+
+    lake = tmp_path / "lake"
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=SF_SMALL),
+        EngineConfig(target_root=str(lake), register_catalog=False),
+    )
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "orders",
+            "Query": "SELECT o_orderkey, o_orderdate FROM orders",
+            "PartitionedSink": True,
+            "ColumnForPartitioningOnS3": "o_orderdate",
+        }
+    )
+    v = eng.validate_job(plan.jobs[0])
+    assert v["status"] == "VALID"
+    assert "o_orderkey" in v["schema"]
+    assert v["partition_keys"]  # date-derived year/month/day
+    assert "Scan parquet" in v["physical_plan"]
+    assert v["source_path"] == "files"
+    # no-expected-count advisory, and nothing written to the lake
+    assert any("ExpectedAmountOfRecords" in i for i in v["issues"])
+    assert not lake.exists() or not os.listdir(lake)
+
+    # partition column dropped by the projection -> advisory issue
+    plan2 = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "orders",
+            "Query": "SELECT o_orderkey FROM orders",
+            "PartitionedSink": True,
+            "ColumnForPartitioningOnS3": "o_orderdate",
+            "ExpectedAmountOfRecords": 1,
+        }
+    )
+    # partition column dropped by the projection is a RUNTIME failure
+    # (clean_pipeline raises) — the validator must surface it as INVALID
+    v2 = eng.validate_job(plan2.jobs[0])
+    assert v2["status"] == "INVALID"
+    assert "ColumnForPartitioningOnS3" in v2["error"]
+
+    # unresolved column -> INVALID with the analyzer's message
+    bad = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "orders",
+            "Query": "SELECT no_such_column FROM orders",
+        }
+    )
+    vb = eng.validate_job(bad.jobs[0])
+    assert vb["status"] == "INVALID"
+    assert "no_such_column" in vb["error"]
+    assert not lake.exists() or not os.listdir(lake)
