@@ -1101,3 +1101,59 @@ def bloom_prefilter_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# =====================================================================
+# CMS inner-product join-size estimation (AMS/CMS sketch theory)
+# =====================================================================
+
+_JSZ_TMPL = (
+    "WITH ks AS (SELECT o_custkey AS k, count(*) AS c FROM orders "
+    "GROUP BY o_custkey), "
+    "cells AS (SELECT i, {bucket} AS w, sum(c) AS cell "
+    "FROM (SELECT k, c, {exploder} AS i FROM ks) GROUP BY i, {bucket}), "
+    "est AS (SELECT min(ip) AS est FROM "
+    "(SELECT i, sum(cell * cell) AS ip FROM cells GROUP BY i)), "
+    "exact AS (SELECT sum(c * c) AS ex, sum(c) AS n FROM ks) "
+    "SELECT CAST(ex AS BIGINT) AS exact_join_size, "
+    "CAST(est AS BIGINT) AS cms_estimate, "
+    "est >= ex AS never_underestimates, "
+    "est - ex <= 2.71828182845904523536 / 256.0 * n * n "
+    "AS within_cms_bound "
+    "FROM est, exact"
+)
+
+_JSZ_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', "
+    "CAST(k AS STRING))), 1, 2), 16, 10) AS INT)"
+)
+_JSZ_BUCKET_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' "
+    "|| CAST(k AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' "
+    "|| CAST(k AS VARCHAR)), 2, 1)) - 1))"
+)
+
+sql_query(
+    "sketch_join_size_estimate",
+    _JSZ_TMPL.format(
+        exploder="explode(sequence(1, 4))", bucket=_JSZ_BUCKET_SPARK
+    ),
+    _JSZ_TMPL.format(
+        exploder="unnest(range(1, 5))", bucket=_JSZ_BUCKET_DUCK
+    ),
+    doc="Join-size estimation from Count-Min inner products (the "
+    "AMS-style self-join-size special case): the size of the "
+    "orders-orders self-equi-join on o_custkey is sum(c_k^2); the CMS "
+    "estimate is the min over d=4 hash rows of the cell-wise "
+    "inner product — computable from the SAME mergeable counter "
+    "cells a CMS frequency sketch already maintains, never an extra "
+    "data pass. This is the optimizer-statistics primitive for "
+    "pre-shuffle skew/cost decisions at 100 TB: per-key counts are "
+    "one map-side-combined aggregation, the sketch is 4x256 cells. "
+    "md5 reproducibility makes the estimate a hash-checked hard "
+    "value, with the two CMS guarantees (overestimate-only; "
+    "overshoot <= e/w * N^2) as checked booleans. The scalar "
+    "est-x-exact attach is a 1-row broadcast (BNLJ-allowlisted like "
+    "the CMS entry).",
+)

@@ -843,3 +843,54 @@ sql_query(
     "DECIMAL(2,1) — recursive numeric anchors need explicit DOUBLE "
     "casts.",
 )
+
+
+# =====================================================================
+# Delete-group jackknife confidence interval (RNG-free resampling)
+# =====================================================================
+
+_JK_TMPL = (
+    "WITH b AS (SELECT {bucket} AS bk, sum(o_totalprice) AS s, "
+    "count(*) AS n FROM orders GROUP BY {bucket}), "
+    "t AS (SELECT bk, s, n, sum(s) OVER () AS ts, sum(n) OVER () AS tn "
+    "FROM b), "
+    "j AS (SELECT bk, (ts - s) / (tn - n) AS theta, ts, tn FROM t), "
+    "a AS (SELECT count(*) AS nb, avg(theta) AS tbar, "
+    "sum(theta * theta) AS t2, max(ts) AS ts, max(tn) AS tn FROM j) "
+    "SELECT CAST(nb AS BIGINT) AS n_buckets, "
+    "floor(ts / tn * 10000) / 10000 AS mean_price, "
+    "floor(sqrt((nb - 1.0) / nb * (t2 - nb * tbar * tbar)) * 10000) "
+    "/ 10000 AS jackknife_se, "
+    "floor((ts / tn - 1.96 * sqrt((nb - 1.0) / nb * "
+    "(t2 - nb * tbar * tbar))) * 10000) / 10000 AS ci_lo, "
+    "floor((ts / tn + 1.96 * sqrt((nb - 1.0) / nb * "
+    "(t2 - nb * tbar * tbar))) * 10000) / 10000 AS ci_hi "
+    "FROM a"
+)
+
+_JK_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 2), 16, 10) "
+    "AS INT) % 20"
+)
+_JK_BUCKET_DUCK = (
+    "((strpos('0123456789abcdef', "
+    "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', "
+    "substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) % 20"
+)
+
+sql_query(
+    "stats_jackknife_ci",
+    _JK_TMPL.format(bucket=_JK_BUCKET_SPARK),
+    _JK_TMPL.format(bucket=_JK_BUCKET_DUCK),
+    doc="Delete-group jackknife confidence interval for the mean order "
+    "price: rows split into 20 deterministic md5 buckets (RNG-free — "
+    "reproducible across engines, runs, and retries, unlike seeded "
+    "sampling), leave-one-bucket-out means computed from per-bucket "
+    "(sum, count) partials, and the jackknife variance "
+    "(B-1)/B * sum((theta_i - theta_bar)^2) read off their moments. "
+    "The uncertainty-quantification shape for any pipeline metric at "
+    "100 TB: ONE bucket-keyed aggregation (20 groups, map-side "
+    "combined) plus windows over 20 rows — resampling without a "
+    "second data pass.",
+)

@@ -52,6 +52,10 @@ BNLJ_OK = {
     "search_hybrid_rrf",
     # token stream x single-row broadcast LM totals — scalar join
     "curate_dsir_importance",
+    # 1-row CMS estimate x 1-row exact count — scalar join
+    "sketch_join_size_estimate",
+    # three 1-row scalar readouts fused — scalar joins
+    "pseudonymize_referential_integrity",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means

@@ -65,6 +65,14 @@ HEAVY = [
     "embedding_pq_codes",
     "sketch_count_min_users",
     "search_hybrid_rrf",
+    # round-4 fourth pass: 10x-event window shapes (interval islands,
+    # bounded rolling-distinct explode). The lineitem-side additions
+    # (recursive reachability, bloom-prefiltered join) are NOT here:
+    # the sf1 corpus replicates documents/embeddings/events/orders/
+    # customer only, and timing them against an unscaled lineitem
+    # would mislabel an sf0.1 measurement as sf1.
+    "events_interval_coverage",
+    "events_rolling_distinct_users",
 ]
 
 
