@@ -399,3 +399,68 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_status")
     )
+
+
+# =====================================================================
+# Incremental view maintenance: join delta under inserts
+# =====================================================================
+
+
+@register(
+    "ivm_join_delta_orders",
+    # independent oracle formulation: per-group counts over the FULL
+    # join minus counts over the BASE join must equal the delta-join
+    # counts (additive under insert-only deltas).
+    """
+WITH full_j AS (
+  SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_orderstatus
+),
+base_j AS (
+  SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+  FROM (SELECT * FROM orders WHERE o_orderkey % 13 <> 0) o
+  JOIN (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+  ON o.o_custkey = c.c_custkey
+  GROUP BY o_orderstatus
+)
+SELECT f.o_orderstatus AS o_orderstatus,
+       CAST(f.n - COALESCE(b.n, 0) AS BIGINT) AS delta_rows,
+       round(f.rev - COALESCE(b.rev, 0), 2) AS delta_revenue
+FROM full_j f LEFT JOIN base_j b ON f.o_orderstatus = b.o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Incremental view maintenance for an equi-join under inserts "
+    "(operators/cdc.py:join_delta): the join view's delta is "
+    "dA><B ∪ A><dB ∪ dA><dB — three delta-sized joins instead of a "
+    "full base-base recompute, the refresh-proportional-to-arrivals "
+    "property a materialized 100 TB join view needs (bucketed bases "
+    "make the delta-base joins shuffle-free on the base side). The "
+    "oracle is an independent formulation: full-join group counts "
+    "minus base-join group counts — additivity under insert-only "
+    "deltas is exactly the IVM invariant being proven.",
+)
+def ivm_join_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base_a = orders.filter(F.col("o_orderkey") % 13 != 0)
+    delta_a = orders.filter(F.col("o_orderkey") % 13 == 0)
+    base_b = cust.filter(F.col("c_custkey") % 7 != 0).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    delta_b = cust.filter(F.col("c_custkey") % 7 == 0).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    d = join_delta(base_a, delta_a, base_b, delta_b, "o_custkey")
+    return (
+        d.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("delta_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("delta_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -2277,3 +2277,36 @@ def test_engine_validate_job_dry_run(spark, tmp_path):
     assert vb["status"] == "INVALID"
     assert "no_such_column" in vb["error"]
     assert not lake.exists() or not os.listdir(lake)
+
+
+def test_join_delta_equals_full_recompute(spark):
+    """IVM invariant: base-join ∪ join_delta == full join, as
+    multisets, for insert-only deltas."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        join_delta,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    base_a = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta_a = orders.filter(F.col("o_orderkey") % 5 == 0)
+    base_b = cust.filter(F.col("o_custkey") % 3 != 0)
+    delta_b = cust.filter(F.col("o_custkey") % 3 == 0)
+
+    incremental = base_a.join(base_b, "o_custkey").unionByName(
+        join_delta(base_a, delta_a, base_b, delta_b, "o_custkey")
+    )
+    full = orders.join(cust, "o_custkey")
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, full.collect())
+    )
