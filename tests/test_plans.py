@@ -168,3 +168,50 @@ def test_join_strategy_hints_respected(spark):
     ]:
         plan = _plan(spark.sql(q.format(hint=hint)))
         assert node in plan, f"{hint} did not produce {node}:\n{plan[:500]}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling actually engages: a join whose hot key
+    dominates one shuffle partition gets that partition split
+    (AQEShuffleRead ... skew=true) instead of one straggler task —
+    the runtime half of the skew story (operators/skew.py salting is
+    the planning half). Subtlety this test encodes: skew detection
+    uses COMPRESSED map-output sizes, so the hot partition must carry
+    incompressible payload (md5 strings) — a constant key column
+    alone compresses to a few KB and never trips the threshold."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 550_000).select(
+            F.when(F.col("id") < 500_000, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = big.join(small, "k").select(
+            F.count("*").alias("n"), F.max("payload").alias("mx")
+        )
+        assert j.collect()[0]["n"] == 550_000
+        plan = _plan(j)
+        assert "skew=true" in plan, (
+            "hot-key partition was not skew-split:\n" + plan[:800]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
