@@ -1157,3 +1157,78 @@ sql_query(
     "est-x-exact attach is a 1-row broadcast (BNLJ-allowlisted like "
     "the CMS entry).",
 )
+
+
+# =====================================================================
+# KMV (k-minimum-values) distinct + Jaccard sketch — deterministic,
+# therefore hash-checkable (unlike HLL), and mergeable like CMS
+# =====================================================================
+
+KMV_K = 64
+
+
+def _kmv_duck_hex(expr: str, n: int = 8) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1) "
+        f"* {16 ** (n - i)}"
+        for i in range(1, n + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_KMV_TMPL = (
+    "WITH ua AS (SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'click'), "
+    "ub AS (SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'purchase'), "
+    "ha AS (SELECT {h} AS h FROM ua), "
+    "hb AS (SELECT {h} AS h FROM ub), "
+    "ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) "
+    f"AS r FROM ha) t WHERE r <= {KMV_K}), "
+    "skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) "
+    f"AS r FROM hb) t WHERE r <= {KMV_K}), "
+    "mrg AS (SELECT DISTINCT h FROM "
+    "(SELECT h FROM ska UNION ALL SELECT h FROM skb) u), "
+    "un AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) "
+    f"AS r FROM mrg) t WHERE r <= {KMV_K}) "
+    "SELECT "
+    "CAST((SELECT count(*) FROM ua) AS BIGINT) AS exact_click_users, "
+    "floor(((SELECT count(*) FROM ska) - 1) "
+    "/ (SELECT max(h) FROM ska) * 100) / 100 AS kmv_est_click, "
+    "CAST((SELECT count(*) FROM ub) AS BIGINT) AS exact_purchase_users, "
+    "floor(((SELECT count(*) FROM skb) - 1) "
+    "/ (SELECT max(h) FROM skb) * 100) / 100 AS kmv_est_purchase, "
+    "floor(CAST((SELECT count(*) FROM un "
+    "JOIN ska ON un.h = ska.h JOIN skb ON un.h = skb.h) AS DOUBLE) "
+    "/ (SELECT count(*) FROM un) * 10000) / 10000 AS kmv_jaccard, "
+    "floor(CAST((SELECT count(*) FROM ua JOIN ub "
+    "ON ua.user_id = ub.user_id) AS DOUBLE) "
+    "/ ((SELECT count(*) FROM ua) + (SELECT count(*) FROM ub) "
+    "- (SELECT count(*) FROM ua JOIN ub ON ua.user_id = ub.user_id)) "
+    "* 10000) / 10000 AS exact_jaccard"
+)
+
+_KMV_H_SPARK = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+    "AS DOUBLE) / 4294967296.0"
+)
+_KMV_H_DUCK = _kmv_duck_hex("CAST(user_id AS VARCHAR)") + " / 4294967296.0"
+
+sql_query(
+    "sketch_kmv_distinct_jaccard",
+    _KMV_TMPL.format(h=_KMV_H_SPARK),
+    _KMV_TMPL.format(h=_KMV_H_DUCK),
+    doc="K-minimum-values sketch (Beyer et al., SIGMOD'07): distinct "
+    "counts via (k-1)/theta_k over the k smallest md5-uniform hashes, "
+    "and audience overlap via the KMV resemblance estimator — the "
+    "fraction of the merged sketch's k minima present in both input "
+    "sketches. The fourth sketch family (after HLL, GK, CMS) and the "
+    "one that makes DISTINCT estimation hash-checkable: md5 hashes "
+    "are engine-reproducible, so unlike HLL the estimates themselves "
+    "are value-checked, and sketches MERGE by taking the k smallest "
+    "of a union — the map-side-combinable property that lets 100 TB "
+    "of partitions each ship 64 doubles. Per-set sketch selection is "
+    "a top-k window over DISTINCT keys (ties in h carry identical "
+    "values, so tie order cannot change the selected multiset); the "
+    "exact counterparts ride along for the error readout.",
+)
