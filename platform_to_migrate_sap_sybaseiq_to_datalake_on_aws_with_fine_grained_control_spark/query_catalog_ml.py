@@ -1784,3 +1784,93 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("precision_share"),
     ).orderBy("lang", "lang_pred")
+
+
+# =====================================================================
+# SimHash near-dup pairs within Hamming distance (block-index join)
+# =====================================================================
+
+SIMHASH_HAM_MAX = 3  # pairs kept at Hamming distance <= 3 (of 16 bits)
+
+
+def _simhash_ham_sql(sig: str, exploder: str, hamming: str) -> str:
+    # 4 blocks of 4 signature chars: any pair within Hamming distance
+    # 3 agrees on at least one block (pigeonhole), so a block-value
+    # equi-join yields a candidate superset; positional compare
+    # verifies exactly.
+    return (
+        f"WITH s AS (SELECT doc_id, {sig} AS sig FROM documents), "
+        f"blocks AS (SELECT doc_id, sig, i, "
+        "substr(sig, 1 + i * 8, 8) AS blockval "
+        f"FROM (SELECT doc_id, sig, {exploder} AS i FROM s) t), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.sig AS sa, b.sig AS sb "
+        "FROM blocks a JOIN blocks b ON a.i = b.i "
+        "AND a.blockval = b.blockval AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming "
+        f"FROM cand WHERE {hamming} <= {SIMHASH_HAM_MAX} "
+        "ORDER BY id_a, id_b"
+    )
+
+
+_HAM_SPARK = (
+    "size(filter(sequence(1, 32), j -> "
+    "substr(sa, j, 1) <> substr(sb, j, 1)))"
+)
+_HAM_DUCK = (
+    "len(list_filter(generate_series(1, 32), j -> "
+    "substr(sa, j, 1) <> substr(sb, j, 1)))"
+)
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    _simhash_ham_sql(
+        duck_simhash_bits("text", 32), "unnest(range(0, 4))", _HAM_DUCK
+    ),
+    doc="SimHash near-duplicate pairs within Hamming distance "
+    f"{SIMHASH_HAM_MAX} (Manku et al., WWW'07 block-permutation "
+    "index): the 32-bit signature splits into 4 8-bit blocks (256 values each — fine enough that block buckets stay small at corpus scale); by pigeonhole "
+    "any pair within distance 3 agrees exactly on >= 1 block, so "
+    "candidates come from a (block-index, block-value) equi-join — "
+    "shuffle volume is docs x 4, never docs^2 — and a positional "
+    "compare of the bit-strings verifies exactly. Extends the "
+    "exact-collision simhash groups entry to the fuzzy radius the "
+    "algorithm was designed for; signatures and verification are "
+    "identical expressions in both engines.",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(df, "doc_id", "text", 32).select(
+        "doc_id", F.col("simhash").alias("sig")
+    )
+    blocks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    ).withColumn(
+        "blockval", F.expr("substr(sig, 1 + i * 8, 8)")
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.blockval") == F.col("b.blockval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.expr(_HAM_SPARK)
+    return (
+        cand.filter(ham <= SIMHASH_HAM_MAX)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
