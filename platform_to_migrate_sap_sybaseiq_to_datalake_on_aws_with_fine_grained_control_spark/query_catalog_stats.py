@@ -894,3 +894,40 @@ sql_query(
     "combined) plus windows over 20 rows — resampling without a "
     "second data pass.",
 )
+
+
+# =====================================================================
+# Weighted percentiles (cumulative-weight window selection)
+# =====================================================================
+
+sql_query(
+    "stats_weighted_median_price",
+    # identical ANSI text: per-group weighted median / p90 of unit
+    # price, weighted by quantity — first value whose cumulative
+    # weight reaches the target fraction of total weight, under a
+    # unique (price, orderkey, linenumber) total order.
+    "WITH w AS (SELECT l_returnflag, l_extendedprice AS price, "
+    "l_quantity AS wt, "
+    "sum(l_quantity) OVER (PARTITION BY l_returnflag "
+    "ORDER BY l_extendedprice, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, "
+    "sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw "
+    "FROM lineitem) "
+    "SELECT l_returnflag, "
+    "round(min(CASE WHEN cw >= 0.5 * tw THEN price END), 2) "
+    "AS weighted_median, "
+    "round(min(CASE WHEN cw >= 0.9 * tw THEN price END), 2) "
+    "AS weighted_p90, "
+    "CAST(max(tw) AS DOUBLE) AS total_weight "
+    "FROM w GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc="Weighted percentiles — quantity-weighted median and p90 of "
+    "unit price per return flag: cumulative weight along a unique "
+    "(price, orderkey, linenumber) total order, then the first value "
+    "whose cumulative weight reaches the target fraction. The "
+    "estimator exact percentile_cont cannot express (its every-row- "
+    "equal weighting misprices skewed baskets); one window sort per "
+    "group partition feeds both cut points. At 100 TB the same "
+    "selection runs on a pre-aggregated (price, sum-weight) table — "
+    "cardinality |distinct prices|, not |rows| — the same "
+    "discretize-then-window trick as the AUC entry.",
+)

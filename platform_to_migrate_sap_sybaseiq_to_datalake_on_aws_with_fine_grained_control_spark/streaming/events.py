@@ -583,3 +583,39 @@ def stateful_funnel_matcher(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def idempotent_foreach_batch(apply_fn, marker_dir: str):
+    """Wrap a ``foreachBatch`` apply function with batch-id idempotence.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch`` — after a crash between the sink write and the
+    checkpoint commit, the SAME (batchId, data) is re-delivered. A
+    sink that is not idempotent duplicates that batch. This wrapper
+    supplies the standard fix: a durable marker per committed batch
+    id, written AFTER ``apply_fn`` succeeds; re-delivered ids are
+    skipped.
+
+    The marker write is the transaction boundary: if ``apply_fn``
+    itself crashes mid-write the marker is absent and the retry
+    re-runs it, so ``apply_fn`` must be atomic-or-idempotent at the
+    storage layer (parquet overwrite / snapshot swap both qualify —
+    the engine's sinks do). Markers are O(1) files; a production sink
+    compacts them or uses a table with a unique key. Exactly-once
+    END-TO-END = at-least-once delivery + this idempotence, which is
+    precisely how Spark's own file sinks work internally (their
+    _spark_metadata log plays the marker role).
+    """
+    from pathlib import Path
+
+    md = Path(marker_dir)
+    md.mkdir(parents=True, exist_ok=True)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        marker = md / f"batch-{batch_id}.done"
+        if marker.exists():
+            return
+        apply_fn(batch_df, batch_id)
+        marker.write_text("")
+
+    return fn

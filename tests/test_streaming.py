@@ -689,3 +689,42 @@ def test_stateful_funnel_matcher_matches_brute_force(spark, events_stream_parts)
     # latency column agrees with the timestamps
     for r in got_pdf.itertuples():
         assert abs(r.latency_s - (r.purchase_us - r.signup_us) / 1e6) < 1e-9
+
+
+def test_idempotent_foreach_batch_skips_redelivery(spark, tmp_path):
+    """At-least-once delivery + the idempotent wrapper = exactly-once
+    effect: re-delivering an already-committed (batchId, data) pair
+    must not change the sink, while a crash BEFORE the marker write
+    is retried."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        idempotent_foreach_batch,
+    )
+
+    applied = []
+
+    def apply_fn(df, bid):
+        if getattr(apply_fn, "crash_once", False) and bid == 1:
+            apply_fn.crash_once = False
+            raise RuntimeError("simulated sink crash before marker")
+        applied.append((bid, df.count()))
+
+    fn = idempotent_foreach_batch(apply_fn, str(tmp_path / "markers"))
+    b0 = spark.range(5)
+    b1 = spark.range(7)
+
+    fn(b0, 0)
+    # crash during batch 1: marker absent -> retry re-runs apply_fn
+    apply_fn.crash_once = True
+    try:
+        fn(b1, 1)
+    except RuntimeError:
+        pass
+    fn(b1, 1)  # redelivery after crash: must apply (no marker yet)
+    fn(b1, 1)  # redelivery after success: must skip
+    fn(b0, 0)  # stale redelivery of an old batch: must skip
+
+    assert applied == [(0, 5), (1, 7)]
+    assert sorted(p.name for p in (tmp_path / "markers").iterdir()) == [
+        "batch-0.done",
+        "batch-1.done",
+    ]
