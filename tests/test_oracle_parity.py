@@ -88,3 +88,17 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_catalog_hygiene_docs_and_oracles():
+    """Every catalog entry ships a real docstring (what it computes and
+    its scale shape) and a DuckDB oracle — the no-padding contract."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
+        catalog,
+    )
+
+    for name, e in catalog().items():
+        assert e.doc and len(e.doc) >= 15, f"{name}: missing/thin doc"
+        assert e.oracle and "SELECT" in e.oracle.upper(), (
+            f"{name}: missing oracle SQL"
+        )
