@@ -1018,3 +1018,41 @@ sql_query(
     "(same key distribution, same broadcast/shuffle choice). The "
     "scalar readout rides 1-row broadcasts (BNLJ-allowlisted).",
 )
+
+
+# =====================================================================
+# Out-of-order arrival profile (watermark sizing input)
+# =====================================================================
+
+_OOO_TMPL = (
+    "WITH seq AS (SELECT event_type, {e} AS es, "
+    "max({e}) OVER (PARTITION BY event_type ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm "
+    "FROM events) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN es < hwm THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS late_events, "
+    "floor(sum(CASE WHEN es < hwm THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE) * 10000) / 10000 AS late_fraction, "
+    "CAST(floor(COALESCE(max(CASE WHEN es < hwm THEN hwm - es END), 0) "
+    "/ 1000000.0) AS BIGINT) AS max_lateness_s "
+    "FROM seq GROUP BY event_type ORDER BY event_type"
+)
+
+sql_query(
+    "events_out_of_order_profile",
+    _OOO_TMPL.format(e="unix_micros(CAST(ts AS TIMESTAMP))"),
+    _OOO_TMPL.format(e="epoch_us(ts)"),
+    doc="Out-of-order arrival profile per event type: taking event_id "
+    "as the arrival order, an event is late iff its event time is "
+    "below the running high-water mark of everything that arrived "
+    "before it — late count, late fraction, and worst lateness in "
+    "seconds. This is the measurement that SIZES a Structured "
+    "Streaming watermark (withWatermark delay must cover the observed "
+    "lateness tail or late rows are dropped); run it on a sample "
+    "before deploying any windowed streaming aggregation. One window "
+    "per event-type partition (running max, no full sort beyond the "
+    "partition order) feeding a keyed aggregation. The "
+    "floor-over-micros integer idiom sidesteps the DuckDB "
+    "CAST-rounds / Spark CAST-truncates divergence.",
+)
