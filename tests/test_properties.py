@@ -241,3 +241,42 @@ def test_bloom_prefilter_join_never_loses_rows(spark, big_keys, small_keys, num_
     ).collect()
     want = big.join(small, "k").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+@given(
+    prev_rows=st.lists(
+        st.tuples(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 3))),
+        max_size=16, unique_by=lambda t: t[0],
+    ),
+    cur_rows=st.lists(
+        st.tuples(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 3))),
+        max_size=16, unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_diff_matches_bruteforce(spark, prev_rows, cur_rows):
+    """Randomized: snapshot_diff's status classification and change
+    flag equal a dict-based brute force for every key, including
+    null-valued cells."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame(prev_rows or [(99, None)], "k int, v int")
+    cur = spark.createDataFrame(cur_rows or [(98, None)], "k int, v int")
+    got = {
+        r.k: (r.diff_status, r.chg_v)
+        for r in snapshot_diff(cur, prev, ["k"], ["v"]).collect()
+    }
+    pd_, cd = dict(prev_rows or [(99, None)]), dict(cur_rows or [(98, None)])
+    for k in set(pd_) | set(cd):
+        if k not in pd_:
+            exp = ("added", False)
+        elif k not in cd:
+            exp = ("removed", False)
+        elif pd_[k] != cd[k]:
+            exp = ("changed", True)
+        else:
+            exp = ("unchanged", False)
+        assert got[k] == exp, (k, got[k], exp)
+    assert set(got) == set(pd_) | set(cd)
