@@ -931,3 +931,79 @@ sql_query(
     "cardinality |distinct prices|, not |rows| — the same "
     "discretize-then-window trick as the AUC entry.",
 )
+
+
+# =====================================================================
+# Kaplan-Meier survival curve (right-censored engagement lifetimes)
+# =====================================================================
+
+_KM_TMPL = (
+    "WITH ut AS (SELECT user_id, event_type, min({e}) AS fe, "
+    "max({e}) AS le FROM events GROUP BY user_id, event_type), "
+    "uu AS (SELECT user_id, max({e}) AS ue FROM events "
+    "GROUP BY user_id), "
+    "life AS (SELECT CAST(floor((le - fe) / 86400000000.0) AS INT) "
+    "AS t, CASE WHEN le < ue THEN 1 ELSE 0 END AS death "
+    "FROM ut JOIN uu ON ut.user_id = uu.user_id), "
+    "pts AS (SELECT t, sum(death) AS d, count(*) AS ev FROM life "
+    "GROUP BY t), "
+    "risk AS (SELECT t, d, "
+    "(SELECT count(*) FROM life) - COALESCE(sum(ev) OVER (ORDER BY t "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk "
+    "FROM pts) "
+    "SELECT t AS lifetime_days, CAST(d AS BIGINT) AS deaths, "
+    "CAST(n_risk AS BIGINT) AS at_risk, "
+    "floor(exp(sum(ln(1 - CAST(d AS DOUBLE) / n_risk)) OVER "
+    "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "* 1000000) / 1000000 AS survival "
+    "FROM risk WHERE d > 0 ORDER BY t"
+)
+
+sql_query(
+    "events_survival_km",
+    _KM_TMPL.format(e="unix_micros(CAST(ts AS TIMESTAMP))"),
+    _KM_TMPL.format(e="epoch_us(ts)"),
+    doc="Kaplan-Meier survival curve over right-censored engagement "
+    "lifetimes: a (user, event_type) subject 'dies' when the user "
+    "remains active in other types after that type's last event, and "
+    "is CENSORED when that type's last event ties the user's overall "
+    "last (still engaged at observation end) — genuine mixed "
+    "censoring, the thing that separates KM from a plain empirical "
+    "CDF. The product-limit estimator runs as exp(cumulative sum of "
+    "ln(1 - d/n)) over the per-timepoint death/at-risk table — "
+    "windows touch |distinct lifetimes| rows, never the event "
+    "stream; at-risk counts come from one cumulative window over the "
+    "same tiny table. Churn/retention modeling beyond fixed-horizon "
+    "cohort triangles.",
+)
+
+
+# =====================================================================
+# Gini coefficient / Lorenz concentration readout
+# =====================================================================
+
+sql_query(
+    "orders_gini_concentration",
+    # identical ANSI text: rank-weighted Gini over per-customer
+    # revenue, with Lorenz tail shares riding along.
+    "WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev "
+    "FROM orders GROUP BY o_custkey), "
+    "r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) "
+    "AS i, count(*) OVER () AS n, sum(rev) OVER () AS tot FROM cr) "
+    "SELECT CAST(max(n) AS BIGINT) AS n_customers, "
+    "floor((2.0 * sum(i * rev) / (max(n) * max(tot)) "
+    "- (max(n) + 1.0) / max(n)) * 1000000) / 1000000 AS gini, "
+    "floor(sum(CASE WHEN i <= 0.5 * n THEN rev ELSE 0 END) "
+    "/ max(tot) * 10000) / 10000 AS bottom_half_share, "
+    "floor(sum(CASE WHEN i > 0.9 * n THEN rev ELSE 0 END) "
+    "/ max(tot) * 10000) / 10000 AS top_decile_share "
+    "FROM r",
+    doc="Gini coefficient of revenue concentration via the "
+    "rank-weighted identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
+    "over per-customer revenue ranked under a unique (rev, custkey) "
+    "order, with Lorenz tail shares (bottom-half, top-decile) riding "
+    "along — the inequality readout next to the Pareto 80/20 entry. "
+    "Revenue aggregates per key first (map-side combined), so the "
+    "ranking touches |customers| rows; per-key revenue is rounded "
+    "before ranking for an engine-stable order.",
+)
