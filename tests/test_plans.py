@@ -56,6 +56,8 @@ BNLJ_OK = {
     "sketch_join_size_estimate",
     # three 1-row scalar readouts fused — scalar joins
     "pseudonymize_referential_integrity",
+    # residuals x 1-row median/MAD scalars — scalar joins
+    "events_anomaly_seasonal_mad",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
