@@ -1056,3 +1056,44 @@ sql_query(
     "floor-over-micros integer idiom sidesteps the DuckDB "
     "CAST-rounds / Spark CAST-truncates divergence.",
 )
+
+
+# =====================================================================
+# Cohort LTV accumulation curve
+# =====================================================================
+
+sql_query(
+    "orders_cohort_ltv_curve",
+    # identical ANSI text: first-order month = cohort; cumulative
+    # revenue per cohort by month offset, normalized per customer.
+    "WITH first_o AS (SELECT o_custkey, min(o_orderdate) AS fd "
+    "FROM orders GROUP BY o_custkey), "
+    "base AS (SELECT date_trunc('month', fd) AS cohort, "
+    "count(*) AS cohort_size FROM first_o GROUP BY 1), "
+    "rev AS (SELECT date_trunc('month', f.fd) AS cohort, "
+    "(year(o.o_orderdate) - year(f.fd)) * 12 "
+    "+ (month(o.o_orderdate) - month(f.fd)) AS m_off, "
+    "sum(o.o_totalprice) AS r "
+    "FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey "
+    "GROUP BY 1, 2) "
+    "SELECT CAST(CAST(cohort AS DATE) AS STRING) AS cohort_month, "
+    "CAST(m_off AS INT) AS month_offset, "
+    "CAST(max(b.cohort_size) AS BIGINT) AS cohort_size, "
+    "round(sum(rev.r) OVER w, 2) AS cum_revenue, "
+    "floor(round(sum(rev.r) OVER w, 2) / max(b.cohort_size) * 100) "
+    "/ 100 AS ltv_per_customer "
+    "FROM rev JOIN base b USING (cohort) "
+    "GROUP BY cohort, m_off, rev.r "
+    "WINDOW w AS (PARTITION BY cohort ORDER BY m_off "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "ORDER BY cohort_month, month_offset",
+    doc="Cohort LTV accumulation: customers cohorted by first-order "
+    "month, cumulative revenue per cohort along month offsets, "
+    "normalized to LTV per cohort member — the revenue-side "
+    "companion of the retention triangle (events_retention_cohorts). "
+    "The join input is pre-aggregated to |cohort x offset| rows "
+    "before any window runs, so the curve costs two keyed "
+    "aggregations and a cumsum over a tiny frame regardless of order "
+    "volume. Cohort months stringified per the DATE canonicalization "
+    "rule.",
+)

@@ -1232,3 +1232,42 @@ sql_query(
     "values, so tie order cannot change the selected multiset); the "
     "exact counterparts ride along for the error readout.",
 )
+
+
+# =====================================================================
+# Zipf's-law fit over token frequencies (corpus health diagnostic)
+# =====================================================================
+
+_ZIPF_TMPL = (
+    "WITH toks AS (SELECT {exploder} AS tok FROM documents), "
+    "tf AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok), "
+    "ranked AS (SELECT f, row_number() OVER "
+    "(ORDER BY f DESC, tok) AS r FROM tf), "
+    "top AS (SELECT ln(CAST(r AS DOUBLE)) AS lr, "
+    "ln(CAST(f AS DOUBLE)) AS lf FROM ranked WHERE r <= 500) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_ranks, "
+    "floor(regr_slope(lf, lr) * 10000) / 10000 AS zipf_slope, "
+    "floor(regr_r2(lf, lr) * 10000) / 10000 AS fit_r2, "
+    "floor(regr_intercept(lf, lr) * 10000) / 10000 AS log_c "
+    "FROM top"
+)
+
+sql_query(
+    "text_zipf_fit",
+    _ZIPF_TMPL.format(
+        exploder="explode(filter(split(text, ' '), t -> t <> ''))"
+    ),
+    _ZIPF_TMPL.format(
+        exploder="unnest(list_filter(string_split(text, ' '), "
+        "t -> t <> ''))"
+    ),
+    doc="Zipf's-law fit over the corpus token frequency distribution: "
+    "OLS of ln(frequency) on ln(rank) over the top-500 ranks via the "
+    "regr_* aggregate family — natural text sits near slope -1, and "
+    "deviation (slope far from -1, low R^2) is a corpus-health smell "
+    "for boilerplate floods, template spam, or tokenizer damage. One "
+    "token-keyed count (map-side combined) + a top-k rank window on "
+    "the |vocabulary| aggregate + a 500-row moment aggregation; the "
+    "rank order carries a (freq, token) tiebreak so both engines "
+    "rank identically.",
+)
