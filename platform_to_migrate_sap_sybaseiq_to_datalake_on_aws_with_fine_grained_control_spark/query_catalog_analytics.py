@@ -1097,3 +1097,43 @@ sql_query(
     "volume. Cohort months stringified per the DATE canonicalization "
     "rule.",
 )
+
+
+# =====================================================================
+# Cross-table consistency audit (order header vs line-item detail)
+# =====================================================================
+
+sql_query(
+    "dq_order_lineitem_consistency",
+    # identical ANSI text: per-order detail sum vs header total,
+    # relative deviation banded into an auditable histogram.
+    "WITH li AS (SELECT l_orderkey, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) "
+    "AS detail_total, count(*) AS n_lines FROM lineitem "
+    "GROUP BY l_orderkey), "
+    "j AS (SELECT o.o_orderkey, o.o_totalprice, li.detail_total, "
+    "CASE WHEN li.l_orderkey IS NULL THEN 'no_lineitems' "
+    "WHEN abs(o.o_totalprice - li.detail_total) "
+    "<= 0.01 * o.o_totalprice THEN 'within_1pct' "
+    "WHEN abs(o.o_totalprice - li.detail_total) "
+    "<= 0.10 * o.o_totalprice THEN 'within_10pct' "
+    "ELSE 'divergent' END AS band "
+    "FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_orders, "
+    "floor(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) "
+    "* 10000) / 10000 AS share, "
+    "round(max(abs(o_totalprice - COALESCE(detail_total, 0))), 2) "
+    "AS worst_abs_gap "
+    "FROM j GROUP BY band ORDER BY band",
+    doc="Cross-table consistency audit — the header-vs-detail "
+    "invariant every ERP migration must check: per-order line-item "
+    "net total (extended * (1-disc) * (1+tax), the TPC-H pricing "
+    "identity) against the order header total, banded into "
+    "within-1%/within-10%/divergent/no-lineitems with shares and the "
+    "worst absolute gap per band. One keyed aggregation over "
+    "lineitem + one left join on the order key — the detail side "
+    "pre-aggregates to |orders| rows before joining, so the check "
+    "costs a single pass over each table at any scale. Complements "
+    "the single-table dq_checks_orders constraint suite with a "
+    "referential (cross-table) rule.",
+)
