@@ -257,11 +257,16 @@ def snapshot_diff(
         cur[f"_c_{k}"].eqNullSafe(prv[f"_p_{k}"]) for k in keys
     ]
     j = cur.join(prv, cond, "full_outer")
-    any_chg = F.greatest(
-        *[~F.col(f"_cv_{c}").eqNullSafe(F.col(f"_pv_{c}")) for c in cmp_cols]
-    ) if len(cmp_cols) > 1 else (
-        ~F.col(f"_cv_{cmp_cols[0]}").eqNullSafe(F.col(f"_pv_{cmp_cols[0]}"))
-    )
+    if not cmp_cols:
+        # Key-only snapshots: rows present in both are 'unchanged' by
+        # definition, and there are no chg_* columns to emit.
+        any_chg = F.lit(False)
+    elif len(cmp_cols) > 1:
+        any_chg = F.greatest(
+            *[~F.col(f"_cv_{c}").eqNullSafe(F.col(f"_pv_{c}")) for c in cmp_cols]
+        )
+    else:
+        any_chg = ~F.col(f"_cv_{cmp_cols[0]}").eqNullSafe(F.col(f"_pv_{cmp_cols[0]}"))
     status = (
         F.when(F.col("_in_prv").isNull(), F.lit("added"))
         .when(F.col("_in_cur").isNull(), F.lit("removed"))
@@ -308,7 +313,19 @@ def join_delta(
     ΔA ⋈ ΔB is delta-sized. Insert-only deltas (the reference's
     append-only lake model); updates/deletes route through
     ``apply_change_stream`` first.
+
+    Only inner-type joins are accepted: the three-term identity does
+    not hold for outer joins (a base left join emits ``(a, null)`` for
+    keys that only later match via ΔB, and those rows would need a
+    retraction this insert-only delta cannot express).
     """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            "join_delta: the three-term delta identity is only valid for "
+            f"inner-type joins; got how={how!r}. Outer joins would require "
+            "retracting prior null-extended rows (use a full recompute or "
+            "apply_change_stream upstream)."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     return (
         delta_a.join(base_b, keys, how)

@@ -63,6 +63,10 @@ def post_write_maintenance(
     columns: list[str] | None = None,
     attempts: int = 5,
     backoff_s: float = 0.0,
+    compact_path: str | None = None,
+    partition_keys: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
+    target_files_per_partition: int = 1,
 ) -> None:
     """K6 post-write step with the reference's partition-index retry
     semantics (``postprocess/lambda_function.py:198-221``): 5 attempts,
@@ -70,11 +74,33 @@ def post_write_maintenance(
     here), "already exists" tolerated as success, and exhaustion
     swallowed — maintenance must never fail a run that already wrote
     its data, exactly like the reference's Lambda returning 0.
+
+    ``compact_path`` turns this into the full OPTIMIZE-equivalent for
+    the K1 parquet sink (the Delta-less analog of ``OPTIMIZE [table]
+    ZORDER BY (x, y)`` + ``ANALYZE``): small-file compaction via
+    stage-and-swap :func:`compact_partitions`, optional 2-D z-order
+    clustering, then a stats refresh so Catalyst's CBO sees the new
+    layout.  Compaction runs under the same tolerate/swallow envelope —
+    it is maintenance, and must never fail a run whose data landed.
+    Reference analog: the Glue partition-index postprocess Lambda
+    (``postprocess/lambda_function.py:164-221``) — same
+    "optimize the just-written table, never break the run" contract.
     """
     from ..orchestrator import with_retry
 
+    def _maintain() -> None:
+        if compact_path is not None:
+            compact_partitions(
+                spark,
+                compact_path,
+                partition_keys or [],
+                target_files_per_partition=target_files_per_partition,
+                zorder_by=zorder_by,
+            )
+        analyze_table(spark, table, columns)
+
     with_retry(
-        lambda: analyze_table(spark, table, columns),
+        _maintain,
         attempts=attempts,
         backoff_s=backoff_s,
         backoff="linear",
@@ -88,6 +114,8 @@ def compact_partitions(
     path: str,
     partition_keys: list[str],
     target_files_per_partition: int = 1,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 16,
 ) -> None:
     """Rewrite a partitioned parquet dir with ``target_files_per_
     partition`` files per Hive partition (small-file compaction).
@@ -111,6 +139,16 @@ def compact_partitions(
     one task → one file per partition; for N>1 a deterministic salt
     column (hash of all columns, retry-safe, no rand()) splits each
     partition into N tasks/files.
+
+    ``zorder_by=(x_col, y_col)`` additionally clusters each rewritten
+    partition on the Morton key of the two (non-negative integer)
+    dimensions — the raw-parquet analog of Delta's ``OPTIMIZE ...
+    ZORDER BY``: range-partitioning on (keys..., zkey) gives each
+    output file a contiguous z-range, and the within-partition sort
+    keeps row groups clustered, so per-file/row-group min-max stats
+    prune scans filtered on EITHER dimension.  The z-key is pure
+    codegen bit arithmetic (``layout.zorder_key``) and is never
+    materialized into the written schema.
     """
     import shutil
     import uuid
@@ -127,7 +165,32 @@ def compact_partitions(
             old.rename(p)
 
     df = spark.read.parquet(path)
-    if target_files_per_partition <= 1:
+    if zorder_by is not None:
+        from .layout import zorder_key
+
+        zkey = zorder_key(
+            F.col(zorder_by[0]).cast("long"),
+            F.col(zorder_by[1]).cast("long"),
+            bits=zorder_bits,
+        )
+        # one range slice per target output file: |hive partitions| ×
+        # files-per-partition tasks, lexicographic (keys..., zkey)
+        # ranges keep every file inside one hive partition AND one
+        # contiguous z-range.  The distinct() is over partition VALUES
+        # — bounded by partition count, not data size.
+        n_parts = (
+            max(1, df.select(*partition_keys).distinct().count())
+            if partition_keys
+            else 1
+        )
+        laid_out = df.repartitionByRange(
+            n_parts * max(1, target_files_per_partition),
+            *[F.col(k) for k in partition_keys],
+            zkey,
+        ).sortWithinPartitions(*[F.col(k) for k in partition_keys], zkey)
+    elif not partition_keys:
+        laid_out = df.coalesce(max(1, target_files_per_partition))
+    elif target_files_per_partition <= 1:
         laid_out = df.repartition(*[df[k] for k in partition_keys])
     else:
         salt = F.pmod(F.hash(*[df[c] for c in df.columns]), F.lit(target_files_per_partition))

@@ -91,8 +91,8 @@ def merge_schemas(schemas: list[StructType]) -> StructType:
     order: list[str] = []
     types: dict[str, DataType] = {}
     nullable: dict[str, bool] = {}
+    seen_in: dict[str, int] = {}
     for sch in schemas:
-        names = {f.name for f in sch.fields}
         for f in sch.fields:
             if f.name not in types:
                 order.append(f.name)
@@ -101,9 +101,13 @@ def merge_schemas(schemas: list[StructType]) -> StructType:
             else:
                 types[f.name] = widen_type(types[f.name], f.dataType)
                 nullable[f.name] = nullable[f.name] or f.nullable
-        for seen in order:
-            if seen not in names:
-                nullable[seen] = True
+            seen_in[f.name] = seen_in.get(f.name, 0) + 1
+    # A field absent from ANY input — including inputs processed
+    # BEFORE the field was first seen — is null-backfilled there, so
+    # appearance count < len(schemas) forces nullable.
+    for n in order:
+        if seen_in[n] < len(schemas):
+            nullable[n] = True
     return StructType(
         [StructField(n, types[n], nullable[n]) for n in order]
     )

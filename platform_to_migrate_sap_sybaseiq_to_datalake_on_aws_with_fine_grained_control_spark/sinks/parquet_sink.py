@@ -141,9 +141,50 @@ def write_partitioned_parquet(
     writer = to_write.write.mode(mode).format("parquet")
     if keys:
         writer = writer.partitionBy(*keys)
+    # capture BEFORE the write: a static overwrite deletes the whole
+    # directory, sidecar included, before laying down the new files
+    had_sidecar = (Path(path) / _SCHEMA_SIDECAR).exists()
     writer.save(path)
     if _write_schema_sidecar_after:
         _write_schema_sidecar(path, df.schema)
+    elif mode == "overwrite" and had_sidecar:
+        # A sidecar written by prior evolving appends would otherwise
+        # survive the overwrite (dynamic partitionOverwriteMode leaves
+        # root-level files intact) and later evolving appends would
+        # reconcile against a schema that no longer describes the data.
+        dynamic = (
+            str(
+                df.sparkSession.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+            ).lower()
+            == "dynamic"
+        )
+        if keys and dynamic:
+            # Partitions NOT touched by this write survive with their
+            # old schema, so the honest dataset schema is the widened
+            # merge of the stale sidecar and the overwriting frame.
+            from pyspark.sql.types import StructType
+
+            from ..operators.schema_evolution import merge_schemas
+
+            existing = _existing_data_schema(df.sparkSession, path, keys)
+            lk = {k.lower() for k in keys}
+            new_data = StructType(
+                [f for f in df.schema.fields if f.name.lower() not in lk]
+            )
+            merged = merge_schemas([existing, new_data])
+            _write_schema_sidecar(
+                path,
+                StructType(
+                    merged.fields
+                    + [f for f in df.schema.fields if f.name.lower() in lk]
+                ),
+            )
+        else:
+            # Static overwrite replaces the whole dataset: the frame's
+            # own schema IS the dataset schema now.
+            _write_schema_sidecar(path, df.schema)
 
     qualified = None
     if table_name:

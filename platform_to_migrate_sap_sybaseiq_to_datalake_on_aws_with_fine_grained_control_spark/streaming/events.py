@@ -509,6 +509,41 @@ _FUNNEL_STATE = StructType(
 )
 
 
+def _funnel_fold(
+    pending: list[int],
+    events_us: list[tuple[int, str]],
+    horizon_us: int,
+) -> tuple[list[int], list[tuple[int, int, float]]]:
+    """One micro-batch of FIFO signup→purchase matching for a single
+    user.  Returns ``(new_pending, matches)``.
+
+    The bounded-state guarantee lives here: besides the per-purchase
+    head eviction, EVERY fold ends by dropping pending signups older
+    than ``max_batch_ts - horizon`` — so a user who signs up forever
+    and never purchases still holds at most one horizon of state.
+    (Module-level so the memory bound is directly unit-testable.)
+    """
+    pending = list(pending)
+    out: list[tuple[int, int, float]] = []
+    max_us = -1
+    for us, etype in events_us:
+        max_us = max(max_us, us)
+        if etype == "signup":
+            pending.append(us)
+        elif etype == "purchase":
+            while pending and pending[0] <= us - horizon_us:
+                pending.pop(0)
+            if pending and pending[0] < us:
+                s = pending.pop(0)
+                out.append((s, us, (us - s) / 1_000_000.0))
+    # Unconditional eviction: without this, a signup-only user
+    # accumulates state forever (the purchase branch never runs).
+    if max_us >= 0:
+        while pending and pending[0] <= max_us - horizon_us:
+            pending.pop(0)
+    return pending, out
+
+
 def stateful_funnel_matcher(
     events: DataFrame, window_s: int = 3600
 ) -> DataFrame:
@@ -521,10 +556,12 @@ def stateful_funnel_matcher(
     processing engines, expressed as keyed arbitrary state:
 
     * state per user is the queue of unmatched signup timestamps —
-      bounded by the signup rate within one ``window_s`` horizon,
-      because every head older than ``purchase_ts - window_s`` is
-      evicted before matching (so state cannot grow with stream
-      length, the requirement for an unbounded run);
+      bounded by the signup rate within one ``window_s`` horizon:
+      heads older than ``purchase_ts - window_s`` are evicted before
+      matching, and at the END of every invocation everything older
+      than ``max_batch_ts - window_s`` is dropped too, so a user who
+      signs up forever and never purchases still holds at most one
+      horizon of state (the requirement for an unbounded run);
     * within a micro-batch rows fold in (ts, event_id) order; across
       batches in arrival order — an event-time-ordered replay (file
       replay, log-compacted CDC) reproduces the batch matching
@@ -555,16 +592,12 @@ def stateful_funnel_matcher(
                 if str(pdf["ts"].dtype).startswith("datetime")
                 else pdf["ts"].astype("int64")
             )
-            for us, etype in zip(ets, pdf["event_type"]):
-                us = int(us)
-                if etype == "signup":
-                    pending.append(us)
-                elif etype == "purchase":
-                    while pending and pending[0] <= us - horizon:
-                        pending.pop(0)
-                    if pending and pending[0] < us:
-                        s = pending.pop(0)
-                        out.append((s, us, (us - s) / 1_000_000.0))
+            pending, matched = _funnel_fold(
+                pending,
+                [(int(us), et) for us, et in zip(ets, pdf["event_type"])],
+                horizon,
+            )
+            out.extend(matched)
         state.update((",".join(str(x) for x in pending),))
         if out:
             yield pd.DataFrame(

@@ -2310,3 +2310,203 @@ def test_join_delta_equals_full_recompute(spark):
     assert sorted(map(tuple, incremental.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+# ---- round-5 ADVICE regression fixes --------------------------------
+
+
+def test_snapshot_diff_key_only_table(spark):
+    """ADVICE r4: key-only snapshots (no compare columns) must classify
+    added/removed/unchanged instead of raising IndexError."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame([(1,), (2,)], "k int")
+    cur = spark.createDataFrame([(2,), (3,)], "k int")
+    out = {r.k: r.diff_status for r in snapshot_diff(cur, prev, ["k"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "added"}
+    # no chg_* columns for a key-only diff
+    cols = snapshot_diff(cur, prev, ["k"]).columns
+    assert cols == ["k", "diff_status"]
+
+
+def test_join_delta_rejects_outer_joins(spark):
+    """ADVICE r4: the three-term delta identity only holds for
+    inner-type joins — outer joins must raise, not silently mis-merge."""
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        join_delta,
+    )
+
+    a = spark.createDataFrame([(1, "a")], "k int, va string")
+    b = spark.createDataFrame([(1, "b")], "k int, vb string")
+    for how in ("left", "full", "right", "left_outer", "full_outer"):
+        with _pytest.raises(ValueError, match="inner-type"):
+            join_delta(a, a, b, b, "k", how=how)
+    # inner still works
+    assert join_delta(a, a.limit(0), b, b.limit(0), "k").count() == 0
+
+
+def test_merge_schemas_late_field_is_nullable():
+    """ADVICE r4: a field first introduced by a LATER schema is null-
+    backfilled in earlier frames, so it must come out nullable even if
+    its own flag is non-nullable."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.schema_evolution import (
+        merge_schemas,
+    )
+
+    s_old = StructType([StructField("id", LongType(), False)])
+    s_new = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("channel", StringType(), False),  # non-nullable!
+        ]
+    )
+    merged = merge_schemas([s_old, s_new])
+    assert not merged["id"].nullable  # present non-nullable everywhere
+    assert merged["channel"].nullable  # missing from s_old => nullable
+    # order independence of the nullability contract
+    merged_rev = merge_schemas([s_new, s_old])
+    assert merged_rev["channel"].nullable
+
+
+def test_sink_overwrite_refreshes_schema_sidecar(spark, tmp_path):
+    """ADVICE r4: a stale _schema.json from prior evolving appends must
+    not survive an overwrite unreconciled.
+
+    Static overwrite => sidecar becomes the overwriting frame's schema.
+    Dynamic overwrite => sidecar becomes the widened merge (untouched
+    partitions keep their old schema on disk)."""
+    import json
+    from pathlib import Path
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    d1 = spark.createDataFrame([(1, 10, "2020")], "id int, qty int, year string")
+    write_partitioned_parquet(d1, str(tmp_path), "lake/sc", ["year"], mode="append")
+    # evolving append widens qty and adds channel -> sidecar written
+    d2 = spark.createDataFrame(
+        [(2, 20_000_000_000, "web", "2021")],
+        "id long, qty long, channel string, year string",
+    )
+    write_partitioned_parquet(
+        d2, str(tmp_path), "lake/sc", ["year"], mode="append", evolve_schema=True
+    )
+    side = Path(str(tmp_path)) / "lake" / "sc" / "_schema.json"
+    assert side.exists()
+    before = json.loads(side.read_text())
+    assert "channel" in [f["name"] for f in before["fields"]]
+
+    # dynamic overwrite of ONE partition with a narrower frame:
+    # sidecar must stay the widened merge (old partitions still hold
+    # long qty + channel files)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "dynamic"
+    )
+    d3 = spark.createDataFrame([(3, 30, "2020")], "id int, qty int, year string")
+    write_partitioned_parquet(d3, str(tmp_path), "lake/sc", ["year"], mode="overwrite")
+    merged = {f["name"]: f["type"] for f in json.loads(side.read_text())["fields"]}
+    assert merged["qty"] == "long" and "channel" in merged
+
+    # a later evolving append must reconcile against that honest schema
+    d4 = spark.createDataFrame(
+        [(4, 40, "app", "2022")], "id int, qty int, channel string, year string"
+    )
+    write_partitioned_parquet(
+        d4, str(tmp_path), "lake/sc", ["year"], mode="append", evolve_schema=True
+    )
+    # the files d4 wrote were aligned to the merged (long qty) schema
+    from pyspark.sql.types import StructType as _St
+
+    data_sch = _St.fromJson(json.loads(side.read_text()))
+    got = spark.read.schema(
+        _St([f for f in data_sch.fields if f.name != "year"])
+    ).parquet(str(tmp_path / "lake" / "sc" / "year=2022"))
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert got.collect()[0]["qty"] == 40
+
+    # static overwrite replaces everything: sidecar = frame schema
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        d5 = spark.createDataFrame([(9, "2020")], "id int, year string")
+        write_partitioned_parquet(
+            d5, str(tmp_path), "lake/sc", ["year"], mode="overwrite"
+        )
+        names = [f["name"] for f in json.loads(side.read_text())["fields"]]
+        assert names == ["id", "year"]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def test_post_write_maintenance_optimize_zorder(spark, tmp_path):
+    """VERDICT r4 item 4: the single OPTIMIZE-equivalent mode — compaction
+    + z-order clustering + stats refresh through post_write_maintenance —
+    serves the same oracle rows from fewer, z-clustered files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        zorder_key,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        post_write_maintenance,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    # many small appends -> small-file problem, 2-D access pattern (x, y)
+    df = spark.range(0, 4000).selectExpr(
+        "id",
+        "CAST(id % 2 AS STRING) AS part",
+        "CAST(id % 97 AS LONG) AS x",
+        "CAST((id * 31) % 89 AS LONG) AS y",
+    )
+    for i in range(4):
+        write_partitioned_parquet(
+            df.where(F.col("id") % 4 == i), str(tmp_path), "lake/opt",
+            ["part"], target_database="db_opt", table_name="opt", mode="append",
+        )
+    path = str(tmp_path / "lake" / "opt")
+    before_files = len(glob.glob(f"{path}/part=*/*.parquet"))
+    expected = sorted(map(tuple, df.collect()))
+
+    post_write_maintenance(
+        spark, "db_opt.opt", columns=["x", "y"],
+        compact_path=path, partition_keys=["part"],
+        zorder_by=("x", "y"), target_files_per_partition=2,
+    )
+
+    after = sorted(glob.glob(f"{path}/part=*/*.parquet"))
+    assert len(after) < before_files
+    # same oracle rows after the swap
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .select("id", F.col("part").cast("string"), "x", "y")
+            .collect(),
+        )
+    )
+    assert got == expected
+    # clustering: within a hive partition, files hold disjoint z-ranges
+    by_part: dict[str, list[tuple[int, int]]] = {}
+    for f in after:
+        zf = spark.read.parquet(f).select(
+            zorder_key(F.col("x"), F.col("y")).alias("z")
+        )
+        lohi = zf.agg(F.min("z"), F.max("z")).collect()[0]
+        by_part.setdefault(f.rsplit("/", 2)[1], []).append((lohi[0], lohi[1]))
+    for part, ranges in by_part.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (part, ranges)
+    spark.sql("DROP TABLE db_opt.opt")

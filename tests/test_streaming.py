@@ -728,3 +728,34 @@ def test_idempotent_foreach_batch_skips_redelivery(spark, tmp_path):
         "batch-0.done",
         "batch-1.done",
     ]
+
+
+def test_funnel_fold_evicts_signup_only_state():
+    """ADVICE r4: a user who signs up repeatedly and never purchases
+    must not accumulate unbounded pending state — every fold evicts
+    entries older than max_batch_ts - horizon."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        _funnel_fold,
+    )
+
+    horizon = 3_600 * 1_000_000
+    pending: list[int] = []
+    # 50 batches of signups marching forward one horizon per batch
+    for b in range(50):
+        t0 = b * horizon
+        batch = [(t0 + i * 1_000_000, "signup") for i in range(10)]
+        pending, out = _funnel_fold(pending, batch, horizon)
+        assert out == []
+        # never more than ~one horizon of signups retained
+        assert len(pending) <= 20, (b, len(pending))
+    # matching semantics unchanged: purchase consumes OLDEST valid signup
+    pending, out = _funnel_fold(
+        [100, 200, 300], [(250, "purchase")], horizon
+    )
+    assert out == [(100, 250, (250 - 100) / 1_000_000.0)]
+    assert pending == [200, 300]
+    # per-purchase head eviction still applies before matching
+    pending, out = _funnel_fold(
+        [0], [(horizon + 1, "purchase")], horizon
+    )
+    assert out == [] and pending == []

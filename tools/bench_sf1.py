@@ -17,10 +17,14 @@ Scaling recipe (honest linear scaling, not duplicate-pair inflation):
 * ``embeddings`` ×10 — per-replica deterministic jitter on each
   component, so replicas are near but not identical (realistic ANN
   neighborhoods instead of 10-way exact ties).
-* ``events`` / ``orders`` / ``customer`` ×10 — key-offset replication
-  (each replica is an independent key space), so the CDC merge and
-  SCD2 history paths see 10× the keys with per-key change structure
-  preserved exactly — linear work growth, no artificial key skew.
+* ``events`` / ``orders`` / ``customer`` / ``lineitem`` ×10 —
+  key-offset replication (each replica is an independent key space),
+  so the CDC merge and SCD2 history paths see 10× the keys with
+  per-key change structure preserved exactly — linear work growth, no
+  artificial key skew.  Key domains offset in lockstep (custkey /
+  orderkey shared between parent and child tables) so the TPC-H heavy
+  band's joins stay consistent; region/nation/supplier/part stay 1×
+  (broadcast dims every replica shares, as at 100 TB).
 
 Run:  python tools/bench_sf1.py          (writes BENCH_sf1.json)
 Data: /tmp/spark_graft_sf1 (regenerated when missing; ~120 MB).
@@ -66,13 +70,25 @@ HEAVY = [
     "sketch_count_min_users",
     "search_hybrid_rrf",
     # round-4 fourth pass: 10x-event window shapes (interval islands,
-    # bounded rolling-distinct explode). The lineitem-side additions
-    # (recursive reachability, bloom-prefiltered join) are NOT here:
-    # the sf1 corpus replicates documents/embeddings/events/orders/
-    # customer only, and timing them against an unscaled lineitem
-    # would mislabel an sf0.1 measurement as sf1.
+    # bounded rolling-distinct explode)
     "events_interval_coverage",
     "events_rolling_distinct_users",
+    # round-5: lineitem is now replicated (l_orderkey key-offset in
+    # lockstep with orders' o_orderkey, so the order⋈lineitem join key
+    # space stays consistent) — record the TPC-H heavy band at 10×.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "bloom_prefilter_join_revenue",
+    # round-5: remaining dedup-tier candidate generators at 10× —
+    # banded hyperplane LSH, SimHash block index, length-blocked edit
+    # distance (VERDICT r4 item 3: prove none goes super-linear).
+    "dedup_embedding_cosine_pairs_banded",
+    "dedup_simhash_hamming_pairs",
+    "dedup_edit_distance_pairs",
 ]
 
 
@@ -121,16 +137,32 @@ def generate(spark) -> None:
     )
     scaled_emb.repartition(32).write.mode("overwrite").parquet(f"{OUT_DIR}/embeddings.parquet")
 
-    # CDC / SCD2 inputs: key-offset replication — every id/key column
-    # is shifted into a disjoint range per replica, so per-key change
-    # sequences (what the merge operators chew on) replicate exactly.
-    for table, id_cols in [
-        ("events", ["event_id", "user_id"]),
-        ("orders", ["o_orderkey", "o_custkey"]),
-        ("customer", ["c_custkey"]),
+    # CDC / SCD2 / TPC-H fact inputs: key-offset replication — every
+    # id/key column is shifted into a disjoint range per replica, so
+    # per-key change sequences (what the merge operators chew on)
+    # replicate exactly.  lineitem's l_orderkey uses the SAME offset as
+    # orders' o_orderkey so the orders⋈lineitem key space stays
+    # consistent across replicas; l_partkey/l_suppkey are left alone —
+    # part/supplier are unscaled broadcast dims every replica shares.
+    # one offset per key DOMAIN, computed from the domain's parent
+    # table (customer owns custkey, orders owns orderkey — the child
+    # side's keys are subsets), so both sides of every scaled join
+    # shift by the same amount and replica key spaces stay aligned.
+    def _max1(table: str, col: str) -> int:
+        return load_table(spark, SRC_SF, table).agg(F.max(col)).collect()[0][0] + 1
+
+    custkey_off = _max1("customer", "c_custkey")
+    orderkey_off = _max1("orders", "o_orderkey")
+    for table, id_cols, offsets in [
+        ("events", ["event_id", "user_id"], None),
+        ("orders", ["o_orderkey", "o_custkey"],
+         {"o_orderkey": orderkey_off, "o_custkey": custkey_off}),
+        ("customer", ["c_custkey"], {"c_custkey": custkey_off}),
+        ("lineitem", ["l_orderkey"], {"l_orderkey": orderkey_off}),
     ]:
         src = load_table(spark, SRC_SF, table)
-        offsets = {c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
+        if offsets is None:
+            offsets = {c: _max1(table, c) for c in id_cols}
         scaled = src.crossJoin(replicas).select(
             *[
                 (F.col(c) + F.col("replica") * offsets[c]).alias(c)
@@ -140,6 +172,12 @@ def generate(spark) -> None:
             ]
         )
         scaled.repartition(32).write.mode("overwrite").parquet(f"{OUT_DIR}/{table}.parquet")
+
+    # unscaled broadcast dims, copied through so TPC-H shapes resolve
+    for dim in ("region", "nation", "supplier", "part"):
+        load_table(spark, SRC_SF, dim).write.mode("overwrite").parquet(
+            f"{OUT_DIR}/{dim}.parquet"
+        )
 
 
 def main() -> None:
@@ -158,7 +196,7 @@ def main() -> None:
     }
     marker = Path(OUT_DIR) / "_source_fingerprint.json"
     stale = True
-    if Path(f"{OUT_DIR}/customer.parquet").exists() and marker.exists():
+    if Path(f"{OUT_DIR}/lineitem.parquet").exists() and marker.exists():
         stale = json.loads(marker.read_text()) != src_fp
     if stale:
         print("# generating sf1 corpus ...", file=sys.stderr)
