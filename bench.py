@@ -48,6 +48,30 @@ HEADLINE = [
     "curate_training_corpus",
 ]
 
+#: second recorded band (VERDICT r4 item 8): the analytics/stats/mining
+#: tier the frozen headline never covered, so round-over-round
+#: comparisons see regressions there too.  Reported under "band2" in
+#: the same JSON line; the headline "value" stays comparable to r1-r4.
+BAND2 = [
+    "events_ohlc_hourly",
+    "events_holt_trend",
+    "events_anomaly_seasonal_mad",
+    "events_top_paths",
+    "events_survival_km",
+    "events_multitouch_attribution",
+    "window_distribution_functions",
+    "search_hybrid_rrf",
+    "text_zipf_fit",
+    "sketch_kmv_distinct_jaccard",
+    "sketch_count_min_users",
+    "stats_weighted_median_price",
+    "orders_cohort_ltv_curve",
+    "trade_pagerank_nations",
+    "scd2_customer_balance_history",
+    "embedding_pq_codes",
+    "dq_benford_amounts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +99,7 @@ def main() -> None:
     # a multi-second stall that best-of-N cannot remove (observed:
     # text_quality_scores 6.0 s on BOTH attempts when cold vs 0.35 s
     # warmed — Janino + C2 compile of its regex-heavy stage).
-    for wname in HEADLINE:
+    for wname in HEADLINE + BAND2:
         wfn = queries.get(wname)
         if wfn is not None:
             wfn(spark, warm_sf).write.format("noop").mode("overwrite").save()
@@ -87,38 +111,40 @@ def main() -> None:
     _registry._VIEW_CACHE.clear()
     _registry.register_parquet_views(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        # isolate entries: operators persist() their reused tables
-        # (signature/shingle frames) and never unpersist — after a
-        # dozen queries the accumulated storage causes GC churn that
-        # bleeds into later timings (observed: ann_ivf_topk 5.2 s in
-        # the 14th slot vs 1.5 s in a fresh session).
-        spark.catalog.clearCache()
-        # flatten GC debt from the previous query's freed cache blocks
-        # outside the measured window — an old-gen collection landing
-        # mid-query reads as a phantom 2-10 s regression.
-        spark.sparkContext._jvm.System.gc()
-        # best-of-3: the first execution of a plan at a new scale pays
-        # one-off costs (page cache, codegen at size, shuffle-file
-        # setup, a young-gen resize) that are 3-4x steady state and
-        # pure noise on this container; the fastest run is the
-        # engine-time signal the bench is after.
-        best = None
-        for _attempt in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: materializes every output row/column without
-            # driver-side collection and without letting count() prune
-            # the projection (the standard Spark benching sink).
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    def run_band(band: list[str], attempts: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in band:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            # isolate entries: operators persist() their reused tables
+            # (signature/shingle frames) and never unpersist — the
+            # accumulated storage causes GC churn in later timings.
+            spark.catalog.clearCache()
+            # flatten GC debt from the previous query's freed cache
+            # blocks outside the measured window.
+            spark.sparkContext._jvm.System.gc()
+            # best-of-N: the first execution of a plan at a new scale
+            # pays one-off costs (page cache, codegen at size, shuffle
+            # setup) that are 3-4x steady state; the fastest run is
+            # the engine-time signal.
+            best = None
+            for _attempt in range(attempts):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink: materializes every output row/column
+                # without driver-side collection and without letting
+                # count() prune the projection (the standard Spark
+                # benching sink).
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+            print(f"# {name}: {out[name]}s", file=sys.stderr)
+        return out
+
+    timings = run_band(HEADLINE, attempts=3)
+    band2 = run_band(BAND2, attempts=2)
 
     # Stage breakdown for the flagship composition (it chains the two
     # hottest operators): dedup alone vs the full dedup+quality+split.
@@ -164,6 +190,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "band2": {
+                    "metric": "analytics_stats_wall_clock",
+                    "value": round(sum(band2.values()), 3),
+                    "unit": "sec",
+                    "queries": band2,
+                },
                 "breakdown": breakdown,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

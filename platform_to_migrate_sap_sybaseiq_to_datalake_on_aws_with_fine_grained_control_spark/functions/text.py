@@ -115,9 +115,20 @@ def simhash_bits(col_name: str, num_bits: int = 16) -> Column:
     have an odd ``j``-th md5 nibble — i.e. the sign of the classic
     ±1 accumulation.  Uses one md5 per token (computed once via
     ``transform``), nibble parity via ``instr`` on a hex alphabet.
+
+    Beyond 32 bits a second, salted md5 supplies nibbles 33-64, so the
+    ≤32-bit signatures every other entry emits are bit-for-bit
+    unchanged while the Hamming-radius index gets the 64-bit space the
+    Manku block scheme needs at corpus scale.
     """
-    assert 1 <= num_bits <= 32
-    hashes = f"transform(split({col_name}, ' '), t -> md5(t))"
+    assert 1 <= num_bits <= 64
+    if num_bits <= 32:
+        hashes = f"transform(split({col_name}, ' '), t -> md5(t))"
+    else:
+        hashes = (
+            f"transform(split({col_name}, ' '), "
+            "t -> concat(md5(t), md5(concat(t, '~'))))"
+        )
     bits = (
         f"transform(sequence(1, {num_bits}), j -> "
         f"CASE WHEN 2 * size(filter(hs, h -> "
@@ -232,7 +243,13 @@ def duck_minhash_signature(col: str, num_hashes: int, shingle_n: int) -> str:
 
 
 def duck_simhash_bits(col: str, num_bits: int = 16) -> str:
-    hashes = f"list_transform(string_split({col}, ' '), t -> md5(t))"
+    if num_bits <= 32:
+        hashes = f"list_transform(string_split({col}, ' '), t -> md5(t))"
+    else:
+        hashes = (
+            f"list_transform(string_split({col}, ' '), "
+            "t -> concat(md5(t), md5(concat(t, '~'))))"
+        )
     return (
         f"(SELECT array_to_string(list_transform(generate_series(1, {num_bits}), j -> "
         f"CASE WHEN 2 * len(list_filter(hs, h -> "

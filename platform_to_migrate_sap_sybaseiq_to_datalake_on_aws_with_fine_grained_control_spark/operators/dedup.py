@@ -460,7 +460,7 @@ def simhash_dup_groups(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 20, ledger=None
 ) -> DataFrame:
     """Distributed connected components over an undirected edge list
     ``(id_a, id_b)``; output ``(node, label)`` with ``label`` = the
@@ -492,6 +492,11 @@ def connected_components(
     overflow-free) is strictly decreasing until the fixed point — one
     scan of the already-checkpointed table per round instead of a
     shuffled old-vs-new join.
+
+    ``ledger`` (a :class:`sinks.ledger.Ledger`) records round count and
+    the per-round checksum deltas on completion AND on the
+    non-convergence raise, so unattended runs surface a stuck
+    propagation in the run ledger instead of only in a stack trace.
     """
     edges = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -510,6 +515,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = _checksum(labels)
+    deltas: list = []
     for round_idx in range(max_iterations):
         prop = (
             edges.join(labels.withColumnRenamed("node", "id_b"), "id_b")
@@ -534,17 +540,34 @@ def connected_components(
         new_labels = stepped.localCheckpoint()
         cur_sum = _checksum(new_labels)
         labels = new_labels
+        deltas.append(prev_sum - cur_sum)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
         edges.unpersist()
+        if ledger is not None:
+            ledger.record_iterations(
+                "connected_components",
+                rounds=max_iterations,
+                max_rounds=max_iterations,
+                converged=False,
+                deltas=deltas,
+            )
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "rounds (label checksum still decreasing); raise "
             "max_iterations rather than accept split components"
         )
     edges.unpersist()
+    if ledger is not None:
+        ledger.record_iterations(
+            "connected_components",
+            rounds=len(deltas),
+            max_rounds=max_iterations,
+            converged=True,
+            deltas=deltas,
+        )
     return labels
 
 

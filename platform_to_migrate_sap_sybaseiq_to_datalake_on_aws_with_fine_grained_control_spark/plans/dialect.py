@@ -114,15 +114,20 @@ def rewrite_tsql_idioms(sql: str) -> str:
       Spark's 1-arg ``isnull`` predicate is never called with 2 args,
       so the name rewrite is safe in plan queries)
     * ``DATEADD(unit, n, d)``   →  ``d + n * INTERVAL 1 unit`` (simple
-      args only; nested-paren args pass through unchanged — Spark ≥3.3
-      natively accepts ``dateadd(unit, n, expr)``)
+      args only — string literals allowed; nested-paren args pass
+      through unchanged — Spark ≥3.3 natively accepts
+      ``dateadd(unit, n, expr)``)
     * ``DATEDIFF(unit, a, b)``  →  ``timestampdiff(unit, a, b)``
       (T-SQL argument order is already Spark's: b - a in ``unit``)
     * ``LEN(s)``          →  ``length(s)``
     * ``CHARINDEX(x, s)`` →  ``locate(x, s)`` (same 1-based, 0 = miss)
-    * ``CONVERT(T, x)``   →  ``CAST(x AS T)`` (simple type form only;
-      style-code variants are left untouched for the engine to reject
-      loudly rather than silently misconvert)
+    * ``CONVERT(T, x)``   →  ``CAST(x AS T)`` (simple type form; ``x``
+      may be any expression, nested calls and string literals included
+      — a balanced literal-aware scan, not a regex, because
+      ``CONVERT(date, '1990-01-01')`` has its argument inside a
+      literal segment regexes can never span.  Three-arg style-code
+      variants are left untouched for the engine to reject loudly
+      rather than silently misconvert)
     * ``NOW(*)`` / ``NOW()``    →  ``current_timestamp()`` (Sybase IQ's
       NOW takes ``*``)
     * ``DATEPART(unit, d)``     →  ``date_part('unit', d)``
@@ -140,21 +145,9 @@ def rewrite_tsql_idioms(sql: str) -> str:
             parts[i] = _TOP_RE.sub(r"\1 ", parts[i], count=1)
         parts[i] = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", parts[i], flags=re.IGNORECASE)
         parts[i] = re.sub(r"\bISNULL\s*\(", "coalesce(", parts[i], flags=re.IGNORECASE)
-        parts[i] = re.sub(
-            r"\bDATEADD\s*\(\s*(\w+)\s*,\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)",
-            r"(\3 + (\2) * INTERVAL 1 \1)",
-            parts[i],
-            flags=re.IGNORECASE,
-        )
         parts[i] = re.sub(r"\bDATEDIFF\s*\(", "timestampdiff(", parts[i], flags=re.IGNORECASE)
         parts[i] = re.sub(r"\bLEN\s*\(", "length(", parts[i], flags=re.IGNORECASE)
         parts[i] = re.sub(r"\bCHARINDEX\s*\(", "locate(", parts[i], flags=re.IGNORECASE)
-        parts[i] = re.sub(
-            r"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+\s*\))?)\s*,\s*([^(),]+?)\s*\)",
-            r"CAST(\2 AS \1)",
-            parts[i],
-            flags=re.IGNORECASE,
-        )
         parts[i] = re.sub(
             r"\bNOW\s*\(\s*\*?\s*\)", "current_timestamp()", parts[i], flags=re.IGNORECASE
         )
@@ -165,9 +158,104 @@ def rewrite_tsql_idioms(sql: str) -> str:
             flags=re.IGNORECASE,
         )
     out = _rewrite_string_concat("".join(parts))
+    out = _rewrite_calls(out, "CONVERT", _convert_to_cast)
+    out = _rewrite_calls(out, "DATEADD", _dateadd_to_interval)
     if top_n is not None:
         out = f"{out.rstrip()} LIMIT {top_n}"
     return out
+
+
+def _skip_str_literal(sql: str, k: int) -> int:
+    """Index just past the single-quoted literal starting at ``k``
+    (``''`` escapes honored)."""
+    k += 1
+    n = len(sql)
+    while k < n:
+        if sql[k] == "'":
+            if k + 1 < n and sql[k + 1] == "'":
+                k += 2
+                continue
+            return k + 1
+        k += 1
+    return k
+
+
+def _rewrite_calls(sql: str, name: str, transform) -> str:
+    """Literal-aware balanced-paren rewrite of ``name(args…)`` calls.
+
+    ``transform(args)`` receives the stripped top-level argument list
+    and returns the replacement string, or ``None`` to leave the call
+    untouched.  Applied to fixpoint (≤10 passes) so nested calls —
+    ``CONVERT(varchar, CONVERT(int, x))`` — resolve inner-after-outer.
+    This is the scanner the regex approach cannot be: a string-literal
+    argument (``CONVERT(date, '1990-01-01')``) splits the call across
+    literal segments, which per-segment regexes can never span.
+    """
+    pat = re.compile(r"\b" + name + r"\s*\(", re.IGNORECASE)
+    for _ in range(10):
+        out: list[str] = []
+        i, n, changed = 0, len(sql), False
+        while i < n:
+            if sql[i] == "'":
+                j = _skip_str_literal(sql, i)
+                out.append(sql[i:j])
+                i = j
+                continue
+            m = pat.match(sql, i)
+            if m:
+                depth, k = 1, m.end()
+                arg_start, args = k, []
+                while k < n and depth:
+                    ch = sql[k]
+                    if ch == "'":
+                        k = _skip_str_literal(sql, k)
+                        continue
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            args.append(sql[arg_start:k])
+                    elif ch == "," and depth == 1:
+                        args.append(sql[arg_start:k])
+                        arg_start = k + 1
+                    k += 1
+                if depth == 0:
+                    rep = transform([a.strip() for a in args])
+                    if rep is not None:
+                        out.append(rep)
+                        i = k
+                        changed = True
+                        continue
+                out.append(sql[i : m.end()])
+                i = m.end()
+                continue
+            out.append(sql[i])
+            i += 1
+        sql = "".join(out)
+        if not changed:
+            break
+    return sql
+
+
+_TYPE_FORM = re.compile(r"^\w+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?$")
+
+
+def _convert_to_cast(args: list[str]) -> str | None:
+    if len(args) == 2 and _TYPE_FORM.match(args[0]):
+        return f"CAST({args[1]} AS {args[0]})"
+    return None  # 3-arg style-code form: reject loudly downstream
+
+
+def _dateadd_to_interval(args: list[str]) -> str | None:
+    if (
+        len(args) == 3
+        and re.fullmatch(r"\w+", args[0])
+        and not re.search(r"[()]", args[1])
+        and not re.search(r"[()]", args[2])
+    ):
+        return f"({args[2]} + ({args[1]}) * INTERVAL 1 {args[0]})"
+    return None  # complex args: Spark ≥3.3 runs dateadd(unit, n, expr) natively
 
 
 _STRING_CALL_RE = re.compile(r"STRING\s*\(", re.IGNORECASE)

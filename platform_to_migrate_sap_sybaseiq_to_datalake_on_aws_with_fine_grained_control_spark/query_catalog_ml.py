@@ -56,10 +56,15 @@ ANN_K = 5
 LSH_PLANES = 4
 EMB_DIMS = 64
 NEARDUP_COS_THRESHOLD = 0.95
-# banded variant: 8 sign bits in 2 bands of 4 — smaller buckets than the
-# 4-bit monolithic key, recall recovered by OR-ing the bands
-NEARDUP_BANDED_PLANES = 8
-NEARDUP_BANDS = 2
+# banded variant: 32 sign bits in 4 bands of 8.  Band key domains must
+# stay FINE relative to corpus size (the r4 SimHash lesson, relearned
+# at r5 on this entry): 4-bit bands = 16 values/band put ~n/16 vectors
+# in every bucket — a quadratic candidate set that cost 36 s at sf1 —
+# while 8-bit bands (256 values) keep buckets ~n/256 and candidates
+# near-linear.  Recall at cos≥0.95 stays ≈0.89 via 4-band
+# OR-amplification (p_plane≈0.90 ⇒ 1-(1-0.90^8)^4).
+NEARDUP_BANDED_PLANES = 32
+NEARDUP_BANDS = 4
 
 
 # ---- DuckDB snippet builders ----------------------------------------
@@ -1790,18 +1795,24 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup pairs within Hamming distance (block-index join)
 # =====================================================================
 
-SIMHASH_HAM_MAX = 3  # pairs kept at Hamming distance <= 3 (of 16 bits)
+SIMHASH_HAM_MAX = 3  # pairs kept at Hamming distance <= 3 (of 64 bits)
+SIMHASH_HAM_BITS = 64  # Manku WWW'07 signature width: 4 blocks x 16 bits
+_SIMHASH_BLOCK = SIMHASH_HAM_BITS // 4
 
 
 def _simhash_ham_sql(sig: str, exploder: str, hamming: str) -> str:
-    # 4 blocks of 4 signature chars: any pair within Hamming distance
-    # 3 agrees on at least one block (pigeonhole), so a block-value
+    # 4 blocks of 16 signature chars (the r4->r5 lesson, twice over:
+    # block-value domains must stay fine relative to corpus size —
+    # 8-bit blocks put ~n/256 docs in every bucket, which went
+    # quadratic at 50k docs; 16-bit blocks give 65536 values and
+    # near-singleton buckets).  Any pair within Hamming distance 3
+    # agrees on at least one block (pigeonhole), so a block-value
     # equi-join yields a candidate superset; positional compare
     # verifies exactly.
     return (
         f"WITH s AS (SELECT doc_id, {sig} AS sig FROM documents), "
         f"blocks AS (SELECT doc_id, sig, i, "
-        "substr(sig, 1 + i * 8, 8) AS blockval "
+        f"substr(sig, 1 + i * {_SIMHASH_BLOCK}, {_SIMHASH_BLOCK}) AS blockval "
         f"FROM (SELECT doc_id, sig, {exploder} AS i FROM s) t), "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
         "a.sig AS sa, b.sig AS sb "
@@ -1814,11 +1825,11 @@ def _simhash_ham_sql(sig: str, exploder: str, hamming: str) -> str:
 
 
 _HAM_SPARK = (
-    "size(filter(sequence(1, 32), j -> "
+    f"size(filter(sequence(1, {SIMHASH_HAM_BITS}), j -> "
     "substr(sa, j, 1) <> substr(sb, j, 1)))"
 )
 _HAM_DUCK = (
-    "len(list_filter(generate_series(1, 32), j -> "
+    f"len(list_filter(generate_series(1, {SIMHASH_HAM_BITS}), j -> "
     "substr(sa, j, 1) <> substr(sb, j, 1)))"
 )
 
@@ -1826,11 +1837,16 @@ _HAM_DUCK = (
 @register(
     "dedup_simhash_hamming_pairs",
     _simhash_ham_sql(
-        duck_simhash_bits("text", 32), "unnest(range(0, 4))", _HAM_DUCK
+        duck_simhash_bits("text", SIMHASH_HAM_BITS),
+        "unnest(range(0, 4))",
+        _HAM_DUCK,
     ),
     doc="SimHash near-duplicate pairs within Hamming distance "
     f"{SIMHASH_HAM_MAX} (Manku et al., WWW'07 block-permutation "
-    "index): the 32-bit signature splits into 4 8-bit blocks (256 values each — fine enough that block buckets stay small at corpus scale); by pigeonhole "
+    f"index): the {SIMHASH_HAM_BITS}-bit signature splits into 4 "
+    f"{_SIMHASH_BLOCK}-bit blocks (65536 values each — near-singleton "
+    "block buckets at 100k-doc scale, where 256-value blocks went "
+    "quadratic); by pigeonhole "
     "any pair within distance 3 agrees exactly on >= 1 block, so "
     "candidates come from a (block-index, block-value) equi-join — "
     "shuffle volume is docs x 4, never docs^2 — and a positional "
@@ -1841,7 +1857,7 @@ _HAM_DUCK = (
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(df, "doc_id", "text", 32).select(
+    sigs = simhash_signatures(df, "doc_id", "text", SIMHASH_HAM_BITS).select(
         "doc_id", F.col("simhash").alias("sig")
     )
     blocks = sigs.select(
@@ -1849,7 +1865,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
     ).withColumn(
-        "blockval", F.expr("substr(sig, 1 + i * 8, 8)")
+        "blockval", F.expr(f"substr(sig, 1 + i * {_SIMHASH_BLOCK}, {_SIMHASH_BLOCK})")
     )
     a = blocks.alias("a")
     b = blocks.alias("b")

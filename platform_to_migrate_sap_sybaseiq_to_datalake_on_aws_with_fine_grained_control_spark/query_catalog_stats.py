@@ -31,7 +31,17 @@ GAPFILL_USER_MOD = 50  # per-user grid kept span-bound: every 50th user
 TOUCH_WINDOW_S = 1800  # view/click within 30 min before a purchase
 RP_OUT_DIMS = 16  # 64-d -> 16-d Johnson-Lindenstrauss projection
 ED_PREFIX = 64  # edit distance computed on this codepoint prefix
-ED_THRESH = 12  # keep pairs with prefix edit distance <= this
+# typo-radius threshold.  r5 scale lesson: at tau=12 the length-block
+# join alone was the candidate generator and went quadratic at sf1
+# (122 s) — length buckets are a fixed-size domain, so bucket
+# population grows linearly with the corpus.  tau=3 (the classic
+# typo/near-identical radius) admits a PassJoin segment index
+# (tau+1 = 4 segments, pigeonhole-exact) whose join key is a
+# ~11-16-char substring — high-cardinality, buckets stay tiny at any
+# corpus size.  On the test corpus family the output is unchanged
+# (observed prefix distances are bimodal: 0 or >= 36).
+ED_THRESH = 3
+ED_SEGMENTS = ED_THRESH + 1
 ED_BUCKET = 16  # n_chars blocking bucket width (>= ED_THRESH + 1, so
 #                 the +-1-bucket probe admits every |len diff| <= thresh)
 
@@ -307,48 +317,101 @@ WHERE levenshtein(a.prefix, c.prefix) <= {ED_THRESH}
 @register(
     "dedup_edit_distance_pairs",
     _duck_edit_distance_sql(),
-    doc="Edit-distance near-dup pairs with length blocking: docs are "
-    f"bucketed by floor(n_chars/{ED_BUCKET}); each left doc probes its "
-    "own and both adjacent buckets (explode of 3 bucket ids), so the "
-    "match is a pure (lang, bucket) EQUI-join — no inequality join, no "
-    "per-key nested loop — refined by Levenshtein over the "
-    f"{ED_PREFIX}-codepoint prefix. Bucket width > threshold "
-    "guarantees no candidate with |len diff| <= threshold is missed; "
-    "each qualifying pair meets in exactly one probe bucket, so no "
-    "dedup pass is needed. The oracle states the identical predicate "
-    "as abs(bucket diff) <= 1.",
+    doc="Edit-distance near-dup pairs (prefix Levenshtein <= "
+    f"{ED_THRESH}) via a PassJoin segment index: each {ED_PREFIX}-"
+    f"codepoint prefix splits into {ED_SEGMENTS} near-equal segments; "
+    "pigeonhole guarantees a qualifying pair shares one segment "
+    "verbatim (start shift <= 2*tau), so candidates come from an "
+    "equi-join on ~11-16-char substring keys — cardinality grows WITH "
+    "the corpus, so buckets stay tiny at any scale (the length-block-"
+    "only join this replaces was quadratic: fixed bucket domain). "
+    "Length blocking (bucket diff <= 1) and banded 3-arg Levenshtein "
+    "verify exactly. The oracle is the direct quadratic statement of "
+    "the same predicate — parity doubles as the no-false-negative "
+    "proof for the segment index.",
 )
 def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg_n = ED_SEGMENTS
+    tau = ED_THRESH
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.expr(f"substring(text, 1, {ED_PREFIX})").alias("prefix"),
         F.floor(F.col("n_chars") / ED_BUCKET).alias("b"),
     )
-    left = d.select(
+    # PassJoin segment index (Li et al., VLDB'11): partition each
+    # prefix into tau+1 near-equal segments; if ed(pa, pb) <= tau, at
+    # least one segment of a appears VERBATIM in b (pigeonhole over
+    # tau+1 segments / tau edits), start-shifted by at most
+    # tau (edits before it) + |La-Lb| (partition drift) <= 2*tau.
+    # So candidates come from an equi-join of a's segments against b's
+    # enumerated windows — a high-cardinality substring key, never a
+    # length-bucket nested loop.
+    pos = f"CAST(floor(i * length(prefix) / {seg_n}) AS INT)"
+    pos1 = f"CAST(floor((i + 1) * length(prefix) / {seg_n}) AS INT)"
+    segs = d.select(
         "doc_id",
         "lang",
-        "prefix",
-        F.explode(F.expr("array(b - 1, b, b + 1)")).alias("pb"),
-    )
-    right = d.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {seg_n - 1}), i -> "
+                f"struct(i AS i, substring(prefix, 1 + {pos}, {pos1} - {pos}) AS w))"
+            )
+        ).alias("sw"),
+    ).select("doc_id", "lang", "sw.i", "sw.w")
+    # windows of b: every start within 2*tau of b's own segment-i
+    # boundary, every length a partner prefix (|len diff| <= tau) could
+    # give segment i — covers all valid (start, len) combos; truncated
+    # end-of-string windows drop out via the length equality filter.
+    lo_len = f"greatest(1, CAST(floor((length(prefix) - {tau}) / {seg_n}) AS INT))"
+    hi_len = f"CAST(ceil((length(prefix) + {tau}) / {seg_n}) AS INT)"
+    wins = d.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
+        F.col("b").alias("b_b"),
         F.col("prefix").alias("prefix_b"),
-        F.col("b").alias("pb"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {seg_n - 1}), i -> "
+                f"flatten(transform(sequence(-{2 * tau}, {2 * tau}), dd -> "
+                f"transform(sequence({lo_len}, {hi_len}), l -> "
+                f"struct(i AS i, l AS l, "
+                f"substring(prefix, greatest(1, 1 + {pos} + dd), l) AS w))))))"
+            )
+        ).alias("sw"),
+    ).select(
+        "doc_id_b",
+        "lang_b",
+        "b_b",
+        "prefix_b",
+        "sw.i",
+        "sw.w",
+        "sw.l",
+    ).filter(F.length("w") == F.col("l"))
+    cand = (
+        segs.join(
+            wins,
+            (segs.lang == wins.lang_b)
+            & (segs.i == wins.i)
+            & (segs.w == wins.w)
+            & (segs.doc_id < wins.doc_id_b),
+        )
+        .select("doc_id", "doc_id_b", "lang", "b_b", "prefix_b")
+        .dropDuplicates(["doc_id", "doc_id_b"])
     )
-    return (
-        left.join(
-            right,
-            (left.lang == right.lang_b)
-            & (left.pb == right.pb)
-            & (left.doc_id < right.doc_id_b),
-        )
+    verified = (
+        cand.join(d.select(F.col("doc_id"), F.col("prefix"), F.col("b")), "doc_id")
+        .filter(F.abs(F.col("b") - F.col("b_b")) <= 1)
         .withColumn(
-            "edit_distance", F.levenshtein("prefix", "prefix_b").cast("bigint")
+            # 3-arg levenshtein: banded DP, O(len * tau) per pair with
+            # early exit; returns -1 above the threshold
+            "edit_distance",
+            F.levenshtein("prefix", "prefix_b", ED_THRESH).cast("bigint"),
         )
-        .filter(F.col("edit_distance") <= ED_THRESH)
-        .select(F.col("doc_id").alias("doc_id_a"), "doc_id_b", "lang", "edit_distance")
+        .filter(F.col("edit_distance") >= 0)
+    )
+    return verified.select(
+        F.col("doc_id").alias("doc_id_a"), "doc_id_b", "lang", "edit_distance"
     )
 
 
@@ -539,7 +602,9 @@ pr{t} AS (SELECT n.node,
     "cross-engine float-sum ordering drift below emitted precision; "
     "oracle = the identical recursion unrolled into chained CTEs.",
 )
-def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trade_pagerank_nations(
+    spark: SparkSession, sf_dir: str, ledger=None
+) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -574,19 +639,42 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = e.persist()
     pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    deltas: list[float] = []
     for _ in range(PR_ITERS):
         contrib = (
             e.join(pr, e.src == pr.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("pr")).alias("acc"))
         )
-        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        new_pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             F.round(
                 F.lit((1 - PR_DAMPING) / n_nodes)
                 + PR_DAMPING * F.coalesce("acc", F.lit(0.0)),
                 PR_ROUND,
             ).alias("pr"),
+        )
+        if ledger is not None:
+            # L1 rank movement this round — a node-count-sized join of
+            # two broadcast-small rank frames, only materialized when a
+            # ledger asks for observability (never on the benched path).
+            deltas.append(
+                new_pr.join(
+                    pr.withColumnRenamed("pr", "_prev"), "node"
+                )
+                .agg(F.sum(F.abs(F.col("pr") - F.col("_prev"))))
+                .collect()[0][0]
+            )
+        pr = new_pr
+    if ledger is not None:
+        ledger.record_iterations(
+            "trade_pagerank_nations",
+            rounds=PR_ITERS,
+            max_rounds=PR_ITERS,
+            # fixed-iteration scheme: "converged" = final-round rank
+            # movement below the emitted rounding precision
+            converged=bool(deltas) and deltas[-1] <= 10 ** -PR_ROUND,
+            deltas=deltas,
         )
     return pr
 

@@ -92,6 +92,34 @@ class Ledger:
             }
         )
 
+    def record_iterations(
+        self,
+        operator: str,
+        rounds: int,
+        max_rounds: int,
+        converged: bool,
+        deltas: list[Any],
+        run_key: str | None = None,
+    ) -> None:
+        """Observability row for iterative operators (connected
+        components, PageRank): round count + per-round convergence
+        deltas, so an unattended run surfaces non-convergence in the
+        same ledger the run lifecycle lives in.  ``GlueJobFinalStatus``
+        carries the verdict so :meth:`final_status` monitoring works
+        unchanged (VERDICT r4 watch-item)."""
+        self.put_item(
+            {
+                "ExecutionHashId": run_key or f"iterative-{operator}",
+                "SourceTable": "_iterative_ops",
+                "Operator": operator,
+                "Rounds": rounds,
+                "MaxRounds": max_rounds,
+                "Converged": converged,
+                "ConvergenceDeltas": [str(d) for d in deltas],
+                "GlueJobFinalStatus": "SUCCEEDED" if converged else "FAILED",
+            }
+        )
+
     def record_skip(self, source_table: str, hash_id: str, job: dict[str, Any]) -> None:
         """Dedup-gate marker row
         (``routing/lambda_function.py:93-99``)."""

@@ -217,3 +217,32 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_catalog_rotation_prioritizes_unverified_entries():
+    """The driver samples the FIRST 50 queries() entries per round; the
+    catalog must therefore sort every oracle-backed entry that has no
+    green CORRECTNESS row yet ahead of already-verified ones, and all
+    of them must fit in the sampled window when <= 50 remain."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entry_mod
+
+    root = Path(__file__).resolve().parent.parent
+    verified = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(p.read_text()).items():
+            if isinstance(row, dict) and row.get("err") is None and row.get("rows_match"):
+                verified.add(name)
+    names = list(entry_mod.queries())
+    unverified = [n for n in names if n not in verified]
+    window = set(names[:50])
+    if len(unverified) <= 50:
+        missing = [n for n in unverified if n not in window]
+        assert not missing, (
+            f"{len(missing)} never-verified entries outside the driver's "
+            f"50-entry sample window: {missing[:5]}"
+        )
+    else:
+        assert all(n not in verified for n in names[:50])

@@ -280,3 +280,148 @@ def test_snapshot_diff_matches_bruteforce(spark, prev_rows, cur_rows):
             exp = ("unchanged", False)
         assert got[k] == exp, (k, got[k], exp)
     assert set(got) == set(pd_) | set(cd)
+
+
+# ---- r5: composed T-SQL rewrites (VERDICT item 5) -------------------
+#
+# The targeted per-idiom rewrites each have direct tests; these build
+# random COMPOSITIONS (nested CONVERT inside DATEADD inside TOP-n
+# statements, bracket idents in join conditions) together with a
+# constructively-derived expectation, then assert the pipeline output
+# matches, is idempotent, and actually parses/executes in Spark.
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"]
+
+
+def _pairs():
+    """Strategy of (tsql, spark) numeric expression pairs."""
+    def col():
+        return st.sampled_from(_NUM_COLS).flatmap(
+            lambda c: st.sampled_from([(c, c), (f"[{c}]", f"`{c}`")])
+        )
+
+    def num():
+        return st.integers(1, 99).map(lambda n: (str(n), str(n)))
+
+    atom = st.one_of(col(), num())
+
+    def compose(children):
+        two = st.tuples(children, children)
+        return st.one_of(
+            # name-only rewrites are nesting-insensitive
+            two.map(lambda ab: (
+                f"ISNULL({ab[0][0]}, {ab[1][0]})",
+                f"coalesce({ab[0][1]}, {ab[1][1]})",
+            )),
+            two.map(lambda ab: (
+                f"STRING({ab[0][0]}, {ab[1][0]})",
+                f"concat({ab[0][1]}, {ab[1][1]})",
+            )),
+            two.map(lambda ab: (
+                f"({ab[0][0]} + {ab[1][0]})",
+                f"({ab[0][1]} + {ab[1][1]})",
+            )),
+            # CONVERT's simple-arg form only fires on paren-free args
+            atom.map(lambda a: (
+                f"CONVERT(double, {a[0]})",
+                f"CAST({a[1]} AS double)",
+            )),
+            st.just(("LEN('it''s')", "length('it''s')")),
+            # string literal embedding every idiom — must ride through
+            st.just((
+                "CHARINDEX('GETDATE() [x]', 'ISNULL(a,b) GETDATE() [x]')",
+                "locate('GETDATE() [x]', 'ISNULL(a,b) GETDATE() [x]')",
+            )),
+        )
+
+    return st.recursive(atom, compose, max_leaves=6)
+
+
+def _date_pairs():
+    """Date-typed (tsql, spark) pairs, including the composed
+    DATEADD forms: simple third arg -> interval arithmetic; nested
+    (parenthesized) third arg -> DATEADD name survives, inner idioms
+    still rewritten (Spark accepts dateadd(unit, n, expr) natively)."""
+    simple_d = st.sampled_from(
+        [("l_shipdate", "l_shipdate"), ("[l_shipdate]", "`l_shipdate`")]
+    )
+    n = st.integers(1, 30)
+    unit = st.sampled_from(["day", "month"])
+    return st.one_of(
+        simple_d,
+        st.just(("GETDATE()", "current_timestamp()")),
+        st.tuples(unit, n, simple_d).map(lambda t: (
+            f"DATEADD({t[0]}, {t[1]}, {t[2][0]})",
+            f"({t[2][1]} + ({t[1]}) * INTERVAL 1 {t[0]})",
+        )),
+        # nested CONVERT inside DATEADD: third arg has parens
+        st.tuples(unit, n, st.sampled_from(_NUM_COLS)).map(lambda t: (
+            f"DATEADD({t[0]}, {t[1]}, CONVERT(date, l_shipdate))",
+            f"DATEADD({t[0]}, {t[1]}, CAST(l_shipdate AS date))",
+        )),
+    )
+
+
+@given(
+    exprs=st.lists(_pairs(), min_size=1, max_size=3),
+    dexpr=_date_pairs(),
+    top=st.one_of(st.none(), st.integers(1, 50)),
+    join=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_tsql_composed_rewrite_matches_construction(exprs, dexpr, top, join):
+    sel_t = ", ".join(f"{t} AS c{i}" for i, (t, _) in enumerate(exprs))
+    sel_s = ", ".join(f"{s} AS c{i}" for i, (_, s) in enumerate(exprs))
+    top_t = f"TOP {top} " if top is not None else ""
+    if join:
+        frm_t = (
+            "FROM iqdemo.dba.lineitem JOIN iqdemo.dba.orders "
+            "ON [l_orderkey] = [o_orderkey]"
+        )
+        frm_s = "FROM lineitem JOIN orders ON `l_orderkey` = `o_orderkey`"
+    else:
+        frm_t = "FROM iqdemo.dba.lineitem"
+        frm_s = "FROM lineitem"
+    tsql = (
+        f"SELECT {top_t}{sel_t}, {dexpr[0]} AS d0 {frm_t} "
+        f"WHERE DATEPART(year, l_shipdate) >= 1992;"
+    )
+    expected = (
+        f"SELECT {sel_s}, {dexpr[1]} AS d0 {frm_s} "
+        f"WHERE date_part('year', l_shipdate) >= 1992"
+    )
+    if top is not None:
+        expected = f"{expected} LIMIT {top}"
+    out = to_spark_sql(tsql, known_prefixes={("iqdemo", "dba")})
+    assert out == expected, (tsql, out, expected)
+    # idempotence: the rewritten form is a fixed point
+    assert to_spark_sql(out, known_prefixes={("iqdemo", "dba")}) == out
+
+
+def test_tsql_composed_rewrite_executes(spark):
+    """The composed shapes above aren't just string-correct — they run.
+    One representative deeply-composed statement end-to-end in Spark."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        register_parquet_views,
+    )
+
+    register_parquet_views(
+        spark, "/root/testdata/sf0.001", ["lineitem", "orders"]
+    )
+    tsql = (
+        "SELECT TOP 7 [l_orderkey], ISNULL(l_quantity, 0) AS q, "
+        "STRING([l_returnflag], '-', l_linestatus) AS tag, "
+        "CONVERT(double, [l_extendedprice]) AS p, "
+        "DATEADD(day, 3, CONVERT(date, l_shipdate)) AS d1, "
+        "DATEADD(month, 1, [l_shipdate]) AS d2, "
+        "LEN(STRING(l_returnflag, l_linestatus)) AS ln2 "
+        "FROM iqdemo.dba.lineitem JOIN iqdemo.dba.orders "
+        "ON [l_orderkey] = [o_orderkey] "
+        "WHERE CHARINDEX('A', [l_returnflag]) > 0 "
+        "AND l_shipdate < DATEADD(year, 30, CONVERT(date, '1990-01-01')) "
+        "ORDER BY [l_orderkey], l_linenumber;"
+    )
+    out = to_spark_sql(tsql, known_prefixes={("iqdemo", "dba")})
+    rows = spark.sql(out).collect()
+    assert len(rows) == 7
+    assert rows[0]["tag"].endswith("-F") or "-" in rows[0]["tag"]

@@ -54,7 +54,7 @@ def test_plan_stream_available_now(spark, tmp_path):
     (orch.queue_root / "run_now" / "p1.json").write_text(json.dumps(plan))
 
     q = stream_run_now(orch, tmp_path / "ckpt", available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     assert not q.isActive
     assert (orch.queue_root / "succeeded" / "p1.json").exists()
     state = eng.ledger.current_state()
@@ -63,7 +63,7 @@ def test_plan_stream_available_now(spark, tmp_path):
     # restart with the same checkpoint: nothing new to process, the
     # already-seen file (now moved anyway) is not re-run
     q2 = stream_run_now(orch, tmp_path / "ckpt", available_now=True)
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(600)
     n_success = sum(
         1 for v in eng.ledger.current_state().values()
         if v.get("GlueJobFinalStatus") == "SUCCEEDED"
@@ -71,29 +71,48 @@ def test_plan_stream_available_now(spark, tmp_path):
     assert n_success == 1
 
 
-@pytest.fixture(scope="module")
-def events_stream_parts(spark, tmp_path_factory):
-    """events split into 3 parquet files => 3 micro-batches."""
-    d = tmp_path_factory.mktemp("events_parts")
-    ev = load_table(spark, SF_SMALL, "events")
-    ev.orderBy("ts").coalesce(1).limit(300).write.mode("overwrite").parquet(
-        str(d / "all")
-    )
+@pytest.fixture(
+    scope="module",
+    params=[("sf0.001", 300), ("sf0.1", None)],
+    ids=["sf0.001", "sf0.1"],
+)
+def events_stream_parts(spark, tmp_path_factory, request):
+    """events split into 3 parquet files => 3 micro-batches.
+
+    Two scales (VERDICT r4 item 7): the 300-row sf0.001 slice the
+    equivalence suite grew up on, and the FULL sf0.1 events table
+    (100k rows) read straight from the driver-generated parquet — the
+    file-sourced NTZ-timestamp shape whose cast handling regressed the
+    r3 bench.  The 3-way split runs JVM-side (row_number ranges), no
+    driver round-trip of 100k rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sf, limit = request.param
+    d = tmp_path_factory.mktemp(f"events_parts_{sf.replace('.', '_')}")
+    ev = load_table(spark, SF_SMALL.replace("sf0.001", sf), "events")
+    if limit is not None:
+        ev = ev.orderBy("ts").limit(limit)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(d / "all"))
     full = spark.read.parquet(str(d / "all"))
     schema = full.schema
-    rows = full.orderBy("ts").collect()
-    third = len(rows) // 3
+    n = full.count()
+    third = n // 3
+    ranked = full.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
     stream_dir = d / "stream"
     stream_dir.mkdir()
     for i in range(3):
-        part = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
-        spark.createDataFrame(part, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(str(stream_dir))
+        lo = i * third
+        hi = (i + 1) * third if i < 2 else n
+        ranked.filter((F.col("_rn") > lo) & (F.col("_rn") <= hi)).drop(
+            "_rn"
+        ).coalesce(1).write.mode("append").parquet(str(stream_dir))
     return str(stream_dir), schema, full
 
 
-def _run_stream_to_memory(df, name: str, output_mode: str, timeout_s: int = 180):
+def _run_stream_to_memory(df, name: str, output_mode: str, timeout_s: int = 600):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -101,7 +120,12 @@ def _run_stream_to_memory(df, name: str, output_mode: str, timeout_s: int = 180)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # availableNow terminates on its own; returning before it does
+    # leaves PARTIAL results in the memory sink and the equivalence
+    # assert fails with a misleading diff (seen once under full-suite
+    # CPU contention at sf0.1) — so insist on real termination.
+    finished = q.awaitTermination(timeout_s)
+    assert finished, f"stream {name} still running after {timeout_s}s"
     return q
 
 
@@ -339,7 +363,7 @@ def test_foreachbatch_rollup_maintenance_matches_batch(spark, events_stream_part
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     assert not q.isActive
 
     got = {
@@ -620,7 +644,7 @@ def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     assert not q.isActive
 
     all_changes = batches[0]
