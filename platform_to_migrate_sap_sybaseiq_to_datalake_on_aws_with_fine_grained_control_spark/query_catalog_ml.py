@@ -1857,6 +1857,13 @@ _HAM_DUCK = (
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
+    # NOTE (r5, measured): a vocabulary-first build (hash bits once per
+    # DISTINCT token, join back, multiset-majority) was tried here and
+    # is 4x SLOWER at sf1 (66.9 s vs 15.7 s) — exploding the occurrence
+    # stream and shuffling it through distinct + join + 65-column agg
+    # costs far more than recomputing 64 codegen parity ops per
+    # occurrence. Signature compute stays expression-side: zero
+    # shuffles, embarrassingly parallel, linear in corpus size.
     sigs = simhash_signatures(df, "doc_id", "text", SIMHASH_HAM_BITS).select(
         "doc_id", F.col("simhash").alias("sig")
     )
