@@ -319,12 +319,14 @@ def join_delta(
     keys that only later match via ΔB, and those rows would need a
     retraction this insert-only delta cannot express).
     """
-    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+    if how != "inner":
         raise ValueError(
             "join_delta: the three-term delta identity is only valid for "
-            f"inner-type joins; got how={how!r}. Outer joins would require "
-            "retracting prior null-extended rows (use a full recompute or "
-            "apply_change_stream upstream)."
+            f"inner joins; got how={how!r}. Outer joins would require "
+            "retracting prior null-extended rows, and semi joins would "
+            "re-emit base rows that ALSO match the delta side (A⋉B and "
+            "A⋉ΔB overlap). Use a full recompute or apply_change_stream "
+            "upstream."
         )
     keys = [on] if isinstance(on, str) else list(on)
     return (

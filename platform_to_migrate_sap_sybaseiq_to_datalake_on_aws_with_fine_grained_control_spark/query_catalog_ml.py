@@ -1824,10 +1824,8 @@ def _simhash_ham_sql(sig: str, exploder: str, hamming: str) -> str:
     )
 
 
-_HAM_SPARK = (
-    f"size(filter(sequence(1, {SIMHASH_HAM_BITS}), j -> "
-    "substr(sa, j, 1) <> substr(sb, j, 1)))"
-)
+# Spark verifies via bit_count(xor) on per-block longs (codegen); the
+# oracle states the same Hamming count as a positional string compare.
 _HAM_DUCK = (
     f"len(list_filter(generate_series(1, {SIMHASH_HAM_BITS}), j -> "
     "substr(sa, j, 1) <> substr(sb, j, 1)))"
@@ -1867,33 +1865,58 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(df, "doc_id", "text", SIMHASH_HAM_BITS).select(
         "doc_id", F.col("simhash").alias("sig")
     )
+    # one long per 16-bit block, decoded once per doc: the Hamming
+    # verify becomes pure codegen bit_count(xor) arithmetic on 4 longs
+    # instead of an interpreted 64-element higher-order filter per
+    # candidate row (HOF lambdas do not codegen; at 4M candidate rows
+    # that interpretation was the entry's largest cost at sf1).
+    ints = [
+        F.expr(
+            f"CAST(conv(substr(sig, 1 + {k} * {_SIMHASH_BLOCK}, {_SIMHASH_BLOCK}), 2, 10) AS BIGINT)"
+        ).alias(f"s{k}")
+        for k in range(4)
+    ]
     blocks = sigs.select(
         "doc_id",
         "sig",
+        *ints,
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
     ).withColumn(
         "blockval", F.expr(f"substr(sig, 1 + i * {_SIMHASH_BLOCK}, {_SIMHASH_BLOCK})")
-    )
+    ).drop("sig")
+    # persist: the self-join would otherwise evaluate the 64-bit
+    # signature expression (the entry's most expensive leg) once per
+    # side; 50k cached rows of ~100 B is nothing.
+    blocks = blocks.persist()
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.blockval") == F.col("b.blockval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.blockval") == F.col("b.blockval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        *[F.col(f"a.s{k}").alias(f"a{k}") for k in range(4)],
+        *[F.col(f"b.s{k}").alias(f"b{k}") for k in range(4)],
     )
-    ham = F.expr(_HAM_SPARK)
+    # verify FIRST, dedup after: on a common-vocabulary corpus the
+    # per-bit majorities are biased, so block collisions run to
+    # millions of candidate rows (measured 4M at sf1) of which only
+    # hundreds survive Hamming <= 3 — a distinct() before the verify
+    # shuffles all of them with their 64-char signatures (5.4 s at
+    # sf1), while the Hamming filter is an in-stage codegen pass and
+    # the post-filter dedup shuffles only true pairs.  A pair that
+    # agrees on several blocks verifies identically each time, so the
+    # output set is unchanged.
+    ham = F.expr(
+        " + ".join(f"bit_count(a{k} ^ b{k})" for k in range(4))
+    )
     return (
-        cand.filter(ham <= SIMHASH_HAM_MAX)
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )

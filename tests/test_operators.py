@@ -2342,8 +2342,10 @@ def test_join_delta_rejects_outer_joins(spark):
 
     a = spark.createDataFrame([(1, "a")], "k int, va string")
     b = spark.createDataFrame([(1, "b")], "k int, vb string")
-    for how in ("left", "full", "right", "left_outer", "full_outer"):
-        with _pytest.raises(ValueError, match="inner-type"):
+    # semi included: A semi B and A semi dB overlap for rows matching
+    # both sides, so the three-term union double-emits them
+    for how in ("left", "full", "right", "left_outer", "full_outer", "semi"):
+        with _pytest.raises(ValueError, match="inner"):
             join_delta(a, a, b, b, "k", how=how)
     # inner still works
     assert join_delta(a, a.limit(0), b, b.limit(0), "k").count() == 0
