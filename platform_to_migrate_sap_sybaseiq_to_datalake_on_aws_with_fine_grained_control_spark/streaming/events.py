@@ -652,3 +652,80 @@ def idempotent_foreach_batch(apply_fn, marker_dir: str):
         marker.write_text("")
 
     return fn
+
+
+QUOTA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("admit_seq", LongType()),
+    ]
+)
+
+
+def stateful_quota_admitter(events: DataFrame, quota_n: int = 5) -> DataFrame:
+    """Per-key admission quota on the NEW arbitrary-state API
+    (``transformWithStateInPandas``, Spark 4.x): admit each user's
+    first ``quota_n`` events in event-time order, emitting
+    ``(user_id, event_id, admit_seq)``; everything after the quota is
+    dropped at the operator, before any downstream work.
+
+    This is the training-pipeline "cap documents per source / events
+    per user" primitive, and the repo's coverage of the
+    StatefulProcessor surface that succeeds applyInPandasWithState:
+    typed ``ValueState`` via a handle instead of a tuple blob, explicit
+    ``init``/``close`` lifecycle, and (unused here) ListState/MapState/
+    timers.  Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the session
+    factory default works for the applyInPandas operators, so the
+    caller/test sets RocksDB only for this query.
+
+    Batch oracle: ``row_number() OVER (PARTITION BY user ORDER BY ts,
+    event_id) <= quota_n`` — the stream-vs-batch equivalence test
+    proves cross-micro-batch state carries the count correctly.
+
+    Environment note: the transformWithState worker protocol requires
+    ``google.protobuf`` (the driver↔worker state channel is protobuf);
+    the equivalence test importorskips when absent. The
+    applyInPandasWithState operators above have no such dependency.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class QuotaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._admitted = handle.getValueState("admitted", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            n = self._admitted.get()[0] if self._admitted.exists() else 0
+            out_ids: list[int] = []
+            for pdf in rows:
+                if n >= quota_n:
+                    break
+                pdf = pdf.sort_values(["ts", "event_id"])
+                take = min(quota_n - n, len(pdf))
+                out_ids.extend(int(x) for x in pdf["event_id"].iloc[:take])
+                n += take
+            self._admitted.update((n,))
+            if out_ids:
+                start = n - len(out_ids)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(out_ids),
+                        "event_id": out_ids,
+                        "admit_seq": list(range(start + 1, n + 1)),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=QuotaProcessor(),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

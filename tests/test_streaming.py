@@ -783,3 +783,65 @@ def test_funnel_fold_evicts_signup_only_state():
         [0], [(horizon + 1, "purchase")], horizon
     )
     assert out == [] and pending == []
+
+
+def test_stateful_quota_admitter_matches_batch(spark, events_stream_parts):
+    """transformWithStateInPandas (the Spark 4 arbitrary-state API):
+    the per-user quota admitter replayed over 3 micro-batches admits
+    exactly the rows batch row_number() <= N admits — cross-batch
+    ValueState carries the count.
+
+    Environment gate: the transformWithState worker protocol speaks
+    protobuf (pyspark.sql.streaming.proto); containers without
+    google.protobuf cannot run it — skip, don't fail."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf",
+    )
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        replay_events_stream,
+        stateful_quota_admitter,
+    )
+
+    stream_dir, schema, full = events_stream_parts
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = replay_events_stream(spark, stream_dir, schema)
+        _run_stream_to_memory(
+            stateful_quota_admitter(stream, quota_n=3), "quota_sink", "update"
+        )
+    except Exception as e:  # pragma: no cover - environment gate
+        if "RocksDB" in str(e) or "rocksdb" in str(e):
+            _pytest.skip(f"RocksDB state store unavailable: {e}")
+        raise
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        (r.user_id, r.event_id): r.admit_seq
+        for r in spark.sql("SELECT * FROM quota_sink").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expect = {
+        (r.user_id, r.event_id): r.rn
+        for r in full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == expect
+    assert len(got) > 0
