@@ -112,7 +112,13 @@ def events_stream_parts(spark, tmp_path_factory, request):
     return str(stream_dir), schema, full
 
 
-def _run_stream_to_memory(df, name: str, output_mode: str, timeout_s: int = 600):
+def _run_stream_to_memory(
+    df,
+    name: str,
+    output_mode: str,
+    timeout_s: int = 600,
+    drain_then_stop: bool = False,
+):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -120,6 +126,30 @@ def _run_stream_to_memory(df, name: str, output_mode: str, timeout_s: int = 600)
         .trigger(availableNow=True)
         .start()
     )
+    if drain_then_stop:
+        # Queries with registered processing-time timers never
+        # terminate on their own (availableNow keeps scheduling empty
+        # batches to fire the timers).  Wait until every INPUT row has
+        # been processed — progress shows an idle batch with zero input
+        # after real data — then stop explicitly.
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        drained = False
+        while _time.monotonic() < deadline:
+            prog = q.recentProgress
+            if (
+                prog
+                and sum(p["numInputRows"] for p in prog) > 0
+                and prog[-1]["numInputRows"] == 0
+            ):
+                drained = True
+                break
+            _time.sleep(1.0)
+        assert drained, f"stream {name} did not drain within {timeout_s}s"
+        q.stop()
+        q.awaitTermination(60)
+        return q
     # availableNow terminates on its own; returning before it does
     # leaves PARTIAL results in the memory sink and the equivalence
     # assert fails with a misleading diff (seen once under full-suite
@@ -164,7 +194,11 @@ def test_session_window_stream_runs(spark, events_stream_parts):
 def test_stateful_user_counter(spark, events_stream_parts):
     stream_dir, schema, full = events_stream_parts
     stream = replay_events_stream(spark, stream_dir, schema)
-    _run_stream_to_memory(stateful_user_counter(stream), "state_sink", "update")
+    # processing-time timers keep the query alive: drain, then stop
+    _run_stream_to_memory(
+        stateful_user_counter(stream), "state_sink", "update",
+        drain_then_stop=True,
+    )
     rows = spark.sql(
         "SELECT user_id, max(n_events) AS n FROM state_sink GROUP BY user_id"
     ).collect()
