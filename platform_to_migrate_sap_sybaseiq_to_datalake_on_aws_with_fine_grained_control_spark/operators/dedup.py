@@ -439,6 +439,138 @@ def simhash_signatures(
     )
 
 
+def prefix_edit_distance_pairs(
+    d: DataFrame,
+    tau: int = 3,
+    bucket_radius: int = 1,
+) -> DataFrame:
+    """All (doc_id_a < doc_id_b) pairs, same ``lang``, length-bucket
+    distance <= ``bucket_radius``, prefix Levenshtein <= ``tau``.
+
+    Input ``d``: ``(doc_id, lang, prefix, b)`` — prefix is the compared
+    string, ``b`` the length bucket.
+
+    Candidates come from a PassJoin segment index (Li et al., VLDB'11):
+    partition each prefix into ``tau+1`` near-equal segments; if
+    ``ed(pa, pb) <= tau`` then at least one segment of either doc
+    appears VERBATIM in the other (pigeonhole over tau+1 segments /
+    tau edits), start-shifted by at most ``tau`` (edits before it) +
+    ``|La-Lb|`` (partition drift) ``<= 2*tau``.  The equi-join key is a
+    substring whose cardinality grows WITH the corpus, so buckets stay
+    tiny at any scale — unlike a length-bucket-only join, whose fixed
+    key domain goes quadratic as the corpus grows.
+
+    The pigeonhole argument needs all ``tau+1`` segments non-empty,
+    i.e. ``length(prefix) >= tau+1``.  Shorter prefixes ("short" docs)
+    are handled exactly by two side channels: (short x short) pairs by
+    direct join (the set is tiny in any real corpus — and when it
+    isn't, every short pair is within distance tau anyway, so the
+    output itself is quadratic); (short-lower-id x seg-capable) pairs
+    by running the segment side on the HIGHER id against the short
+    doc's windows (the lemma is direction-free).
+    """
+    seg_n = tau + 1
+    pos = f"CAST(floor(i * length(prefix) / {seg_n}) AS INT)"
+    pos1 = f"CAST(floor((i + 1) * length(prefix) / {seg_n}) AS INT)"
+    capable = d.filter(F.length("prefix") >= seg_n)
+    shorts = d.filter(F.length("prefix") < seg_n)
+    segs = capable.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {seg_n - 1}), i -> "
+                f"struct(i AS i, substring(prefix, 1 + {pos}, {pos1} - {pos}) AS w))"
+            )
+        ).alias("sw"),
+    ).select("doc_id", "lang", "sw.i", "sw.w")
+
+    def windows(frame: DataFrame) -> DataFrame:
+        # every start within 2*tau of the doc's own segment-i boundary,
+        # every length a partner prefix (|len diff| <= tau) could give
+        # segment i; truncated end-of-string windows drop out via the
+        # length equality filter.
+        lo_len = f"greatest(1, CAST(floor((length(prefix) - {tau}) / {seg_n}) AS INT))"
+        hi_len = f"CAST(ceil((length(prefix) + {tau}) / {seg_n}) AS INT)"
+        return frame.select(
+            F.col("doc_id").alias("doc_id_w"),
+            F.col("lang").alias("lang_w"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {seg_n - 1}), i -> "
+                    f"flatten(transform(sequence(-{2 * tau}, {2 * tau}), dd -> "
+                    f"transform(sequence({lo_len}, {hi_len}), l -> "
+                    f"struct(i AS i, l AS l, "
+                    f"substring(prefix, greatest(1, 1 + {pos} + dd), l) AS w))))))"
+                )
+            ).alias("sw"),
+        ).select("doc_id_w", "lang_w", "sw.i", "sw.w", "sw.l").filter(
+            F.length("w") == F.col("l")
+        )
+
+    def pair(lo_col, hi_col):
+        return [lo_col.alias("id_lo"), hi_col.alias("id_hi")]
+
+    w_all = windows(d)
+    cand_main = segs.join(
+        w_all,
+        (segs.lang == w_all.lang_w)
+        & (segs.i == w_all.i)
+        & (segs.w == w_all.w)
+        & (segs.doc_id < w_all.doc_id_w),
+    ).select(*pair(segs.doc_id, w_all.doc_id_w))
+    w_short = windows(shorts)
+    cand_rev = segs.join(
+        w_short,
+        (segs.lang == w_short.lang_w)
+        & (segs.i == w_short.i)
+        & (segs.w == w_short.w)
+        & (segs.doc_id > w_short.doc_id_w),
+    ).select(*pair(w_short.doc_id_w, segs.doc_id))
+    sa = shorts.alias("sa")
+    sb = shorts.alias("sb")
+    cand_short = sa.join(
+        sb,
+        (F.col("sa.lang") == F.col("sb.lang"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+    ).select(*pair(F.col("sa.doc_id"), F.col("sb.doc_id")))
+
+    cand = (
+        cand_main.unionByName(cand_rev)
+        .unionByName(cand_short)
+        .dropDuplicates(["id_lo", "id_hi"])
+    )
+    da = d.select(
+        F.col("doc_id").alias("id_lo"),
+        F.col("lang"),
+        F.col("prefix").alias("prefix_a"),
+        F.col("b").alias("b_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_hi"),
+        F.col("prefix").alias("prefix_b"),
+        F.col("b").alias("b_b"),
+    )
+    return (
+        cand.join(da, "id_lo")
+        .join(db, "id_hi")
+        .filter(F.abs(F.col("b_a") - F.col("b_b")) <= bucket_radius)
+        .withColumn(
+            # 3-arg levenshtein: banded DP, O(len * tau) per pair with
+            # early exit; returns -1 above the threshold
+            "edit_distance",
+            F.levenshtein("prefix_a", "prefix_b", tau).cast("bigint"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+        .select(
+            F.col("id_lo").alias("doc_id_a"),
+            F.col("id_hi").alias("doc_id_b"),
+            "lang",
+            "edit_distance",
+        )
+    )
+
+
 def simhash_dup_groups(
     df: DataFrame, id_col: str, text_col: str, num_bits: int = 16
 ) -> DataFrame:

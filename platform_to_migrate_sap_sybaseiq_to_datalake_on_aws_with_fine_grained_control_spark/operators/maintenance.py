@@ -88,19 +88,27 @@ def post_write_maintenance(
     """
     from ..orchestrator import with_retry
 
-    def _maintain() -> None:
-        if compact_path is not None:
-            compact_partitions(
+    # Compaction runs ONCE in its own swallow envelope: coupling it
+    # with ANALYZE inside the retry loop would re-execute the full
+    # stage-and-swap dataset rewrite on every transient ANALYZE
+    # failure (r5 review finding) — the reference's retried step is
+    # the stats/index refresh, not the data rewrite.
+    if compact_path is not None:
+        with_retry(
+            lambda: compact_partitions(
                 spark,
                 compact_path,
                 partition_keys or [],
                 target_files_per_partition=target_files_per_partition,
                 zorder_by=zorder_by,
-            )
-        analyze_table(spark, table, columns)
-
+            ),
+            attempts=1,
+            backoff_s=backoff_s,
+            tolerate=("AlreadyExists", "already exists"),
+            on_exhausted="swallow",
+        )
     with_retry(
-        _maintain,
+        lambda: analyze_table(spark, table, columns),
         attempts=attempts,
         backoff_s=backoff_s,
         backoff="linear",

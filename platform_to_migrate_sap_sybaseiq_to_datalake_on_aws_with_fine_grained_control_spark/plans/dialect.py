@@ -157,7 +157,7 @@ def rewrite_tsql_idioms(sql: str) -> str:
             parts[i],
             flags=re.IGNORECASE,
         )
-    out = _rewrite_string_concat("".join(parts))
+    out = _rewrite_calls("".join(parts), "STRING", _string_to_concat)
     out = _rewrite_calls(out, "CONVERT", _convert_to_cast)
     out = _rewrite_calls(out, "DATEADD", _dateadd_to_interval)
     if top_n is not None:
@@ -241,6 +241,16 @@ def _rewrite_calls(sql: str, name: str, transform) -> str:
 _TYPE_FORM = re.compile(r"^\w+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?$")
 
 
+def _string_to_concat(args: list[str]) -> str | None:
+    """``STRING(a, b, …)`` → ``concat(a, b, …)`` — multi-arg calls only.
+    Sybase STRING concatenates with implicit casts (= Spark concat);
+    single-arg ``STRING(x)`` is already valid Spark (cast-to-string)
+    and passes through."""
+    if len(args) >= 2:
+        return f"concat({', '.join(args)})"
+    return None
+
+
 def _convert_to_cast(args: list[str]) -> str | None:
     if len(args) == 2 and _TYPE_FORM.match(args[0]):
         return f"CAST({args[1]} AS {args[0]})"
@@ -256,62 +266,6 @@ def _dateadd_to_interval(args: list[str]) -> str | None:
     ):
         return f"({args[2]} + ({args[1]}) * INTERVAL 1 {args[0]})"
     return None  # complex args: Spark ≥3.3 runs dateadd(unit, n, expr) natively
-
-
-_STRING_CALL_RE = re.compile(r"STRING\s*\(", re.IGNORECASE)
-
-
-def _rewrite_string_concat(sql: str) -> str:
-    """``STRING(a, b, …)`` → ``concat(a, b, …)`` — multi-arg calls only.
-
-    Args may contain string literals and nested parens, so this is a
-    literal-aware balanced-paren scan rather than a regex (a ``'-'``
-    separator argument splits the call across literal boundaries).
-    Single-arg ``STRING(x)`` is left alone: it is already valid Spark
-    (cast-to-string) with the same semantics as Sybase's 1-arg form.
-    """
-    out: list[str] = []
-    i, n = 0, len(sql)
-
-    def _skip_literal(k: int) -> int:
-        k += 1
-        while k < n:
-            if sql[k] == "'":
-                if k + 1 < n and sql[k + 1] == "'":
-                    k += 2
-                    continue
-                return k + 1
-            k += 1
-        return k
-
-    while i < n:
-        if sql[i] == "'":
-            j = _skip_literal(i)
-            out.append(sql[i:j])
-            i = j
-            continue
-        m = _STRING_CALL_RE.match(sql, i)
-        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
-            depth, commas, k = 1, 0, m.end()
-            while k < n and depth:
-                ch = sql[k]
-                if ch == "'":
-                    k = _skip_literal(k)
-                    continue
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif ch == "," and depth == 1:
-                    commas += 1
-                k += 1
-            if depth == 0 and commas >= 1:
-                out.append("concat(")
-                i = m.end()
-                continue
-        out.append(sql[i])
-        i += 1
-    return "".join(out)
 
 
 def to_spark_sql(

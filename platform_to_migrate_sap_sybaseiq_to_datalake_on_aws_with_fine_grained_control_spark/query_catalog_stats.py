@@ -331,88 +331,15 @@ WHERE levenshtein(a.prefix, c.prefix) <= {ED_THRESH}
     "proof for the segment index.",
 )
 def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seg_n = ED_SEGMENTS
-    tau = ED_THRESH
+    from .operators.dedup import prefix_edit_distance_pairs
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.expr(f"substring(text, 1, {ED_PREFIX})").alias("prefix"),
         F.floor(F.col("n_chars") / ED_BUCKET).alias("b"),
     )
-    # PassJoin segment index (Li et al., VLDB'11): partition each
-    # prefix into tau+1 near-equal segments; if ed(pa, pb) <= tau, at
-    # least one segment of a appears VERBATIM in b (pigeonhole over
-    # tau+1 segments / tau edits), start-shifted by at most
-    # tau (edits before it) + |La-Lb| (partition drift) <= 2*tau.
-    # So candidates come from an equi-join of a's segments against b's
-    # enumerated windows — a high-cardinality substring key, never a
-    # length-bucket nested loop.
-    pos = f"CAST(floor(i * length(prefix) / {seg_n}) AS INT)"
-    pos1 = f"CAST(floor((i + 1) * length(prefix) / {seg_n}) AS INT)"
-    segs = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {seg_n - 1}), i -> "
-                f"struct(i AS i, substring(prefix, 1 + {pos}, {pos1} - {pos}) AS w))"
-            )
-        ).alias("sw"),
-    ).select("doc_id", "lang", "sw.i", "sw.w")
-    # windows of b: every start within 2*tau of b's own segment-i
-    # boundary, every length a partner prefix (|len diff| <= tau) could
-    # give segment i — covers all valid (start, len) combos; truncated
-    # end-of-string windows drop out via the length equality filter.
-    lo_len = f"greatest(1, CAST(floor((length(prefix) - {tau}) / {seg_n}) AS INT))"
-    hi_len = f"CAST(ceil((length(prefix) + {tau}) / {seg_n}) AS INT)"
-    wins = d.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("b").alias("b_b"),
-        F.col("prefix").alias("prefix_b"),
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {seg_n - 1}), i -> "
-                f"flatten(transform(sequence(-{2 * tau}, {2 * tau}), dd -> "
-                f"transform(sequence({lo_len}, {hi_len}), l -> "
-                f"struct(i AS i, l AS l, "
-                f"substring(prefix, greatest(1, 1 + {pos} + dd), l) AS w))))))"
-            )
-        ).alias("sw"),
-    ).select(
-        "doc_id_b",
-        "lang_b",
-        "b_b",
-        "prefix_b",
-        "sw.i",
-        "sw.w",
-        "sw.l",
-    ).filter(F.length("w") == F.col("l"))
-    cand = (
-        segs.join(
-            wins,
-            (segs.lang == wins.lang_b)
-            & (segs.i == wins.i)
-            & (segs.w == wins.w)
-            & (segs.doc_id < wins.doc_id_b),
-        )
-        .select("doc_id", "doc_id_b", "lang", "b_b", "prefix_b")
-        .dropDuplicates(["doc_id", "doc_id_b"])
-    )
-    verified = (
-        cand.join(d.select(F.col("doc_id"), F.col("prefix"), F.col("b")), "doc_id")
-        .filter(F.abs(F.col("b") - F.col("b_b")) <= 1)
-        .withColumn(
-            # 3-arg levenshtein: banded DP, O(len * tau) per pair with
-            # early exit; returns -1 above the threshold
-            "edit_distance",
-            F.levenshtein("prefix", "prefix_b", ED_THRESH).cast("bigint"),
-        )
-        .filter(F.col("edit_distance") >= 0)
-    )
-    return verified.select(
-        F.col("doc_id").alias("doc_id_a"), "doc_id_b", "lang", "edit_distance"
-    )
+    return prefix_edit_distance_pairs(d, tau=ED_THRESH, bucket_radius=1)
 
 
 # =====================================================================
@@ -655,6 +582,11 @@ def trade_pagerank_nations(
             ).alias("pr"),
         )
         if ledger is not None:
+            # Cut lineage each round (same pattern as
+            # connected_components): without it, every per-round delta
+            # collect() re-executes all prior rounds from scratch —
+            # O(iters^2) total work (r5 review finding).
+            new_pr = new_pr.localCheckpoint()
             # L1 rank movement this round — a node-count-sized join of
             # two broadcast-small rank frames, only materialized when a
             # ledger asks for observability (never on the benched path).

@@ -701,13 +701,21 @@ def stateful_quota_admitter(events: DataFrame, quota_n: int = 5) -> DataFrame:
         def handleInputRows(self, key, rows, timer_values):
             (user_id,) = key
             n = self._admitted.get()[0] if self._admitted.exists() else 0
+            # Gather ALL Arrow chunks before sorting: a key whose batch
+            # exceeds arrow.maxRecordsPerBatch arrives as several
+            # chunks in shuffle order, and sorting per-chunk would
+            # admit ts-later rows from an early chunk over ts-earlier
+            # rows from a later one (r5 review finding).
+            chunks = [pdf[["ts", "event_id"]] for pdf in rows]
             out_ids: list[int] = []
-            for pdf in rows:
-                if n >= quota_n:
-                    break
-                pdf = pdf.sort_values(["ts", "event_id"])
-                take = min(quota_n - n, len(pdf))
-                out_ids.extend(int(x) for x in pdf["event_id"].iloc[:take])
+            if chunks and n < quota_n:
+                allrows = (
+                    pd.concat(chunks, ignore_index=True)
+                    if len(chunks) > 1
+                    else chunks[0]
+                ).sort_values(["ts", "event_id"])
+                take = min(quota_n - n, len(allrows))
+                out_ids = [int(x) for x in allrows["event_id"].iloc[:take]]
                 n += take
             self._admitted.update((n,))
             if out_ids:

@@ -2512,3 +2512,43 @@ def test_post_write_maintenance_optimize_zorder(spark, tmp_path):
         for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2, (part, ranges)
     spark.sql("DROP TABLE db_opt.opt")
+
+
+def test_prefix_edit_distance_pairs_short_prefix_exact(spark):
+    """r5 review fix: the PassJoin pigeonhole needs tau+1 non-empty
+    segments; prefixes shorter than tau+1 route through exact side
+    channels. Brute-force differential over a corpus that mixes
+    empty/1-char/3-char/long prefixes."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        prefix_edit_distance_pairs,
+    )
+
+    texts = ["", "a", "b", "ab", "abc", "xyz", "abcd", "abcz",
+             "abcdefgh", "abcdefgz", "zbcdefgh", "qrstuvwx",
+             "abcdefghijklmnop", "abcdefghijklmnoq"]
+    rows = [(i, "en" if i % 2 == 0 else "fr", t, len(t)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, prefix string, n long")\
+        .selectExpr("doc_id", "lang", "prefix", "CAST(floor(n / 4) AS LONG) AS b")
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    tau = 3
+    expect = set()
+    for i, (ida, la, pa, na) in enumerate(rows):
+        for idb, lb, pb, nb in rows[i + 1:]:
+            if la == lb and abs(na // 4 - nb // 4) <= 1 and lev(pa, pb) <= tau:
+                expect.add((ida, idb, lev(pa, pb)))
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.edit_distance)
+        for r in prefix_edit_distance_pairs(d, tau=tau).collect()
+    }
+    assert got == expect and len(expect) > 3, (sorted(got), sorted(expect))
