@@ -373,10 +373,14 @@ def embedding_neardup_pairs(
     """Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     pruned to same-LSH-bucket pairs (id_a < id_b).
 
-    Output ``(id_a, id_b, cos_sim)``.  The bucket prune makes the self
-    join linear-ish; pairs split across buckets are missed with the
-    usual LSH probability — raise ``planes`` bands or multiprobe for
-    higher recall.
+    Output ``(id_a, id_b, cos_sim)``.  CAVEAT (the r5 scale law): the
+    monolithic ``planes``-bit key is a FIXED domain (2^planes values),
+    so bucket population — and the candidate set — grows quadratically
+    with the corpus.  This form is the readable baseline; at corpus
+    scale use :func:`embedding_neardup_pairs_banded`, whose 8-bit
+    OR-ed bands keep candidates near-linear with comparable recall.
+    Pairs split across buckets are missed with the usual LSH
+    probability — bands/multiprobe recover recall.
     """
     hp = hyperplanes(planes, dims)
     bucketed = corpus.select(
