@@ -425,3 +425,51 @@ def test_tsql_composed_rewrite_executes(spark):
     rows = spark.sql(out).collect()
     assert len(rows) == 7
     assert rows[0]["tag"].endswith("-F") or "-" in rows[0]["tag"]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", max_size=10), min_size=2, max_size=14
+    ),
+    tau=st.sampled_from([2, 3]),
+)
+@settings(max_examples=25, deadline=None)
+def test_prefix_edit_pairs_match_bruteforce(spark, texts, tau):
+    """Randomized differential for the PassJoin segment index over a
+    small alphabet (forces collisions, short/empty prefixes, ties):
+    exactly the brute-force (lang, bucket<=1, ed<=tau) pair set."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        prefix_edit_distance_pairs,
+    )
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "fr", t, len(t) // 4)
+        for i, t in enumerate(texts)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, prefix string, b long"
+    )
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev = cur
+        return dp[n]
+
+    expect = set()
+    for i, (ida, la, pa, ba) in enumerate(rows):
+        for idb, lb, pb, bb in rows[i + 1:]:
+            if la == lb and abs(ba - bb) <= 1 and lev(pa, pb) <= tau:
+                expect.add((ida, idb, lev(pa, pb)))
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.edit_distance)
+        for r in prefix_edit_distance_pairs(d, tau=tau).collect()
+    }
+    assert got == expect, (sorted(got - expect), sorted(expect - got))

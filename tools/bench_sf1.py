@@ -206,34 +206,44 @@ def main() -> None:
         print(f"# generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     queries = entry_mod.queries()
-    timings: dict[str, float] = {}
-    for name in HEAVY:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        # isolate entries (mirrors bench.py): operators persist() their
-        # reused tables and never unpersist — accumulated storage from
-        # earlier queries causes GC churn in later timings.
-        spark.catalog.clearCache()
-        # best-of-2, mirroring bench.py: the first execution at a new
-        # scale pays one-off page-cache/codegen/shuffle-setup costs
-        # that are 3-15x steady state right after corpus generation in
-        # the same JVM; the second run is the engine-time signal.
-        best = None
-        for _attempt in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, OUT_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    def run_at(sf_dir: str, label: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEAVY:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            # isolate entries (mirrors bench.py): operators persist()
+            # their reused tables and never unpersist — accumulated
+            # storage from earlier queries causes GC churn later.
+            spark.catalog.clearCache()
+            # best-of-2, mirroring bench.py: the first execution of a
+            # plan at a new scale pays one-off page-cache/codegen/
+            # shuffle-setup costs that are 3-15x steady state; the
+            # second run is the engine-time signal.
+            best = None
+            for _attempt in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+            print(f"# {label} {name}: {out[name]}s", file=sys.stderr)
+        return out
+
+    # time every heavy query at BOTH scales in the same JVM, so the
+    # sf1/sf0.1 ratio (the super-linearity signal tools/scale_check.py
+    # gates on) exists for all 30 entries, not only the band overlap.
+    sf01 = run_at(SRC_SF, "sf0.1")
+    timings = run_at(OUT_DIR, "sf1")
 
     out = {
         "metric": "sf1_heavy_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "sf01_queries": sf01,
         "sf": 1.0,
         "n_docs": 5000 * REPLICAS,
         "n_embeddings": 2000 * REPLICAS,

@@ -58,6 +58,10 @@ def main() -> int:
         base = json.loads(rounds[-1].read_text())
     base_q = dict(base.get("queries", {}))
     base_q.update(base.get("band2", {}).get("queries", {}))
+    # bench_sf1 self-records its own sf0.1 leg for every heavy query —
+    # prefer it (same JVM, same protocol) and fall back to the bench
+    # bands for anything missing.
+    base_q.update(sf1.get("sf01_queries", {}))
 
     bad = []
     print(f"{'query':42s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}")
