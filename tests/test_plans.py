@@ -29,6 +29,8 @@ BNLJ_OK = {
     "ann_ivf_kmeans_topk",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_pairs_banded",
+    # 1-row corpus-count broadcast for integer idf weights — scalar join
+    "dedup_simhash_weighted_signatures",
     "embedding_quantize_int8",
     "q2_min_cost_supplier",
     "q22_idle_customers",
