@@ -474,16 +474,23 @@ def prefix_edit_distance_pairs(
     pos1 = f"CAST(floor((i + 1) * length(prefix) / {seg_n}) AS INT)"
     capable = d.filter(F.length("prefix") >= seg_n)
     shorts = d.filter(F.length("prefix") < seg_n)
+    # The join key (lang, i, segment-string) is carried as ONE
+    # xxhash64 long: the windows side is ~140 rows/doc, and shuffling/
+    # sorting 40-byte string keys was the entry's hot spot (measured
+    # 6.5 s -> 4.7 s at sf1 with the hash).  Collisions are harmless:
+    # equal strings always hash equal (no false negatives), and a
+    # colliding candidate pair just flows into the exact Levenshtein
+    # verify like any other candidate.
     segs = capable.select(
         "doc_id",
-        "lang",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {seg_n - 1}), i -> "
                 f"struct(i AS i, substring(prefix, 1 + {pos}, {pos1} - {pos}) AS w))"
             )
         ).alias("sw"),
-    ).select("doc_id", "lang", "sw.i", "sw.w")
+        F.col("lang"),
+    ).select("doc_id", F.xxhash64("lang", F.col("sw.i"), F.col("sw.w")).alias("k"))
 
     def windows(frame: DataFrame) -> DataFrame:
         # every start within 2*tau of the doc's own segment-i boundary,
@@ -504,29 +511,22 @@ def prefix_edit_distance_pairs(
                     f"substring(prefix, greatest(1, 1 + {pos} + dd), l) AS w))))))"
                 )
             ).alias("sw"),
-        ).select("doc_id_w", "lang_w", "sw.i", "sw.w", "sw.l").filter(
-            F.length("w") == F.col("l")
+        ).filter(F.length("sw.w") == F.col("sw.l")).select(
+            "doc_id_w",
+            F.xxhash64("lang_w", F.col("sw.i"), F.col("sw.w")).alias("k"),
         )
 
     def pair(lo_col, hi_col):
         return [lo_col.alias("id_lo"), hi_col.alias("id_hi")]
 
     w_all = windows(d)
-    cand_main = segs.join(
-        w_all,
-        (segs.lang == w_all.lang_w)
-        & (segs.i == w_all.i)
-        & (segs.w == w_all.w)
-        & (segs.doc_id < w_all.doc_id_w),
-    ).select(*pair(segs.doc_id, w_all.doc_id_w))
+    cand_main = segs.join(w_all, "k").filter(
+        F.col("doc_id") < F.col("doc_id_w")
+    ).select(*pair(F.col("doc_id"), F.col("doc_id_w")))
     w_short = windows(shorts)
-    cand_rev = segs.join(
-        w_short,
-        (segs.lang == w_short.lang_w)
-        & (segs.i == w_short.i)
-        & (segs.w == w_short.w)
-        & (segs.doc_id > w_short.doc_id_w),
-    ).select(*pair(w_short.doc_id_w, segs.doc_id))
+    cand_rev = segs.join(w_short, "k").filter(
+        F.col("doc_id") > F.col("doc_id_w")
+    ).select(*pair(F.col("doc_id_w"), F.col("doc_id")))
     sa = shorts.alias("sa")
     sb = shorts.alias("sb")
     cand_short = sa.join(

@@ -2552,3 +2552,37 @@ def test_prefix_edit_distance_pairs_short_prefix_exact(spark):
         for r in prefix_edit_distance_pairs(d, tau=tau).collect()
     }
     assert got == expect and len(expect) > 3, (sorted(got), sorted(expect))
+
+
+def test_compact_partitions_crash_recovery(spark, tmp_path):
+    """The stage-and-swap's deterministic .old name makes a death
+    between the two renames self-healing: the next call finds the
+    orphan, renames it back, and compacts normally. Also covers the
+    stale-.old case (death after tmp->path)."""
+    import glob
+    import shutil
+    from pathlib import Path
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        compact_partitions,
+    )
+
+    path = Path(str(tmp_path / "t"))
+    df = spark.range(0, 300).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    df.repartition(6).write.partitionBy("part").parquet(str(path))
+    expected = sorted(r.id for r in spark.read.parquet(str(path)).collect())
+
+    # simulate death BETWEEN the renames: dataset lives only under .old
+    old = path.parent / f".{path.name}.old"
+    path.rename(old)
+    assert not path.exists()
+    compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
+    assert sorted(r.id for r in spark.read.parquet(str(path)).collect()) == expected
+    assert len(glob.glob(f"{path}/part=*/*.parquet")) == 3
+    assert not old.exists()
+
+    # simulate death AFTER tmp->path (stale .old alongside a live path)
+    shutil.copytree(path, old)
+    compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
+    assert sorted(r.id for r in spark.read.parquet(str(path)).collect()) == expected
+    assert not old.exists()
