@@ -64,6 +64,9 @@ class EngineConfig:
     target_root: str
     target_database: str = "datalake"
     count_strategy: str = "observe"  # "observe" | "cache" | "none"
+    # "tiered" (reference-parity 8/16/24 file counts) needs the PRE-write
+    # row count, so it only takes effect with count_strategy="cache";
+    # under "observe" the sizing is always adaptive (AQE coalesce).
     output_sizing: str = "adaptive"  # "adaptive" | "tiered"
     sink_mode: str = "append"
     register_catalog: bool = True
@@ -232,24 +235,37 @@ class Engine:
             elif self.config.count_strategy == "observe":
                 observation = Observation(f"rows_{hash_id[:8]}")
                 cleaned = cleaned.observe(observation, F.count(F.lit(1)).alias("n"))
+                # DOCUMENTED fallback, not an oversight: tiered sizing
+                # needs the pre-write row count, which observe learns
+                # only AFTER the write — so under observe the sizing is
+                # always adaptive (AQE coalesce), whatever
+                # output_sizing says.  Exact reference-parity file
+                # counts require count_strategy='cache' (see
+                # EngineConfig docstring).
                 cleaned = apply_output_sizing(cleaned, 0, mode="adaptive")
 
-            sink = write_partitioned_parquet(
-                cleaned,
-                root=self.config.target_root,
-                path_suffix=job.target_path_suffix,
-                partition_keys=partition_keys,
-                target_database=self.config.target_database if self.config.register_catalog else None,
-                table_name=job.target_table_name if self.config.register_catalog else None,
-                mode=self.config.sink_mode,
-                evolve_schema=self.config.evolve_schema,
-            )
-            if observation is not None:
-                row_count = int(observation.get["n"])
-            if cached is not None:
-                # unpersist the exact DataFrame that was cached — `cleaned`
-                # may have been rebound to the coalesced plan by sizing
-                cached.unpersist()
+            try:
+                sink = write_partitioned_parquet(
+                    cleaned,
+                    root=self.config.target_root,
+                    path_suffix=job.target_path_suffix,
+                    partition_keys=partition_keys,
+                    target_database=self.config.target_database if self.config.register_catalog else None,
+                    table_name=job.target_table_name if self.config.register_catalog else None,
+                    mode=self.config.sink_mode,
+                    evolve_schema=self.config.evolve_schema,
+                )
+                if observation is not None:
+                    row_count = int(observation.get["n"])
+            finally:
+                if cached is not None:
+                    # unpersist the exact DataFrame that was cached —
+                    # `cleaned` may have been rebound to the coalesced
+                    # plan by sizing.  In a finally: a failed write must
+                    # not leave the multi-TB extract pinned in storage
+                    # memory for the rest of a sequential chain (the
+                    # orchestrator deliberately continues past failures).
+                    cached.unpersist()
 
             if sink.table and self.config.post_write_analyze:
                 from .operators.maintenance import post_write_maintenance

@@ -42,7 +42,21 @@ def salted_join(
     correct for joins where ``small`` is the dimension side (every big
     row still matches exactly its one logical partner).  Output drops
     the salt column.
+
+    Only join types that preserve the BIG side's row semantics are
+    accepted: for right/full outer joins an unmatched small row would
+    surface once per salt replica — ``salt`` duplicate null-extended
+    rows instead of one.  (An unmatched BIG row appears exactly once
+    under ``left``, so inner/left/semi/anti are all safe.)
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "cross",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows {salt}x (one per salt replica); use a plain join or an "
+            "AQE skew-split for right/full outer semantics"
+        )
     salt_src = [F.col(c) for c in (big_salt_cols or big.columns)]
     big_s = big.withColumn("_salt", F.pmod(F.hash(*salt_src), F.lit(salt)))
     small_s = small.withColumn(

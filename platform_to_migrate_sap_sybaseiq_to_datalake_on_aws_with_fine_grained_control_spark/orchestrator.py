@@ -50,9 +50,12 @@ class PlanOutcome:
     results: list[RunResult] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)  # hash ids skipped by dedup gate
     moved_to: str | None = None
+    parse_error: str | None = None  # set when the plan file itself was malformed
 
     @property
     def succeeded(self) -> bool:
+        if self.parse_error is not None:
+            return False
         return all(r.status == "SUCCEEDED" for r in self.results) and bool(
             self.results or self.skipped
         )
@@ -134,7 +137,17 @@ class Orchestrator:
 
     def run_plan_file(self, path: str | Path) -> PlanOutcome:
         path = Path(path)
-        plan = ExtractionPlan.from_file(path)
+        try:
+            plan = ExtractionPlan.from_file(path)
+        except Exception as e:
+            # A malformed plan file (invalid JSON, missing/garbage
+            # fields) must not wedge the queue: route it to failed/
+            # like the reference routes bad plans to the failed state,
+            # and let the scan continue with the remaining files.
+            outcome = PlanOutcome(plan_file=str(path))
+            outcome.moved_to = self._move_plan_file(path, QUEUE_FAILED)
+            outcome.parse_error = f"{type(e).__name__}: {e}"
+            return outcome
         outcome = self.run_plan(plan)
         if plan.active:
             dest = QUEUE_SUCCEEDED if outcome.succeeded else QUEUE_FAILED
@@ -209,6 +222,8 @@ def with_retry(
     """
     import time as _time
 
+    if attempts < 1:
+        raise ValueError(f"with_retry: attempts must be >= 1, got {attempts}")
     last = None
     for attempt in range(attempts):
         try:

@@ -30,8 +30,15 @@ RECONCILE_MISMATCH = "mismatch"
 
 
 def reconcile_counts(expected: Any, actual: Any) -> str:
-    """Tri-state reconciliation (``postprocess/lambda_function.py:76-98``)."""
+    """Tri-state reconciliation (``postprocess/lambda_function.py:76-98``).
+
+    ``actual is None`` means counting was disabled
+    (``count_strategy='none'``) — an UNMEASURED count is ``skipped``,
+    not a mismatch warning on an otherwise-successful run.
+    """
     if expected in (" ", "", None):
+        return RECONCILE_SKIPPED
+    if actual is None:
         return RECONCILE_SKIPPED
     try:
         exp = int(expected)

@@ -127,8 +127,21 @@ def read_source(
     """
     if fmt not in FILE_FORMATS:
         raise ValueError(f"unsupported source format: {fmt!r} (one of {FILE_FORMATS})")
-    if fmt == "parquet" and not options and schema is None:
-        return read_parquet(spark, path)
+    if fmt == "parquet" and schema is None:
+        if not options:
+            return read_parquet(spark, path)
+        # options present: still refuse to silently bypass the
+        # ns-timestamp handling — a TIMESTAMP(NANOS) file would either
+        # crash (PARQUET_TYPE_ILLEGAL) or, if a prior read already set
+        # the session-wide nanosAsLong conf, come back as raw BIGINT
+        # nanoseconds with a silently different schema.
+        if _nanos_timestamp_columns(path):
+            raise ValueError(
+                f"read_source: {path} holds TIMESTAMP(NANOS) columns; "
+                "reader options are not supported on the ns-tolerant "
+                "parquet path — read without options or normalize the "
+                "file to microsecond timestamps first"
+            )
     reader = spark.read.format(fmt)
     if fmt == "csv":
         options = {"header": "true", **options}
@@ -156,13 +169,16 @@ def register_parquet_views(
     registered = []
     sid = id(spark)
     for t in tables or TESTDATA_TABLES:
-        if _VIEW_CACHE.get((sid, t)) == sf_dir:
+        p = Path(sf_dir) / f"{t}.parquet"
+        # cache key is the FULL bound path (shared with
+        # register_views_for_query) so a rebind to another dataset is
+        # never mistaken for "already registered"
+        if _VIEW_CACHE.get((sid, t)) == str(p):
             registered.append(t)
             continue
-        p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             read_parquet(spark, str(p)).createOrReplaceTempView(t)
-            _VIEW_CACHE[(sid, t)] = sf_dir
+            _VIEW_CACHE[(sid, t)] = str(p)
             registered.append(t)
     return registered
 
@@ -217,12 +233,21 @@ class SourceRegistry:
         if tables is None:
             tables = list(dict.fromkeys(list(self.table_paths) + TESTDATA_TABLES))
         mapping: dict[str, str] = {}
+        sid = id(self.spark)
         for t in tables:
             path = self.resolve_path(t)
             if path:
-                read_source(
-                    self.spark, path, self.table_formats.get(t, "parquet")
-                ).createOrReplaceTempView(t)
+                # consult AND maintain the shared view cache: skipping
+                # when the view is already bound to this exact path
+                # avoids a footer read + DDL per table per job (a
+                # 50-part chain was paying ~500 of them), and writing
+                # the binding back keeps register_parquet_views from
+                # falsely skipping after we rebind a name elsewhere.
+                if _VIEW_CACHE.get((sid, t)) != path:
+                    read_source(
+                        self.spark, path, self.table_formats.get(t, "parquet")
+                    ).createOrReplaceTempView(t)
+                    _VIEW_CACHE[(sid, t)] = path
                 mapping[t] = t
         return mapping
 
@@ -250,6 +275,14 @@ class SourceRegistry:
         if engine and engine in JDBC_ADAPTERS:
             opts["driver"] = JDBC_ADAPTERS[engine]["DRIVER"]
         if partition_column and str(partition_column).strip():
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "jdbc_scan_options: partition_column="
+                    f"{partition_column!r} requires LowerBound and "
+                    "UpperBound (str(None) would reach Spark's JDBC "
+                    "reader as the literal 'None' and fail deep in the "
+                    "read, after credentials were already fetched)"
+                )
             opts.update(
                 {
                     "dbtable": f"({query}) q",

@@ -245,3 +245,108 @@ def test_iterative_operators_record_ledger_rounds(spark, tmp_path):
     # rank movement must shrink as damping compounds
     d = [float(x) for x in prow["ConvergenceDeltas"]]
     assert d[-1] < d[0]
+
+
+def test_malformed_plan_file_routes_to_failed(orch, tmp_path):
+    """r5 review fix: a malformed plan file must be moved to failed/
+    and must not wedge the queue for the well-formed plans behind it."""
+    import json
+
+    run_now = tmp_path / "queue" / "run_now"
+    run_now.mkdir(parents=True, exist_ok=True)
+    (run_now / "0-bad.json").write_text("{not json")
+    good = {
+        "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+        "SourceTable": "nation", "Query": "SELECT * FROM nation",
+    }
+    (run_now / "1-good.json").write_text(json.dumps(good))
+
+    outcomes = orch.run_now()
+    assert len(outcomes) == 2
+    bad, ok = outcomes
+    assert bad.parse_error and not bad.succeeded
+    assert bad.moved_to and bad.moved_to.endswith("failed/0-bad.json")
+    assert ok.succeeded
+    assert not list(run_now.glob("*.json"))  # queue fully drained
+
+
+def test_with_retry_rejects_nonpositive_attempts():
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.orchestrator import (
+        with_retry,
+    )
+
+    with _pytest.raises(ValueError, match="attempts"):
+        with_retry(lambda: 1, attempts=0)
+
+
+def test_salted_join_rejects_outer_small_side(spark):
+    """r5 review fix: right/full outer would surface unmatched small
+    rows once per salt replica; left keeps big-side semantics exact."""
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame([(1, "x")], "k int, v string")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, d string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salt replica"):
+            salted_join(big, dim, "k", salt=4, how=how)
+    # left: unmatched BIG rows appear exactly once
+    big2 = spark.createDataFrame([(1, "x"), (9, "y")], "k int, v string")
+    out = salted_join(big2, dim, "k", salt=4, how="left").collect()
+    assert len(out) == 2
+    assert {r.k: r.d for r in out} == {1: "a", 9: None}
+
+
+def test_reconcile_unmeasured_count_is_skipped():
+    """r5 review fix: count_strategy='none' leaves actual=None — an
+    unmeasured count is 'skipped', never a WARNING-grade mismatch."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.notify import (
+        reconcile_counts,
+    )
+
+    assert reconcile_counts(1000, None) == "skipped"
+    assert reconcile_counts(None, None) == "skipped"
+    assert reconcile_counts(5, 5) == "ok"
+    assert reconcile_counts(5, 6) == "mismatch"
+
+
+def test_jdbc_partitioned_scan_requires_bounds():
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+    )
+
+    with _pytest.raises(ValueError, match="LowerBound"):
+        SourceRegistry.jdbc_scan_options(
+            "jdbc:x", "SELECT 1", "u", "p", partition_column="id"
+        )
+
+
+def test_view_cache_survives_rebind(spark, tmp_path):
+    """r5 review fix: register_views_for_query rebinding a view name
+    must invalidate register_parquet_views' cache entry, so the next
+    parquet-views call re-registers instead of serving stale data."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+        register_parquet_views,
+    )
+    from tests.conftest import SF_SMALL
+
+    register_parquet_views(spark, SF_SMALL, ["nation"])
+    n_small = spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+
+    other = str(tmp_path / "nation.parquet")
+    spark.sql("SELECT * FROM nation LIMIT 3").write.parquet(other)
+    reg = SourceRegistry(spark, table_paths={"nation": other})
+    reg.register_views_for_query(["nation"])
+    assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 3
+
+    # the cache must NOT falsely skip: this used to keep serving 3 rows
+    register_parquet_views(spark, SF_SMALL, ["nation"])
+    assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n_small
