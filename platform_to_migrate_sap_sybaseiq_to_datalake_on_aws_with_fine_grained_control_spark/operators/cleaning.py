@@ -60,6 +60,14 @@ def normalize_column_names(df: DataFrame) -> DataFrame:
     result with a single Project node.
     """
     new_names = [fix_col_name(c) for c in df.columns]
+    if len(set(new_names)) != len(new_names):
+        dupes = sorted({n for n in new_names if new_names.count(n) > 1})
+        raise ValueError(
+            f"normalize_column_names: source columns collide after "
+            f"normalization ({dupes}); a duplicate-named frame would "
+            "only fail later as an ambiguous-reference error far from "
+            "the cause — rename the source columns apart first"
+        )
     if new_names == list(df.columns):
         return df
     return df.toDF(*new_names)

@@ -99,9 +99,13 @@ def _iter_png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) < length or len(crc_bytes) < 4:
+            # a payload cut mid-chunk would otherwise surface as
+            # struct.error, which is NOT a ValueError and would escape
+            # every corrupt-payload quarantine guard downstream
+            raise ValueError("truncated PNG: chunk cut short")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
         yield tag, data
@@ -116,6 +120,8 @@ def png_parse_meta(payload: bytes) -> tuple[int, int, int, int]:
     color_type)``."""
     for tag, data in _iter_png_chunks(payload):
         if tag == b"IHDR":
+            if len(data) < 10:
+                raise ValueError("truncated PNG: short IHDR")
             w, h, depth, color = struct.unpack(">IIBB", data[:10])
             return w, h, depth, color
         break  # IHDR must come first
@@ -198,7 +204,11 @@ def wav_encode_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def wav_decode_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
-    with wave.open(io.BytesIO(payload), "rb") as wv:
+    try:
+        wv_ctx = wave.open(io.BytesIO(payload), "rb")
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
+    with wv_ctx as wv:
         if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
             raise ValueError("expected mono PCM16 WAV")
         rate = wv.getframerate()
@@ -221,6 +231,8 @@ def fram_encode(frames: list[bytes]) -> bytes:
 def fram_decode(payload: bytes) -> list[bytes]:
     if payload[:4] != _FRAM_MAGIC:
         raise ValueError("not a FRAM container")
+    if len(payload) < 8:
+        raise ValueError("truncated FRAM header")
     n, size = struct.unpack(">HH", payload[4:8])
     body = payload[8:]
     return [body[i * size : (i + 1) * size] for i in range(n)]

@@ -49,10 +49,17 @@ def run_checks(df: DataFrame, spec: CheckSpec) -> DataFrame:
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"))
         labels.append(("allowed", c))
     if spec.unique:
+        # count_distinct over a STRUCT of the key columns: a bare
+        # count_distinct(cols) skips rows where ANY key is NULL, so a
+        # clean table with one NULL-keyed row would read as a
+        # uniqueness violation; struct(NULLs) is a non-null value that
+        # groups null keys together (null-safe semantics, matching the
+        # not_null check's separate responsibility for NULL keys).
         aggs.append(
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in spec.unique])).cast(
-                "bigint"
-            )
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in spec.unique]))
+            ).cast("bigint")
         )
         labels.append(("unique", ",".join(spec.unique)))
 

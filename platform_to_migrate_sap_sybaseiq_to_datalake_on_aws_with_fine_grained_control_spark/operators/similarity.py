@@ -680,10 +680,20 @@ def ivf_topk(
         if keep == 1:
             # corpus-side argmax as an aggregation, not a window: the
             # partial max_by combines map-side, so the shuffle carries
-            # one row per vector instead of one per (vector, centroid)
-            ord_ = F.struct(
-                F.col("cos_c"), (-F.col("list_label")).alias("_nl")
+            # one row per vector instead of one per (vector, centroid).
+            # Ties on cosine break to the LOWEST label: max_by needs a
+            # descending second key, so rank labels ascending via a
+            # dense per-centroid index (works for ANY label type — an
+            # arithmetic negation would crash ANSI-cast on strings).
+            lbl_rank = Window.orderBy(F.col("list_label").asc())
+            cents_ranked = cents.withColumn(
+                "_lrk", F.row_number().over(lbl_rank)
             )
+            scored = scored.join(
+                F.broadcast(cents_ranked.select("list_label", "_lrk")),
+                "list_label",
+            )
+            ord_ = F.struct(F.col("cos_c"), (-F.col("_lrk")).alias("_nl"))
             return (
                 scored.groupBy(id_col)
                 .agg(

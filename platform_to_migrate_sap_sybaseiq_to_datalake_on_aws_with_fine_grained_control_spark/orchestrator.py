@@ -99,6 +99,14 @@ class Orchestrator:
         outcome = PlanOutcome(plan_file=plan.origin_file)
         if not plan.active:
             return outcome
+        problems = plan.validate()
+        if problems:
+            # fail fast with the curated messages instead of letting an
+            # empty Query / missing JDBC bounds surface as an opaque
+            # engine error three layers down (the validate() layer was
+            # otherwise dead code — r5 review finding)
+            outcome.parse_error = "; ".join(problems)
+            return outcome
         for job in plan.jobs:
             hash_id = job.execution_hash_id
             if self._already_run(hash_id, job.source_table):

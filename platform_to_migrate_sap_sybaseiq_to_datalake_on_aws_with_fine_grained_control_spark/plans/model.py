@@ -35,30 +35,11 @@ from typing import Any
 
 BLANKISH = (" ", "", None)
 
-#: fields hoisted from Jobs[0] onto the envelope for sequential plans
-#: (reference routing/lambda_function.py:43-59)
-JOB_FIELDS = [
-    "Query",
-    "NumPartitions",
-    "LowerBound",
-    "UpperBound",
-    "JobName",
-    "WorkerType",
-    "NumberOfWorkers",
-    "MigrationPart",
-    "SourceTable",
-    "ColumnForPartitioningOnS3",
-    "ColumnForPartitioningOnSpark",
-    "ExpectedAmountOfRecords",
-    "CredentialsSecretArn",
-    "JDBCConnectionString",
-]
-
-
 def execution_hash_id(source_table: str, migration_part: Any, query: str) -> str:
     """Idempotency key — md5 over table + part + upper-stripped query
     (reference ``routing/lambda_function.py:107-110``)."""
-    code = f"{source_table}{migration_part}{query.upper().strip()}"
+    q = "" if query is None else str(query)
+    code = f"{source_table}{migration_part}{q.upper().strip()}"
     return hashlib.md5(code.encode()).hexdigest()
 
 
@@ -124,21 +105,29 @@ class ExtractionJob:
 
     @classmethod
     def from_plan_dict(cls, envelope: dict[str, Any], job: dict[str, Any]) -> ExtractionJob:
+        # pick() IS the envelope→job field hoisting of the reference's
+        # sequential plans (routing/lambda_function.py:43-59): a job
+        # value wins, the envelope supplies the shared default.
         def pick(key: str, default: Any = None) -> Any:
             return job.get(key, envelope.get(key, default))
 
-        num_partitions = pick("NumPartitions", 1)
-        try:
-            num_partitions = int(num_partitions)
-        except (TypeError, ValueError):
-            num_partitions = 1
+        def tolerant_int(key: str, default: int) -> int:
+            # blank/null numeric fields fall back like NumPartitions
+            # always has — int(None)/int(' ') must not turn a sloppy
+            # but runnable plan into a parse crash
+            try:
+                return int(pick(key, default))
+            except (TypeError, ValueError):
+                return default
+
+        num_partitions = tolerant_int("NumPartitions", 1)
         return cls(
             source_name=envelope["SourceName"],
             source_database=envelope["SourceDatabase"],
             source_schema=envelope["SourceSchema"],
             source_table=pick("SourceTable"),
             query=pick("Query"),
-            migration_part=int(pick("MigrationPart", 1)),
+            migration_part=tolerant_int("MigrationPart", 1),
             expected_amount_of_records=pick("ExpectedAmountOfRecords", " "),
             num_partitions=num_partitions,
             lower_bound=pick("LowerBound"),
@@ -147,7 +136,7 @@ class ExtractionJob:
             column_for_partitioning_on_spark=pick("ColumnForPartitioningOnSpark"),
             job_name=pick("JobName", "sybaseiq_extractor"),
             worker_type=pick("WorkerType", "G.1X"),
-            number_of_workers=int(pick("NumberOfWorkers", 3)),
+            number_of_workers=tolerant_int("NumberOfWorkers", 3),
             jdbc_connection_string=pick("JDBCConnectionString"),
             credentials_secret_arn=pick("CredentialsSecretArn"),
             origin_file=envelope.get("OriginFile"),

@@ -52,14 +52,31 @@ def stream_run_now(
     from ..plans.model import ExtractionPlan
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from urllib.parse import unquote, urlparse
+
         # plan volume is control-plane scale (files, not data rows):
         # collect is bounded and correct here.
         rows = batch_df.collect()
         for r in rows:
-            path = Path(r.path.replace("file:", ""))
-            plan = ExtractionPlan.from_json_bytes(
-                r.value.encode(), origin_file=str(path)
+            # _metadata.file_path is a URI: strip ONLY the scheme prefix
+            # (a bare .replace would delete 'file:' anywhere in the
+            # path) and undo percent-encoding ('my%20plan.json').
+            raw = r.path
+            path = Path(
+                unquote(urlparse(raw).path) if "://" in raw or raw.startswith("file:")
+                else raw
             )
+            try:
+                plan = ExtractionPlan.from_json_bytes(
+                    r.value.encode(), origin_file=str(path)
+                )
+            except Exception:
+                # malformed plan: route to failed/ exactly like the
+                # batch path — an unguarded raise here poison-pills the
+                # streaming query (the checkpoint replays the same
+                # batch and crashes again on every restart).
+                orchestrator._move_plan_file(path, "failed")
+                continue
             outcome = orchestrator.run_plan(plan)
             if plan.active:
                 dest = "succeeded" if outcome.succeeded else "failed"

@@ -2586,3 +2586,63 @@ def test_compact_partitions_crash_recovery(spark, tmp_path):
     compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
     assert sorted(r.id for r in spark.read.parquet(str(path)).collect()) == expected
     assert not old.exists()
+
+
+def test_review_fixes_batch2(spark, tmp_path):
+    """r5 second review batch: corrupt-media ValueError contract,
+    null-keyed uniqueness, name-collision fail-fast, tolerant plan
+    ints, wired validate()."""
+    import numpy as np
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cleaning import (
+        normalize_column_names,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        media_meta,
+        png_encode_gray,
+        png_parse_meta,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.quality import (
+        CheckSpec,
+        run_checks,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+
+    # truncated PNG raises ValueError (not struct.error) at EVERY cut
+    png = png_encode_gray(np.zeros((8, 8), dtype="uint8"))
+    for cut in range(9, len(png) - 1, 7):
+        try:
+            png_parse_meta(png[:cut])
+        except ValueError:
+            pass  # quarantine-able
+    assert media_meta(png[:31]) == (None, None, None)
+
+    # a clean table with a NULL key passes its uniqueness gate
+    d = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k int")
+    res = {r.check: r.n_violations for r in run_checks(d, CheckSpec(unique=["k"])).collect()}
+    assert res["unique"] == 0
+    # duplicates among NULL keys ARE violations
+    d2 = spark.createDataFrame([(None,), (None,)], "k int")
+    res2 = {r.check: r.n_violations for r in run_checks(d2, CheckSpec(unique=["k"])).collect()}
+    assert res2["unique"] == 1
+
+    # colliding normalized names fail fast with a clear message
+    df = spark.createDataFrame([(1, 2)], ["Order Id", "order_id"])
+    with _pytest.raises(ValueError, match="collide"):
+        normalize_column_names(df)
+
+    # blank/null numeric plan fields parse tolerantly; missing Query is
+    # a curated validate() message, not an AttributeError
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "s", "SourceDatabase": "d", "SourceSchema": "x",
+            "SourceTable": "t", "MigrationPart": None, "NumberOfWorkers": " ",
+        }
+    )
+    assert plan.jobs[0].migration_part == 1
+    assert plan.jobs[0].number_of_workers == 3
+    assert plan.jobs[0].execution_hash_id  # no crash on query=None
+    assert any("empty Query" in p for p in plan.validate())
