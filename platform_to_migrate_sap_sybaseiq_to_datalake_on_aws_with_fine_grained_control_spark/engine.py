@@ -226,12 +226,19 @@ class Engine:
             observation: Observation | None = None
             row_count: int | None = None
             cached: DataFrame | None = None
+            # adaptive sizing bounds file size per WRITE (never via a
+            # session conf — it would leak into later tiered jobs);
+            # tiered mode must not set it or the coalesce(n) file
+            # counts would be re-split past the tier boundary.
+            max_rpf: int | None = 5_000_000
             if self.config.count_strategy == "cache":
                 # reference parity: cache + count before the write
                 # (sybaseiq_extractor.py:295-297)
                 cached = cleaned.cache()
                 row_count = cached.count()
                 cleaned = apply_output_sizing(cached, row_count, mode=self.config.output_sizing)
+                if self.config.output_sizing == "tiered":
+                    max_rpf = None
             elif self.config.count_strategy == "observe":
                 observation = Observation(f"rows_{hash_id[:8]}")
                 cleaned = cleaned.observe(observation, F.count(F.lit(1)).alias("n"))
@@ -254,6 +261,7 @@ class Engine:
                     table_name=job.target_table_name if self.config.register_catalog else None,
                     mode=self.config.sink_mode,
                     evolve_schema=self.config.evolve_schema,
+                    max_records_per_file=max_rpf,
                 )
                 if observation is not None:
                     row_count = int(observation.get["n"])

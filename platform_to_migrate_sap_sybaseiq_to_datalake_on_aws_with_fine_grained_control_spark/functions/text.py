@@ -54,18 +54,26 @@ def token_count_bpe(col_name: str) -> Column:
     return F.size(F.expr(f"regexp_extract_all({col_name}, '{BPE_TOKEN_RE}', 0)"))
 
 
-def word_ngrams(col_name: str, n: int) -> Column:
-    """Word ``n``-gram shingles as an array<string>; empty array when
-    the document has fewer than ``n`` tokens (Spark's ``sequence``
-    counts *down* when stop < start, so the short case needs a guard —
-    DuckDB's ``generate_series`` is naturally empty there)."""
+def word_ngrams_sql(col_name: str, n: int) -> str:
+    """Spark SQL text of the word-``n``-gram shingle array — the ONE
+    definition every consumer (Column form, distinct form, MinHash)
+    builds from, so a tokenization/guard fix can never apply to one
+    path and silently miss another."""
     toks = f"split({col_name}, ' ')"
-    return F.expr(
+    return (
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(1, size({toks}) - {n} + 1), "
         f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+
+
+def word_ngrams(col_name: str, n: int) -> Column:
+    """Word ``n``-gram shingles as an array<string>; empty array when
+    the document has fewer than ``n`` tokens (Spark's ``sequence``
+    counts *down* when stop < start, so the short case needs a guard —
+    DuckDB's ``generate_series`` is naturally empty there)."""
+    return F.expr(word_ngrams_sql(col_name, n))
 
 
 def distinct_shingles(col_name: str, n: int) -> Column:
@@ -82,12 +90,7 @@ def minhash_signature(col_name: str, num_hashes: int, shingle_n: int) -> Column:
     conversions needed.  Returns array<string> of length ``num_hashes``
     (nulls for empty documents).
     """
-    toks = f"split({col_name}, ' ')"
-    sh = (
-        f"CASE WHEN size({toks}) >= {shingle_n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {shingle_n} + 1), "
-        f"i -> concat_ws(' ', slice({toks}, i, {shingle_n})))) ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
+    sh = f"array_distinct({word_ngrams_sql(col_name, shingle_n)})"
     return F.expr(minhash_sig_from_shingles(sh, num_hashes))
 
 

@@ -38,16 +38,17 @@ def apply_output_sizing(
     """Shape the output file count.
 
     ``tiered``  — reference parity: ``coalesce(coalesce_tier(n))``.
-    ``adaptive`` — scale path: let AQE pick partition count and bound
-    file size via ``spark.sql.files.maxRecordsPerFile`` (set on the
-    session by the caller/sink); no explicit coalesce, so the write
-    parallelism survives at 100 TB.
+    ``adaptive`` — scale path: let AQE pick partition count; the
+    per-file row bound travels as a WRITER option
+    (``maxRecordsPerFile``, applied by the sink — see
+    ``write_partitioned_parquet``), NEVER as a session conf: a session-
+    wide setting leaks into every later write, splitting a tiered job's
+    coalesce(8) into 12+ files and breaking the reference-parity file
+    counts this module exists to preserve.
     """
     if mode == "tiered":
         return df.coalesce(coalesce_tier(num_records))
     if mode == "adaptive":
-        spark = df.sparkSession
-        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
         return df
     raise ValueError(f"unknown output sizing mode: {mode!r}")
 
@@ -65,6 +66,13 @@ def zorder_key(x: "Column", y: "Column", bits: int = 16) -> "Column":
     """
     from pyspark.sql import functions as F
 
+    if not 1 <= bits <= 31:
+        # 2*bits-1 must stay below the long sign bit; with an INT input
+        # Spark's shiftleft would wrap y's top bit into the sign bit
+        # and negative keys silently break the range-clustering order
+        raise ValueError(f"zorder_key: bits must be in [1, 31], got {bits}")
+    x = x.cast("long")
+    y = y.cast("long")
     parts = []
     for b in range(bits):
         parts.append(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b))
@@ -79,6 +87,8 @@ def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
     """The same interleave as :func:`zorder_key`, as an engine-neutral SQL
     expression (``>> & <<`` operators — DuckDB dialect, used by the
     catalog oracle)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"zorder_key_sql: bits must be in [1, 31], got {bits}")
     parts = []
     for b in range(bits):
         parts.append(f"((({x_expr} >> {b}) & 1) << {2 * b})")

@@ -98,12 +98,21 @@ def refresh_rollup_incremental(
     # about to overwrite (localCheckpoint cuts the file-source lineage,
     # so this is not a read-while-overwrite)
     merged = merged.localCheckpoint()
-    # dynamic partition overwrite (set in the session factory) replaces
-    # only the day partitions present in `merged`
-    merged.write.mode("overwrite").partitionBy("day").parquet(hourly_path)
-    out = spark.read.parquet(hourly_path).join(F.broadcast(dirty), "day", "semi")
+    # dynamic partition overwrite replaces ONLY the day partitions
+    # present in `merged`.  Set as a WRITER option, not inherited from
+    # the session: on a session with the Spark-default static mode this
+    # write would silently delete every non-dirty day of history.
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(hourly_path)
+    )
     delta.unpersist()
-    return out
+    # `merged` IS what was just written (already localCheckpointed) —
+    # returning it directly saves a full re-read of the rewritten day
+    # partitions on every refresh (a per-micro-batch cost on streams).
+    return merged
 
 
 def cascade_rollup(

@@ -36,6 +36,7 @@ def range_join_bucketed(
     start_ts: str,
     end_ts: str,
     bucket_s: int,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval (range) join without the quadratic blow-up: each point
     matched to every interval of the same key containing it.
@@ -55,14 +56,19 @@ def range_join_bucketed(
     ones).
     """
     us = bucket_s * 1_000_000
-    ivl = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(epoch_us(start_ts) / us),
-                F.floor(epoch_us(end_ts) / us),
-            )
-        ),
+    # Cap the per-interval explode: one corrupt interval (a year-9999
+    # sentinel end date, a classic dirty-source value) would otherwise
+    # demand a ~1e8-element sequence and kill the whole job.  Points
+    # beyond the cap can't match anyway at sane bucket sizes; raising
+    # the cap is explicit.  Inverted intervals (end < start) explode to
+    # nothing instead of erroring the sequence.
+    lo_b = F.floor(epoch_us(start_ts) / us)
+    hi_b = F.least(
+        F.floor(epoch_us(end_ts) / us),
+        lo_b + F.lit(max_buckets_per_interval),
+    )
+    ivl = intervals.filter(F.col(end_ts) >= F.col(start_ts)).withColumn(
+        "_bucket", F.explode(F.sequence(lo_b, hi_b))
     )
     pts = points.withColumn(
         "_bucket", F.floor(epoch_us(point_ts) / us)
@@ -132,10 +138,23 @@ def asof_join_backward(
         .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Fill ONE struct holding the whole right row, not each payload
+    # column independently: per-column ignore-nulls fill would blend
+    # values from DIFFERENT right rows whenever a payload column is
+    # null (a=5 from ts=1, b=7 from ts=2 — a row that never existed).
+    # The struct is non-null exactly on right rows, so last() lands on
+    # the true as-of row with its nulls intact.
+    r_struct = F.when(
+        F.col("_is_left") == 0,
+        F.struct(*[F.col(c) for c in right_cols], F.col("_r_ts").alias("_r_ts")),
+    )
     filled = l_tagged.unionByName(r_tagged).select(
         "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts_f"),
+        F.last(r_struct, ignorenulls=True).over(w).alias("_f"),
+    ).select(
+        "*",
+        *[F.col(f"_f.{c}").alias(f"_f_{c}") for c in right_cols],
+        F.col("_f._r_ts").alias("_matched_ts_f"),
     )
     out = filled.filter(F.col("_is_left") == 1)
 

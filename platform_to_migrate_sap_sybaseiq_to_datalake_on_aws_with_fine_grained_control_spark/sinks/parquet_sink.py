@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 @dataclass
@@ -65,8 +66,14 @@ def _existing_data_schema(spark: SparkSession, path: str, keys: list[str]):
         return None
     try:
         sch = spark.read.parquet(path).schema
-    except Exception:
-        return None
+    except AnalysisException as e:
+        # ONLY a missing/empty path means "first write".  A transient
+        # IO error or corrupt footer treated as first-write would skip
+        # alignment AND overwrite the sidecar with the new frame's
+        # schema, permanently misdescribing the older files.
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
     return StructType([f for f in sch.fields if f.name.lower() not in lk])
 
 
@@ -85,6 +92,7 @@ def write_partitioned_parquet(
     table_name: str | None = None,
     mode: str = "append",
     evolve_schema: bool = False,
+    max_records_per_file: int | None = None,
 ) -> SinkResult:
     """K1/K2 — partitioned parquet write + catalog registration.
 
@@ -139,6 +147,11 @@ def write_partitioned_parquet(
         )
 
     writer = to_write.write.mode(mode).format("parquet")
+    if max_records_per_file is not None:
+        # per-write file-size bound (adaptive sizing) — a writer
+        # option, NOT a session conf, so it cannot leak into later
+        # tiered-mode writes in the same session
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if keys:
         writer = writer.partitionBy(*keys)
     # capture BEFORE the write: a static overwrite deletes the whole
@@ -247,8 +260,19 @@ def register_external_table(
 
     exists = spark.catalog.tableExists(qualified)
     if exists and not full_refresh:
-        existing = {c.name.lower() for c in spark.catalog.listColumns(qualified)}
-        if existing != {f.name.lower() for f in schema.fields}:
+        # compare (name, type) pairs: a type-widening evolve-append
+        # (int -> long) leaves the column SET identical, but a catalog
+        # table still typed int over INT64 files fails every read with
+        # SchemaColumnConvertNotSupportedException until re-created
+        existing = {
+            (c.name.lower(), c.dataType.lower().replace(" ", ""))
+            for c in spark.catalog.listColumns(qualified)
+        }
+        incoming = {
+            (f.name.lower(), f.dataType.simpleString().lower().replace(" ", ""))
+            for f in schema.fields
+        }
+        if existing != incoming:
             exists = False  # schema drift -> re-create below
 
     if not exists or full_refresh:
@@ -273,10 +297,13 @@ def register_external_table(
             pairs = []
             for f in part_cols:
                 v = values[key_order[f.name.lower()]]
+                # backslash escaping: Spark's Hive-style lexer
+                # CONCATENATES adjacent string literals, so SQL-style
+                # '' doubling turns 'O''Brien' into 'OBrien' silently
                 v = (
                     "__HIVE_DEFAULT_PARTITION__"
                     if v is None
-                    else str(v).replace("'", "''")
+                    else str(v).replace("\\", "\\\\").replace("'", "\\'")
                 )
                 pairs.append(f"`{f.name}`='{v}'")
             specs.append("PARTITION (" + ", ".join(pairs) + ")")

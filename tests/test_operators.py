@@ -2646,3 +2646,57 @@ def test_review_fixes_batch2(spark, tmp_path):
     assert plan.jobs[0].number_of_workers == 3
     assert plan.jobs[0].execution_hash_id  # no crash on query=None
     assert any("empty Query" in p for p in plan.validate())
+
+
+def test_asof_join_does_not_blend_right_rows(spark):
+    """r5 review batch 3: nullable right payload columns must come from
+    ONE as-of row, not be forward-filled independently (which invents
+    rows that never existed)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.temporal import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:03")], "k int, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:01", 5.0, None),
+            (1, "2020-01-01 00:00:02", None, 7.0),
+        ],
+        "k int, rts string, a double, b double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "a", "b")
+    row = asof_join_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["a", "b"], right_tiebreak="b",
+    ).collect()[0]
+    # the as-of row is (ts=2, a=null, b=7) — a must stay NULL
+    assert row.a is None and row.b == 7.0
+    assert str(row._matched_ts).endswith("00:00:02")
+
+
+def test_catalog_recreated_on_type_widening(spark, tmp_path):
+    """r5 review batch 3: an evolve-append that widens a column type
+    must re-create the catalog table (same column NAMES, new type) or
+    reads fail on INT64 files under an int catalog column."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    d1 = spark.createDataFrame([(1, 10, "2020")], "id int, qty int, year string")
+    write_partitioned_parquet(
+        d1, str(tmp_path), "lake/tw", ["year"],
+        target_database="db_tw", table_name="tw", mode="append",
+    )
+    d2 = spark.createDataFrame(
+        [(2, 20_000_000_000, "2021")], "id int, qty long, year string"
+    )
+    write_partitioned_parquet(
+        d2, str(tmp_path), "lake/tw", ["year"],
+        target_database="db_tw", table_name="tw", mode="append",
+        evolve_schema=True,
+    )
+    rows = spark.sql("SELECT id, qty FROM db_tw.tw ORDER BY id").collect()
+    assert [(r.id, r.qty) for r in rows] == [(1, 10), (2, 20_000_000_000)]
+    assert dict(spark.table("db_tw.tw").dtypes)["qty"] == "bigint"
+    spark.sql("DROP TABLE db_tw.tw")
