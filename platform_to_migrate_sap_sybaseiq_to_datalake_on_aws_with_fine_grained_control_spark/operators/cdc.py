@@ -130,6 +130,7 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current_flag: str = "is_current",
+    assert_unique_updates: bool = False,
 ) -> DataFrame:
     """Slowly-changing Type-2 merge: close out changed rows, append
     new versions, pass unchanged and historical rows through.
@@ -146,15 +147,39 @@ def scd2_apply(
     One full-outer shuffle join on the key between the open rows and
     the update batch; closed history is unioned back without a
     shuffle.
+
+    PRECONDITION: ``updates`` holds at most ONE row per key (conflate
+    an intra-batch change stream with ``latest_snapshot`` /
+    ``apply_change_stream`` first) — a multi-row key would fan the
+    full-outer join out into several simultaneous open versions.
+    ``assert_unique_updates=True`` verifies this with one extra
+    aggregation over the (batch-sized) updates frame and raises.
     """
+    if assert_unique_updates:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "scd2_apply: updates hold multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r}; conflate with "
+                "latest_snapshot/apply_change_stream before the merge"
+            )
     eff = effective if isinstance(effective, F.Column) else F.lit(effective)
     attrs = [
         c
         for c in current.columns
         if c not in keys and c not in (valid_from, valid_to, current_flag)
     ]
-    closed_history = current.filter(~F.col(current_flag))
-    open_rows = current.filter(F.col(current_flag))
+    # coalesce: a NULL flag (e.g. null-backfilled by schema evolution)
+    # matches NEITHER ~flag nor flag and the row would silently vanish
+    # from the returned dimension; treat NULL as historical.
+    closed_history = current.filter(~F.coalesce(F.col(current_flag), F.lit(False)))
+    open_rows = current.filter(F.coalesce(F.col(current_flag), F.lit(False)))
 
     # presence detection must not rely on a nullable attribute: each
     # side carries a non-null sentinel instead
@@ -240,9 +265,11 @@ def snapshot_diff(
     keys, and bucketed snapshots (``write_bucketed``) elide the
     shuffle entirely.
     """
-    cmp_cols = compare_cols or [
-        c for c in current.columns if c not in keys
-    ]
+    cmp_cols = (
+        compare_cols
+        if compare_cols is not None  # [] = explicit key-only presence diff
+        else [c for c in current.columns if c not in keys]
+    )
     cur = current.select(
         *[F.col(c).alias(f"_c_{c}") for c in keys],
         *[F.col(c).alias(f"_cv_{c}") for c in cmp_cols],

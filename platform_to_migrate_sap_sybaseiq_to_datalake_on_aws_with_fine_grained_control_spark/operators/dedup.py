@@ -141,7 +141,11 @@ def ngram_jaccard_pairs(
         F.row_number().over(w_rank).alias("_rk"),
     )
     # ranked feeds two consumers; persist so the explode + df-window +
-    # rank work runs once (at 100 TB: write it to parquet instead)
+    # rank work runs once (at 100 TB: write it to parquet instead).
+    # Cache OWNERSHIP: the returned frame stays lazy, so this operator
+    # cannot safely unpersist — callers running many tables per session
+    # release operator caches between jobs (spark.catalog.clearCache(),
+    # as bench.py and the driver do) or use the parquet feature table.
     ranked.persist()
     prefix = ranked.filter(
         F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
@@ -389,6 +393,11 @@ def incremental_minhash_pairs(
     cross = nb.join(
         banded_base.select(F.col(id_col).alias("_old_id"), "band", "bucket"),
         ["band", "bucket"],
+    ).filter(
+        # an at-least-once redelivery can put the SAME doc id in both
+        # base and batch; without this a bogus self-pair (id_a == id_b,
+        # jaccard 1.0) would pass any threshold
+        F.col("_new_id") != F.col("_old_id")
     ).select(
         F.least("_new_id", "_old_id").alias("id_a"),
         F.greatest("_new_id", "_old_id").alias("id_b"),
@@ -408,7 +417,14 @@ def incremental_minhash_pairs(
     )
     cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
 
-    all_feat = feat_base.unionByName(feat_batch)
+    # doc ids present in BOTH frames (redelivery) must contribute one
+    # shingle row each, or every candidate pair touching them verifies
+    # twice and duplicates output rows
+    all_feat = feat_base.unionByName(
+        feat_batch.join(
+            feat_base.select(id_col).distinct(), id_col, "left_anti"
+        )
+    )
     da = all_feat.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     db = all_feat.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -367,7 +367,11 @@ def stateful_sessionizer(events: DataFrame, gap_s: int = 1800) -> DataFrame:
                 start_us, last_us, n = s, int(seg_last[k]), cnt
 
         wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0 and wm_ms >= last_us // 1000 + gap_ms:
+        # strict > in MICROS: an on-time event with ts == last + gap
+        # would still extend the session (the extension rule is
+        # diff <= gap), and flooring last_us to ms would otherwise
+        # close up to 1 ms early
+        if wm_ms > 0 and wm_ms * 1000 > last_us + gap_us:
             closed.append(emit(start_us, last_us, n))
             state.remove()
         else:
@@ -469,8 +473,17 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         ewma, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        # gather ALL Arrow chunks before sorting: a key whose batch
+        # spans several chunks would otherwise fold them in shuffle
+        # order and diverge from the batch EWMA (same fix as the quota
+        # admitter)
+        chunks = [p.dropna(subset=["value"]) for p in pdfs]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
             for v in pdf["value"].astype("float64"):
                 v = float(v)
                 ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
@@ -531,7 +544,10 @@ def _funnel_fold(
         if etype == "signup":
             pending.append(us)
         elif etype == "purchase":
-            while pending and pending[0] <= us - horizon_us:
+            # STRICT eviction: a purchase exactly window_s after the
+            # signup still matches (the batch funnel oracle's bound is
+            # inclusive: diff <= window)
+            while pending and pending[0] < us - horizon_us:
                 pending.pop(0)
             if pending and pending[0] < us:
                 s = pending.pop(0)
@@ -539,7 +555,7 @@ def _funnel_fold(
     # Unconditional eviction: without this, a signup-only user
     # accumulates state forever (the purchase branch never runs).
     if max_us >= 0:
-        while pending and pending[0] <= max_us - horizon_us:
+        while pending and pending[0] < max_us - horizon_us:
             pending.pop(0)
     return pending, out
 
@@ -585,19 +601,27 @@ def stateful_funnel_matcher(
             pending = []
         out: list[tuple[int, int, float]] = []
         horizon = window_s * 1_000_000
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # gather ALL Arrow chunks, sort ONCE: per-chunk folds would
+        # process chunks in shuffle order and mis-match FIFO pairs when
+        # a key's batch spans several chunks (same fix as the quota
+        # admitter)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
             ets = (
                 pdf["ts"].astype("datetime64[us]").astype("int64")
                 if str(pdf["ts"].dtype).startswith("datetime")
                 else pdf["ts"].astype("int64")
             )
-            pending, matched = _funnel_fold(
+            pending, out = _funnel_fold(
                 pending,
                 [(int(us), et) for us, et in zip(ets, pdf["event_type"])],
                 horizon,
             )
-            out.extend(matched)
         state.update((",".join(str(x) for x in pending),))
         if out:
             yield pd.DataFrame(

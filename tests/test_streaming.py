@@ -738,7 +738,8 @@ def test_stateful_funnel_matcher_matches_brute_force(spark, events_stream_parts)
             if etype == "signup":
                 pending.append(us)
             elif etype == "purchase":
-                while pending and pending[0] <= us - horizon:
+                # inclusive window: diff == horizon still matches
+                while pending and pending[0] < us - horizon:
                     pending.pop(0)
                 if pending and pending[0] < us:
                     exp.append((int(uid), pending.pop(0), us))
@@ -812,7 +813,12 @@ def test_funnel_fold_evicts_signup_only_state():
     )
     assert out == [(100, 250, (250 - 100) / 1_000_000.0)]
     assert pending == [200, 300]
-    # per-purchase head eviction still applies before matching
+    # per-purchase head eviction still applies before matching —
+    # STRICTLY older than the window only: a purchase exactly
+    # window_s after the signup matches (the batch oracle's bound is
+    # inclusive), one microsecond later it does not
+    pending, out = _funnel_fold([0], [(horizon, "purchase")], horizon)
+    assert out == [(0, horizon, horizon / 1_000_000.0)]
     pending, out = _funnel_fold(
         [0], [(horizon + 1, "purchase")], horizon
     )
