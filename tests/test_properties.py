@@ -473,3 +473,65 @@ def test_prefix_edit_pairs_match_bruteforce(spark, texts, tau):
         for r in prefix_edit_distance_pairs(d, tau=tau).collect()
     }
     assert got == expect, (sorted(got - expect), sorted(expect - got))
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(1, 5), st.integers(0, 3)),  # (key, value)
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],  # scd2 precondition: one row/key
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_scd2_apply_invariants(spark, batches):
+    """Randomized SCD2 merge sequence upholds the dimension invariants:
+    exactly one is_current row per present key, closed rows have
+    valid_to set, open rows don't, and the final open value equals the
+    last changed value applied for the key."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.cdc import (
+        scd2_apply,
+    )
+
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [],
+        "k int, v int, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    last_val: dict[int, int] = {}
+    for day, rows in enumerate(batches):
+        updates = spark.createDataFrame(rows, "k int, v int")
+        eff = f"2020-01-{day + 1:02d} 00:00:00"
+        dim = scd2_apply(
+            dim, updates, keys=["k"], tracked=["v"], effective=eff,
+            assert_unique_updates=True,
+        ).localCheckpoint()
+        for k, v in rows:
+            last_val[k] = v
+
+    rows_out = dim.collect()
+    open_rows = [r for r in rows_out if r.is_current]
+    # exactly one current row per key ever seen
+    assert sorted(r.k for r in open_rows) == sorted(last_val)
+    for r in rows_out:
+        if r.is_current:
+            assert r.valid_to is None
+            assert r.v == last_val[r.k]
+        else:
+            assert r.valid_to is not None
+    # per-key history: closed intervals ordered and non-overlapping
+    from collections import defaultdict
+
+    hist = defaultdict(list)
+    for r in rows_out:
+        if not r.is_current:
+            hist[r.k].append((r.valid_from, r.valid_to))
+    for k, spans in hist.items():
+        spans.sort()
+        for (f1, t1), (f2, _t2) in zip(spans, spans[1:]):
+            assert t1 <= f2, (k, spans)
