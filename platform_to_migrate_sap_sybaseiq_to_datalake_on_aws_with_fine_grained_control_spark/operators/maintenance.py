@@ -86,7 +86,7 @@ def post_write_maintenance(
     (``postprocess/lambda_function.py:164-221``) — same
     "optimize the just-written table, never break the run" contract.
     """
-    from ..orchestrator import with_retry
+    from ..util import with_retry
 
     # Compaction runs ONCE in its own swallow envelope: coupling it
     # with ANALYZE inside the retry loop would re-execute the full
@@ -140,8 +140,21 @@ def compact_partitions(
     ``.{name}.old`` so a process death between the two renames (dataset
     momentarily lives only under ``.old``) is self-healing — the next
     call finds the orphan and renames it back before compacting.
+    Orphaned ``.{name}.compact-*`` staging dirs from crashed runs are
+    swept at the same point (after ``.old`` recovery, so a staging dir
+    is only ever deleted once the dataset has a live home at ``path``).
     Readers racing the swap window still see FileNotFound (documented);
     the data itself is never without a recoverable home.
+
+    Schema fidelity: when the dataset carries a ``_schema.json``
+    sidecar (written by the K1 sink's evolving appends — the source of
+    truth that a single-footer read cannot reconstruct for
+    int→long-widened files), the source is READ under that schema and
+    the sidecar is staged into the temp dir BEFORE the swap, so
+    compaction neither mis-types widened files nor silently deletes the
+    schema source-of-truth (r5 advice).  Post-compaction the sidecar
+    still describes the data exactly: every rewritten file now carries
+    the widened type.
 
     Layout: ``repartition(*keys)`` puts each Hive partition's rows in
     one task → one file per partition; for N>1 a deterministic salt
@@ -158,11 +171,14 @@ def compact_partitions(
     codegen bit arithmetic (``layout.zorder_key``) and is never
     materialized into the written schema.
     """
+    import json
     import shutil
     import uuid
     from pathlib import Path
 
     from pyspark.sql import functions as F
+
+    from ..sinks.parquet_sink import _SCHEMA_SIDECAR
 
     p = Path(path)
     old = p.parent / f".{p.name}.old"
@@ -171,8 +187,21 @@ def compact_partitions(
             shutil.rmtree(old)
         else:  # prior run died between the two renames: recover
             old.rename(p)
+    # sweep staging dirs orphaned by crashed runs (post-recovery, so
+    # the dataset is guaranteed live at `path` before anything is
+    # deleted); each run below creates its own uuid-fresh dir
+    for stale in p.parent.glob(f".{p.name}.compact-*"):
+        shutil.rmtree(stale)
 
-    df = spark.read.parquet(path)
+    sidecar = p / _SCHEMA_SIDECAR
+    sidecar_schema = None
+    if sidecar.exists():
+        from pyspark.sql.types import StructType
+
+        sidecar_schema = StructType.fromJson(json.loads(sidecar.read_text()))
+        df = spark.read.schema(sidecar_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if zorder_by is not None:
         from .layout import zorder_key
 
@@ -208,6 +237,12 @@ def compact_partitions(
 
     tmp = p.parent / f".{p.name}.compact-{uuid.uuid4().hex[:8]}"
     laid_out.write.partitionBy(*partition_keys).parquet(str(tmp))
+    if sidecar_schema is not None:
+        # stage the schema source-of-truth INTO the swap: the sidecar
+        # must land atomically with the data or later evolving appends
+        # fall back to a single-footer read that cannot reconcile
+        # widened files
+        (tmp / _SCHEMA_SIDECAR).write_text(json.dumps(sidecar_schema.jsonValue()))
     p.rename(old)
     tmp.rename(p)
     shutil.rmtree(old)

@@ -37,6 +37,7 @@ def range_join_bucketed(
     end_ts: str,
     bucket_s: int,
     max_buckets_per_interval: int = 100_000,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Interval (range) join without the quadratic blow-up: each point
     matched to every interval of the same key containing it.
@@ -58,15 +59,43 @@ def range_join_bucketed(
     us = bucket_s * 1_000_000
     # Cap the per-interval explode: one corrupt interval (a year-9999
     # sentinel end date, a classic dirty-source value) would otherwise
-    # demand a ~1e8-element sequence and kill the whole job.  Points
-    # beyond the cap can't match anyway at sane bucket sizes; raising
-    # the cap is explicit.  Inverted intervals (end < start) explode to
-    # nothing instead of erroring the sequence.
+    # demand a ~1e8-element sequence and kill the whole job.  The cap
+    # is NOT a silent truncation (an interval legitimately spanning
+    # more buckets would lose its tail matches — a recall bug):
+    #
+    # * ``on_overflow="error"`` (default) — any over-cap interval fails
+    #   the job loudly via a codegen assert; the fix is an explicit
+    #   bigger ``bucket_s``/``max_buckets_per_interval`` or upstream
+    #   cleansing.
+    # * ``on_overflow="truncate"`` — the sentinel-neutralization mode:
+    #   over-cap intervals match only their first ``cap`` buckets.
+    #   Opt-in and documented, never the default.
+    #
+    # Inverted intervals (end < start) explode to nothing instead of
+    # erroring the sequence.
     lo_b = F.floor(epoch_us(start_ts) / us)
-    hi_b = F.least(
-        F.floor(epoch_us(end_ts) / us),
-        lo_b + F.lit(max_buckets_per_interval),
-    )
+    end_b = F.floor(epoch_us(end_ts) / us)
+    if on_overflow == "error":
+        hi_b = F.when(
+            end_b - lo_b > max_buckets_per_interval,
+            F.raise_error(
+                F.format_string(
+                    "range_join_bucketed: interval [%s, %s] spans more than "
+                    f"max_buckets_per_interval={max_buckets_per_interval} "
+                    f"buckets of {bucket_s}s — raise the cap/bucket_s or "
+                    "cleanse the interval source "
+                    "(on_overflow='truncate' opts into capped matching)",
+                    F.col(start_ts).cast("string"),
+                    F.col(end_ts).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(end_b)
+    elif on_overflow == "truncate":
+        hi_b = F.least(end_b, lo_b + F.lit(max_buckets_per_interval))
+    else:
+        raise ValueError(
+            f"on_overflow must be 'error' or 'truncate', got {on_overflow!r}"
+        )
     ivl = intervals.filter(F.col(end_ts) >= F.col(start_ts)).withColumn(
         "_bucket", F.explode(F.sequence(lo_b, hi_b))
     )

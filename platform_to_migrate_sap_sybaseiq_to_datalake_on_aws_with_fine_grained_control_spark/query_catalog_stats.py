@@ -301,7 +301,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-def _duck_edit_distance_sql() -> str:
+def _duck_edit_distance_sql(tau: int) -> str:
     return f"""
 WITH d AS (SELECT doc_id, lang,
   substring(text, 1, {ED_PREFIX}) AS prefix,
@@ -310,36 +310,60 @@ SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b, a.lang,
   CAST(levenshtein(a.prefix, c.prefix) AS BIGINT) AS edit_distance
 FROM d a JOIN d c
   ON a.lang = c.lang AND abs(a.b - c.b) <= 1 AND a.doc_id < c.doc_id
-WHERE levenshtein(a.prefix, c.prefix) <= {ED_THRESH}
+WHERE levenshtein(a.prefix, c.prefix) <= {tau}
 """
 
 
-@register(
-    "dedup_edit_distance_pairs",
-    _duck_edit_distance_sql(),
-    doc="Edit-distance near-dup pairs (prefix Levenshtein <= "
-    f"{ED_THRESH}) via a PassJoin segment index: each {ED_PREFIX}-"
-    f"codepoint prefix splits into {ED_SEGMENTS} near-equal segments; "
-    "pigeonhole guarantees a qualifying pair shares one segment "
-    "verbatim (start shift <= 2*tau), so candidates come from an "
-    "equi-join on ~11-16-char substring keys — cardinality grows WITH "
-    "the corpus, so buckets stay tiny at any scale (the length-block-"
-    "only join this replaces was quadratic: fixed bucket domain). "
-    "Length blocking (bucket diff <= 1) and banded 3-arg Levenshtein "
-    "verify exactly. The oracle is the direct quadratic statement of "
-    "the same predicate — parity doubles as the no-false-negative "
-    "proof for the segment index.",
-)
-def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import prefix_edit_distance_pairs
+def _edit_distance_entry(tau: int):
+    """tau-parameterized edit-distance entry (r5 advice: tau is part of
+    the entry's contract, not a hidden constant — the PassJoin segment
+    index is exact for ANY tau, the registered values just pick the
+    semantics: 3 = typo radius, 12 = the original wide near-dup
+    radius).  Cost scales as (tau+1) segments x (4*tau+1) window
+    shifts, still an equi-join on corpus-growing substring keys."""
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.expr(f"substring(text, 1, {ED_PREFIX})").alias("prefix"),
-        F.floor(F.col("n_chars") / ED_BUCKET).alias("b"),
-    )
-    return prefix_edit_distance_pairs(d, tau=ED_THRESH, bucket_radius=1)
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.dedup import prefix_edit_distance_pairs
+
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.expr(f"substring(text, 1, {ED_PREFIX})").alias("prefix"),
+            F.floor(F.col("n_chars") / ED_BUCKET).alias("b"),
+        )
+        return prefix_edit_distance_pairs(d, tau=tau, bucket_radius=1)
+
+    return q
+
+
+_ED_DOC = (
+    "Edit-distance near-dup pairs (prefix Levenshtein <= {tau}) via a "
+    f"PassJoin segment index: each {ED_PREFIX}-codepoint prefix splits "
+    "into tau+1 near-equal segments; pigeonhole guarantees a "
+    "qualifying pair shares one segment verbatim (start shift <= "
+    "2*tau), so candidates come from an equi-join on substring keys — "
+    "cardinality grows WITH the corpus, so buckets stay tiny at any "
+    "scale (the length-block-only join this replaces was quadratic: "
+    "fixed bucket domain). Length blocking (bucket diff <= 1) and "
+    "banded 3-arg Levenshtein verify exactly. The oracle is the direct "
+    "quadratic statement of the same predicate — parity doubles as the "
+    "no-false-negative proof for the segment index at this tau."
+)
+
+dedup_edit_distance_pairs = register(
+    "dedup_edit_distance_pairs",
+    _duck_edit_distance_sql(ED_THRESH),
+    doc=_ED_DOC.format(tau=ED_THRESH),
+)(_edit_distance_entry(ED_THRESH))
+
+# the pre-r5 wide radius, kept as its own first-class entry so corpora
+# with mid-range distances (4..12) don't silently lose pairs to the
+# tau=3 default (r5 advice)
+dedup_edit_distance_pairs_tau12 = register(
+    "dedup_edit_distance_pairs_tau12",
+    _duck_edit_distance_sql(12),
+    doc=_ED_DOC.format(tau=12),
+)(_edit_distance_entry(12))
 
 
 # =====================================================================

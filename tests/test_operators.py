@@ -2700,3 +2700,171 @@ def test_catalog_recreated_on_type_widening(spark, tmp_path):
     assert [(r.id, r.qty) for r in rows] == [(1, 10), (2, 20_000_000_000)]
     assert dict(spark.table("db_tw.tw").dtypes)["qty"] == "bigint"
     spark.sql("DROP TABLE db_tw.tw")
+
+
+# ---- round-6 ADVICE r5 regression tests ------------------------------
+
+
+def test_compact_preserves_schema_sidecar(spark, tmp_path):
+    """ADVICE r5 (medium): compaction must carry the `_schema.json`
+    sidecar through the stage-and-swap — it is the schema
+    source-of-truth for int->long-widened datasets, and losing it
+    makes later evolving appends fall back to an unreconcilable
+    single-footer read."""
+    import json
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        compact_partitions,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sinks.parquet_sink import (
+        write_partitioned_parquet,
+    )
+
+    root = str(tmp_path)
+    d_int = spark.createDataFrame([(1, 10, "a")], "id INT, v INT, part STRING")
+    d_long = spark.createDataFrame(
+        [(2, 2**40, "b")], "id INT, v LONG, part STRING"
+    )
+    write_partitioned_parquet(d_int, root, "t", ["part"], evolve_schema=True)
+    write_partitioned_parquet(d_long, root, "t", ["part"], evolve_schema=True)
+    path = tmp_path / "t"
+    side = path / "_schema.json"
+    assert side.exists()
+    schema_before = json.loads(side.read_text())
+
+    compact_partitions(spark, str(path), ["part"], target_files_per_partition=1)
+
+    # sidecar survived the swap, verbatim
+    assert side.exists(), "compaction deleted the schema sidecar"
+    assert json.loads(side.read_text()) == schema_before
+
+    # the widened read is intact AND a further evolving append still
+    # reconciles against the sidecar (the failure mode advice named)
+    assert {r.v for r in spark.read.parquet(str(path)).collect()} == {10, 2**40}
+    write_partitioned_parquet(
+        spark.createDataFrame([(3, 7, "c")], "id INT, v INT, part STRING"),
+        root,
+        "t",
+        ["part"],
+        evolve_schema=True,
+    )
+    got = spark.read.parquet(str(path))
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {r.v for r in got.collect()} == {10, 2**40, 7}
+
+
+def test_compact_sweeps_orphaned_staging_dirs(spark, tmp_path):
+    """A crash between the staging write and the swap orphans a
+    `.{name}.compact-<uuid>` dir; the next call must sweep it (r5
+    VERDICT minor: disk leaks accumulated across crashed runs)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        compact_partitions,
+    )
+
+    path = tmp_path / "t"
+    spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part"
+    ).write.partitionBy("part").parquet(str(path))
+    orphan = tmp_path / f".{path.name}.compact-deadbeef"
+    orphan.mkdir()
+    (orphan / "junk.parquet").write_text("crashed staging write")
+
+    compact_partitions(spark, str(path), ["part"])
+    assert not orphan.exists()
+    assert spark.read.parquet(str(path)).count() == 100
+    assert not list(tmp_path.glob(f".{path.name}.compact-*"))
+
+
+def test_range_join_overflow_modes(spark):
+    """ADVICE r5: an interval spanning more buckets than the cap must
+    fail loudly by default (silent clamping lost tail matches); the
+    documented 'truncate' opt-in keeps the old sentinel-neutralizing
+    behavior."""
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    ivl = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-01 02:00:00")],
+        ["k", "start_ts", "end_ts"],
+    ).selectExpr(
+        "k",
+        "CAST(start_ts AS TIMESTAMP_NTZ) AS start_ts",
+        "CAST(end_ts AS TIMESTAMP_NTZ) AS end_ts",
+    )
+    # a point in the interval's TAIL, past the 4-bucket cap below
+    pts = spark.createDataFrame(
+        [("k", "2024-01-01 01:59:00")], ["k", "pt_ts"]
+    ).selectExpr("k", "CAST(pt_ts AS TIMESTAMP_NTZ) AS pt_ts")
+
+    kwargs = dict(
+        on="k",
+        point_ts="pt_ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_s=60,
+        max_buckets_per_interval=4,
+    )
+    with _pytest.raises(Exception, match="max_buckets_per_interval"):
+        range_join_bucketed(pts, ivl, **kwargs).collect()
+
+    # truncate: job survives, tail match is (documentedly) dropped
+    assert (
+        range_join_bucketed(pts, ivl, on_overflow="truncate", **kwargs).count() == 0
+    )
+    # and an in-cap interval matches identically in both modes
+    ok = dict(kwargs, max_buckets_per_interval=100_000)
+    assert range_join_bucketed(pts, ivl, **ok).count() == 1
+    assert range_join_bucketed(pts, ivl, on_overflow="truncate", **ok).count() == 1
+
+    with _pytest.raises(ValueError, match="on_overflow"):
+        range_join_bucketed(pts, ivl, on_overflow="quarantine", **kwargs)
+
+
+def test_edit_distance_midrange_tau_differential(spark):
+    """ADVICE r5: tau is a parameter of the entry, and the PassJoin
+    index must be exact at mid-range taus (4..12), not just the tau=3
+    default — verified against an independent Python DP Levenshtein
+    over a corpus engineered to have distances all through 0..14."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.dedup import (
+        prefix_edit_distance_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    docs = [(0, base)]
+    # substitutions, deletions, insertions at controlled depths
+    for d in range(1, 15):
+        docs.append((d, base[:d].upper() + base[d:]))  # d substitutions
+        docs.append((100 + d, base[d:]))  # d deletions (length drift)
+        docs.append((200 + d, ("x" * d) + base))  # d insertions
+    rows = [(i, "en", t, len(t) // 16) for i, t in docs]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "prefix", "b"])
+
+    for tau in (5, 8, 12):
+        got = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in prefix_edit_distance_pairs(d, tau=tau, bucket_radius=1).collect()
+        }
+        want = {
+            (min(a_id, b_id), max(a_id, b_id))
+            for ai, (a_id, a) in enumerate(docs)
+            for b_id, b in docs[ai + 1 :]
+            if abs(len(a) // 16 - len(b) // 16) <= 1 and lev(a, b) <= tau
+        }
+        assert got == want, (
+            f"tau={tau}: missing={sorted(want - got)[:5]} "
+            f"extra={sorted(got - want)[:5]}"
+        )
