@@ -69,7 +69,7 @@ import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from pathlib import Path
-from urllib.parse import quote, unquote
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -118,15 +118,10 @@ def _fmt_version(v: int) -> str:
     return str(v).zfill(_VERSION_DIGITS)
 
 
-def _hive_escape(v) -> str:
-    if v is None:
-        return "__HIVE_DEFAULT_PARTITION__"
-    # percent-encoding, like Hive/Spark's ExternalCatalogUtils — never
-    # quote-doubling (Spark's lexer concatenates adjacent literals)
-    return quote(str(v), safe="")
-
-
 def _parse_partition_dirs(rel: Path) -> dict[str, str | None]:
+    # percent-decoding matches Spark's own hive-dir escaping
+    # (ExternalCatalogUtils) — the staged files were written by
+    # Spark's partitionBy, so its encoding is authoritative
     values: dict[str, str | None] = {}
     for seg in rel.parts:
         if "=" not in seg:

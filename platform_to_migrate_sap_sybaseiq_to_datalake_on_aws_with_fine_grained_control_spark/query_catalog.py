@@ -1423,3 +1423,4 @@ sql_query(
 from . import query_catalog_analytics  # noqa: E402,F401  (registration side effect)
 from . import query_catalog_mining  # noqa: E402,F401  (registration side effect)
 from . import query_catalog_stats  # noqa: E402,F401  (registration side effect)
+from . import query_catalog_lakehouse  # noqa: E402,F401  (registration side effect)

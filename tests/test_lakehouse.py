@@ -1,0 +1,208 @@
+"""Transaction-log (ACID lakehouse) suite — the manifest-commit layer
+over partitioned parquet (``lakehouse.py``, round 6).
+
+Covers the four properties raw parquet + stage-and-swap cannot give
+(r5 VERDICT gap #1): atomic commit visibility, snapshot isolation
+through OPTIMIZE/overwrite, O(delta) incremental reads, and versioned
+schema authority — plus the failure modes: crash-before-commit, commit
+races, torn logs, vacuum retention.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+    ConcurrentCommitError,
+    TransactionLog,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+@pytest.fixture
+def tbl(tmp_path):
+    return TransactionLog(tmp_path / "t", checkpoint_interval=3)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "v", "year"])
+
+
+def test_append_snapshot_time_travel(spark, tbl):
+    assert tbl.append(_df(spark, [(1, "a", "2024")]), ["year"]) == 1
+    assert tbl.append(_df(spark, [(2, "b", "2025")])) == 2
+    assert _ids(tbl.snapshot(spark, version=1)) == [1]
+    assert _ids(tbl.snapshot(spark, version=2)) == [1, 2]
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+    # partition column round-trips through hive dirs + basePath
+    assert {r.year for r in tbl.snapshot(spark).collect()} == {"2024", "2025"}
+
+
+def test_timestamp_time_travel(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    ts_between = json.loads(
+        (tbl.log_path / f"{str(1).zfill(20)}.json").read_text()
+    )["ts"]
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    assert _ids(tbl.snapshot(spark, timestamp=ts_between)) == [1]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        tbl.version_at_timestamp("1999-01-01T00:00:00+00:00")
+
+
+def test_crash_before_commit_is_invisible(spark, tbl):
+    """Atomic visibility: files staged (even moved into the table dir)
+    without a commit record do not exist for readers; vacuum sweeps
+    them."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    # simulate a writer that died after moving its files in
+    orphan_adds = tbl._stage_files(_df(spark, [(9, "z", "2024")]), ["year"])
+    assert orphan_adds  # files physically present in the table dir
+    assert _ids(tbl.snapshot(spark)) == [1]
+    deleted = tbl.vacuum()
+    assert any(a["path"] in deleted for a in orphan_adds)
+    assert _ids(tbl.snapshot(spark)) == [1]
+
+
+def test_snapshot_isolation_through_compact_and_overwrite(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    tbl.append(_df(spark, [(3, "c", "2025")]))
+    pinned = tbl.snapshot(spark, version=2)
+    assert tbl.compact(spark) == 3
+    tbl.overwrite(_df(spark, [(7, "x", "2026")]), ["year"])
+    # the pinned frame's file list is stable: old files are
+    # unreferenced by the new commits, never deleted by them
+    assert _ids(pinned) == [1, 2, 3]
+    assert _ids(tbl.snapshot(spark)) == [7]
+    assert _ids(tbl.snapshot(spark, version=2)) == [1, 2, 3]
+
+
+def test_compact_reduces_files_preserves_rows(spark, tbl):
+    df = spark.range(0, 200).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS v",
+        "CAST(2020 + id % 2 AS STRING) AS year",
+    ).repartition(8)
+    tbl.append(df, ["year"])
+    files_before = len(tbl._replay(1)["files"])
+    v = tbl.compact(spark, target_files_per_partition=1)
+    files_after = len(tbl._replay(v)["files"])
+    assert files_after == 2 < files_before
+    assert tbl.snapshot(spark).count() == 200
+    assert not tbl.history()[-1].data_change
+
+
+def test_incremental_read_skips_rewrites(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    tbl.compact(spark)
+    tbl.append(_df(spark, [(3, "c", "2025")]))
+    assert _ids(tbl.read_changes(spark, 0)) == [1, 2, 3]
+    assert _ids(tbl.read_changes(spark, 1)) == [2, 3]  # compact invisible
+    assert tbl.read_changes(spark, 2, 3).count() == 0
+    # overwrite resets the delta: earlier adds are dead rows
+    tbl.overwrite(_df(spark, [(9, "z", "2026")]), ["year"])
+    assert _ids(tbl.read_changes(spark, 1)) == [9]
+
+
+def test_schema_evolution_widen_through_commits(spark, tbl):
+    tbl.append(
+        spark.createDataFrame([(1, 10, "2024")], "id INT, v INT, year STRING"),
+        ["year"],
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(2, 2**40, "2025")], "id INT, v LONG, year STRING"
+        ),
+        evolve_schema=True,
+    )
+    got = tbl.snapshot(spark)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {r.v for r in got.collect()} == {10, 2**40}
+    # old snapshot reads under ITS committed schema (still int)
+    assert dict(tbl.snapshot(spark, version=1).dtypes)["v"] == "int"
+
+
+def test_append_schema_drift_without_evolve_raises(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    with pytest.raises(ValueError, match="evolve_schema"):
+        tbl.append(
+            spark.createDataFrame([(2, "2024")], ["id", "year"]),
+        )
+    with pytest.raises(ValueError, match="partition keys"):
+        tbl.append(_df(spark, [(3, "c", "2024")]), ["v"])
+
+
+def test_commit_conflict_detection_and_append_retry(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    # a racing writer lands version 2 first
+    racing = {
+        "version": 2, "op": "append", "dataChange": True,
+        "ts": "2026-01-01T00:00:00+00:00", "txn": "race",
+        "schema": tbl._replay(1)["schema"], "partition_keys": ["year"],
+        "add": [], "remove": [],
+    }
+    tbl._try_commit(2, racing)
+    with pytest.raises(ConcurrentCommitError):
+        tbl._try_commit(2, racing)
+    # blind appends retry onto the next version transparently
+    assert tbl.append(_df(spark, [(2, "b", "2024")])) == 3
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+
+
+def test_torn_log_raises(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    (tbl.log_path / f"{str(1).zfill(20)}.json").unlink()
+    with pytest.raises(FileNotFoundError, match="torn"):
+        tbl.snapshot(spark)
+
+
+def test_checkpoint_replay_equals_full_replay(spark, tbl):
+    for i in range(7):  # interval=3 -> checkpoints at 3 and 6
+        tbl.append(_df(spark, [(i, "x", str(2020 + i % 2))]), ["year"])
+    assert (tbl.log_path / "_last_checkpoint").exists()
+    full = tbl._replay(7, use_checkpoint=False)
+    fast = tbl._replay(7, use_checkpoint=True)
+    assert full == fast
+    assert _ids(tbl.snapshot(spark)) == list(range(7))
+    # a pinned PRE-checkpoint version replays correctly too
+    assert _ids(tbl.snapshot(spark, version=2)) == [0, 1]
+
+
+def test_vacuum_retention(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    tbl.overwrite(_df(spark, [(9, "z", "2026")]), ["year"])
+    deleted = tbl.vacuum(retain_versions=2)
+    # v3 (latest) and v2 retained: v2's files include v1's, so nothing
+    # from v1/v2 is deletable; only nothing or staging dirs go
+    assert _ids(tbl.snapshot(spark, version=2)) == [1, 2]
+    assert _ids(tbl.snapshot(spark)) == [9]
+    deleted = tbl.vacuum(retain_versions=1)
+    assert deleted  # now v1/v2's files are unreferenced
+    assert _ids(tbl.snapshot(spark)) == [9]
+    with pytest.raises(Exception):
+        tbl.snapshot(spark, version=2).collect()
+
+
+def test_null_partition_values_round_trip(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "2024")], ["id", "v", "year"]
+    )
+    tbl.append(df, ["year"])
+    got = {(r.id, r.year) for r in tbl.snapshot(spark).collect()}
+    assert got == {(1, None), (2, "2024")}
+    state = tbl._replay(1)
+    vals = {a["partition_values"]["year"] for a in state["files"].values()}
+    assert None in vals and "2024" in vals
+
+
+def test_empty_table_snapshot_raises(spark, tbl):
+    with pytest.raises(ValueError, match="no commits"):
+        tbl.snapshot(spark)
+    with pytest.raises(ValueError, match="nothing to compact"):
+        tbl.compact(spark)
