@@ -78,6 +78,15 @@ class EngineConfig:
     # the dataset's schema (operators/schema_evolution.py) before the
     # write; off by default to preserve the reference's strict contract.
     evolve_schema: bool = False
+    # ACID sink: route the K1 write through the manifest-commit
+    # transaction log (lakehouse.py) — atomic visibility, snapshot
+    # isolation, time travel, O(delta) change feeds.  Reads go through
+    # lakehouse.snapshot(); Hive-metastore registration is skipped in
+    # this mode (a path-registered metastore table would list the
+    # directory and see unreferenced pre-vacuum files — correct shared-
+    # metastore reads need a reader-integrated table format, which is
+    # exactly what the log implements for lakehouse.snapshot readers).
+    acid: bool = False
 
 
 class Engine:
@@ -204,6 +213,55 @@ class Engine:
             out["error"] = str(e)
         return out
 
+    def _write_sink(
+        self,
+        cleaned,
+        job: ExtractionJob,
+        partition_keys: list[str],
+        mode: str,
+        max_records_per_file: int | None = None,
+    ) -> SinkResult:
+        """K1 dispatch: raw parquet + metastore (reference parity) or,
+        under ``config.acid``, one atomic transaction-log commit
+        (lakehouse.py) — readers see the whole batch or none of it."""
+        if self.config.acid:
+            from pathlib import Path as _Path
+
+            from .lakehouse import TransactionLog
+
+            path = str(_Path(self.config.target_root) / job.target_path_suffix)
+            t = TransactionLog(path)
+            if mode == "overwrite":
+                version = t.overwrite(cleaned, partition_keys)
+            else:
+                version = t.append(
+                    cleaned,
+                    partition_keys,
+                    evolve_schema=self.config.evolve_schema,
+                    max_records_per_file=max_records_per_file,
+                )
+            return SinkResult(
+                path=path,
+                table=None,  # see EngineConfig.acid: metastore skipped
+                partition_keys=partition_keys,
+                mode=f"acid-{mode}@v{version}",
+            )
+        return write_partitioned_parquet(
+            cleaned,
+            root=self.config.target_root,
+            path_suffix=job.target_path_suffix,
+            partition_keys=partition_keys,
+            target_database=self.config.target_database
+            if self.config.register_catalog
+            else None,
+            table_name=job.target_table_name
+            if self.config.register_catalog
+            else None,
+            mode=mode,
+            evolve_schema=self.config.evolve_schema,
+            max_records_per_file=max_records_per_file,
+        )
+
     def run_job(self, job: ExtractionJob) -> RunResult:
         hash_id = job.execution_hash_id
         t0 = time.time()
@@ -252,15 +310,11 @@ class Engine:
                 cleaned = apply_output_sizing(cleaned, 0, mode="adaptive")
 
             try:
-                sink = write_partitioned_parquet(
+                sink = self._write_sink(
                     cleaned,
-                    root=self.config.target_root,
-                    path_suffix=job.target_path_suffix,
-                    partition_keys=partition_keys,
-                    target_database=self.config.target_database if self.config.register_catalog else None,
-                    table_name=job.target_table_name if self.config.register_catalog else None,
+                    job,
+                    partition_keys,
                     mode=self.config.sink_mode,
-                    evolve_schema=self.config.evolve_schema,
                     max_records_per_file=max_rpf,
                 )
                 if observation is not None:
@@ -398,16 +452,7 @@ class IncrementalMixin:
                 job.column_for_partitioning_on_s3 if job.partitioned_sink else None
             ),
         )
-        sink = write_partitioned_parquet(
-            cleaned,
-            root=self.config.target_root,
-            path_suffix=job.target_path_suffix,
-            partition_keys=partition_keys,
-            target_database=self.config.target_database if self.config.register_catalog else None,
-            table_name=job.target_table_name if self.config.register_catalog else None,
-            mode="append",
-            evolve_schema=self.config.evolve_schema,
-        )
+        sink = self._write_sink(cleaned, job, partition_keys, mode="append")
         row_count = int(obs.get["n"])
         new_wm = obs.get["wm"]
         if self.ledger is not None and row_count > 0 and new_wm is not None:

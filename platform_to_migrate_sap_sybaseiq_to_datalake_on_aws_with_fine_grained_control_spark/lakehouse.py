@@ -264,7 +264,10 @@ class TransactionLog:
     # ---- write path -------------------------------------------------------
 
     def _stage_files(
-        self, df: DataFrame, partition_keys: list[str]
+        self,
+        df: DataFrame,
+        partition_keys: list[str],
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         """Write ``df``'s files under uuid names inside the table dir.
 
@@ -275,6 +278,8 @@ class TransactionLog:
 
         staging = self.table_path / f"_staging-{uuid.uuid4().hex}"
         writer = df.write.mode("error").format("parquet")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         if partition_keys:
             writer = writer.partitionBy(*partition_keys)
         writer.save(str(staging))
@@ -319,6 +324,7 @@ class TransactionLog:
         df: DataFrame,
         partition_keys: list[str] | None = None,
         evolve_schema: bool = False,
+        max_records_per_file: int | None = None,
     ) -> int:
         """ACID append; returns the committed version.
 
@@ -351,7 +357,7 @@ class TransactionLog:
                     "append schema drift without evolve_schema=True: "
                     f"{df.schema.simpleString()} vs {existing.simpleString()}"
                 )
-        adds = self._stage_files(df, keys)
+        adds = self._stage_files(df, keys, max_records_per_file)
         schema_json = df.schema.jsonValue()
 
         def rec(v: int) -> dict:

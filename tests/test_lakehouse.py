@@ -206,3 +206,71 @@ def test_empty_table_snapshot_raises(spark, tbl):
         tbl.snapshot(spark)
     with pytest.raises(ValueError, match="nothing to compact"):
         tbl.compact(spark)
+
+
+def test_engine_acid_mode_end_to_end(spark, tmp_path):
+    """EngineConfig.acid routes the K1 write through the transaction
+    log: each run_job is one atomic commit, re-runs of the same plan
+    append new versions, and reads go through lakehouse.snapshot —
+    including time travel back to the first extraction."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+        Engine,
+        EngineConfig,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+    )
+    from tests.conftest import SF_SMALL
+
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=SF_SMALL),
+        EngineConfig(
+            target_root=str(tmp_path / "lake"),
+            register_catalog=False,
+            acid=True,
+        ),
+        None,
+        None,
+    )
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "sybaseiq",
+            "SourceDatabase": "iqdemo",
+            "SourceSchema": "dba",
+            "SourceTable": "region",
+            "Query": "SELECT * FROM region",
+            "MigrationPart": 1,
+            "ExpectedAmountOfRecords": " ",
+        }
+    )
+    r1 = eng.run_job(plan.jobs[0])
+    assert r1.status == "SUCCEEDED" and r1.row_count == 5
+    assert r1.sink.mode == "acid-append@v1"
+    assert r1.sink.table is None  # metastore skipped in acid mode
+
+    t = TransactionLog(r1.sink.path)
+    assert t.latest_version() == 1
+    assert t.snapshot(spark).count() == 5
+
+    # second run = second atomic commit; v1 pinned
+    plan2 = ExtractionPlan.from_dict(
+        {
+            "SourceName": "sybaseiq",
+            "SourceDatabase": "iqdemo",
+            "SourceSchema": "dba",
+            "SourceTable": "region",
+            "Query": "SELECT * FROM region WHERE r_regionkey < 2",
+            "MigrationPart": 2,
+            "ExpectedAmountOfRecords": " ",
+        }
+    )
+    r2 = eng.run_job(plan2.jobs[0])
+    assert r2.status == "SUCCEEDED" and r2.row_count == 2
+    assert t.latest_version() == 2
+    assert t.snapshot(spark).count() == 7
+    assert t.snapshot(spark, version=1).count() == 5
+    assert t.read_changes(spark, 1).count() == 2
