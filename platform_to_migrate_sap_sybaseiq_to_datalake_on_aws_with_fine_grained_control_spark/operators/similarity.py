@@ -80,9 +80,34 @@ def _vec_sql(vec: list[float]) -> str:
     return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
 
 
-def dot_expr(x: str, y: str) -> str:
+def dot_expr(x: str, y: str, dims: int | None = None) -> str:
     """Spark SQL text for the dot product of two array columns as an
-    explicit left-to-right double fold (bit-reproducible)."""
+    explicit left-to-right double sum (bit-reproducible).
+
+    With ``dims`` the sum is UNROLLED over ``element_at`` terms — a
+    plain left-associative ``a1 + a2 + …`` (bit-identical to the fold:
+    IEEE ``0.0 + a1 == a1`` and both associate left).  MEASURED r6
+    tradeoff, recorded as a negative result: on a single-expression
+    scan the unrolled form is ~2.7× the HOF fold (whole-stage codegen
+    compiles it; HOF lambdas run interpreted per element — the r5
+    simhash lesson).  But in a real operator plan where the expression
+    occurs several times (ivf_topk: assign + probe + re-rank), 64-term
+    trees blow up Catalyst optimization + janino compilation and the
+    WHOLE query ran 2–4× SLOWER (ivf_topk 1.7 s → 4.0 s warm at
+    sf0.1).  Hence every operator here defaults to ``dims=None`` (the
+    fold); pass ``dims`` only for one-shot wide scans where the
+    projection is the entire plan.
+    """
+    if dims is not None:
+        return (
+            "("
+            + " + ".join(
+                f"CAST(element_at({x}, {i}) AS DOUBLE) * "
+                f"CAST(element_at({y}, {i}) AS DOUBLE)"
+                for i in range(1, dims + 1)
+            )
+            + ")"
+        )
     return (
         f"aggregate(zip_with({x}, {y}, (p, q) -> "
         f"CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
@@ -90,14 +115,14 @@ def dot_expr(x: str, y: str) -> str:
     )
 
 
-def norm_expr(x: str) -> str:
+def norm_expr(x: str, dims: int | None = None) -> str:
     """Spark SQL text for the L2 norm (the exact subexpression
     ``cosine_expr`` uses, so ``dot/(norm_a*norm_b)`` with precomputed
     norms is bit-identical to the inline form)."""
-    return f"sqrt({dot_expr(x, x)})"
+    return f"sqrt({dot_expr(x, x, dims)})"
 
 
-def cosine_expr(a: str, b: str) -> str:
+def cosine_expr(a: str, b: str, dims: int | None = None) -> str:
     """Spark SQL text for cosine similarity of two array<float/double>
     columns, as explicit left-to-right double folds (bit-reproducible).
 
@@ -106,12 +131,21 @@ def cosine_expr(a: str, b: str) -> str:
     and divide the dot by the product — 3× less fold arithmetic per
     pair, same bits.
     """
-    return f"({dot_expr(a, b)} / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)})))"
+    return (
+        f"({dot_expr(a, b, dims)} / "
+        f"(sqrt({dot_expr(a, a, dims)}) * sqrt({dot_expr(b, b, dims)})))"
+    )
 
 
 def plane_dot_expr(vec_col: str, plane: list[float]) -> str:
     """Spark SQL text: left-to-right double fold of ``vec_col`` against
-    one fixed hyperplane (bit-reproducible)."""
+    one fixed hyperplane (bit-reproducible).
+
+    Deliberately the HOF fold, NOT an unrolled literal sum (r6 negative
+    result): ``bucket_expr`` emits this once per plane, so unrolling
+    creates planes×dims-term trees (32×64 = 2048 terms) that blow up
+    Catalyst optimization + codegen and regressed ann_lsh_bucket_topk
+    ~2× end-to-end despite the per-element interpretation cost."""
     return (
         f"aggregate(zip_with({vec_col}, {_vec_sql(plane)}, (p, q) -> "
         f"CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -192,7 +226,7 @@ def lsh_multiprobe_topk(
     bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
     # norms once per side (see cosine_expr note): identical bits,
     # one fold per row instead of three per (candidate, query) pair
-    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col)))
+    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
     queries = (
         with_multiprobe_buckets(
             corpus.filter(F.col(id_col).isin(query_ids)), vec_col, hp, nprobe_bits
@@ -201,7 +235,7 @@ def lsh_multiprobe_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.explode("probes").alias("bucket"),
-            F.expr(norm_expr(vec_col)).alias("_qn"),
+            F.expr(norm_expr(vec_col, dims)).alias("_qn"),
         )
     )
     scored = (
@@ -209,7 +243,7 @@ def lsh_multiprobe_topk(
         .join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)")
         )
     )
     scored = scored.withColumn(
@@ -244,6 +278,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_ids: list[int] | None = None,
     k: int = 5,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector (rows with
     ``id_col ∈ query_ids``), the k nearest corpus vectors (self
@@ -263,15 +298,15 @@ def brute_force_topk(
     queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(norm_expr(vec_col)).alias("_qn"),
+        F.expr(norm_expr(vec_col, dims)).alias("_qn"),
     )
     scored = (
         corpus.alias("c")
-        .withColumn("_vn", F.expr(norm_expr(vec_col)))
+        .withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
         .crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)")
         )
     )
     scored = scored.withColumn(
@@ -318,7 +353,7 @@ def lsh_bucket_topk(
     query_ids = query_ids or [0, 1, 2]
     hp = hyperplanes(planes, dims)
     bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
-    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col)))
+    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -330,7 +365,7 @@ def lsh_bucket_topk(
         .join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)")
         )
     )
     # same two-phase top-k as brute_force_topk: a bucket is N/2^planes
@@ -389,7 +424,7 @@ def embedding_neardup_pairs(
         F.expr(bucket_expr(vec_col, hp)).alias("bucket"),
         # norm once per vector, not once per candidate pair (identical
         # bits — see cosine_expr)
-        F.expr(norm_expr(vec_col)).alias("_n"),
+        F.expr(norm_expr(vec_col, dims)).alias("_n"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -399,7 +434,7 @@ def embedding_neardup_pairs(
         .withColumn(
             "cos_full",
             F.expr(
-                f"({dot_expr(f'a.{vec_col}', f'b.{vec_col}')}) / (a._n * b._n)"
+                f"({dot_expr(f'a.{vec_col}', f'b.{vec_col}', dims)}) / (a._n * b._n)"
             ),
         )
         .filter(F.col("cos_full") >= threshold)
@@ -437,7 +472,7 @@ def embedding_neardup_pairs_banded(
         F.col(id_col),
         F.col(vec_col),
         F.expr(bucket_expr(vec_col, hp)).alias("sig"),
-        F.expr(norm_expr(vec_col)).alias("_n"),
+        F.expr(norm_expr(vec_col, dims)).alias("_n"),
     )
     banded = sig.select(
         id_col,
@@ -470,7 +505,7 @@ def embedding_neardup_pairs_banded(
         )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)")
+            "cos_full", F.expr(f"({dot_expr('_va', '_vb', dims)}) / (_na * _nb)")
         )
         .filter(F.col("cos_full") >= threshold)
         .select("id_a", "id_b", F.round("cos_full", 6).alias("cos_sim"))
@@ -516,6 +551,7 @@ def label_centroids(
     vec_col: str = "embedding",
     label_col: str = "label",
     decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """Coarse-quantizer codebook: per-label centroid vectors.
 
@@ -545,6 +581,7 @@ def kmeans_centroids(
     k: int = 8,
     iters: int = 3,
     decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means codebook — a real trained IVF
     coarse quantizer, reproducible bit-for-bit across engines and
@@ -578,7 +615,7 @@ def kmeans_centroids(
     # corpus-side norms once, not once per (vector, centroid, iteration):
     # cos = dot/(_vn*_cn) is bit-identical to the inline cosine_expr
     # (same sqrt(dot) subexpressions) at a third of the fold work.
-    base = base.withColumn("_vn", F.expr(norm_expr("_v")))
+    base = base.withColumn("_vn", F.expr(norm_expr("_v", dims)))
     seeds = (
         base.select(
             "_id", "_v", F.md5(F.col("_id").cast("string")).alias("_seed")
@@ -599,12 +636,12 @@ def kmeans_centroids(
             (F.col("_rn") - 1).cast("int").alias("cid"),
             F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("centroid"),
         )
-        .withColumn("_cn", F.expr(norm_expr("centroid")))
+        .withColumn("_cn", F.expr(norm_expr("centroid", dims)))
         .localCheckpoint()
     )
     for _ in range(iters):
         scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
+            "cos_c", F.expr(f"({dot_expr('_v', 'centroid', dims)}) / (_vn * _cn)")
         )
         ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
         assigned = (
@@ -626,7 +663,7 @@ def kmeans_centroids(
         cents = (
             cents.join(new_cents, "cid", "left")
             .select("cid", F.coalesce("_new", "centroid").alias("centroid"))
-            .withColumn("_cn", F.expr(norm_expr("centroid")))
+            .withColumn("_cn", F.expr(norm_expr("centroid", dims)))
             .localCheckpoint()
         )
     return cents.drop("_cn")
@@ -641,6 +678,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     codebook: DataFrame | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into inverted
     lists (nearest centroid by cosine, deterministic label tiebreak),
@@ -660,21 +698,21 @@ def ivf_topk(
             F.col(codebook.columns[0]).alias("list_label"), "centroid"
         )
     else:
-        cents = label_centroids(corpus, vec_col, label_col).select(
+        cents = label_centroids(corpus, vec_col, label_col, dims=dims).select(
             F.col(label_col).alias("list_label"), "centroid"
         )
     # centroid norms once per codebook row, vector norms once per
     # corpus row: cos = dot/(_vn*_cn) reuses cosine_expr's exact
     # sqrt(dot) subexpressions — identical bits, a third of the folds.
-    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
+    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid", dims))))
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
         scored = (
-            df.withColumn("_vn", F.expr(norm_expr(vec_col)))
+            df.withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
             .crossJoin(cents)
             .withColumn(
                 "cos_c",
-                F.expr(f"({dot_expr(vec_col, 'centroid')}) / (_vn * _cn)"),
+                F.expr(f"({dot_expr(vec_col, 'centroid', dims)}) / (_vn * _cn)"),
             )
         )
         if keep == 1:
@@ -716,19 +754,19 @@ def ivf_topk(
     # candidate re-rank reuses the same precomputed-norm identity:
     # each corpus vector's norm once (not once per probing query), each
     # query's norm once (not once per candidate)
-    lists = assign(base, 1).withColumn("_vn", F.expr(norm_expr(vec_col)))
+    lists = assign(base, 1).withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
     probes = assign(base.filter(F.col(id_col).isin(query_ids)), nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "list_label",
-        F.expr(norm_expr(vec_col)).alias("_qn"),
+        F.expr(norm_expr(vec_col, dims)).alias("_qn"),
     )
     scored = (
         lists.join(F.broadcast(probes), "list_label")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cos_full",
-            F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)"),
+            F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)"),
         )
     )
     # two-phase top-k (see brute_force_topk): probed lists are
