@@ -80,6 +80,8 @@ __all__ = [
     "txn_append",
     "txn_overwrite",
     "txn_compact",
+    "txn_merge",
+    "txn_delete",
     "snapshot",
     "read_changes",
     "vacuum",
@@ -410,6 +412,148 @@ class TransactionLog:
         self._try_commit(v, rec(v))
         return v
 
+    def _affected_files(
+        self, spark: SparkSession, state: dict, hit_df: DataFrame
+    ) -> list[str]:
+        """Relative paths of live files containing at least one row of
+        ``hit_df`` (which must carry a ``_fn`` file-basename column).
+
+        File basenames are uuid-unique within the table (staging names
+        them), so basename→relpath is a safe join key — matching full
+        ``input_file_name()`` URIs against log paths would have to
+        undo the URI-encoding of already-hive-escaped partition dirs.
+        The collect is bounded by the table's FILE count (the same
+        driver-side file-list Delta's copy-on-write keeps), never rows.
+        """
+        hit = {r["_fn"] for r in hit_df.select("_fn").distinct().collect()}
+        return [rel for rel in state["files"] if rel.rsplit("/", 1)[-1] in hit]
+
+    _FN = "regexp_extract(input_file_name(), '[^/]+$', 0)"
+
+    def merge_upsert(
+        self, source: DataFrame, keys: list[str], evolve_schema: bool = False
+    ) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``source`` whose
+        ``keys`` match an existing row replace it; the rest insert.
+        One atomic commit; ONLY files containing matched keys are
+        rewritten (file pruning — untouched files stay referenced
+        as-is, so a merge touching one partition never rewrites the
+        other 10 000).
+
+        Change-feed caveat (documented contract): the merge commit is
+        ``dataChange: true`` and its adds are whole rewritten files, so
+        ``read_changes`` over a merge delivers carried-over rows of
+        rewritten files too (a superset) — per-row change types need a
+        CDF sidecar, out of scope here.
+        """
+        from pyspark.sql import functions as F
+
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            return self.append(source)  # empty table: merge == insert
+        part_keys = state["partition_keys"]
+        existing = StructType.fromJson(state["schema"])
+        if evolve_schema:
+            from .operators.schema_evolution import align_to_schema, merge_schemas
+
+            merged = merge_schemas([existing, source.schema])
+            source = align_to_schema(source, merged)
+            # carried-over rows must land under the same widened schema
+            state = dict(state, schema=merged.jsonValue())
+        else:
+            if sorted(f.name.lower() for f in source.schema.fields) != sorted(
+                f.name.lower() for f in existing.fields
+            ):
+                raise ValueError(
+                    "merge source schema drift without evolve_schema=True: "
+                    f"{source.schema.simpleString()} vs {existing.simpleString()}"
+                )
+            source = source.select(*[f.name for f in existing.fields])
+
+        tbl = self._read_files(spark := source.sparkSession, state).withColumn(
+            "_fn", F.expr(self._FN)
+        )
+        src_keys = F.broadcast(source.select(*keys).distinct())
+        affected = self._affected_files(
+            spark, state, tbl.join(src_keys, keys, "left_semi")
+        )
+        if affected:
+            aff_state = dict(state, files={r: state["files"][r] for r in affected})
+            carried = self._read_files(spark, aff_state).join(
+                src_keys, keys, "left_anti"
+            )
+            out = carried.unionByName(source)
+        else:
+            out = source
+        adds = self._stage_files(out, part_keys)
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while merge ran (read {read_v}) "
+                "— its removes are stale; re-run"
+            )
+        self._try_commit(
+            v,
+            {
+                "version": v,
+                "op": "merge",
+                "dataChange": True,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": part_keys,
+                "add": adds,
+                "remove": sorted(affected),
+            },
+        )
+        return v
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write DELETE: remove rows where ``predicate`` is
+        TRUE (NULL keeps the row, per SQL DELETE semantics), rewriting
+        ONLY the files that contain at least one matching row — a
+        whole-file delete (every row matches) is a pure metadata
+        remove, zero rewrite IO."""
+        from pyspark.sql import functions as F
+
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            raise ValueError(f"{self.table_path} has no commits yet")
+        tbl = self._read_files(spark, state).withColumn("_fn", F.expr(self._FN))
+        affected = self._affected_files(
+            spark, state, tbl.filter(F.expr(predicate))
+        )
+        adds: list[dict] = []
+        if affected:
+            aff_state = dict(state, files={r: state["files"][r] for r in affected})
+            kept = self._read_files(spark, aff_state).filter(
+                F.expr(f"NOT coalesce(({predicate}), false)")
+            )
+            adds = self._stage_files(kept, state["partition_keys"])
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while delete ran (read {read_v}) "
+                "— its removes are stale; re-run"
+            )
+        self._try_commit(
+            v,
+            {
+                "version": v,
+                "op": "delete",
+                "dataChange": True,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": state["partition_keys"],
+                "add": adds,
+                "remove": sorted(affected),
+            },
+        )
+        return v
+
     def compact(
         self,
         spark: SparkSession,
@@ -615,6 +759,16 @@ def txn_overwrite(
 
 def txn_compact(spark: SparkSession, path: str, **kw) -> int:
     return TransactionLog(path).compact(spark, **kw)
+
+
+def txn_merge(
+    source: DataFrame, path: str, keys: list[str], evolve_schema: bool = False
+) -> int:
+    return TransactionLog(path).merge_upsert(source, keys, evolve_schema)
+
+
+def txn_delete(spark: SparkSession, path: str, predicate: str) -> int:
+    return TransactionLog(path).delete_where(spark, predicate)
 
 
 def snapshot(

@@ -102,3 +102,78 @@ def acid_incremental_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(t.read_changes(spark, 1, 2), "delta_v1_v2").unionByName(
         _agg(t.read_changes(spark, 2, 3), "after_compact")
     )
+
+
+def _orders_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("p"),
+    )
+
+
+def _status_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "acid_merge_upsert_orders",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderkey % 5 <> 0),
+src AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               round(round(o_totalprice, 2) + 10.0, 2) AS p
+        FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (SELECT * FROM src
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN src s USING (o_orderkey)
+           WHERE s.o_orderkey IS NULL)
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price
+FROM merged GROUP BY o_orderstatus
+""",
+    doc="Copy-on-write MERGE (upsert) through the transaction log: "
+    "base = orders with key % 5 != 0, source = key % 3 == 0 with a "
+    "+10.00 price restatement — matched keys update in place, "
+    "unmatched insert, in ONE atomic commit that rewrites ONLY files "
+    "containing matched keys (file pruning; untouched partitions stay "
+    "referenced as-is). The oracle states the same upsert as "
+    "src UNION ALL (base ANTI JOIN src) directly on the source table, "
+    "so parity proves both the merge semantics and that no carried "
+    "row was lost or doubled by the rewrite.",
+)
+def acid_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-merge-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderkey") % 5 != 0)
+    src = (
+        _orders_cols(spark, sf_dir)
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("p", F.round(F.col("p") + 10.0, 2))
+    )
+    t.append(base, ["o_orderpriority"])
+    t.merge_upsert(src, ["o_orderkey"])
+    return _status_agg(t.snapshot(spark))
+
+
+@register(
+    "acid_delete_orders",
+    "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders, "
+    "round(sum(round(o_totalprice, 2)), 2) AS total_price "
+    "FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus",
+    doc="Copy-on-write DELETE through the transaction log: load orders, "
+    "DELETE WHERE o_orderstatus = 'O' — one atomic commit rewriting "
+    "only files containing matching rows (files whose every row "
+    "matches are metadata-only removes, zero rewrite IO; NULL "
+    "predicates keep the row per SQL DELETE semantics, unit-tested). "
+    "Oracle = the complement slice of the source table.",
+)
+def acid_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-del-") + "/orders")
+    t.append(_orders_cols(spark, sf_dir), ["o_orderpriority"])
+    t.delete_where(spark, "o_orderstatus = 'O'")
+    return _status_agg(t.snapshot(spark))

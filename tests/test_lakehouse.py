@@ -274,3 +274,90 @@ def test_engine_acid_mode_end_to_end(spark, tmp_path):
     assert t.snapshot(spark).count() == 7
     assert t.snapshot(spark, version=1).count() == 5
     assert t.read_changes(spark, 1).count() == 2
+
+
+def test_merge_upsert_semantics_and_file_pruning(spark, tbl):
+    """Copy-on-write MERGE: matched keys update, unmatched insert, and
+    ONLY files containing matched keys are rewritten — the 2024 file
+    has no matched key and must survive the commit untouched."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    files_v1 = tbl._replay(1)["files"]
+    f2024 = [r for r in files_v1 if "year=2024" in r]
+    f2025 = [r for r in files_v1 if "year=2025" in r]
+    assert f2024 and f2025
+
+    src = _df(spark, [(2, "B2", "2025"), (3, "c", "2026")])
+    v = tbl.merge_upsert(src, ["id"])
+    assert v == 2
+    got = {(r.id, r.v, r.year) for r in tbl.snapshot(spark).collect()}
+    assert got == {(1, "a", "2024"), (2, "B2", "2025"), (3, "c", "2026")}
+
+    rec = tbl._read_commit(2)
+    assert rec["op"] == "merge" and rec["dataChange"]
+    assert rec["remove"] == f2025  # pruned: only the matched file
+    assert set(f2024) <= set(tbl._replay(2)["files"])  # untouched survives
+    # snapshot isolation: pre-merge version still reads the old value
+    assert {(r.id, r.v) for r in tbl.snapshot(spark, version=1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_merge_into_empty_table_is_insert(spark, tbl):
+    v = tbl.merge_upsert(_df(spark, [(1, "a", "2024")]), ["id"])
+    assert v == 1
+    assert _ids(tbl.snapshot(spark)) == [1]
+
+
+def test_merge_schema_drift_gates(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        tbl.merge_upsert(
+            spark.createDataFrame([(1, "2024")], ["id", "year"]), ["id"]
+        )
+    # widen-merge path: extra column backfills nulls on carried rows
+    src = spark.createDataFrame(
+        [(1, "A", "2024", 7)], ["id", "v", "year", "extra"]
+    )
+    tbl.merge_upsert(src, ["id"], evolve_schema=True)
+    got = {(r.id, r.v, r.extra) for r in tbl.snapshot(spark).collect()}
+    assert got == {(1, "A", 7)}
+
+
+def test_delete_where_semantics_and_pruning(spark, tbl):
+    """DELETE rewrites only files with matching rows; a NULL predicate
+    keeps the row (SQL DELETE semantics); a whole-file delete is a
+    metadata-only remove."""
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 5, "2024"), (2, None, "2024"), (3, 9, "2025")],
+            "id INT, v INT, year STRING",
+        ),
+        ["year"],
+    )
+    files_v1 = tbl._replay(1)["files"]
+    f2025 = [r for r in files_v1 if "year=2025" in r]
+
+    v = tbl.delete_where(spark, "v > 4 AND year = '2024'")
+    got = {(r.id, r.v) for r in tbl.snapshot(spark).collect()}
+    assert got == {(2, None), (3, 9)}  # NULL v kept, 2025 untouched
+    rec = tbl._read_commit(v)
+    assert rec["op"] == "delete"
+    assert all("year=2024" in r for r in rec["remove"])
+    assert set(f2025) <= set(tbl._replay(v)["files"])
+
+    # whole-file delete: every 2025 row matches -> pure metadata remove
+    v2 = tbl.delete_where(spark, "year = '2025'")
+    rec2 = tbl._read_commit(v2)
+    assert rec2["remove"] == f2025
+    assert sum(a["rows"] for a in rec2["add"]) == 0
+    assert {r.id for r in tbl.snapshot(spark).collect()} == {2}
+
+
+def test_delete_nothing_matches_is_metadata_noop(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    v = tbl.delete_where(spark, "id = 999")
+    rec = tbl._read_commit(v)
+    assert rec["remove"] == [] and rec["add"] == []
+    assert _ids(tbl.snapshot(spark)) == [1]
