@@ -303,6 +303,33 @@ class TransactionLog:
         shutil.rmtree(staging)
         return adds
 
+    def _stage_cdf(self, df: DataFrame) -> list[dict]:
+        """Stage per-row change records (``_change_type`` column) under
+        ``_cdf/<uuid>/`` — the change-data-feed sidecar.  CDF files are
+        NOT table data: snapshots never read them, vacuum manages them
+        by commit reference, and they become visible only through the
+        commit record's ``cdf`` list (same invisibility rule as data
+        files)."""
+        import pyarrow.parquet as pq
+
+        staging = self.table_path / f"_staging-{uuid.uuid4().hex}"
+        df.write.mode("error").format("parquet").save(str(staging))
+        out: list[dict] = []
+        cdf_dir = Path("_cdf") / uuid.uuid4().hex[:12]
+        for f in sorted(staging.rglob("*.parquet")):
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                continue
+            dest_rel = cdf_dir / f"{uuid.uuid4().hex[:12]}-{f.name}"
+            dest = self.table_path / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            f.rename(dest)
+            out.append(
+                {"path": dest_rel.as_posix(), "size": dest.stat().st_size, "rows": n}
+            )
+        shutil.rmtree(staging)
+        return out
+
     def _commit_with_retry(
         self, build_record, read_version: int | None, attempts: int = 5
     ) -> int:
@@ -440,11 +467,11 @@ class TransactionLog:
         as-is, so a merge touching one partition never rewrites the
         other 10 000).
 
-        Change-feed caveat (documented contract): the merge commit is
-        ``dataChange: true`` and its adds are whole rewritten files, so
-        ``read_changes`` over a merge delivers carried-over rows of
-        rewritten files too (a superset) — per-row change types need a
-        CDF sidecar, out of scope here.
+        Change feeds: the commit stages a per-row CDF sidecar
+        (``_cdf/``; update_preimage / update_postimage / insert rows),
+        so :meth:`read_change_feed` delivers exact row-level changes.
+        The file-level :meth:`read_changes` still sees the whole
+        rewritten files (a superset) — use the feed for row semantics.
         """
         from pyspark.sql import functions as F
 
@@ -478,15 +505,34 @@ class TransactionLog:
         affected = self._affected_files(
             spark, state, tbl.join(src_keys, keys, "left_semi")
         )
+        ct = lambda s: F.lit(s).alias("_change_type")  # noqa: E731
         if affected:
             aff_state = dict(state, files={r: state["files"][r] for r in affected})
-            carried = self._read_files(spark, aff_state).join(
-                src_keys, keys, "left_anti"
-            )
+            aff_df = self._read_files(spark, aff_state)
+            carried = aff_df.join(src_keys, keys, "left_anti")
             out = carried.unionByName(source)
+            # per-row change feed: matched keys (all inside the affected
+            # files by construction) split source into updates/inserts
+            matched_keys = F.broadcast(aff_df.select(*keys).distinct())
+            changes = (
+                aff_df.join(src_keys, keys, "left_semi")
+                .select("*", ct("update_preimage"))
+                .unionByName(
+                    source.join(matched_keys, keys, "left_semi").select(
+                        "*", ct("update_postimage")
+                    )
+                )
+                .unionByName(
+                    source.join(matched_keys, keys, "left_anti").select(
+                        "*", ct("insert")
+                    )
+                )
+            )
         else:
             out = source
+            changes = source.select("*", ct("insert"))
         adds = self._stage_files(out, part_keys)
+        cdf = self._stage_cdf(changes)
         v = self.latest_version() + 1
         if v != read_v + 1:
             raise ConcurrentCommitError(
@@ -505,6 +551,7 @@ class TransactionLog:
                 "partition_keys": part_keys,
                 "add": adds,
                 "remove": sorted(affected),
+                "cdf": cdf,
             },
         )
         return v
@@ -526,12 +573,17 @@ class TransactionLog:
             spark, state, tbl.filter(F.expr(predicate))
         )
         adds: list[dict] = []
+        cdf: list[dict] = []
         if affected:
             aff_state = dict(state, files={r: state["files"][r] for r in affected})
-            kept = self._read_files(spark, aff_state).filter(
-                F.expr(f"NOT coalesce(({predicate}), false)")
-            )
+            aff_df = self._read_files(spark, aff_state)
+            kept = aff_df.filter(F.expr(f"NOT coalesce(({predicate}), false)"))
             adds = self._stage_files(kept, state["partition_keys"])
+            cdf = self._stage_cdf(
+                aff_df.filter(F.expr(predicate)).select(
+                    "*", F.lit("delete").alias("_change_type")
+                )
+            )
         v = self.latest_version() + 1
         if v != read_v + 1:
             raise ConcurrentCommitError(
@@ -550,6 +602,7 @@ class TransactionLog:
                 "partition_keys": state["partition_keys"],
                 "add": adds,
                 "remove": sorted(affected),
+                "cdf": cdf,
             },
         )
         return v
@@ -689,6 +742,79 @@ class TransactionLog:
             {"files": adds, "schema": state["schema"], "partition_keys": state["partition_keys"]},
         )
 
+    def read_change_feed(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Per-ROW change feed for ``(from_version, to_version]`` —
+        the table schema plus ``_change_type`` ∈ {insert,
+        update_preimage, update_postimage, delete} and
+        ``_commit_version`` (the Delta-CDF readout shape).
+
+        Sources, per commit: merge/delete commits read their staged
+        ``_cdf`` sidecar files verbatim; append commits synthesize
+        ``insert`` rows from their added data files (no sidecar needed
+        — the adds ARE the inserts); ``dataChange: false`` commits
+        (compaction) contribute nothing.  A range crossing an
+        ``overwrite`` raises: an overwrite is a full refresh, not a
+        delta — read ``snapshot()`` instead (documented contract, same
+        restriction Delta places on non-CDC-tracked rewrites).
+
+        Rows are aligned to the ``to``-version schema (widen-only), so
+        a feed spanning an int→long evolution reads under the widened
+        type."""
+        from pyspark.sql import functions as F
+
+        from .operators.schema_evolution import align_to_schema
+
+        to_version = to_version or self.latest_version()
+        state = self._replay(to_version)
+        target = StructType.fromJson(state["schema"]).add(
+            "_change_type", "string", False
+        )
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            rec = self._read_commit(v)
+            if not rec.get("dataChange", True):
+                continue
+            if rec.get("op") == "overwrite":
+                raise ValueError(
+                    f"commit {v} is an overwrite (full refresh, not a "
+                    "delta) — read snapshot() at or after it instead"
+                )
+            commit_schema = StructType.fromJson(rec["schema"])
+            if rec.get("cdf") is not None:
+                paths = [str(self.table_path / c["path"]) for c in rec["cdf"]]
+                if not paths:
+                    continue
+                df = spark.read.schema(
+                    commit_schema.add("_change_type", "string", False)
+                ).parquet(*paths)
+            else:
+                add_files = {a["path"]: a for a in rec.get("add", [])}
+                if not add_files:
+                    continue
+                df = self._read_files(
+                    spark,
+                    {
+                        "files": add_files,
+                        "schema": rec["schema"],
+                        "partition_keys": rec.get("partition_keys", []),
+                    },
+                ).select("*", F.lit("insert").alias("_change_type"))
+            parts.append(
+                align_to_schema(df, target).select(
+                    "*", F.lit(v).cast("bigint").alias("_commit_version")
+                )
+            )
+        if not parts:
+            return spark.createDataFrame(
+                [], target.add("_commit_version", "long", False)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def history(self) -> list[CommitInfo]:
         out = []
         for v in range(1, self.latest_version() + 1):
@@ -718,6 +844,10 @@ class TransactionLog:
         live: set[str] = set()
         for v in range(keep_from, latest + 1):
             live.update(self._replay(v)["files"])
+            # CDF sidecars of retained commits stay readable too
+            live.update(
+                c["path"] for c in self._read_commit(v).get("cdf") or []
+            )
         deleted: list[str] = []
         for f in sorted(self.table_path.rglob("*.parquet")):
             rel = f.relative_to(self.table_path).as_posix()

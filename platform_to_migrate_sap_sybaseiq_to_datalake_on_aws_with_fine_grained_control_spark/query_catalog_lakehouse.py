@@ -177,3 +177,49 @@ def acid_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(_orders_cols(spark, sf_dir), ["o_orderpriority"])
     t.delete_where(spark, "o_orderstatus = 'O'")
     return _status_agg(t.snapshot(spark))
+
+
+@register(
+    "acid_change_feed_orders",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+upd AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+post AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                round(p + 10.0, 2) AS p FROM upd),
+merged AS (SELECT * FROM post
+           UNION ALL SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+del AS (SELECT * FROM merged WHERE o_orderkey % 7 = 0)
+SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(p), 2) AS total_price FROM base
+UNION ALL SELECT 'update_preimage', count(*), round(sum(p), 2) FROM upd
+UNION ALL SELECT 'update_postimage', count(*), round(sum(p), 2) FROM post
+UNION ALL SELECT 'delete', count(*), round(sum(p), 2) FROM del
+""",
+    doc="Row-level change-data-feed readout through the transaction "
+    "log's CDF sidecar (the Delta-CDF shape): append 'F' orders "
+    "(synthesized inserts), MERGE a +10.00 restatement of key % 3 == 0 "
+    "(update_preimage/update_postimage rows staged per commit), DELETE "
+    "key % 7 == 0 (delete rows staged), then read_change_feed(0→3) and "
+    "aggregate per _change_type. The oracle recomputes each change "
+    "class directly from the source table, so parity proves the feed "
+    "delivers exactly the changed rows — no carried-over rewrite rows, "
+    "the gap the file-level read_changes cannot close over a merge.",
+)
+def acid_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-cdf-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    src = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("p", F.round(F.col("p") + 10.0, 2))
+    )
+    t.merge_upsert(src, ["o_orderkey"])
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    return t.read_change_feed(spark, 0, 3).groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )

@@ -361,3 +361,44 @@ def test_delete_nothing_matches_is_metadata_noop(spark, tbl):
     rec = tbl._read_commit(v)
     assert rec["remove"] == [] and rec["add"] == []
     assert _ids(tbl.snapshot(spark)) == [1]
+
+
+def test_change_feed_row_level_types(spark, tbl):
+    """read_change_feed delivers exact per-row changes: appends
+    synthesize inserts, merges stage pre/post-image + insert rows,
+    deletes stage delete rows, compaction contributes nothing, and an
+    overwrite in range raises (full refresh, not a delta)."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.merge_upsert(_df(spark, [(2, "B2", "2025"), (3, "c", "2026")]), ["id"])
+    tbl.compact(spark)
+    tbl.delete_where(spark, "id = 1")
+
+    feed = tbl.read_change_feed(spark, 0).collect()
+    got = {(r.id, r.v, r._change_type, r._commit_version) for r in feed}
+    assert got == {
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (2, "b", "update_preimage", 2),
+        (2, "B2", "update_postimage", 2),
+        (3, "c", "insert", 2),
+        (1, "a", "delete", 4),
+    }
+    # sub-ranges slice cleanly; the compact commit (v3) is invisible
+    assert {r._commit_version for r in tbl.read_change_feed(spark, 1, 3).collect()} == {2}
+    assert tbl.read_change_feed(spark, 4).count() == 0
+
+    tbl.overwrite(_df(spark, [(9, "z", "2026")]), ["year"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overwrite"):
+        tbl.read_change_feed(spark, 0).collect()
+    # a range ending BEFORE the overwrite still reads
+    assert len(tbl.read_change_feed(spark, 0, 4).collect()) == 6
+
+
+def test_change_feed_survives_vacuum_of_retained_versions(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.delete_where(spark, "id = 1")
+    tbl.vacuum(retain_versions=2)  # both commits retained
+    got = {(r.id, r._change_type) for r in tbl.read_change_feed(spark, 0).collect()}
+    assert got == {(1, "insert"), (1, "delete")}
