@@ -62,8 +62,10 @@ the protocol is unchanged, only the one-line primitive swaps.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass, field
@@ -131,6 +133,291 @@ def _parse_partition_dirs(rel: Path) -> dict[str, str | None]:
         k, _, v = seg.partition("=")
         values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
     return values
+
+
+# ---- file-level column statistics (data skipping) -----------------------
+#
+# Each add action carries ``stats: {col: {min, max, nulls}}`` harvested
+# from the parquet footer ALREADY being read for the row count — zero
+# extra IO at commit time.  The read path evaluates supported predicate
+# atoms against these bounds and hands Spark only the files that can
+# contain a match: the published Delta data-skipping design, and the
+# second half of why z-order compaction matters (clustering makes the
+# per-file min/max ranges narrow, so the skip rate approaches the
+# selectivity).  Unsupported predicate shapes skip nothing — pruning is
+# only ever an optimization, never a semantics change (``snapshot``
+# still applies the full predicate to the surviving rows).
+
+_STATS_MAX_COLS = 32  # Delta's dataSkippingNumIndexedCols default
+_STATS_MAX_STR = 64
+
+
+def _stats_jsonable(v):
+    """JSON-encode a footer statistic; None = not representable."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return None if v != v else v  # NaN bounds are meaningless
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    return None  # bytes / Decimal / nested — skipped
+
+
+def _collect_file_stats(pf) -> dict[str, dict]:
+    """Per-column {min, max, nulls} aggregated across row groups.
+
+    A column keeps a bound only when EVERY row group reports it (a
+    missing row-group stat makes the aggregate unsound).  String mins
+    are prefix-truncated to ``_STATS_MAX_STR`` (a prefix is a valid
+    lower bound); long string maxes are dropped (a prefix is NOT a
+    valid upper bound).
+    """
+    md = pf.metadata
+    out: dict[str, dict] = {}
+    for j in range(md.num_columns if md.num_row_groups else 0):
+        col = md.row_group(0).column(j)
+        name = col.path_in_schema
+        if "." in name or j >= _STATS_MAX_COLS:
+            continue  # nested leaves / past the indexed-column cap
+        mins, maxs, nulls = [], [], 0
+        ok_minmax = ok_nulls = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(j).statistics
+            if st is None:
+                ok_minmax = ok_nulls = False
+                break
+            if st.null_count is None:
+                ok_nulls = False
+            else:
+                nulls += st.null_count
+            if not st.has_min_max:
+                ok_minmax = False
+            else:
+                mins.append(st.min)
+                maxs.append(st.max)
+        entry: dict = {}
+        if ok_minmax and mins:
+            lo = _stats_jsonable(min(mins))
+            hi = _stats_jsonable(max(maxs))
+            if isinstance(lo, str) and len(lo) > _STATS_MAX_STR:
+                lo = lo[:_STATS_MAX_STR]
+            if isinstance(hi, str) and len(hi) > _STATS_MAX_STR:
+                hi = None
+            if lo is not None:
+                entry["min"] = lo
+            if hi is not None:
+                entry["max"] = hi
+        if ok_nulls:
+            entry["nulls"] = nulls
+        if entry:
+            out[name] = entry
+    return out
+
+
+_NUM_RE = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_STR_RE = r"'(?:[^']|'')*'"
+_LIT_RE = rf"(?:(?:DATE|TIMESTAMP)\s+{_STR_RE}|{_STR_RE}|{_NUM_RE}|true|false|TRUE|FALSE)"
+_COL_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    m = re.fullmatch(rf"(?:DATE|TIMESTAMP)\s+({_STR_RE})", tok, re.IGNORECASE)
+    if m:
+        tok = m.group(1)
+    if re.fullmatch(_STR_RE, tok):
+        return tok[1:-1].replace("''", "'")
+    if tok.lower() in ("true", "false"):
+        return tok.lower() == "true"
+    if re.fullmatch(_NUM_RE, tok):
+        return float(tok) if ("." in tok or "e" in tok.lower()) else int(tok)
+    return None
+
+
+def _split_top_and(pred: str) -> list[str] | None:
+    """Split on top-level AND (respecting quotes/parens); None when the
+    predicate uses shapes the skipper must not reason about (OR / NOT)."""
+    parts, depth, buf, i = [], 0, [], 0
+    s = pred
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            m = re.match(_STR_RE, s[i:])
+            if not m:
+                return None
+            buf.append(m.group(0))
+            i += m.end()
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and re.match(r"(?i)AND(?![A-Za-z0-9_])", s[i:])
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    # stitch BETWEEN atoms back together (their AND was split above)
+    out: list[str] = []
+    for p in parts:
+        if out and re.search(r"(?i)\bBETWEEN\b", out[-1]) and not re.search(
+            r"(?i)\bBETWEEN\b.*\bAND\b", out[-1]
+        ):
+            out[-1] = out[-1] + " AND " + p
+        else:
+            out.append(p)
+    joined = " ".join(out)
+    if re.search(r"(?i)\bOR\b|\bNOT\b(?!\s+NULL)", joined):
+        return None
+
+    def unwrap(a: str) -> str:
+        a = a.strip()
+        while a.startswith("(") and a.endswith(")"):
+            depth = 0
+            outer = True
+            for k, ch in enumerate(a):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and k != len(a) - 1:
+                        outer = False
+                        break
+            if not outer:
+                break
+            a = a[1:-1].strip()
+        return a
+
+    return [unwrap(p) for p in out if p.strip()]
+
+
+def _cmp_ok(a, b) -> bool:
+    """Are these two values comparable for bound math?"""
+    num = (int, float, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _file_matches_atom(atom: str, add: dict) -> bool:
+    """Can file ``add`` contain a row satisfying ``atom``?  True (keep)
+    whenever the atom is unrecognized or the needed stat is absent."""
+    stats = add.get("stats") or {}
+    pv = add.get("partition_values") or {}
+
+    def bounds(col: str):
+        if col in pv:  # partition value: exact point (or NULL)
+            v = pv[col]
+            return v, v, (add.get("rows") if v is None else 0), True
+        st = stats.get(col, {})
+        return st.get("min"), st.get("max"), st.get("nulls"), col in stats
+
+    def coerce(lit, ref):
+        # partition values arrive as strings; align them to the
+        # literal's type before comparing
+        if isinstance(ref, str) and isinstance(lit, (int, float)) and not isinstance(ref, bool):
+            try:
+                return float(ref)
+            except ValueError:
+                return None
+        return ref
+
+    m = re.fullmatch(
+        rf"({_COL_RE})\s+IS\s+NULL", atom, re.IGNORECASE
+    )
+    if m:
+        _, _, nulls, _ = bounds(m.group(1))
+        return nulls is None or nulls > 0
+    m = re.fullmatch(rf"({_COL_RE})\s+IS\s+NOT\s+NULL", atom, re.IGNORECASE)
+    if m:
+        lo, hi, nulls, known = bounds(m.group(1))
+        rows = add.get("rows")
+        if m.group(1) in pv:
+            return pv[m.group(1)] is not None
+        return nulls is None or rows is None or nulls < rows
+    m = re.fullmatch(
+        rf"({_COL_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})",
+        atom,
+        re.IGNORECASE,
+    )
+    if m:
+        col, a, b = m.group(1), _parse_literal(m.group(2)), _parse_literal(m.group(3))
+        lo, hi, _, _ = bounds(col)
+        lo, hi = coerce(a, lo), coerce(b, hi)
+        if hi is not None and a is not None and _cmp_ok(hi, a) and hi < a:
+            return False
+        if lo is not None and b is not None and _cmp_ok(lo, b) and lo > b:
+            return False
+        return True
+    m = re.fullmatch(
+        rf"({_COL_RE})\s+IN\s*\(\s*({_LIT_RE}(?:\s*,\s*{_LIT_RE})*)\s*\)",
+        atom,
+        re.IGNORECASE,
+    )
+    if m:
+        col = m.group(1)
+        lits = [
+            _parse_literal(x) for x in re.findall(_LIT_RE, m.group(2))
+        ]
+        lo, hi, _, _ = bounds(col)
+        if lo is None and hi is None:
+            return True
+        for lit in lits:
+            if lit is None:
+                return True
+            clo, chi = coerce(lit, lo), coerce(lit, hi)
+            below = clo is not None and _cmp_ok(clo, lit) and clo > lit
+            above = chi is not None and _cmp_ok(chi, lit) and chi < lit
+            if not below and not above:
+                return True
+        return False
+    m = re.fullmatch(
+        rf"({_COL_RE})\s*(=|==|<=|>=|<|>)\s*({_LIT_RE})", atom
+    ) or re.fullmatch(rf"({_LIT_RE})\s*(=|==|<=|>=|<|>)\s*({_COL_RE})", atom)
+    if m:
+        a, op, b = m.group(1), m.group(2), m.group(3)
+        if re.fullmatch(_COL_RE, a) and not re.fullmatch(r"true|false|TRUE|FALSE", a):
+            col, lit = a, _parse_literal(b)
+        else:
+            col, lit = b, _parse_literal(a)
+            op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+        if lit is None:
+            return True
+        lo, hi, _, _ = bounds(col)
+        lo, hi = coerce(lit, lo), coerce(lit, hi)
+        lo_ok = lo is not None and _cmp_ok(lo, lit)
+        hi_ok = hi is not None and _cmp_ok(hi, lit)
+        if op in ("=", "=="):
+            return not (lo_ok and lo > lit) and not (hi_ok and hi < lit)
+        if op == "<":
+            return not lo_ok or lo < lit
+        if op == "<=":
+            return not lo_ok or lo <= lit
+        if op == ">":
+            return not hi_ok or hi > lit
+        if op == ">=":
+            return not hi_ok or hi >= lit
+    return True  # unrecognized atom: no skipping from it
+
+
+def _prune_files(files: dict[str, dict], where: str) -> dict[str, dict]:
+    atoms = _split_top_and(where)
+    if not atoms:
+        return files
+    out = {}
+    for rel, add in files.items():
+        if all(_file_matches_atom(a, add) for a in atoms):
+            out[rel] = add
+    return out
 
 
 class TransactionLog:
@@ -292,12 +579,16 @@ class TransactionLog:
             dest = self.table_path / dest_rel
             dest.parent.mkdir(parents=True, exist_ok=True)
             f.rename(dest)
+            pf = pq.ParquetFile(dest)
             adds.append(
                 {
                     "path": dest_rel.as_posix(),
                     "size": dest.stat().st_size,
-                    "rows": pq.ParquetFile(dest).metadata.num_rows,
+                    "rows": pf.metadata.num_rows,
                     "partition_values": _parse_partition_dirs(rel.parent),
+                    # data-skipping bounds from the footer already open
+                    # for the row count — zero extra IO
+                    "stats": _collect_file_stats(pf),
                 }
             )
         shutil.rmtree(staging)
@@ -705,10 +996,18 @@ class TransactionLog:
         spark: SparkSession,
         version: int | None = None,
         timestamp: str | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """The table as of ``version`` / ISO ``timestamp`` (default:
         latest).  The returned frame's file list is pinned — commits
-        landing afterwards cannot change or break it."""
+        landing afterwards cannot change or break it.
+
+        ``where`` (a SQL predicate) additionally DATA-SKIPS: files
+        whose committed min/max bounds or partition values prove they
+        cannot contain a match are dropped from the scan BEFORE Spark
+        sees them — log-level pruning a path-listed parquet read can't
+        do.  The predicate is then still applied to the surviving rows,
+        so results are exact whether or not any atom was skippable."""
         if version is None:
             version = (
                 self.version_at_timestamp(timestamp)
@@ -717,7 +1016,19 @@ class TransactionLog:
             )
         if version == 0:
             raise ValueError(f"{self.table_path} has no commits yet")
-        return self._read_files(spark, self._replay(version))
+        state = self._replay(version)
+        if where is None:
+            return self._read_files(spark, state)
+        pruned = dict(state, files=_prune_files(state["files"], where))
+        from pyspark.sql import functions as F
+
+        return self._read_files(spark, pruned).filter(F.expr(where))
+
+    def matching_files(self, where: str, version: int | None = None) -> list[str]:
+        """The file list a ``snapshot(where=...)`` at ``version`` would
+        scan — the observable data-skipping surface for tests/EXPLAIN."""
+        state = self._replay(version or self.latest_version())
+        return sorted(_prune_files(state["files"], where))
 
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None

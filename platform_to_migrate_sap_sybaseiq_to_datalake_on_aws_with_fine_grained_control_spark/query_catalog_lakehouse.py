@@ -223,3 +223,66 @@ def acid_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("p"), 2).alias("total_price"),
     )
+
+
+# ---- data skipping ----------------------------------------------------
+
+DS_FILE_ROWS = 200
+DS_LO, DS_HI = 1000, 2000
+DS_PRED = f"o_orderkey BETWEEN {DS_LO} AND {DS_HI}"
+
+
+@register(
+    "acid_data_skipping_orders",
+    f"""
+WITH t AS (SELECT o_orderkey, round(o_totalprice, 2) AS p,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn,
+                  count(*) OVER () AS n
+           FROM orders)
+SELECT 'slice' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price
+FROM t WHERE {DS_PRED}
+UNION ALL
+SELECT 'files_scanned',
+       CAST(count(DISTINCT CAST(floor((rn - 1) / {DS_FILE_ROWS}.0) AS INT)) AS BIGINT),
+       0.0
+FROM t WHERE {DS_PRED}
+UNION ALL
+SELECT 'files_total', CAST(ceil(max(n) / {DS_FILE_ROWS}.0) AS BIGINT), 0.0 FROM t
+""",
+    doc="File-level data skipping through the transaction log's "
+    "committed column stats (the Delta data-skipping design): orders "
+    f"sorted by key land as exact {DS_FILE_ROWS}-row files, so each "
+    "add action's footer-harvested min/max brackets one contiguous key "
+    "chunk; snapshot(where=key BETWEEN ...) prunes at the LOG level — "
+    "Spark never sees the non-matching files. The oracle recomputes "
+    "the scanned-file count ANALYTICALLY (distinct 200-row chunk "
+    "indexes of the matching rows over the sorted rank space), so "
+    "parity proves the pruning math is exact-minimal for a sorted "
+    "layout — not merely that the filtered rows came back right "
+    "(that's the 'slice' row). On a key-gapped domain this equality "
+    "holds because a kept-but-empty file would require the whole "
+    "predicate range to fall inside a single file's key gap, "
+    "impossible while matching rows exist elsewhere in sorted order.",
+)
+def acid_data_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-ds-") + "/orders")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("p"))
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    t.append(src, max_records_per_file=DS_FILE_ROWS)
+    scanned = len(t.matching_files(DS_PRED))
+    total = len(t.history()[-1].add)
+    sliced = t.snapshot(spark, where=DS_PRED).agg(
+        F.lit("slice").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    counts = spark.createDataFrame(
+        [("files_scanned", scanned, 0.0), ("files_total", total, 0.0)],
+        "snap string, n_orders bigint, total_price double",
+    )
+    return sliced.unionByName(counts)

@@ -402,3 +402,90 @@ def test_change_feed_survives_vacuum_of_retained_versions(spark, tbl):
     tbl.vacuum(retain_versions=2)  # both commits retained
     got = {(r.id, r._change_type) for r in tbl.read_change_feed(spark, 0).collect()}
     assert got == {(1, "insert"), (1, "delete")}
+
+
+# ---- data skipping (file-level column stats) --------------------------
+
+
+def test_commit_records_file_stats(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024"), (5, "m", "2024")]), ["year"])
+    rec = json.loads((tbl.log_path / f"{str(1).zfill(20)}.json").read_text())
+    stats = {a["path"]: a["stats"] for a in rec["add"]}
+    merged_min = min(s["id"]["min"] for s in stats.values())
+    merged_max = max(s["id"]["max"] for s in stats.values())
+    assert (merged_min, merged_max) == (1, 5)
+    for s in stats.values():
+        assert s["id"]["nulls"] == 0
+        assert "year" not in s  # partition col lives in partition_values
+
+
+def test_data_skipping_prunes_and_stays_exact(spark, tbl):
+    # one file per id-range via maxRecordsPerFile over a sorted frame
+    df = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS v", "'2024' AS year"
+    ).orderBy("id")
+    tbl.append(df.coalesce(1), max_records_per_file=25)
+    all_files = tbl.matching_files("id >= 0")
+    assert len(all_files) == 4
+    hit = tbl.matching_files("id BETWEEN 30 AND 40")
+    assert len(hit) == 1
+    # the pruned snapshot returns exactly the predicate's rows
+    assert _ids(tbl.snapshot(spark, where="id BETWEEN 30 AND 40")) == list(
+        range(30, 41)
+    )
+    # point lookup touches one file; conjunction composes
+    assert len(tbl.matching_files("id = 99")) == 1
+    assert len(tbl.matching_files("id = 99 AND v = '99'")) == 1
+    # an impossible predicate scans nothing but still answers
+    assert tbl.matching_files("id > 1000") == []
+    assert tbl.snapshot(spark, where="id > 1000").count() == 0
+
+
+def test_data_skipping_partition_values_compose_with_stats(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    assert len(tbl.matching_files("year = '2024'")) == 1
+    assert len(tbl.matching_files("year = '2024' AND id <= 1")) == 1
+    assert len(tbl.matching_files("year = '2024' AND id = 2")) == 0
+    assert _ids(tbl.snapshot(spark, where="year = '2024'")) == [1]
+
+
+def test_data_skipping_unsupported_shapes_never_wrong(spark, tbl):
+    """OR / NOT / expressions: the skipper must keep every file and the
+    filter still produces exact results."""
+    df = spark.range(50).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS v", "'2024' AS year"
+    )
+    tbl.append(df.coalesce(1).orderBy("id"), max_records_per_file=10)
+    n_files = len(tbl.matching_files("id IS NOT NULL"))
+    for pred in ("id = 3 OR id = 47", "NOT (id < 49)", "id + 1 = 5"):
+        assert len(tbl.matching_files(pred)) == n_files
+    assert _ids(tbl.snapshot(spark, where="id = 3 OR id = 47")) == [3, 47]
+
+
+def test_zorder_compact_tightens_skipping(spark, tbl):
+    """After z-order compaction the per-file bounds on BOTH clustered
+    columns narrow, so a point-range predicate scans a strict subset."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.pmod(F.col("id") * 37, F.lit(400)).cast("int").alias("k"),
+            F.lit("x").alias("v"),
+            F.lit("2024").alias("year"),
+        )
+    )
+    # shuffled write: every file spans nearly the full id/k domain
+    tbl.append(df.orderBy(F.pmod(F.col("id") * 101, F.lit(13))), max_records_per_file=50)
+    before = len(tbl.matching_files("id BETWEEN 0 AND 49 AND k BETWEEN 0 AND 49"))
+    tbl.compact(spark, target_files_per_partition=8, zorder_by=("id", "k"))
+    total = len(tbl.matching_files("id IS NOT NULL"))
+    after = len(tbl.matching_files("id BETWEEN 0 AND 49 AND k BETWEEN 0 AND 49"))
+    assert total >= 4
+    assert after < before
+    got = tbl.snapshot(
+        spark, where="id BETWEEN 0 AND 49 AND k BETWEEN 0 AND 49"
+    ).count()
+    want = df.filter("id BETWEEN 0 AND 49 AND k BETWEEN 0 AND 49").count()
+    assert got == want
