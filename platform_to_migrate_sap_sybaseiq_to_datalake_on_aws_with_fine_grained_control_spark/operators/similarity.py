@@ -463,6 +463,26 @@ def embedding_neardup_pairs_banded(
     matches (OR-amplification), then verified by exact cosine ≥
     ``threshold``.  Output ``(id_a, id_b, cos_sim)``, id_a < id_b,
     each pair once even when several bands agree.
+
+    Two scale laws, both learned the hard way at sf10 (200k vectors,
+    r6 — the run FILLED THE DISK with shuffle spill and died):
+
+    * **Band width must grow with the corpus.**  An 8-bit band is a
+      256-value fixed domain; bucket population — and candidate
+      volume — grows quadratically with the corpus.  Size
+      ``planes/bands`` ≈ log2(corpus) and recover recall with more
+      bands (the registered catalog entry uses 12 × 16-bit bands:
+      per-band recall p(0.95)^16 = 0.18, OR over 12 bands = 0.91 —
+      the same target the old 4 × 8-bit geometry hit, at 1/256 the
+      bucket density).
+    * **Never shuffle vectors in the candidate stream.**  The
+      band-join and pair-dedup below carry ONLY (id_a, id_b) — the
+      payload rows are ~16 bytes, not ~550 (two 64-float vectors +
+      norms), which is the difference between a 5 GB and a 170 GB
+      dedup shuffle at 300M candidates.  Vectors re-join AFTER the
+      dedup, once per surviving pair, and the cosine verify runs in
+      the same stage as that join's probe (no further shuffle with
+      vectors aboard).
     """
     if planes % bands:
         raise ValueError("planes must be divisible by bands")
@@ -470,14 +490,16 @@ def embedding_neardup_pairs_banded(
     hp = hyperplanes(planes, dims)
     sig = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
         F.expr(bucket_expr(vec_col, hp)).alias("sig"),
-        F.expr(norm_expr(vec_col, dims)).alias("_n"),
     )
+    # slim candidate stream: (id, band, band key) only.  The key stays
+    # the EXACT sign substring (not a hash): the oracle's band join is
+    # exact-key, and a 64-bit hash collision admitting a >=threshold
+    # pair the exact join lacks would be a real (if one-in-billions)
+    # parity break — unlike PassJoin, whose oracle is a complete
+    # superset generator that absorbs collision extras.
     banded = sig.select(
         id_col,
-        vec_col,
-        "_n",
         F.explode(
             F.array(
                 *[
@@ -489,21 +511,36 @@ def embedding_neardup_pairs_banded(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, vec_col, "_n", "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    cand = (
         a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
-            F.col("a._n").alias("_na"),
-            F.col("b._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    withv = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(norm_expr(vec_col, dims)).alias("_n"),
+    )
+    va = withv.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    vb = withv.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos_full", F.expr(f"({dot_expr('_va', '_vb', dims)}) / (_na * _nb)")
         )

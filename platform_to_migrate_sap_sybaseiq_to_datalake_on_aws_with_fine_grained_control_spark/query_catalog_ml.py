@@ -56,15 +56,19 @@ ANN_K = 5
 LSH_PLANES = 4
 EMB_DIMS = 64
 NEARDUP_COS_THRESHOLD = 0.95
-# banded variant: 32 sign bits in 4 bands of 8.  Band key domains must
-# stay FINE relative to corpus size (the r4 SimHash lesson, relearned
-# at r5 on this entry): 4-bit bands = 16 values/band put ~n/16 vectors
-# in every bucket — a quadratic candidate set that cost 36 s at sf1 —
-# while 8-bit bands (256 values) keep buckets ~n/256 and candidates
-# near-linear.  Recall at cos≥0.95 stays ≈0.89 via 4-band
-# OR-amplification (p_plane≈0.90 ⇒ 1-(1-0.90^8)^4).
-NEARDUP_BANDED_PLANES = 32
-NEARDUP_BANDS = 4
+# banded variant: 192 sign bits in 12 bands of 16.  Band key domains
+# must stay FINE relative to corpus size — the same lesson three
+# rounds running, one scale decade apart each time: r5 found 4-bit
+# bands (16 values) quadratic at sf1 (36 s), moved to 8-bit; r6 found
+# 8-bit bands (256 values) quadratic at sf10 (200k vectors put ~780
+# in every bucket → ~300M candidates; the run filled the disk with
+# shuffle spill and DIED).  The law: band width ≈ log2(corpus), recall
+# recovered with more bands.  16-bit bands (65 536 values) hold to
+# ~10M-vector corpora; recall at cos≥0.95 stays ≈0.91 via 12-band
+# OR-amplification (p_plane≈0.899 ⇒ 1-(1-0.899^16)^12) — the same
+# ≈0.9 target the 4×8 geometry hit, at 1/256 the bucket density.
+NEARDUP_BANDED_PLANES = 192
+NEARDUP_BANDS = 12
 
 
 # ---- DuckDB snippet builders ----------------------------------------
@@ -488,9 +492,13 @@ FROM cand WHERE {cos} >= {NEARDUP_COS_THRESHOLD}
     "dedup_embedding_cosine_pairs_banded",
     _duck_emb_neardup_banded_sql(),
     doc=f"Banded-LSH embedding near-dup ({NEARDUP_BANDED_PLANES} planes "
-    f"in {NEARDUP_BANDS} OR-ed bands): smaller buckets than the "
-    "monolithic key, recall recovered via band OR-amplification — the "
-    "tunable recall/cost scale path.",
+    f"in {NEARDUP_BANDS} OR-ed 16-bit bands, recall ≈0.91 at the same "
+    "≈0.9 target as every prior geometry of this entry): band width "
+    "scales with log2(corpus) — 8-bit bands measured quadratic at sf10 "
+    "(disk-filling shuffle spill) — and the candidate stream carries "
+    "ONLY id pairs through its dedup shuffle (~16 B/row, not two "
+    "64-float vectors); vectors re-join once per surviving pair for "
+    "the exact-cosine verify.",
 )
 def dedup_embedding_cosine_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "embeddings")
