@@ -79,11 +79,13 @@ from pyspark.sql.types import StructType
 __all__ = [
     "TransactionLog",
     "ConcurrentCommitError",
+    "ConstraintViolationError",
     "txn_append",
     "txn_overwrite",
     "txn_compact",
     "txn_merge",
     "txn_delete",
+    "txn_restore",
     "snapshot",
     "read_changes",
     "vacuum",
@@ -101,6 +103,16 @@ class ConcurrentCommitError(RuntimeError):
     Blind appends retry transparently; read-modify-write operations
     (overwrite, compact) surface this so the caller re-reads — the
     files they planned to remove may no longer be live.
+    """
+
+
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a committed CHECK constraint.
+
+    Raised BEFORE the commit record lands, so the table is untouched
+    (the staged files are swept immediately and were never visible).
+    SQL CHECK semantics: a row violates only when the expression
+    evaluates to FALSE — NULL passes.
     """
 
 
@@ -476,6 +488,7 @@ class TransactionLog:
             "version": version,
             "schema": state["schema"],
             "partition_keys": state["partition_keys"],
+            "constraints": state["constraints"],
             "files": sorted(state["files"].items()),
         }
         p = self.log_path / f"_checkpoint.{_fmt_version(version)}.json"
@@ -510,10 +523,12 @@ class TransactionLog:
     # ---- state reconstruction -------------------------------------------
 
     def _replay(self, version: int, use_checkpoint: bool = True) -> dict:
-        """Table state at ``version``: live files, schema, keys."""
+        """Table state at ``version``: live files, schema, keys,
+        CHECK constraints."""
         files: dict[str, dict] = {}
         schema = None
         partition_keys: list[str] = []
+        constraints: dict[str, str] = {}
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -521,6 +536,7 @@ class TransactionLog:
                 files = dict(ckpt["files"])
                 schema = ckpt["schema"]
                 partition_keys = ckpt["partition_keys"]
+                constraints = dict(ckpt.get("constraints", {}))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -538,7 +554,16 @@ class TransactionLog:
                 files[a["path"]] = a
             schema = rec.get("schema", schema)
             partition_keys = rec.get("partition_keys", partition_keys)
-        return {"files": files, "schema": schema, "partition_keys": partition_keys}
+            # full-map semantics (like schema): a commit carrying the
+            # key replaces the whole constraint set
+            if "constraints" in rec:
+                constraints = dict(rec["constraints"])
+        return {
+            "files": files,
+            "schema": schema,
+            "partition_keys": partition_keys,
+            "constraints": constraints,
+        }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
         """Greatest committed version whose ts <= ``ts_iso``."""
@@ -639,6 +664,219 @@ class TransactionLog:
             f"append to {self.table_path} lost {attempts} version races"
         )
 
+    def _commit_rmw(
+        self, read_version: int, build_record, op: str, attempts: int = 20
+    ) -> int:
+        """Read-modify-write commit with append-rebase (the published
+        Delta *WriteSerializable* level): interleaved PURE appends can
+        never invalidate a staged rewrite — they only add files, so
+        every file this transaction planned to remove is still live —
+        and the rewrite simply does not see the concurrently appended
+        rows.  Any other interleaved op (overwrite, restore, another
+        merge/delete, compaction, constraint change) or an interleaved
+        schema change makes the staged removes/outputs stale and
+        raises for a caller-level re-run."""
+        rec = build_record(0)  # probe for the schema this txn commits
+        my_schema = rec.get("schema")
+        for _ in range(attempts):
+            v = self.latest_version() + 1
+            for i in range(read_version + 1, v):
+                mid = self._read_commit(i)
+                if mid.get("op") != "append" or mid.get("schema") != my_schema:
+                    raise ConcurrentCommitError(
+                        f"table advanced to {v - 1} while {op} ran (read "
+                        f"{read_version}) and commit {i} is a "
+                        f"{mid.get('op')}/schema-change — staged removes "
+                        "are stale; re-run"
+                    )
+            try:
+                self._try_commit(v, build_record(v))
+                return v
+            except ConcurrentCommitError:
+                continue  # loop re-validates the new interleaved commits
+        raise ConcurrentCommitError(
+            f"{op} on {self.table_path} lost {attempts} version races"
+        )
+
+    # ---- CHECK constraints ----------------------------------------------
+
+    def _enforce_constraints(
+        self,
+        spark: SparkSession,
+        adds: list[dict],
+        state: dict,
+        constraints: dict[str, str] | None = None,
+    ) -> None:
+        """Validate freshly-staged (still invisible) files against the
+        table's CHECK constraints; on violation sweep them and raise.
+
+        Runs on the staged bytes, not the input frame, so the input
+        lineage is never recomputed for enforcement (the staged read
+        is a plain columnar scan of exactly what would be committed)
+        and what was validated is bit-identical to what commits."""
+        from pyspark.sql import functions as F
+
+        cons = state["constraints"] if constraints is None else constraints
+        if not cons or not adds:
+            return
+        staged = self._read_files(
+            spark, dict(state, files={a["path"]: a for a in adds})
+        )
+        counts = staged.agg(
+            *[
+                F.sum(F.expr(f"CAST((({expr})) IS FALSE AS INT)")).alias(name)
+                for name, expr in sorted(cons.items())
+            ]
+        ).collect()[0]
+        violated = {n: counts[n] for n in cons if (counts[n] or 0) > 0}
+        if violated:
+            for a in adds:
+                (self.table_path / a["path"]).unlink(missing_ok=True)
+            detail = ", ".join(
+                f"{n} [{cons[n]}]: {c} rows" for n, c in sorted(violated.items())
+            )
+            raise ConstraintViolationError(
+                f"write to {self.table_path} violates CHECK constraints — "
+                f"{detail}"
+            )
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """Commit a named CHECK constraint (``ALTER TABLE .. ADD
+        CONSTRAINT .. CHECK (expr)``).  Existing rows are validated
+        first — a constraint the current data violates never lands.
+        Subsequent appends/overwrites/merges enforce it atomically
+        (violating writes leave no trace)."""
+        from pyspark.sql import functions as F
+
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if name in state["constraints"]:
+            raise ValueError(f"constraint {name!r} already exists")
+        if state["files"]:
+            bad = (
+                self._read_files(spark, state)
+                .filter(F.expr(f"(({expr})) IS FALSE"))
+                .count()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"cannot add CHECK {name!r} [{expr}]: {bad} existing "
+                    "rows violate it"
+                )
+        cons = dict(state["constraints"], **{name: expr})
+
+        def rec(v: int) -> dict:
+            return {
+                "version": v,
+                "op": "metadata",
+                "dataChange": False,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": state["partition_keys"],
+                "constraints": cons,
+                "add": [],
+                "remove": [],
+            }
+
+        # strict: data committed between the validation scan and this
+        # commit was never checked, so losing the race must surface
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while CHECK {name!r} was "
+                f"validated (read {read_v}) — re-run"
+            )
+        self._try_commit(v, rec(v))
+        return v
+
+    def drop_check_constraint(self, name: str) -> int:
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if name not in state["constraints"]:
+            raise ValueError(f"no constraint named {name!r}")
+        cons = {k: v for k, v in state["constraints"].items() if k != name}
+
+        def rec(v: int) -> dict:
+            return {
+                "version": v,
+                "op": "metadata",
+                "dataChange": False,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": state["partition_keys"],
+                "constraints": cons,
+                "add": [],
+                "remove": [],
+            }
+
+        return self._commit_rmw(read_v, rec, "drop_constraint")
+
+    # ---- restore ---------------------------------------------------------
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier ``version`` as ONE new
+        commit (the published Delta RESTORE shape): files live at the
+        target but not now are re-added, files live now but not then
+        are removed, and the target's schema/partition layout is
+        re-committed.  History is preserved — restore moves the table
+        FORWARD to an old state, so the restored-away versions remain
+        time-travelable until ``vacuum``.
+
+        Raises when any target file was already vacuumed (the restore
+        would commit dangling references), and on a concurrent-commit
+        race (restore is read-modify-write over the whole table).
+        CHECK constraints are metadata, not data — the current set
+        stays in force across the restore."""
+        read_v = self.latest_version()
+        if version >= read_v or version < 1:
+            raise ValueError(
+                f"restore target must be an earlier version: "
+                f"{version} vs latest {read_v}"
+            )
+        target = self._replay(version)
+        cur = self._replay(read_v)
+        missing = [
+            rel
+            for rel in target["files"]
+            if not (self.table_path / rel).exists()
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {self.table_path} to v{version}: "
+                f"{len(missing)} data files were vacuumed "
+                f"(e.g. {missing[:3]})"
+            )
+        adds = [
+            a
+            for rel, a in sorted(target["files"].items())
+            if rel not in cur["files"]
+        ]
+        removes = sorted(r for r in cur["files"] if r not in target["files"])
+        rec = {
+            "version": read_v + 1,
+            "op": "restore",
+            "dataChange": True,
+            "ts": _utc_now_iso(),
+            "txn": uuid.uuid4().hex,
+            "schema": target["schema"],
+            "partition_keys": target["partition_keys"],
+            "restore_of": version,
+            "add": adds,
+            "remove": removes,
+        }
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while restore was staged "
+                f"(read {read_v})"
+            )
+        self._try_commit(v, rec)
+        return v
+
     def append(
         self,
         df: DataFrame,
@@ -679,6 +917,15 @@ class TransactionLog:
                 )
         adds = self._stage_files(df, keys, max_records_per_file)
         schema_json = df.schema.jsonValue()
+        self._enforce_constraints(
+            df.sparkSession,
+            adds,
+            {
+                "schema": schema_json,
+                "partition_keys": keys,
+                "constraints": state["constraints"],
+            },
+        )
 
         def rec(v: int) -> dict:
             return {
@@ -707,6 +954,15 @@ class TransactionLog:
         state = self._replay(read_v)
         adds = self._stage_files(df, keys)
         schema_json = df.schema.jsonValue()
+        self._enforce_constraints(
+            df.sparkSession,
+            adds,
+            {
+                "schema": schema_json,
+                "partition_keys": keys,
+                "constraints": state["constraints"],
+            },
+        )
 
         def rec(v: int) -> dict:
             return {
@@ -823,16 +1079,11 @@ class TransactionLog:
             out = source
             changes = source.select("*", ct("insert"))
         adds = self._stage_files(out, part_keys)
+        self._enforce_constraints(spark, adds, state)
         cdf = self._stage_cdf(changes)
-        v = self.latest_version() + 1
-        if v != read_v + 1:
-            raise ConcurrentCommitError(
-                f"table advanced to {v - 1} while merge ran (read {read_v}) "
-                "— its removes are stale; re-run"
-            )
-        self._try_commit(
-            v,
-            {
+
+        def rec(v: int) -> dict:
+            return {
                 "version": v,
                 "op": "merge",
                 "dataChange": True,
@@ -843,9 +1094,9 @@ class TransactionLog:
                 "add": adds,
                 "remove": sorted(affected),
                 "cdf": cdf,
-            },
-        )
-        return v
+            }
+
+        return self._commit_rmw(read_v, rec, "merge")
 
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Copy-on-write DELETE: remove rows where ``predicate`` is
@@ -875,15 +1126,8 @@ class TransactionLog:
                     "*", F.lit("delete").alias("_change_type")
                 )
             )
-        v = self.latest_version() + 1
-        if v != read_v + 1:
-            raise ConcurrentCommitError(
-                f"table advanced to {v - 1} while delete ran (read {read_v}) "
-                "— its removes are stale; re-run"
-            )
-        self._try_commit(
-            v,
-            {
+        def rec(v: int) -> dict:
+            return {
                 "version": v,
                 "op": "delete",
                 "dataChange": True,
@@ -894,9 +1138,9 @@ class TransactionLog:
                 "add": adds,
                 "remove": sorted(affected),
                 "cdf": cdf,
-            },
-        )
-        return v
+            }
+
+        return self._commit_rmw(read_v, rec, "delete")
 
     def compact(
         self,
@@ -1087,10 +1331,10 @@ class TransactionLog:
             rec = self._read_commit(v)
             if not rec.get("dataChange", True):
                 continue
-            if rec.get("op") == "overwrite":
+            if rec.get("op") in ("overwrite", "restore"):
                 raise ValueError(
-                    f"commit {v} is an overwrite (full refresh, not a "
-                    "delta) — read snapshot() at or after it instead"
+                    f"commit {v} is a {rec['op']} (full refresh/rewind, "
+                    "not a delta) — read snapshot() at or after it instead"
                 )
             commit_schema = StructType.fromJson(rec["schema"])
             if rec.get("cdf") is not None:
@@ -1206,6 +1450,10 @@ def txn_merge(
     source: DataFrame, path: str, keys: list[str], evolve_schema: bool = False
 ) -> int:
     return TransactionLog(path).merge_upsert(source, keys, evolve_schema)
+
+
+def txn_restore(path: str, version: int) -> int:
+    return TransactionLog(path).restore(version)
 
 
 def txn_delete(spark: SparkSession, path: str, predicate: str) -> int:

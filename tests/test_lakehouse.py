@@ -489,3 +489,133 @@ def test_zorder_compact_tightens_skipping(spark, tbl):
     ).count()
     want = df.filter("id BETWEEN 0 AND 49 AND k BETWEEN 0 AND 49").count()
     assert got == want
+
+
+# ---- fifth wave: RESTORE, CHECK constraints, append-rebase OCC --------
+
+
+def test_restore_to_version(spark, tbl):
+    """RESTORE moves the table FORWARD to an old state in one commit;
+    the restored-away versions stay time-travelable."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    tbl.append(_df(spark, [(3, "c", "2025")]))
+    tbl.delete_where(spark, "id = 2")
+    assert _ids(tbl.snapshot(spark)) == [1, 3]
+    v = tbl.restore(1)
+    assert v == 4
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+    # history preserved: pre-restore states still readable
+    assert _ids(tbl.snapshot(spark, version=3)) == [1, 3]
+    assert tbl.history()[-1].op == "restore"
+    # a feed crossing the rewind is not a delta
+    with pytest.raises(ValueError, match="restore"):
+        tbl.read_change_feed(spark, 0, 4).collect()
+
+
+def test_restore_validations(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.overwrite(_df(spark, [(2, "b", "2024")]), ["year"])
+    with pytest.raises(ValueError, match="earlier version"):
+        tbl.restore(2)
+    with pytest.raises(ValueError, match="earlier version"):
+        tbl.restore(0)
+    # vacuum away v1's files -> restore must refuse to commit dangling refs
+    tbl.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        tbl.restore(1)
+
+
+def test_check_constraint_enforcement(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.add_check_constraint(spark, "id_pos", "id > 0")
+    before_v = tbl.latest_version()
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError, match="id_pos"):
+        tbl.append(_df(spark, [(-5, "bad", "2024")]))
+    # violating write left NO trace: no commit, no staged files
+    assert tbl.latest_version() == before_v
+    assert _ids(tbl.snapshot(spark)) == [1]
+    assert tbl.vacuum(retain_versions=10) == []
+    # NULL passes (SQL CHECK semantics: only FALSE violates)
+    tbl.append(_df(spark, [(None, "n", "2024"), (7, "g", "2024")]))
+    assert sorted(
+        r.id for r in tbl.snapshot(spark).collect() if r.id is not None
+    ) == [1, 7]
+    # merge enforcement: a violating upsert aborts atomically
+    with pytest.raises(ConstraintViolationError, match="id_pos"):
+        tbl.merge_upsert(_df(spark, [(-1, "m", "2024")]), ["id"])
+    assert tbl.latest_version() == before_v + 1
+
+
+def test_add_constraint_rejects_violating_existing_data(spark, tbl):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    tbl.append(_df(spark, [(-1, "a", "2024")]), ["year"])
+    with pytest.raises(ConstraintViolationError, match="existing"):
+        tbl.add_check_constraint(spark, "id_pos", "id > 0")
+    assert tbl._replay(tbl.latest_version())["constraints"] == {}
+
+
+def test_constraint_survives_checkpoint_and_drop(spark, tbl):
+    """checkpoint_interval=3: the constraint commit is rolled into a
+    checkpoint and must still be enforced when replay starts there."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.add_check_constraint(spark, "id_pos", "id > 0")
+    tbl.append(_df(spark, [(2, "b", "2024")]))  # v3 -> checkpoint written
+    assert (tbl.log_path / "_last_checkpoint").exists()
+    with pytest.raises(ConstraintViolationError):
+        tbl.append(_df(spark, [(-2, "x", "2024")]))
+    tbl.drop_check_constraint("id_pos")
+    tbl.append(_df(spark, [(-2, "x", "2024")]))
+    assert _ids(tbl.snapshot(spark)) == [-2, 1, 2]
+    with pytest.raises(ValueError, match="no constraint"):
+        tbl.drop_check_constraint("id_pos")
+
+
+def test_rmw_rebases_over_concurrent_append(spark, tbl):
+    """WriteSerializable: a delete losing its version race to a pure
+    append rebases and commits — appends only add files, so the staged
+    removes stay valid; the appended rows are simply not seen."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    orig = TransactionLog._try_commit
+    raced = {"done": False}
+
+    def racing(self, v, rec):
+        if rec.get("op") == "delete" and not raced["done"]:
+            raced["done"] = True
+            TransactionLog(tbl.table_path).append(
+                _df(spark, [(9, "z", "2024")])
+            )
+        return orig(self, v, rec)
+
+    tbl._try_commit = racing.__get__(tbl)
+    v = tbl.delete_where(spark, "id = 2")
+    assert raced["done"] and v == 3
+    assert _ids(tbl.snapshot(spark)) == [1, 9]
+
+
+def test_rmw_conflicts_with_concurrent_rewrite(spark, tbl):
+    """A concurrent non-append (here: another delete) invalidates the
+    staged removes -> the race surfaces instead of rebasing."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    orig = TransactionLog._try_commit
+    raced = {"done": False}
+
+    def racing(self, v, rec):
+        if rec.get("op") == "delete" and not raced["done"]:
+            raced["done"] = True
+            TransactionLog(tbl.table_path).delete_where(spark, "id = 1")
+        return orig(self, v, rec)
+
+    tbl._try_commit = racing.__get__(tbl)
+    with pytest.raises(ConcurrentCommitError, match="delete"):
+        tbl.delete_where(spark, "id = 2")
