@@ -286,3 +286,105 @@ def acid_data_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snap string, n_orders bigint, total_price double",
     )
     return sliced.unionByName(counts)
+
+
+@register(
+    "acid_restore_orders",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+merged AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                  CASE WHEN o_orderkey % 3 = 0 THEN round(p + 10.0, 2)
+                       ELSE p END AS p
+           FROM base),
+after_del AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+SELECT 'latest' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM base
+UNION ALL
+SELECT 'pre_restore', count(*), round(sum(p), 2) FROM after_del
+""",
+    doc="RESTORE through the transaction log: append 'F' orders (v1), "
+    "MERGE a +10.00 restatement of key % 3 == 0 (v2), DELETE "
+    "key % 7 == 0 (v3), then RESTORE to v1 (v4) — one forward commit "
+    "that re-adds v1's files and removes the rewrites. 'latest' must "
+    "equal the ORIGINAL base slice (the restatement and delete are "
+    "rewound) while the pre-restore v3 snapshot stays time-travelable "
+    "(history preserved, not erased). Oracle recomputes both states "
+    "directly from the source table, so parity proves the rewind is "
+    "exact and non-destructive.",
+)
+def acid_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-restore-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    src = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("p", F.round(F.col("p") + 10.0, 2))
+    )
+    t.merge_upsert(src, ["o_orderkey"])
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    t.restore(1)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+
+    return agg(t.snapshot(spark), "latest").unionByName(
+        agg(t.snapshot(spark, version=3), "pre_restore")
+    )
+
+
+@register(
+    "acid_constraints_orders",
+    """
+SELECT 'accepted' AS outcome, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders
+UNION ALL
+SELECT 'rejected', count(*), 0.0 FROM orders
+""",
+    doc="CHECK-constraint enforcement through the transaction log: "
+    "commit CHECK (p > 0) on the orders table (validated against "
+    "existing rows first), then attempt an append of the same slice "
+    "with NEGATED prices — every row violates, the write raises "
+    "BEFORE any commit record lands, and its staged files are swept. "
+    "'accepted' = the table's surviving rows (the original append "
+    "only); 'rejected' = the violating row count read from the raised "
+    "error, proving enforcement counted every bad row. Parity against "
+    "the plain source aggregate proves the violating write left "
+    "zero trace in committed state.",
+)
+def acid_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lakehouse import ConstraintViolationError
+
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-ck-") + "/orders")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("p"),
+    )
+    t.append(src, ["o_orderpriority"])
+    t.add_check_constraint(spark, "price_pos", "p > 0")
+    rejected = 0
+    try:
+        t.append(src.withColumn("p", -F.col("p")))
+    except ConstraintViolationError as e:
+        import re as _re
+
+        rejected = int(_re.search(r"(\d+) rows", str(e)).group(1))
+    accepted = t.snapshot(spark).agg(
+        F.lit("accepted").alias("outcome"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    return accepted.unionByName(
+        spark.createDataFrame(
+            [("rejected", rejected, 0.0)],
+            "outcome string, n_orders bigint, total_price double",
+        )
+    )
