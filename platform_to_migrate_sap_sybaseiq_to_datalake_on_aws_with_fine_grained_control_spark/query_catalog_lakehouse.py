@@ -388,3 +388,141 @@ def acid_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outcome string, n_orders bigint, total_price double",
         )
     )
+
+
+@register(
+    "acid_snapshot_diff_versions",
+    """
+WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+src AS (SELECT o_orderkey, round(round(o_totalprice, 2) + 10.0, 2) AS p
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 3 = 0),
+merged AS (SELECT * FROM src
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN src s USING (o_orderkey)
+           WHERE s.o_orderkey IS NULL),
+cur AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0),
+j AS (SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN c.o_orderkey IS NULL THEN 'removed'
+                  WHEN c.p IS DISTINCT FROM b.p THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status
+      FROM cur c FULL OUTER JOIN base b ON c.o_orderkey = b.o_orderkey)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY diff_status ORDER BY diff_status
+""",
+    doc="snapshot_diff over two VERSIONS of the same transactional "
+    "table (the r5 VERDICT's 'diff versions, not externally-supplied "
+    "frames'): v1 = 'F' orders, v2 = MERGE (+10.00 restatement of "
+    "key % 3 == 0 across 'F'+'O' keys, so the merge both updates and "
+    "inserts), v3 = DELETE key % 7 == 0; then "
+    "snapshot_diff(snapshot(v3), snapshot(v1)) classifies every key "
+    "as added/removed/changed/unchanged. Both sides are pinned "
+    "log-replayed file lists — no directory listing, and the diff is "
+    "the operator's single full-outer key join. The oracle recomputes "
+    "the classification from the source table via the same "
+    "merge/delete algebra.",
+)
+def acid_snapshot_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import snapshot_diff
+
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-sdv-") + "/orders")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("p"))
+    )
+    src = (
+        orders.filter(
+            F.col("o_orderstatus").isin("F", "O") & (F.col("o_orderkey") % 3 == 0)
+        )
+        .select(
+            "o_orderkey", F.round(F.round("o_totalprice", 2) + 10.0, 2).alias("p")
+        )
+    )
+    t.append(base)
+    t.merge_upsert(src, ["o_orderkey"])
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    diff = snapshot_diff(
+        t.snapshot(spark, version=3),
+        t.snapshot(spark, version=1),
+        ["o_orderkey"],
+        ["p"],
+    )
+    return diff.groupBy("diff_status").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "acid_incremental_agg_maintenance",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+src AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               round(p + 10.0, 2) AS p
+        FROM base WHERE o_orderkey % 3 = 0),
+merged AS (SELECT * FROM src
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN src s USING (o_orderkey)
+           WHERE s.o_orderkey IS NULL),
+final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price
+FROM final GROUP BY o_orderpriority
+""",
+    doc="Incremental materialized-aggregate maintenance off the "
+    "row-level change feed: materialize sum/count per priority at v1, "
+    "then MERGE (+10.00 on key % 3 == 0) and DELETE (key % 7 == 0) "
+    "land as commits, and the aggregate is brought current by folding "
+    "ONLY read_change_feed(1→3) — preimages/deletes subtract, "
+    "postimages/inserts add — never rescanning the base table (the "
+    "O(delta) downstream-view maintenance a CDF exists for; at 100 TB "
+    "the delta is MBs while the base is the lake). The oracle "
+    "recomputes the final aggregate from scratch, so parity proves "
+    "the incremental fold reaches the exact full-recompute state — "
+    "counts AND sums, per group.",
+)
+def acid_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-ivm-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    # materialized view state as of v1 (in a real pipeline this is a
+    # stored table; the maintenance below never re-reads the base)
+    mat = t.snapshot(spark, version=1).groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("p").alias("total_price"),
+    )
+    src = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("p", F.round(F.col("p") + 10.0, 2))
+    )
+    t.merge_upsert(src, ["o_orderkey"])
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    sign = F.when(
+        F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    delta = (
+        t.read_change_feed(spark, 1, 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(sign).cast("long").alias("d_n"),
+            F.sum(sign * F.col("p")).alias("d_p"),
+        )
+    )
+    return (
+        mat.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.round(
+                F.coalesce("total_price", F.lit(0.0))
+                + F.coalesce("d_p", F.lit(0.0)),
+                2,
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
