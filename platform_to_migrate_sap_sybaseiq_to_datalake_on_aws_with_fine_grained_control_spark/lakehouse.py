@@ -489,6 +489,7 @@ class TransactionLog:
             "schema": state["schema"],
             "partition_keys": state["partition_keys"],
             "constraints": state["constraints"],
+            "dvs": state["dvs"],
             "files": sorted(state["files"].items()),
         }
         p = self.log_path / f"_checkpoint.{_fmt_version(version)}.json"
@@ -529,6 +530,7 @@ class TransactionLog:
         schema = None
         partition_keys: list[str] = []
         constraints: dict[str, str] = {}
+        dvs: list[dict] = []
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -537,6 +539,7 @@ class TransactionLog:
                 schema = ckpt["schema"]
                 partition_keys = ckpt["partition_keys"]
                 constraints = dict(ckpt.get("constraints", {}))
+                dvs = list(ckpt.get("dvs", []))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -548,6 +551,7 @@ class TransactionLog:
             rec = json.loads(f.read_text())
             if rec.get("op") == "overwrite":
                 files = {}
+                dvs = []
             for rel in rec.get("remove", []):
                 files.pop(rel, None)
             for a in rec.get("add", []):
@@ -558,11 +562,18 @@ class TransactionLog:
             # key replaces the whole constraint set
             if "constraints" in rec:
                 constraints = dict(rec["constraints"])
+            # deletion vectors: "dvs" = full-list replace (rewriting
+            # ops prune entries whose files all died); "dv" = entries
+            # added by a merge-on-read delete
+            if "dvs" in rec:
+                dvs = list(rec["dvs"])
+            dvs.extend(rec.get("dv", []))
         return {
             "files": files,
             "schema": schema,
             "partition_keys": partition_keys,
             "constraints": constraints,
+            "dvs": dvs,
         }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
@@ -645,6 +656,49 @@ class TransactionLog:
             )
         shutil.rmtree(staging)
         return out
+
+    def _stage_dv(self, dv_df: DataFrame, file_basenames: list[str]) -> list[dict]:
+        """Stage a deletion vector — ``(file_name, row_index)`` rows of
+        logically-deleted positions — under ``_dv/<uuid>/``.  Same
+        invisibility rule as data/CDF files: visible only through the
+        commit record.  Each entry records the basenames of the data
+        files it covers, so rewriting ops can prune vectors whose
+        files all died."""
+        import pyarrow.parquet as pq
+
+        staging = self.table_path / f"_staging-{uuid.uuid4().hex}"
+        dv_df.write.mode("error").format("parquet").save(str(staging))
+        out: list[dict] = []
+        dv_dir = Path("_dv") / uuid.uuid4().hex[:12]
+        for f in sorted(staging.rglob("*.parquet")):
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                continue
+            dest_rel = dv_dir / f"{uuid.uuid4().hex[:12]}-{f.name}"
+            dest = self.table_path / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            f.rename(dest)
+            out.append(
+                {
+                    "path": dest_rel.as_posix(),
+                    "size": dest.stat().st_size,
+                    "rows": n,
+                    "files": sorted(file_basenames),
+                }
+            )
+        shutil.rmtree(staging)
+        return out
+
+    @staticmethod
+    def _surviving_dvs(state: dict, removed: list[str]) -> list[dict]:
+        """DV entries still relevant after ``removed`` files die: an
+        entry survives while ANY file it covers stays live."""
+        removed_bn = {r.rsplit("/", 1)[-1] for r in removed}
+        return [
+            d
+            for d in state.get("dvs") or []
+            if any(b not in removed_bn for b in d.get("files", []))
+        ]
 
     def _commit_with_retry(
         self, build_record, read_version: int | None, attempts: int = 5
@@ -841,7 +895,8 @@ class TransactionLog:
         cur = self._replay(read_v)
         missing = [
             rel
-            for rel in target["files"]
+            for rel in list(target["files"])
+            + [d["path"] for d in target["dvs"]]
             if not (self.table_path / rel).exists()
         ]
         if missing:
@@ -867,6 +922,9 @@ class TransactionLog:
             "restore_of": version,
             "add": adds,
             "remove": removes,
+            # data rewinds to the target INCLUDING its deletion-vector
+            # state; constraints are metadata and stay current
+            "dvs": target["dvs"],
         }
         v = self.latest_version() + 1
         if v != read_v + 1:
@@ -993,16 +1051,17 @@ class TransactionLog:
         ``hit_df`` (which must carry a ``_fn`` file-basename column).
 
         File basenames are uuid-unique within the table (staging names
-        them), so basename→relpath is a safe join key — matching full
-        ``input_file_name()`` URIs against log paths would have to
-        undo the URI-encoding of already-hive-escaped partition dirs.
+        them), so basename→relpath is a safe join key — the ``_fn``
+        column comes from the scan's ``_metadata.file_name`` (already
+        a bare basename, survives joins; a full
+        ``input_file_name()`` URI would need the hive-escaping of
+        partition dirs undone).
         The collect is bounded by the table's FILE count (the same
         driver-side file-list Delta's copy-on-write keeps), never rows.
         """
         hit = {r["_fn"] for r in hit_df.select("_fn").distinct().collect()}
         return [rel for rel in state["files"] if rel.rsplit("/", 1)[-1] in hit]
 
-    _FN = "regexp_extract(input_file_name(), '[^/]+$', 0)"
 
     def merge_upsert(
         self, source: DataFrame, keys: list[str], evolve_schema: bool = False
@@ -1045,8 +1104,8 @@ class TransactionLog:
                 )
             source = source.select(*[f.name for f in existing.fields])
 
-        tbl = self._read_files(spark := source.sparkSession, state).withColumn(
-            "_fn", F.expr(self._FN)
+        tbl = self._read_files(
+            spark := source.sparkSession, state, with_file_info=True
         )
         src_keys = F.broadcast(source.select(*keys).distinct())
         affected = self._affected_files(
@@ -1083,7 +1142,7 @@ class TransactionLog:
         cdf = self._stage_cdf(changes)
 
         def rec(v: int) -> dict:
-            return {
+            r = {
                 "version": v,
                 "op": "merge",
                 "dataChange": True,
@@ -1095,28 +1154,62 @@ class TransactionLog:
                 "remove": sorted(affected),
                 "cdf": cdf,
             }
+            if affected and state.get("dvs"):
+                r["dvs"] = self._surviving_dvs(state, sorted(affected))
+            return r
 
         return self._commit_rmw(read_v, rec, "merge")
 
-    def delete_where(self, spark: SparkSession, predicate: str) -> int:
-        """Copy-on-write DELETE: remove rows where ``predicate`` is
-        TRUE (NULL keeps the row, per SQL DELETE semantics), rewriting
-        ONLY the files that contain at least one matching row — a
-        whole-file delete (every row matches) is a pure metadata
-        remove, zero rewrite IO."""
+    def delete_where(
+        self, spark: SparkSession, predicate: str, mode: str = "cow"
+    ) -> int:
+        """DELETE rows where ``predicate`` is TRUE (NULL keeps the
+        row, per SQL DELETE semantics).
+
+        ``mode="cow"`` (copy-on-write): rewrite ONLY the files that
+        contain at least one matching row — a whole-file delete (every
+        row matches) is a pure metadata remove, zero rewrite IO.
+
+        ``mode="dv"`` (merge-on-read deletion vectors): write NO data
+        files at all — the matching ``(file, row_index)`` positions
+        land as a ``_dv/`` sidecar and every subsequent read anti-joins
+        them out.  At 100 TB this turns a delete touching 10 000 files
+        from a 10 000-file rewrite into one small sidecar write; the
+        rewrite cost is deferred to the next ``compact``, which reads
+        through the vectors (materializing the deletions) and drops
+        them.  Both modes stage identical row-level CDF records, so
+        ``read_change_feed`` is mode-agnostic."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         read_v = self.latest_version()
         state = self._replay(read_v)
         if state["schema"] is None:
             raise ValueError(f"{self.table_path} has no commits yet")
-        tbl = self._read_files(spark, state).withColumn("_fn", F.expr(self._FN))
-        affected = self._affected_files(
-            spark, state, tbl.filter(F.expr(predicate))
-        )
+        tbl = self._read_files(spark, state, with_file_info=True)
+        hits = tbl.filter(F.expr(predicate))
+        affected = self._affected_files(spark, state, hits)
         adds: list[dict] = []
         cdf: list[dict] = []
-        if affected:
+        dv_entries: list[dict] = []
+        removes: list[str] = []
+        if affected and mode == "dv":
+            removes = []
+            dv_entries = self._stage_dv(
+                hits.select(
+                    F.col("_fn").alias("file_name"),
+                    F.col("_ridx").alias("row_index"),
+                ),
+                [r.rsplit("/", 1)[-1] for r in affected],
+            )
+            cdf = self._stage_cdf(
+                hits.drop("_fn", "_ridx").select(
+                    "*", F.lit("delete").alias("_change_type")
+                )
+            )
+        elif affected:
+            removes = sorted(affected)
             aff_state = dict(state, files={r: state["files"][r] for r in affected})
             aff_df = self._read_files(spark, aff_state)
             kept = aff_df.filter(F.expr(f"NOT coalesce(({predicate}), false)"))
@@ -1126,8 +1219,9 @@ class TransactionLog:
                     "*", F.lit("delete").alias("_change_type")
                 )
             )
+
         def rec(v: int) -> dict:
-            return {
+            r = {
                 "version": v,
                 "op": "delete",
                 "dataChange": True,
@@ -1136,9 +1230,14 @@ class TransactionLog:
                 "schema": state["schema"],
                 "partition_keys": state["partition_keys"],
                 "add": adds,
-                "remove": sorted(affected),
+                "remove": removes,
                 "cdf": cdf,
             }
+            if dv_entries:
+                r["dv"] = dv_entries
+            elif removes and state.get("dvs"):
+                r["dvs"] = self._surviving_dvs(state, removes)
+            return r
 
         return self._commit_rmw(read_v, rec, "delete")
 
@@ -1214,26 +1313,70 @@ class TransactionLog:
                 "partition_keys": keys,
                 "add": adds,
                 "remove": sorted(state["files"]),
+                # the rewrite read THROUGH the deletion vectors, so the
+                # logical deletions are now physical — drop the vectors
+                "dvs": [],
             },
         )
         return v
 
     # ---- read path ---------------------------------------------------------
 
-    def _read_files(self, spark: SparkSession, state: dict) -> DataFrame:
+    def _read_files(
+        self, spark: SparkSession, state: dict, with_file_info: bool = False
+    ) -> DataFrame:
+        """Read a replayed file list; applies active deletion vectors.
+
+        ``with_file_info`` adds ``_fn`` (file basename) and ``_ridx``
+        (row position in the file) columns, taken from the scan's
+        ``_metadata`` BEFORE any DV anti-join — ``input_file_name()``
+        is unreliable after a join, which is why the RMW operators ask
+        for these columns here instead of deriving them downstream."""
+        from pyspark.sql import functions as F
+
         schema = StructType.fromJson(state["schema"])
         paths = [str(self.table_path / rel) for rel in sorted(state["files"])]
         if not paths:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            if with_file_info:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_fn"),
+                    F.lit(None).cast("long").alias("_ridx"),
+                )
+            return df
         # explicit file list + basePath: Spark builds an in-memory file
         # index (zero directory listing) and still derives partition
         # columns from the hive-style subdirs; the committed schema
         # governs types, so int->long-widened histories read correctly
-        return (
+        base = (
             spark.read.schema(schema)
             .option("basePath", str(self.table_path))
             .parquet(*paths)
         )
+        dvs = state.get("dvs") or []
+        need_info = with_file_info or bool(dvs)
+        if need_info:
+            base = base.select(
+                "*",
+                F.col("_metadata.file_name").alias("_fn"),
+                F.col("_metadata.row_index").alias("_ridx"),
+            )
+        if dvs:
+            # merge-on-read: logically-deleted (file, row) positions are
+            # anti-joined out.  AQE broadcasts the DV side in the common
+            # case (deleted rows << table); a compaction materializes
+            # the deletions and drops the vectors.
+            dv = spark.read.parquet(
+                *[str(self.table_path / d["path"]) for d in dvs]
+            ).select(
+                F.col("file_name").alias("_fn"),
+                F.col("row_index").alias("_ridx"),
+            )
+            base = base.join(dv, ["_fn", "_ridx"], "left_anti")
+        if need_info and not with_file_info:
+            base = base.drop("_fn", "_ridx")
+        return base
 
     def snapshot(
         self,
@@ -1398,7 +1541,10 @@ class TransactionLog:
         keep_from = max(1, latest - retain_versions + 1)
         live: set[str] = set()
         for v in range(keep_from, latest + 1):
-            live.update(self._replay(v)["files"])
+            st = self._replay(v)
+            live.update(st["files"])
+            # active deletion vectors of retained snapshots
+            live.update(d["path"] for d in st["dvs"])
             # CDF sidecars of retained commits stay readable too
             live.update(
                 c["path"] for c in self._read_commit(v).get("cdf") or []

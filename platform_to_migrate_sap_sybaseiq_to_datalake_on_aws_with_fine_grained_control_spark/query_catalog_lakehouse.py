@@ -526,3 +526,50 @@ def acid_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "acid_dv_delete_orders",
+    """
+WITH kept AS (SELECT o_orderstatus, round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus <> 'O')
+SELECT 'after_dv' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM kept
+UNION ALL
+SELECT 'rewrite_io', CAST(0 AS BIGINT), 0.0
+UNION ALL
+SELECT 'after_compact', CAST(count(*) AS BIGINT), round(sum(p), 2) FROM kept
+""",
+    doc="Merge-on-read DELETE via deletion vectors: DELETE WHERE "
+    "o_orderstatus = 'O' with mode='dv' writes ZERO data files — the "
+    "matching (file, row_index) positions land as one _dv/ sidecar "
+    "and reads anti-join them out ('after_dv' must equal the "
+    "complement slice). 'rewrite_io' reads the commit record's "
+    "add+remove counts — 0 proves the delete was metadata+sidecar "
+    "only (at 100 TB: one small write instead of rewriting every "
+    "file containing a match). compact() then reads THROUGH the "
+    "vectors, materializes the deletions, and drops them; "
+    "'after_compact' proves the physical rewrite lands the identical "
+    "logical table.",
+)
+def acid_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-dv-") + "/orders")
+    t.append(_orders_cols(spark, sf_dir), ["o_orderpriority"])
+    v = t.delete_where(spark, "o_orderstatus = 'O'", mode="dv")
+    rec = t._read_commit(v)
+    rewrite_io = len(rec["add"]) + len(rec["remove"])
+
+    def agg(label: str) -> DataFrame:
+        return t.snapshot(spark).agg(
+            F.lit(label).alias("snap"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+
+    after_dv = agg("after_dv")
+    io_row = spark.createDataFrame(
+        [("rewrite_io", rewrite_io, 0.0)],
+        "snap string, n_orders bigint, total_price double",
+    )
+    t.compact(spark, target_files_per_partition=1)
+    return after_dv.unionByName(io_row).unionByName(agg("after_compact"))

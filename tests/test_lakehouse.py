@@ -619,3 +619,53 @@ def test_rmw_conflicts_with_concurrent_rewrite(spark, tbl):
     tbl._try_commit = racing.__get__(tbl)
     with pytest.raises(ConcurrentCommitError, match="delete"):
         tbl.delete_where(spark, "id = 2")
+
+
+# ---- deletion vectors (merge-on-read DELETE) --------------------------
+
+
+def test_dv_delete_is_metadata_only_and_exact(spark, tbl):
+    """mode='dv' writes NO data files — deletions land as a (file,
+    row_index) sidecar anti-joined out on read; compaction
+    materializes and drops them; restore rewinds to a DV state."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024"),
+                           (3, "c", "2024"), (4, "d", "2024")]), ["year"])
+    v2 = tbl.delete_where(spark, "id = 2", mode="dv")
+    rec = json.loads((tbl.log_path / f"{str(v2).zfill(20)}.json").read_text())
+    assert rec["add"] == [] and rec["remove"] == []
+    assert rec["dv"] and all(e["rows"] > 0 for e in rec["dv"])
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 4]
+    assert _ids(tbl.snapshot(spark, version=1)) == [1, 2, 3, 4]
+    # row-level CDF is mode-agnostic
+    feed = tbl.read_change_feed(spark, 1, v2).collect()
+    assert [(r.id, r._change_type) for r in feed] == [(2, "delete")]
+    # vectors stack
+    tbl.delete_where(spark, "id = 3", mode="dv")
+    assert _ids(tbl.snapshot(spark)) == [1, 4]
+    # compaction reads THROUGH the vectors and drops them
+    tbl.compact(spark)
+    assert tbl._replay(tbl.latest_version())["dvs"] == []
+    assert _ids(tbl.snapshot(spark)) == [1, 4]
+    # restore to the one-vector state rewinds data AND vector state
+    tbl.restore(v2)
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 4]
+
+
+def test_dv_interplay_with_merge_cow_and_vacuum(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2024"),
+                           (4, "d", "2025"), (5, "e", "2025"), (6, "f", "2025")]),
+               ["year"])
+    tbl.delete_where(spark, "id = 2", mode="dv")
+    # merge rewrites only 2025 files; the 2024 vector must survive
+    tbl.merge_upsert(_df(spark, [(4, "D", "2025")]), ["id"])
+    assert sorted((r.id, r.v) for r in tbl.snapshot(spark).collect()) == [
+        (1, "a"), (3, "c"), (4, "D"), (5, "e"), (6, "f")]
+    # cow delete in the other partition: vector still survives
+    tbl.delete_where(spark, "id = 5")
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 4, 6]
+    st = tbl._replay(tbl.latest_version())
+    assert len(st["dvs"]) == 1
+    # vacuum keeps the sidecar of the retained snapshot
+    tbl.vacuum(retain_versions=1)
+    assert (tbl.table_path / st["dvs"][0]["path"]).exists()
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 4, 6]
