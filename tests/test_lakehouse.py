@@ -669,3 +669,108 @@ def test_dv_interplay_with_merge_cow_and_vacuum(spark, tbl):
     tbl.vacuum(retain_versions=1)
     assert (tbl.table_path / st["dvs"][0]["path"]).exists()
     assert _ids(tbl.snapshot(spark)) == [1, 3, 4, 6]
+
+
+# ---- property: random op sequences vs a pure-Python model -------------
+
+
+def test_log_state_machine_random_ops(spark, tmp_path):
+    """Hypothesis drives random append / merge / delete(cow|dv) /
+    overwrite / compact / restore sequences against a dict-of-rows
+    reference model; after every op the snapshot must equal the model,
+    and at the end every historical version must still replay to its
+    recorded model state (time travel is never corrupted by later
+    ops)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_strategy = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 3)),
+            st.tuples(st.just("merge"), st.integers(0, 9)),
+            st.tuples(st.just("delete_cow"), st.integers(2, 5)),
+            st.tuples(st.just("delete_dv"), st.integers(2, 5)),
+            st.tuples(st.just("overwrite"), st.integers(1, 3)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("restore"), st.integers(1, 6)),
+        ),
+        min_size=3,
+        max_size=7,
+    )
+
+    counter = {"n": 0, "case": 0}
+
+    @given(ops=op_strategy)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(ops):
+        counter["case"] += 1
+        t = TransactionLog(tmp_path / f"pt{counter['case']}")
+        model: dict[int, int] = {}
+        history: list[dict[int, int]] = []  # model state per version
+
+        def fresh_rows(n):
+            out = []
+            for _ in range(n):
+                counter["n"] += 1
+                out.append((counter["n"], counter["n"] * 10, "2024"))
+            return out
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, ["id", "v", "year"])
+
+        def record(version):
+            assert version == len(history) + 1
+            history.append(dict(model))
+
+        for op, arg in ops:
+            if op == "append":
+                rows = fresh_rows(arg)
+                v = t.append(df_of(rows), ["year"])
+                model.update({r[0]: r[1] for r in rows})
+            elif op == "merge":
+                if not model:
+                    continue
+                upd = sorted(model)[: arg % (len(model) + 1)]
+                rows = [(k, model[k] + 1, "2024") for k in upd] + fresh_rows(1)
+                v = t.merge_upsert(df_of(rows), ["id"])
+                model.update({r[0]: r[1] for r in rows})
+            elif op in ("delete_cow", "delete_dv"):
+                if not model:
+                    continue
+                mode = "dv" if op == "delete_dv" else "cow"
+                v = t.delete_where(spark, f"id % {arg} = 0", mode=mode)
+                for k in [k for k in model if k % arg == 0]:
+                    del model[k]
+            elif op == "overwrite":
+                rows = fresh_rows(arg)
+                v = t.overwrite(df_of(rows), ["year"])
+                model.clear()
+                model.update({r[0]: r[1] for r in rows})
+            elif op == "compact":
+                if not t.latest_version() or not t._replay(
+                    t.latest_version()
+                )["files"]:
+                    continue
+                v = t.compact(spark)
+            elif op == "restore":
+                if len(history) < 2:
+                    continue
+                target = (arg % (len(history) - 1)) + 1
+                v = t.restore(target)
+                model.clear()
+                model.update(history[target - 1])
+            record(v)
+            got = {
+                (r.id, r.v) for r in t.snapshot(spark).collect()
+            } if t.latest_version() else set()
+            assert got == set(model.items()), f"after {op}({arg})"
+        # every historical version still replays exactly
+        for v, snap in enumerate(history, start=1):
+            got = {(r.id, r.v) for r in t.snapshot(spark, version=v).collect()}
+            assert got == set(snap.items()), f"time travel to v{v}"
+
+    run()
