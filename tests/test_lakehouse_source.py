@@ -1,0 +1,191 @@
+"""Spark 4 Python Data Source connector over the transaction log
+(``sources/lakehouse_source.py``): ``format("lakehouse")`` batch
+reads (snapshot + time travel + deletion vectors + widened history),
+a streaming SOURCE with commit-version offsets (exactly-once across
+checkpoint restarts, compaction never re-delivered, non-append data
+changes raise or skip), and a streaming SINK committing one atomic
+log commit per micro-batch with Delta-style (txnAppId, batchId)
+idempotent replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+    TransactionLog,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+    LakehouseCommitMessage,
+    LakehouseStreamWriter,
+    register_lakehouse_source,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "v", "year"])
+
+
+def _rows(df):
+    return sorted((r.id, r.v, r.year) for r in df.collect())
+
+
+@pytest.fixture
+def tbl(tmp_path):
+    return TransactionLog(tmp_path / "t")
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_lakehouse_source(spark)
+
+
+def _run_to(spark, src_path, dst_path, ck, **read_opts):
+    """One availableNow leg: lakehouse source -> lakehouse sink."""
+    reader = spark.readStream.format("lakehouse")
+    for k, v in read_opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(str(src_path))
+        .writeStream.format("lakehouse")
+        .option("checkpointLocation", str(ck))
+        .option("partitionKeys", "year")
+        .option("txnAppId", "test-app")
+        .trigger(availableNow=True)
+        .start(str(dst_path))
+    )
+    q.awaitTermination(180)
+
+
+def test_batch_read_matches_snapshot(spark, tbl):
+    """Connector batch read == TransactionLog.snapshot on a table with
+    partition columns AND an active deletion vector."""
+    tbl.append(_df(spark, [(1, 10, "2024"), (2, 20, "2024"), (3, 30, "2025")]), ["year"])
+    tbl.append(_df(spark, [(4, 40, "2025")]))
+    tbl.delete_where(spark, "id = 2", mode="dv")
+    got = spark.read.format("lakehouse").load(str(tbl.table_path))
+    assert got.schema == tbl.snapshot(spark).schema
+    assert _rows(got) == _rows(tbl.snapshot(spark))
+    assert _rows(got) == [(1, 10, "2024"), (3, 30, "2025"), (4, 40, "2025")]
+
+
+def test_batch_time_travel_option(spark, tbl):
+    tbl.append(_df(spark, [(1, 10, "2024")]), ["year"])
+    tbl.overwrite(_df(spark, [(9, 90, "2025")]), ["year"])
+    v1 = spark.read.format("lakehouse").option("version", "1").load(str(tbl.table_path))
+    assert _rows(v1) == [(1, 10, "2024")]
+    latest = spark.read.format("lakehouse").load(str(tbl.table_path))
+    assert _rows(latest) == [(9, 90, "2025")]
+
+
+def test_batch_read_widened_history(spark, tbl):
+    """An int32 file committed before an int->long evolution reads
+    under the widened committed schema (the connector casts per file,
+    like the JVM path does under the log's schema authority)."""
+    ints = spark.createDataFrame([(1, 10, "2024")], "id int, v int, year string")
+    longs = spark.createDataFrame([(2, 20, "2024")], "id long, v long, year string")
+    tbl.append(ints, ["year"])
+    tbl.append(longs, evolve_schema=True)
+    got = spark.read.format("lakehouse").load(str(tbl.table_path))
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert _rows(got) == [(1, 10, "2024"), (2, 20, "2024")]
+
+
+def test_stream_exactly_once_across_restart(spark, tbl, tmp_path):
+    """Leg 1 delivers the table; a compaction plus a new append later,
+    leg 2 (same checkpoint) delivers ONLY the new append — Spark's
+    offset checkpoint + version-offset replay give exactly-once."""
+    dst = TransactionLog(tmp_path / "dst")
+    ck = tmp_path / "ck"
+    tbl.append(_df(spark, [(1, 10, "2024"), (2, 20, "2024")]), ["year"])
+    tbl.append(_df(spark, [(3, 30, "2025")]))
+    _run_to(spark, tbl.table_path, dst.table_path, ck)
+    assert _rows(dst.snapshot(spark)) == [(1, 10, "2024"), (2, 20, "2024"), (3, 30, "2025")]
+    assert [c.op for c in dst.history()] == ["append"]
+
+    tbl.compact(spark)  # dataChange: false — must not re-deliver
+    tbl.append(_df(spark, [(4, 40, "2025")]))
+    _run_to(spark, tbl.table_path, dst.table_path, ck)
+    assert _rows(dst.snapshot(spark)) == [
+        (1, 10, "2024"), (2, 20, "2024"), (3, 30, "2025"), (4, 40, "2025"),
+    ]
+    # one commit per leg; the compaction contributed zero rows/commits
+    assert [c.op for c in dst.history()] == ["append", "append"]
+
+
+def test_stream_raises_on_change_commit(spark, tbl, tmp_path):
+    """A merge/delete in the source range fails the stream loudly; the
+    skipChangeCommits opt-in skips it and keeps the feed append-only."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    dst = TransactionLog(tmp_path / "dst")
+    tbl.append(_df(spark, [(1, 10, "2024"), (2, 20, "2024")]), ["year"])
+    tbl.delete_where(spark, "id = 1", mode="cow")
+    with pytest.raises(StreamingQueryException, match="skipChangeCommits"):
+        _run_to(spark, tbl.table_path, dst.table_path, tmp_path / "ck1")
+    # opt-in: the delete commit is skipped; only the append's rows flow
+    _run_to(
+        spark, tbl.table_path, dst.table_path, tmp_path / "ck2",
+        skipChangeCommits="true",
+    )
+    assert _rows(dst.snapshot(spark)) == [(1, 10, "2024"), (2, 20, "2024")]
+
+
+def test_stream_starting_version(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, 10, "2024")]), ["year"])
+    tbl.append(_df(spark, [(2, 20, "2025")]))
+    dst = TransactionLog(tmp_path / "dst")
+    _run_to(
+        spark, tbl.table_path, dst.table_path, tmp_path / "ck",
+        startingVersion="1",
+    )
+    assert _rows(dst.snapshot(spark)) == [(2, 20, "2025")]
+
+
+def test_stream_sink_commit_shape(spark, tbl, tmp_path):
+    """The sink's commit is a real log commit: hive partition dirs,
+    per-file row counts, data-skipping stats — downstream snapshot(),
+    data skipping, and CDF-synthesized inserts all work on it."""
+    dst = TransactionLog(tmp_path / "dst")
+    tbl.append(_df(spark, [(1, 10, "2024"), (2, 20, "2025")]), ["year"])
+    _run_to(spark, tbl.table_path, dst.table_path, tmp_path / "ck")
+    st = dst._replay(dst.latest_version())
+    assert st["partition_keys"] == ["year"]
+    adds = list(st["files"].values())
+    assert {a["partition_values"]["year"] for a in adds} == {"2024", "2025"}
+    assert all(a["rows"] >= 1 and a["stats"] for a in adds)
+    # data skipping over the sink's committed stats
+    assert len(dst.matching_files("year = '2024'")) < len(adds) or len(adds) == 1
+    feed = dst.read_change_feed(spark, 0)
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+
+
+def test_stream_sink_idempotent_replay(spark, tbl, tmp_path):
+    """Replaying a (txnAppId, batchId) the log has already seen commits
+    nothing and sweeps the re-staged bytes (Delta idempotent writes)."""
+    dst = TransactionLog(tmp_path / "dst")
+    tbl.append(_df(spark, [(1, 10, "2024")]), ["year"])
+    _run_to(spark, tbl.table_path, dst.table_path, tmp_path / "ck")
+    v = dst.latest_version()
+    w = LakehouseStreamWriter(
+        str(dst.table_path), tbl.snapshot(spark).schema, [], "test-app"
+    )
+    # batchId 0 already committed by the leg above -> no-op
+    w.commit([LakehouseCommitMessage(adds=[])], batchId=0)
+    assert dst.latest_version() == v
+    # a NEW batchId commits
+    w.commit([LakehouseCommitMessage(adds=[])], batchId=1)
+    assert dst.latest_version() == v + 1
+
+
+def test_stream_sink_rejects_constrained_table(spark, tbl, tmp_path):
+    """CHECK constraints need batch-atomic enforcement the sink can't
+    provide without a session — refuse loudly instead of silently
+    skipping validation."""
+    dst = TransactionLog(tmp_path / "dst")
+    dst.append(_df(spark, [(1, 10, "2024")]), ["year"])
+    dst.add_check_constraint(spark, "pos_v", "v > 0")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        LakehouseStreamWriter(
+            str(dst.table_path), _df(spark, [(1, 10, "2024")]).schema, [], None
+        )
