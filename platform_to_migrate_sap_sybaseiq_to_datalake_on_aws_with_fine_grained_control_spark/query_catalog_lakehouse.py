@@ -573,3 +573,78 @@ def acid_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.compact(spark, target_files_per_partition=1)
     return after_dv.unionByName(io_row).unionByName(agg("after_compact"))
+
+
+@register(
+    "acid_connector_roundtrip_orders",
+    """
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 10 <> 0
+GROUP BY o_orderstatus
+""",
+    doc="Python Data Source batch read (sources/lakehouse_source.py, "
+    "the pyspark.sql.datasource connector): build a transactional "
+    "table — 'F' append partitioned by o_orderpriority, 'O' append, "
+    "then a merge-on-read DV DELETE of o_orderkey % 10 = 0 — and read "
+    "it back through spark.read.format('lakehouse'). Parity proves "
+    "the connector's whole per-file read path: log-driven planning "
+    "(one InputPartition per committed file, zero directory listing), "
+    "typed hive partition-value injection (o_orderpriority lives only "
+    "in dir names), and per-file deletion-vector row filtering — "
+    "against an oracle that never saw the log at all.",
+)
+def acid_connector_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.lakehouse_source import register_lakehouse_source
+
+    register_lakehouse_source(spark)
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-dsrc-") + "/orders")
+    t.append(_orders_cols(spark, sf_dir).filter("o_orderstatus = 'F'"),
+             ["o_orderpriority"])
+    t.append(_orders_cols(spark, sf_dir).filter("o_orderstatus = 'O'"))
+    t.delete_where(spark, "o_orderkey % 10 = 0", mode="dv")
+    return _status_agg(spark.read.format("lakehouse").load(str(t.table_path)))
+
+
+@register(
+    "acid_stream_feed_orders",
+    """
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+""",
+    doc="Exactly-once streaming feed between two transactional tables "
+    "through the Python Data Source connector: source log gets an 'F' "
+    "append, an 'O' append, and an OPTIMIZE (dataChange=false); an "
+    "availableNow readStream.format('lakehouse') with commit-version "
+    "offsets then drives writeStream.format('lakehouse') into a second "
+    "log, each micro-batch one atomic commit with (txnAppId, batchId) "
+    "idempotent replay. Parity of the DESTINATION snapshot against the "
+    "plain source slice proves the feed delivered every appended row "
+    "exactly once and the compaction re-delivered nothing.",
+)
+def acid_stream_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.lakehouse_source import register_lakehouse_source
+
+    register_lakehouse_source(spark)
+    root = tempfile.mkdtemp(prefix="acid-feed-")
+    src = TransactionLog(root + "/src")
+    src.append(_orders_cols(spark, sf_dir).filter("o_orderstatus = 'F'"),
+               ["o_orderpriority"])
+    src.append(_orders_cols(spark, sf_dir).filter("o_orderstatus = 'O'"))
+    src.compact(spark, target_files_per_partition=1)
+    dst = TransactionLog(root + "/dst")
+    q = (
+        spark.readStream.format("lakehouse").load(str(src.table_path))
+        .writeStream.format("lakehouse")
+        .option("checkpointLocation", root + "/ck")
+        .option("partitionKeys", "o_orderpriority")
+        .option("txnAppId", "acid-stream-feed")
+        .trigger(availableNow=True)
+        .start(str(dst.table_path))
+    )
+    q.awaitTermination(300)
+    return _status_agg(dst.snapshot(spark))

@@ -67,6 +67,10 @@ BNLJ_OK = {
 # whole algorithm; their join shapes are covered by the entries that
 # share their building blocks.
 SKIP_HEAVY_BUILD = {
+    # frame construction runs an availableNow streaming query; the
+    # returned frame is the same snapshot-agg shape the other acid
+    # entries already sweep
+    "acid_stream_feed_orders",
     "dedup_duplicate_clusters",
     "dedup_cluster_representatives",
     "ann_ivf_kmeans_topk",
