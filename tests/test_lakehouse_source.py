@@ -189,3 +189,30 @@ def test_stream_sink_rejects_constrained_table(spark, tbl, tmp_path):
         LakehouseStreamWriter(
             str(dst.table_path), _df(spark, [(1, 10, "2024")]).schema, [], None
         )
+
+
+def test_stream_restart_after_source_widening(spark, tbl, tmp_path):
+    """The classic production failure, on the connector surface: a
+    checkpointed stream stops, the source schema widens int->long, the
+    stream resumes.  The restarted query re-reads schema() (now the
+    widened committed schema), the old version offsets stay valid, the
+    pre-widening int32 files cast up per file, and the sink's log
+    carries the widened schema forward — end state matches batch."""
+    dst = TransactionLog(tmp_path / "dst")
+    ck = tmp_path / "ck"
+    ints = spark.createDataFrame([(1, 10, "2024")], "id int, v int, year string")
+    tbl.append(ints, ["year"])
+    _run_to(spark, tbl.table_path, dst.table_path, ck)
+    assert dict(dst.snapshot(spark).dtypes)["v"] == "int"
+
+    big = 1 << 40
+    longs = spark.createDataFrame(
+        [(2, big, "2025")], "id long, v long, year string"
+    )
+    tbl.append(longs, evolve_schema=True)
+    _run_to(spark, tbl.table_path, dst.table_path, ck)
+    out = dst.snapshot(spark)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert _rows(out) == [(1, 10, "2024"), (2, big, "2025")]
+    # exactly-once held through the restart: one commit per leg
+    assert [c.op for c in dst.history()] == ["append", "append"]
