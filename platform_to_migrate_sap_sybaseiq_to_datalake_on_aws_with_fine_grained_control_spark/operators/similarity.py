@@ -226,7 +226,7 @@ def lsh_multiprobe_topk(
     bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
     # norms once per side (see cosine_expr note): identical bits,
     # one fold per row instead of three per (candidate, query) pair
-    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
+    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col)))
     queries = (
         with_multiprobe_buckets(
             corpus.filter(F.col(id_col).isin(query_ids)), vec_col, hp, nprobe_bits
@@ -235,7 +235,7 @@ def lsh_multiprobe_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.explode("probes").alias("bucket"),
-            F.expr(norm_expr(vec_col, dims)).alias("_qn"),
+            F.expr(norm_expr(vec_col)).alias("_qn"),
         )
     )
     scored = (
@@ -243,7 +243,7 @@ def lsh_multiprobe_topk(
         .join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)")
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
         )
     )
     scored = scored.withColumn(
@@ -298,15 +298,15 @@ def brute_force_topk(
     queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(norm_expr(vec_col, dims)).alias("_qn"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
     )
     scored = (
         corpus.alias("c")
-        .withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
+        .withColumn("_vn", F.expr(norm_expr(vec_col)))
         .crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)")
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
         )
     )
     scored = scored.withColumn(
@@ -353,7 +353,7 @@ def lsh_bucket_topk(
     query_ids = query_ids or [0, 1, 2]
     hp = hyperplanes(planes, dims)
     bucketed = corpus.withColumn("bucket", F.expr(bucket_expr(vec_col, hp)))
-    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
+    bucketed = bucketed.withColumn("_vn", F.expr(norm_expr(vec_col)))
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -365,7 +365,7 @@ def lsh_bucket_topk(
         .join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)")
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
         )
     )
     # same two-phase top-k as brute_force_topk: a bucket is N/2^planes
@@ -424,7 +424,7 @@ def embedding_neardup_pairs(
         F.expr(bucket_expr(vec_col, hp)).alias("bucket"),
         # norm once per vector, not once per candidate pair (identical
         # bits — see cosine_expr)
-        F.expr(norm_expr(vec_col, dims)).alias("_n"),
+        F.expr(norm_expr(vec_col)).alias("_n"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -434,7 +434,7 @@ def embedding_neardup_pairs(
         .withColumn(
             "cos_full",
             F.expr(
-                f"({dot_expr(f'a.{vec_col}', f'b.{vec_col}', dims)}) / (a._n * b._n)"
+                f"({dot_expr(f'a.{vec_col}', f'b.{vec_col}')}) / (a._n * b._n)"
             ),
         )
         .filter(F.col("cos_full") >= threshold)
@@ -526,7 +526,7 @@ def embedding_neardup_pairs_banded(
     withv = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.expr(norm_expr(vec_col, dims)).alias("_n"),
+        F.expr(norm_expr(vec_col)).alias("_n"),
     )
     va = withv.select(
         F.col(id_col).alias("id_a"),
@@ -542,7 +542,7 @@ def embedding_neardup_pairs_banded(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cos_full", F.expr(f"({dot_expr('_va', '_vb', dims)}) / (_na * _nb)")
+            "cos_full", F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)")
         )
         .filter(F.col("cos_full") >= threshold)
         .select("id_a", "id_b", F.round("cos_full", 6).alias("cos_sim"))
@@ -652,7 +652,7 @@ def kmeans_centroids(
     # corpus-side norms once, not once per (vector, centroid, iteration):
     # cos = dot/(_vn*_cn) is bit-identical to the inline cosine_expr
     # (same sqrt(dot) subexpressions) at a third of the fold work.
-    base = base.withColumn("_vn", F.expr(norm_expr("_v", dims)))
+    base = base.withColumn("_vn", F.expr(norm_expr("_v")))
     seeds = (
         base.select(
             "_id", "_v", F.md5(F.col("_id").cast("string")).alias("_seed")
@@ -673,12 +673,12 @@ def kmeans_centroids(
             (F.col("_rn") - 1).cast("int").alias("cid"),
             F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("centroid"),
         )
-        .withColumn("_cn", F.expr(norm_expr("centroid", dims)))
+        .withColumn("_cn", F.expr(norm_expr("centroid")))
         .localCheckpoint()
     )
     for _ in range(iters):
         scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", F.expr(f"({dot_expr('_v', 'centroid', dims)}) / (_vn * _cn)")
+            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
         )
         ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
         assigned = (
@@ -700,7 +700,7 @@ def kmeans_centroids(
         cents = (
             cents.join(new_cents, "cid", "left")
             .select("cid", F.coalesce("_new", "centroid").alias("centroid"))
-            .withColumn("_cn", F.expr(norm_expr("centroid", dims)))
+            .withColumn("_cn", F.expr(norm_expr("centroid")))
             .localCheckpoint()
         )
     return cents.drop("_cn")
@@ -741,15 +741,15 @@ def ivf_topk(
     # centroid norms once per codebook row, vector norms once per
     # corpus row: cos = dot/(_vn*_cn) reuses cosine_expr's exact
     # sqrt(dot) subexpressions — identical bits, a third of the folds.
-    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid", dims))))
+    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
         scored = (
-            df.withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
+            df.withColumn("_vn", F.expr(norm_expr(vec_col)))
             .crossJoin(cents)
             .withColumn(
                 "cos_c",
-                F.expr(f"({dot_expr(vec_col, 'centroid', dims)}) / (_vn * _cn)"),
+                F.expr(f"({dot_expr(vec_col, 'centroid')}) / (_vn * _cn)"),
             )
         )
         if keep == 1:
@@ -791,19 +791,19 @@ def ivf_topk(
     # candidate re-rank reuses the same precomputed-norm identity:
     # each corpus vector's norm once (not once per probing query), each
     # query's norm once (not once per candidate)
-    lists = assign(base, 1).withColumn("_vn", F.expr(norm_expr(vec_col, dims)))
+    lists = assign(base, 1).withColumn("_vn", F.expr(norm_expr(vec_col)))
     probes = assign(base.filter(F.col(id_col).isin(query_ids)), nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "list_label",
-        F.expr(norm_expr(vec_col, dims)).alias("_qn"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
     )
     scored = (
         lists.join(F.broadcast(probes), "list_label")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cos_full",
-            F.expr(f"({dot_expr('qvec', vec_col, dims)}) / (_qn * _vn)"),
+            F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)"),
         )
     )
     # two-phase top-k (see brute_force_topk): probed lists are

@@ -52,8 +52,8 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -256,12 +256,14 @@ class LakehouseCommitMessage(WriterCommitMessage):
     adds: list = field(default_factory=list)
 
 
-class LakehouseStreamWriter(DataSourceStreamWriter):
+class LakehouseStreamWriter(DataSourceStreamArrowWriter):
     """Each micro-batch = ONE atomic append commit.
 
-    Executors write uuid-named parquet files directly under the table
-    dir (invisible until a commit references them — the log's staging
-    rule) and report their add-entries, complete with footer row
+    Executors receive Arrow record batches directly (the
+    ``DataSourceStreamArrowWriter`` fast path — no per-row Python
+    objects), write uuid-named parquet files under the table dir
+    (invisible until a commit references them — the log's staging
+    rule), and report their add-entries, complete with footer row
     counts and data-skipping stats, in the commit message.  The
     driver-side ``commit(messages, batchId)`` folds them into a
     single log commit; with ``txnAppId`` the (appId, batchId) pair is
@@ -314,15 +316,15 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = list(iterator)
-        if not rows:
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
             return LakehouseCommitMessage(adds=[])
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.write_schema)
-        table = pa.Table.from_pylist(
-            [r.asDict() for r in rows], schema=target
-        )
+        # Spark hands Arrow batches in its own arrow typing; align to
+        # the schema the commit will declare (names + widen-only casts)
+        table = pa.Table.from_batches(batches).select(target.names).cast(target)
         tp = Path(self.path)
         adds: list[dict] = []
 
