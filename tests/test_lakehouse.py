@@ -774,3 +774,28 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             assert got == set(snap.items()), f"time travel to v{v}"
 
     run()
+
+
+def test_concurrent_blind_appends_all_land(spark, tbl):
+    """16 writer threads blind-appending simultaneously: every commit
+    must land under a distinct version (create-if-absent + retry), no
+    append may be lost or duplicated, and the final snapshot is the
+    union of all writers' rows.  This is the multi-writer story a
+    shared lake lives on — os.link create-if-absent arbitrates exactly
+    like a conditional PUT would on an object store."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tbl.append(_df(spark, [(0, "seed", "2024")]), ["year"])
+    frames = [
+        _df(spark, [(i, f"w{i}", "2024")]) for i in range(1, 17)
+    ]  # build frames up front: the race should be in the COMMIT path
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        versions = list(pool.map(lambda df: tbl.append(df), frames))
+
+    assert sorted(versions) == list(range(2, 18)), "versions must be gapless"
+    assert tbl.latest_version() == 17
+    assert _ids(tbl.snapshot(spark)) == list(range(17))
+    # every version replays: no torn intermediate state anywhere
+    for v in range(1, 18):
+        assert len(tbl._replay(v)["files"]) >= 1
