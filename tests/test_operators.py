@@ -2868,3 +2868,32 @@ def test_edit_distance_midrange_tau_differential(spark):
             f"tau={tau}: missing={sorted(want - got)[:5]} "
             f"extra={sorted(got - want)[:5]}"
         )
+
+
+def test_lsh_signature_udf_matches_sql_fold(spark):
+    """The vectorized signature UDF must be BIT-identical to the SQL
+    fold bucket_expr on real embeddings — the sequential-dimension
+    accumulation reproduces the fold's left-to-right IEEE order, so
+    no near-zero sign may flip (the failure mode that rejected plain
+    numpy matmul for cosine parity)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        bucket_expr,
+        hyperplanes,
+        lsh_signature_udf,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hp = hyperplanes(64, 64)
+    both = df.select(
+        "vec_id",
+        F.expr(bucket_expr("embedding", hp)).alias("sql_sig"),
+        lsh_signature_udf(hp)(F.col("embedding")).alias("udf_sig"),
+    )
+    bad = both.filter(F.col("sql_sig") != F.col("udf_sig")).count()
+    assert bad == 0
+    # null embeddings come back null, not garbage
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id int, embedding array<float>"
+    ).select(lsh_signature_udf(hp)(F.col("embedding")).alias("s"))
+    assert nulls.collect()[0].s is None
