@@ -378,10 +378,17 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
     def _already_committed(self, log: TransactionLog, batch_id: int) -> bool:
         if self.txn_app_id is None:
             return False
+        # in-instance cache: the writer lives for the whole query run,
+        # so after the first commit only the counter is consulted — the
+        # backward log scan happens once per (re)start, not per batch
+        last = getattr(self, "_last_txn_batch", None)
+        if last is not None:
+            return last >= batch_id
         for v in range(log.latest_version(), 0, -1):
             rec = log._read_commit(v)
             txn = rec.get("streamTxn")
             if txn and txn["appId"] == self.txn_app_id:
+                self._last_txn_batch = txn["batchId"]
                 return txn["batchId"] >= batch_id
         return False
 
@@ -411,6 +418,8 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             return r
 
         log._commit_with_retry(rec, read_version=None)
+        if self.txn_app_id is not None:
+            self._last_txn_batch = batchId
 
     def abort(self, messages, batchId: int) -> None:
         tp = Path(self.path)
