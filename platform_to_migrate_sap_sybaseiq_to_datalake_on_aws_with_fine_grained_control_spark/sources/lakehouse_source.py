@@ -129,6 +129,50 @@ class LakehouseFilePartition(InputPartition):
     abs_path: str
     partition_values: dict = field(default_factory=dict)
     deleted_rows: list = field(default_factory=list)
+    # change-feed fields: commit version the file belongs to, and
+    # whether it is a _cdf sidecar (carries its own _change_type) or a
+    # data file to synthesize "insert" rows from
+    commit_version: int = 0
+    is_cdf: bool = False
+
+
+def _feed_batches(partition: "LakehouseFilePartition", schema: StructType):
+    """Change-feed read of one partition: table columns aligned to the
+    stream's (feed-less) base schema, ``_change_type`` taken from the
+    ``_cdf`` sidecar or synthesized as ``insert`` for an append's data
+    file, ``_commit_version`` stamped from the commit."""
+    import pyarrow as pa
+
+    base = StructType(schema.fields[:-2])  # strip the two feed columns
+    if partition.is_cdf:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        raw = pq.read_table(partition.abs_path)
+        target = to_arrow_schema(base)
+        cols = [raw.column(f.name).cast(f.type) for f in target]
+        ct = raw.column("_change_type").cast(pa.string())
+        src = pa.table(
+            cols + [ct], schema=target.append(pa.field("_change_type", pa.string()))
+        )
+        batches = src.to_batches()
+    else:
+        batches = (
+            b.append_column(
+                "_change_type", pa.array(["insert"] * b.num_rows, pa.string())
+            )
+            for b in _file_to_batches(
+                partition.abs_path,
+                partition.partition_values,
+                partition.deleted_rows,
+                base,
+            )
+        )
+    for b in batches:
+        yield b.append_column(
+            "_commit_version",
+            pa.array([partition.commit_version] * b.num_rows, pa.int64()),
+        )
 
 
 def _dv_positions_by_file(table_path: Path, dvs: list[dict]) -> dict[str, list[int]]:
@@ -199,11 +243,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: int,
         skip_change_commits: bool,
+        read_change_feed: bool = False,
     ):
         self.path = path
         self.schema = schema
         self.starting_version = starting_version
         self.skip_change_commits = skip_change_commits
+        self.read_change_feed = read_change_feed
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -218,7 +264,30 @@ class LakehouseStreamReader(DataSourceStreamReader):
             rec = log._read_commit(v)
             if not rec.get("dataChange", True):
                 continue  # compaction: rewrite, not a change
-            if rec.get("op") != "append" or rec.get("remove") or rec.get("dv"):
+            if self.read_change_feed:
+                # CDF mode: merge/delete are representable (their _cdf
+                # sidecars ARE the row-level delta); only full
+                # refreshes/rewinds are not
+                if rec.get("op") in ("overwrite", "restore"):
+                    if self.skip_change_commits:
+                        continue
+                    raise ValueError(
+                        f"change-feed stream of {self.path} hit a "
+                        f"{rec['op']!r} at version {v} (full refresh, "
+                        "not a delta) — restart from a fresh snapshot "
+                        "or set skipChangeCommits=true"
+                    )
+                if rec.get("cdf") is not None:
+                    for c in rec["cdf"]:
+                        parts.append(
+                            LakehouseFilePartition(
+                                abs_path=str(log.table_path / c["path"]),
+                                commit_version=v,
+                                is_cdf=True,
+                            )
+                        )
+                    continue
+            elif rec.get("op") != "append" or rec.get("remove") or rec.get("dv"):
                 if self.skip_change_commits:
                     continue
                 raise ValueError(
@@ -232,17 +301,21 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     LakehouseFilePartition(
                         abs_path=str(log.table_path / a["path"]),
                         partition_values=a.get("partition_values") or {},
+                        commit_version=v,
                     )
                 )
         return parts
 
     def read(self, partition: LakehouseFilePartition):
-        yield from _file_to_batches(
-            partition.abs_path,
-            partition.partition_values,
-            partition.deleted_rows,
-            self.schema,
-        )
+        if self.read_change_feed:
+            yield from _feed_batches(partition, self.schema)
+        else:
+            yield from _file_to_batches(
+                partition.abs_path,
+                partition.partition_values,
+                partition.deleted_rows,
+                self.schema,
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; the log needs nothing
@@ -439,8 +512,12 @@ class LakehouseDataSource(DataSource):
     (batch time travel), ``startingVersion`` (stream: first delivered
     commit is startingVersion+1; default 0 = the whole table as the
     initial batch), ``skipChangeCommits`` (stream read: skip
-    non-append data changes instead of raising), ``partitionKeys``
-    (stream write, comma-separated), ``txnAppId`` (stream write:
+    unrepresentable data changes instead of raising),
+    ``readChangeFeed`` (stream read: deliver the row-level change feed
+    — table schema + ``_change_type`` + ``_commit_version``; merge and
+    delete commits stream their ``_cdf`` sidecars, appends synthesize
+    inserts, only overwrite/restore raise), ``partitionKeys`` (stream
+    write, comma-separated), ``txnAppId`` (stream write:
     idempotent-commit identity)."""
 
     @classmethod
@@ -453,15 +530,28 @@ class LakehouseDataSource(DataSource):
             raise ValueError("lakehouse source requires a path")
         return p
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "")).lower() == "true"
+
     def schema(self) -> StructType:
         log = TransactionLog(self._path())
         v = int(self.options.get("version") or log.latest_version())
         state = log._replay(v)
         if state["schema"] is None:
             raise ValueError(f"{self._path()} has no commits yet")
-        return StructType.fromJson(state["schema"])
+        s = StructType.fromJson(state["schema"])
+        if self._cdf():
+            s = s.add("_change_type", "string", False).add(
+                "_commit_version", "long", False
+            )
+        return s
 
     def reader(self, schema: StructType) -> LakehouseBatchReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a streaming option; for a batch feed "
+                "use TransactionLog.read_change_feed (JVM scan)"
+            )
         v = self.options.get("version")
         return LakehouseBatchReader(self._path(), schema, int(v) if v else None)
 
@@ -471,6 +561,7 @@ class LakehouseDataSource(DataSource):
             schema,
             int(self.options.get("startingversion") or 0),
             str(self.options.get("skipchangecommits", "")).lower() == "true",
+            read_change_feed=self._cdf(),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -216,3 +216,70 @@ def test_stream_restart_after_source_widening(spark, tbl, tmp_path):
     assert _rows(out) == [(1, 10, "2024"), (2, big, "2025")]
     # exactly-once held through the restart: one commit per leg
     assert [c.op for c in dst.history()] == ["append", "append"]
+
+
+def test_stream_change_feed_matches_batch_feed(spark, tbl, tmp_path):
+    """readChangeFeed=true streams the row-level CDF: appends become
+    insert rows, a merge streams its update_preimage/postimage/insert
+    sidecar, a DV delete streams delete rows — altogether equal to the
+    batch read_change_feed over the same range, delivered exactly once
+    across a checkpoint restart."""
+    tbl.append(_df(spark, [(1, 10, "2024"), (2, 20, "2025")]), ["year"])
+    tbl.merge_upsert(_df(spark, [(2, 21, "2025"), (3, 30, "2025")]), ["id"])
+    tbl.delete_where(spark, "id = 1", mode="dv")
+
+    out = tmp_path / "feed"
+    ck = tmp_path / "ck"
+
+    def leg():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("readChangeFeed", "true")
+            .load(str(tbl.table_path))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    leg()
+
+    def feed_rows(df):
+        return sorted(
+            (r.id, r.v, r.year, r._change_type, r._commit_version)
+            for r in df.collect()
+        )
+
+    got = feed_rows(spark.read.parquet(str(out)))
+    want = feed_rows(tbl.read_change_feed(spark, 0))
+    assert got == want
+    assert {r[3] for r in got} == {
+        "insert", "update_preimage", "update_postimage", "delete",
+    }
+
+    # restart: only the NEW commit's feed rows arrive
+    tbl.append(_df(spark, [(9, 90, "2024")]))
+    leg()
+    got2 = feed_rows(spark.read.parquet(str(out)))
+    assert got2 == feed_rows(tbl.read_change_feed(spark, 0))
+    assert len(got2) == len(got) + 1
+
+
+def test_stream_change_feed_raises_on_overwrite(spark, tbl, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    tbl.append(_df(spark, [(1, 10, "2024")]), ["year"])
+    tbl.overwrite(_df(spark, [(2, 20, "2024")]), ["year"])
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .load(str(tbl.table_path))
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="full refresh"):
+        q.awaitTermination(180)
