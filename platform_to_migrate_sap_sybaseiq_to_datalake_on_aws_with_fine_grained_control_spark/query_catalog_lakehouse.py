@@ -648,3 +648,65 @@ def acid_stream_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return _status_agg(dst.snapshot(spark))
+
+
+@register(
+    "acid_stream_cdf_orders",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+upd AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+post AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                round(p + 10.0, 2) AS p FROM upd),
+merged AS (SELECT * FROM post
+           UNION ALL SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+del AS (SELECT * FROM merged WHERE o_orderkey % 7 = 0)
+SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(p), 2) AS total_price FROM base
+UNION ALL SELECT 'update_preimage', count(*), round(sum(p), 2) FROM upd
+UNION ALL SELECT 'update_postimage', count(*), round(sum(p), 2) FROM post
+UNION ALL SELECT 'delete', count(*), round(sum(p), 2) FROM del
+""",
+    doc="STREAMING row-level change feed through the Python Data "
+    "Source connector (readChangeFeed=true): same table history as "
+    "acid_change_feed_orders — append 'F' orders, MERGE a +10.00 "
+    "restatement of key % 3 == 0, merge-on-read DV DELETE of "
+    "key % 7 == 0 — but the feed is DELIVERED by an availableNow "
+    "readStream with commit-version offsets into a parquet sink, then "
+    "aggregated per _change_type. Parity against the same source-"
+    "algebra oracle proves the streamed sidecars/synthesized inserts "
+    "carry exactly the batch feed's rows — the O(delta) downstream-"
+    "maintenance contract as a live stream instead of a poll.",
+)
+def acid_stream_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.lakehouse_source import register_lakehouse_source
+
+    register_lakehouse_source(spark)
+    root = tempfile.mkdtemp(prefix="acid-scdf-")
+    t = TransactionLog(root + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    src = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("p", F.round(F.col("p") + 10.0, 2))
+    )
+    t.merge_upsert(src, ["o_orderkey"])
+    t.delete_where(spark, "o_orderkey % 7 = 0", mode="dv")
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .load(str(t.table_path))
+        .writeStream.format("parquet")
+        .option("path", root + "/feed")
+        .option("checkpointLocation", root + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(root + "/feed").groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )

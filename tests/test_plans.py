@@ -71,6 +71,7 @@ SKIP_HEAVY_BUILD = {
     # returned frame is the same snapshot-agg shape the other acid
     # entries already sweep
     "acid_stream_feed_orders",
+    "acid_stream_cdf_orders",
     "dedup_duplicate_clusters",
     "dedup_cluster_representatives",
     "ann_ivf_kmeans_topk",
