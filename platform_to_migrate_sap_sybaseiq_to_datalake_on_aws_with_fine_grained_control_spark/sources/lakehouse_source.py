@@ -66,6 +66,20 @@ from ..lakehouse import (
 )
 
 
+# Hive escapePathName's character set: partition VALUES containing
+# these must be %XX-escaped in dir names or the layout corrupts (a
+# literal '/' would nest directories; '=' would split the kv pair).
+# Spark's own writer escapes them; the stream writer must match so its
+# dirs parse identically on read.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _hive_escape(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in value
+    )
+
+
 # ---- partition-value coercion (hive dir string -> typed value) ----------
 
 
@@ -406,7 +420,9 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             for k in self.partition_keys:
                 v = part_vals[k]
                 rel_dir = rel_dir / (
-                    f"{k}={v}" if v is not None else f"{k}=__HIVE_DEFAULT_PARTITION__"
+                    f"{k}={_hive_escape(str(v))}"
+                    if v is not None
+                    else f"{k}=__HIVE_DEFAULT_PARTITION__"
                 )
             rel = rel_dir / f"{uuid.uuid4().hex[:12]}-stream.parquet"
             dest = tp / rel

@@ -283,3 +283,24 @@ def test_stream_change_feed_raises_on_overwrite(spark, tbl, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="full refresh"):
         q.awaitTermination(180)
+
+
+def test_stream_sink_escapes_partition_values(spark, tbl, tmp_path):
+    """Partition values containing hive-special characters ('=', '/',
+    ':') must be %XX-escaped in the sink's dir names — a literal '/'
+    would nest directories and corrupt the layout — and must round-trip
+    exactly through a snapshot read."""
+    dst = TransactionLog(tmp_path / "dst")
+    tbl.append(
+        _df(spark, [(1, 10, "a=b"), (2, 20, "c/d"), (3, 30, "e:f")]), ["year"]
+    )
+    _run_to(spark, tbl.table_path, dst.table_path, tmp_path / "ck")
+    assert _rows(dst.snapshot(spark)) == [
+        (1, 10, "a=b"), (2, 20, "c/d"), (3, 30, "e:f"),
+    ]
+    st = dst._replay(dst.latest_version())
+    assert {a["partition_values"]["year"] for a in st["files"].values()} == {
+        "a=b", "c/d", "e:f",
+    }
+    # no directory nesting leaked from the '/'
+    assert not (dst.table_path / "year=c").exists()
