@@ -549,10 +549,23 @@ class LakehouseDataSource(DataSource):
     def _cdf(self) -> bool:
         return str(self.options.get("readchangefeed", "")).lower() == "true"
 
+    def _pinned_version(self) -> int:
+        """Resolve 'latest' ONCE per DataSource instance: schema() and
+        the batch reader's partitions() must describe the SAME version,
+        or a commit landing between the two calls would hand new files
+        to an old schema."""
+        v = getattr(self, "_resolved_version", None)
+        if v is None:
+            v = int(
+                self.options.get("version")
+                or TransactionLog(self._path()).latest_version()
+            )
+            self._resolved_version = v
+        return v
+
     def schema(self) -> StructType:
         log = TransactionLog(self._path())
-        v = int(self.options.get("version") or log.latest_version())
-        state = log._replay(v)
+        state = log._replay(self._pinned_version())
         if state["schema"] is None:
             raise ValueError(f"{self._path()} has no commits yet")
         s = StructType.fromJson(state["schema"])
@@ -568,8 +581,7 @@ class LakehouseDataSource(DataSource):
                 "readChangeFeed is a streaming option; for a batch feed "
                 "use TransactionLog.read_change_feed (JVM scan)"
             )
-        v = self.options.get("version")
-        return LakehouseBatchReader(self._path(), schema, int(v) if v else None)
+        return LakehouseBatchReader(self._path(), schema, self._pinned_version())
 
     def streamReader(self, schema: StructType) -> LakehouseStreamReader:
         return LakehouseStreamReader(
