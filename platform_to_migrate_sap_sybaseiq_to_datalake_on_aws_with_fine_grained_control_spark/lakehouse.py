@@ -692,12 +692,18 @@ class TransactionLog:
     @staticmethod
     def _surviving_dvs(state: dict, removed: list[str]) -> list[dict]:
         """DV entries still relevant after ``removed`` files die: an
-        entry survives while ANY file it covers stays live."""
+        entry survives while ANY file it covers stays LIVE — checked
+        against the live set minus the removes, not merely the remove
+        list, or a vector whose covered files died in EARLIER commits
+        would survive forever."""
         removed_bn = {r.rsplit("/", 1)[-1] for r in removed}
+        live_bn = {
+            r.rsplit("/", 1)[-1] for r in state["files"]
+        } - removed_bn
         return [
             d
             for d in state.get("dvs") or []
-            if any(b not in removed_bn for b in d.get("files", []))
+            if any(b in live_bn for b in d.get("files", []))
         ]
 
     def _commit_with_retry(
@@ -1247,10 +1253,25 @@ class TransactionLog:
         target_files_per_partition: int = 1,
         zorder_by: tuple[str, str] | None = None,
         zorder_bits: int = 16,
+        where: str | None = None,
+        min_files: int | None = None,
     ) -> int:
         """OPTIMIZE as a log commit: rewrite the live file set
         compacted (optionally z-ordered), commit add+remove with
         ``dataChange: false`` in ONE atomic step.
+
+        ``where`` scopes the rewrite (``OPTIMIZE ... WHERE``): only
+        files whose partition values / committed stats can match are
+        rewritten — selection is at FILE granularity, and selected
+        files are rewritten whole (rows in them that don't match the
+        predicate are preserved, so the scope is an optimization hint,
+        never a row filter).  ``min_files`` rewrites only partition
+        dirs holding MORE than that many live files — the incremental
+        small-file policy: at 100 TB an OPTIMIZE that touches the whole
+        table is not an operation, only the hot partitions are.
+        Deletion vectors covering surviving files stay active (their
+        rows for rewritten files point at dead basenames and match
+        nothing); vectors whose covered files all died are dropped.
 
         Unlike ``operators.maintenance.compact_partitions`` (the
         raw-parquet stage-and-swap with a documented FileNotFound race
@@ -1260,10 +1281,23 @@ class TransactionLog:
 
         read_v = self.latest_version()
         state = self._replay(read_v)
-        if not state["files"]:
+        files = state["files"]
+        if where is not None:
+            files = _prune_files(files, where)
+        if min_files is not None:
+            by_dir: dict[str, list[str]] = {}
+            for rel in files:
+                by_dir.setdefault(rel.rsplit("/", 1)[0] if "/" in rel else "", []).append(rel)
+            files = {
+                rel: files[rel]
+                for rels in by_dir.values()
+                if len(rels) > min_files
+                for rel in rels
+            }
+        if not files:
             raise ValueError(f"nothing to compact at {self.table_path}")
         keys = state["partition_keys"]
-        df = self._read_files(spark, state)
+        df = self._read_files(spark, dict(state, files=files))
         if zorder_by is not None:
             from .operators.layout import zorder_key
 
@@ -1295,6 +1329,7 @@ class TransactionLog:
                 .drop("_salt")
             )
         adds = self._stage_files(laid_out, keys)
+        removes = sorted(files)
         v = self.latest_version() + 1
         if v != read_v + 1:
             raise ConcurrentCommitError(
@@ -1312,10 +1347,12 @@ class TransactionLog:
                 "schema": state["schema"],
                 "partition_keys": keys,
                 "add": adds,
-                "remove": sorted(state["files"]),
+                "remove": removes,
                 # the rewrite read THROUGH the deletion vectors, so the
-                # logical deletions are now physical — drop the vectors
-                "dvs": [],
+                # logical deletions of the rewritten files are now
+                # physical; vectors still covering surviving files stay
+                # active (a full compact drops them all)
+                "dvs": self._surviving_dvs(state, removes),
             },
         )
         return v

@@ -799,3 +799,62 @@ def test_concurrent_blind_appends_all_land(spark, tbl):
     # every version replays: no torn intermediate state anywhere
     for v in range(1, 18):
         assert len(tbl._replay(v)["files"]) >= 1
+
+
+def test_partial_compact_where_scopes_rewrite(spark, tbl):
+    """OPTIMIZE ... WHERE rewrites ONLY matching partition dirs: the
+    other partition's file list is untouched (same rel paths), total
+    rows are identical, and the dataChange=false commit delivers
+    nothing to incremental readers."""
+    for i in range(3):  # 3 small files per partition
+        tbl.append(_df(spark, [(i * 2, "a", "2024"), (i * 2 + 1, "b", "2025")]),
+                   ["year"])
+    before = tbl._replay(tbl.latest_version())["files"]
+    f24 = {r for r in before if r.startswith("year=2024")}
+    f25 = {r for r in before if r.startswith("year=2025")}
+    assert len(f24) == 3 and len(f25) == 3
+
+    v = tbl.compact(spark, where="year = '2024'")
+    after = tbl._replay(v)["files"]
+    assert {r for r in after if r.startswith("year=2025")} == f25
+    assert len({r for r in after if r.startswith("year=2024")}) == 1
+    assert _ids(tbl.snapshot(spark)) == list(range(6))
+    assert tbl.read_changes(spark, v - 1, v).count() == 0
+
+
+def test_partial_compact_min_files_policy(spark, tbl):
+    """min_files only rewrites partition dirs holding more live files
+    than the threshold — the incremental small-file policy."""
+    for i in range(3):
+        tbl.append(_df(spark, [(i, "a", "2024")]), ["year"])
+    tbl.append(_df(spark, [(9, "b", "2025")]))
+    before = tbl._replay(tbl.latest_version())["files"]
+    f25 = {r for r in before if r.startswith("year=2025")}
+
+    tbl.compact(spark, min_files=2)
+    after = tbl._replay(tbl.latest_version())["files"]
+    assert {r for r in after if r.startswith("year=2025")} == f25
+    assert len({r for r in after if r.startswith("year=2024")}) == 1
+    assert _ids(tbl.snapshot(spark)) == [0, 1, 2, 9]
+    with pytest.raises(ValueError, match="nothing to compact"):
+        tbl.compact(spark, min_files=2)  # everything already at 1 file
+
+
+def test_partial_compact_keeps_surviving_deletion_vectors(spark, tbl):
+    """A DV spanning both partitions: partial compact of one partition
+    materializes its deletions and keeps the vector active for the
+    untouched partition's rows."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024"),
+                           (3, "c", "2025"), (4, "d", "2025")]), ["year"])
+    tbl.append(_df(spark, [(5, "e", "2024")]))
+    tbl.delete_where(spark, "id IN (2, 4)", mode="dv")
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 5]
+
+    v = tbl.compact(spark, where="year = '2024'")
+    st = tbl._replay(v)
+    assert st["dvs"], "vector covering the untouched partition must survive"
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 5]
+    # 2024 deletions are physical now: full compact afterwards drops all
+    tbl.compact(spark)
+    assert tbl._replay(tbl.latest_version())["dvs"] == []
+    assert _ids(tbl.snapshot(spark)) == [1, 3, 5]
