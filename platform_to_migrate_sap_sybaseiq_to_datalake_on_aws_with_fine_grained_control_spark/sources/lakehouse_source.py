@@ -364,9 +364,11 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         schema: StructType,
         partition_keys: list[str],
         txn_app_id: str | None,
+        merge_schema: bool = False,
     ):
         self.path = path
         self.write_schema = schema
+        self.commit_schema = schema  # may widen under mergeSchema
         self.partition_keys = partition_keys
         self.txn_app_id = txn_app_id
         log = TransactionLog(path)
@@ -380,12 +382,21 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             )
         if state["schema"] is not None:
             existing = StructType.fromJson(state["schema"])
-            if [f.name.lower() for f in schema.fields] != [
+            if merge_schema:
+                # column-add / widen-only evolution: staged files keep
+                # the STREAM's schema, the commit declares the widened
+                # union — old files read null-filled/cast-up under it
+                # (the same versioned-schema-authority rule appends use)
+                from ..operators.schema_evolution import merge_schemas
+
+                self.commit_schema = merge_schemas([existing, schema])
+            elif [f.name.lower() for f in schema.fields] != [
                 f.name.lower() for f in existing.fields
             ]:
                 raise ValueError(
                     "stream schema drift: "
-                    f"{schema.simpleString()} vs {existing.simpleString()}"
+                    f"{schema.simpleString()} vs {existing.simpleString()} "
+                    "(set mergeSchema=true for widen-only evolution)"
                 )
             if state["partition_keys"] and partition_keys not in (
                 [],
@@ -488,7 +499,7 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             for a in adds:  # replayed batch: drop the re-staged bytes
                 (log.table_path / a["path"]).unlink(missing_ok=True)
             return
-        schema_json = self.write_schema.jsonValue()
+        schema_json = self.commit_schema.jsonValue()
 
         def rec(v: int) -> dict:
             r = {
@@ -604,7 +615,12 @@ class LakehouseDataSource(DataSource):
             if k.strip()
         ]
         return LakehouseStreamWriter(
-            self._path(), schema, keys, self.options.get("txnappid")
+            self._path(),
+            schema,
+            keys,
+            self.options.get("txnappid"),
+            merge_schema=str(self.options.get("mergeschema", "")).lower()
+            == "true",
         )
 
 

@@ -304,3 +304,39 @@ def test_stream_sink_escapes_partition_values(spark, tbl, tmp_path):
     }
     # no directory nesting leaked from the '/'
     assert not (dst.table_path / "year=c").exists()
+
+
+def test_stream_sink_merge_schema_column_add(spark, tbl, tmp_path):
+    """mergeSchema=true lets a stream append a NEW column to an
+    existing table: the commit declares the widened union, old files
+    read null-filled under it, new rows carry their values."""
+    dst = TransactionLog(tmp_path / "dst")
+    dst.append(_df(spark, [(1, 10, "2024")]), ["year"])
+
+    tbl.append(
+        spark.createDataFrame(
+            [(2, 20, "2025", "x")], "id long, v long, year string, extra string"
+        ),
+        ["year"],
+    )
+    q = (
+        spark.readStream.format("lakehouse").load(str(tbl.table_path))
+        .writeStream.format("lakehouse")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("mergeSchema", "true")
+        .trigger(availableNow=True)
+        .start(str(dst.table_path))
+    )
+    q.awaitTermination(180)
+    out = dst.snapshot(spark)
+    assert "extra" in out.columns
+    got = sorted((r.id, r.v, r.year, r.extra) for r in out.collect())
+    assert got == [(1, 10, "2024", None), (2, 20, "2025", "x")]
+    # without the option the same drift still refuses loudly
+    with pytest.raises(ValueError, match="mergeSchema"):
+        LakehouseStreamWriter(
+            str(dst.table_path),
+            _df(spark, [(1, 1, "y")]).select("id", "v").schema,
+            [],
+            None,
+        )
