@@ -710,3 +710,66 @@ def acid_stream_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("p"), 2).alias("total_price"),
     )
+
+
+PO_FILE_ROWS = 200
+
+
+@register(
+    "acid_partial_optimize_orders",
+    f"""
+WITH agg AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                    round(sum(round(o_totalprice, 2)), 2) AS tp
+             FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus AS snap, n AS n_orders, tp AS total_price FROM agg
+UNION ALL
+SELECT 'files_' || o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN 1
+            ELSE CAST(ceil(n / {PO_FILE_ROWS}.0) AS BIGINT) END,
+       0.0
+FROM agg
+UNION ALL
+SELECT 'delta_after_optimize', CAST(0 AS BIGINT), 0.0
+""",
+    doc="Predicate-scoped OPTIMIZE (compact(where=...)): orders land "
+    f"partitioned by status in exact {PO_FILE_ROWS}-row files, then "
+    "ONLY the 'F' partition is compacted. Parity proves three things "
+    "at once: the per-status aggregates are unchanged by the rewrite "
+    "(whole-file selection never filters rows), the untouched "
+    "partitions keep their analytic ceil(n/200) file counts while 'F' "
+    "collapses to 1 (the rewrite really was scoped — at 100 TB an "
+    "OPTIMIZE that touches every file is not an operation), and "
+    "read_changes across the dataChange=false commit delivers zero "
+    "rows to incremental consumers.",
+)
+def acid_partial_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-po-") + "/orders")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("p"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    t.append(src, ["o_orderstatus"], max_records_per_file=PO_FILE_ROWS)
+    v = t.compact(spark, where="o_orderstatus = 'F'")
+    files = t._replay(v)["files"]
+    by_status: dict[str, int] = {}
+    for add in files.values():
+        s = add["partition_values"]["o_orderstatus"]
+        by_status[s] = by_status.get(s, 0) + 1
+    aggs = t.snapshot(spark).groupBy(
+        F.col("o_orderstatus").alias("snap")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    counts = spark.createDataFrame(
+        [(f"files_{s}", n, 0.0) for s, n in sorted(by_status.items())]
+        + [("delta_after_optimize", t.read_changes(spark, v - 1, v).count(), 0.0)],
+        "snap string, n_orders bigint, total_price double",
+    )
+    return aggs.unionByName(counts)
