@@ -87,6 +87,10 @@ class EngineConfig:
     # metastore reads need a reader-integrated table format, which is
     # exactly what the log implements for lakehouse.snapshot readers).
     acid: bool = False
+    # acid-mode small-file policy: after each append, partition dirs
+    # holding MORE than this many live files are compacted in one
+    # scoped dataChange=false commit (0/None = no auto-OPTIMIZE).
+    acid_autocompact_files: int | None = None
 
 
 class Engine:
@@ -227,7 +231,7 @@ class Engine:
         if self.config.acid:
             from pathlib import Path as _Path
 
-            from .lakehouse import TransactionLog
+            from .lakehouse import ConcurrentCommitError, TransactionLog
 
             path = str(_Path(self.config.target_root) / job.target_path_suffix)
             t = TransactionLog(path)
@@ -240,6 +244,20 @@ class Engine:
                     evolve_schema=self.config.evolve_schema,
                     max_records_per_file=max_records_per_file,
                 )
+            if self.config.acid_autocompact_files:
+                # small-file policy: rewrite ONLY partition dirs the
+                # appends have fragmented past the threshold — one
+                # dataChange=false commit, incremental readers see
+                # nothing, a racing reader replays old or new state
+                try:
+                    t.compact(
+                        self.spark,
+                        min_files=self.config.acid_autocompact_files,
+                    )
+                except ValueError:
+                    pass  # nothing over threshold — the common case
+                except ConcurrentCommitError:
+                    pass  # lost the race to a writer; next run retries
             return SinkResult(
                 path=path,
                 table=None,  # see EngineConfig.acid: metastore skipped

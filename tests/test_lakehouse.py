@@ -858,3 +858,58 @@ def test_partial_compact_keeps_surviving_deletion_vectors(spark, tbl):
     tbl.compact(spark)
     assert tbl._replay(tbl.latest_version())["dvs"] == []
     assert _ids(tbl.snapshot(spark)) == [1, 3, 5]
+
+
+def test_engine_acid_autocompact_policy(spark, tmp_path):
+    """acid_autocompact_files: repeated appends fragment a partition
+    dir past the threshold; the next run's scoped dataChange=false
+    OPTIMIZE collapses it — rows identical, incremental readers see
+    nothing from the compaction commits."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.engine import (
+        Engine,
+        EngineConfig,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.plans.model import (
+        ExtractionPlan,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        SourceRegistry,
+    )
+    from tests.conftest import SF_SMALL
+
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=SF_SMALL),
+        EngineConfig(
+            target_root=str(tmp_path / "lake"),
+            register_catalog=False,
+            acid=True,
+            acid_autocompact_files=2,
+        ),
+        None,
+        None,
+    )
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "sybaseiq",
+            "SourceDatabase": "iqdemo",
+            "SourceSchema": "dba",
+            "SourceTable": "region",
+            "Query": "SELECT * FROM region",
+            "MigrationPart": 1,
+            "ExpectedAmountOfRecords": " ",
+        }
+    )
+    for _ in range(3):
+        assert eng.run_job(plan.jobs[0]).status == "SUCCEEDED"
+    t = TransactionLog(tmp_path / "lake" / "sybaseiq" / "dba" / "region")
+    ops = [c.op for c in t.history()]
+    assert ops.count("append") == 3
+    assert "compact" in ops, "threshold=2 must have triggered an OPTIMIZE"
+    st = t._replay(t.latest_version())
+    # the un-partitioned dir is back at <= threshold live files
+    assert len(st["files"]) <= 2
+    assert t.snapshot(spark).count() == 15
+    # compaction commits contributed nothing to the change stream
+    inc = t.read_changes(spark, 0).count()
+    assert inc == 15
