@@ -72,6 +72,22 @@ BAND2 = [
     "dq_benford_amounts",
 ]
 
+#: third recorded band (round 6): the ACID transaction-log tier — each
+#: entry BUILDS a transactional table (append/merge/delete/compact/
+#: stream commits) and reads it back, so this band tracks the COMMIT
+#: PATH's overhead round-over-round, not just query latency.  attempts
+#: is 1: every attempt re-runs the full write history, and best-of-N
+#: over fresh temp dirs measures the same thing N times.
+BAND3 = [
+    "acid_time_travel_orders",
+    "acid_merge_upsert_orders",
+    "acid_dv_delete_orders",
+    "acid_data_skipping_orders",
+    "acid_partial_optimize_orders",
+    "acid_connector_roundtrip_orders",
+    "acid_stream_feed_orders",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,6 +161,7 @@ def main() -> None:
 
     timings = run_band(HEADLINE, attempts=3)
     band2 = run_band(BAND2, attempts=2)
+    band3 = run_band(BAND3, attempts=1)
 
     # Stage breakdown for the flagship composition (it chains the two
     # hottest operators): dedup alone vs the full dedup+quality+split.
@@ -195,6 +212,12 @@ def main() -> None:
                     "value": round(sum(band2.values()), 3),
                     "unit": "sec",
                     "queries": band2,
+                },
+                "band3": {
+                    "metric": "acid_commit_path_wall_clock",
+                    "value": round(sum(band3.values()), 3),
+                    "unit": "sec",
+                    "queries": band3,
                 },
                 "breakdown": breakdown,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

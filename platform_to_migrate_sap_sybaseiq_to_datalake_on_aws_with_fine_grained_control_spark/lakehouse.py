@@ -608,25 +608,32 @@ class TransactionLog:
         if partition_keys:
             writer = writer.partitionBy(*partition_keys)
         writer.save(str(staging))
-        adds: list[dict] = []
-        for f in sorted(staging.rglob("*.parquet")):
+        def _stage_one(f: Path) -> dict:
             rel = f.relative_to(staging)
             dest_rel = rel.parent / f"{uuid.uuid4().hex[:12]}-{rel.name}"
             dest = self.table_path / dest_rel
             dest.parent.mkdir(parents=True, exist_ok=True)
             f.rename(dest)
             pf = pq.ParquetFile(dest)
-            adds.append(
-                {
-                    "path": dest_rel.as_posix(),
-                    "size": dest.stat().st_size,
-                    "rows": pf.metadata.num_rows,
-                    "partition_values": _parse_partition_dirs(rel.parent),
-                    # data-skipping bounds from the footer already open
-                    # for the row count — zero extra IO
-                    "stats": _collect_file_stats(pf),
-                }
-            )
+            return {
+                "path": dest_rel.as_posix(),
+                "size": dest.stat().st_size,
+                "rows": pf.metadata.num_rows,
+                "partition_values": _parse_partition_dirs(rel.parent),
+                # data-skipping bounds from the footer already open
+                # for the row count — zero extra IO
+                "stats": _collect_file_stats(pf),
+            }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # rename + footer-read per file is IO-bound; a serial loop makes
+        # commit latency O(files) in round-trips — real pain at 100k
+        # files on an object store.  pool.map keeps the sorted order, so
+        # the add list (and every downstream hash/test) is deterministic.
+        staged = sorted(staging.rglob("*.parquet"))
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            adds = list(pool.map(_stage_one, staged))
         shutil.rmtree(staging)
         return adds
 
