@@ -772,6 +772,22 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         for v, snap in enumerate(history, start=1):
             got = {(r.id, r.v) for r in t.snapshot(spark, version=v).collect()}
             assert got == set(snap.items()), f"time travel to v{v}"
+        # the Python Data Source connector agrees with the JVM read on
+        # whatever state the random history produced (DVs, compactions,
+        # restores and all)
+        if t.latest_version():
+            from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+                register_lakehouse_source,
+            )
+
+            register_lakehouse_source(spark)
+            via_connector = {
+                (r.id, r.v)
+                for r in spark.read.format("lakehouse")
+                .load(str(t.table_path))
+                .collect()
+            }
+            assert via_connector == set(model.items()), "connector read"
 
     run()
 
