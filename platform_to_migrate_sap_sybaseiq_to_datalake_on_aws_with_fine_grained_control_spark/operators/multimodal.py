@@ -590,11 +590,66 @@ def image_ahash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AHASH_SCHEMA)
 
 
+def write_jpeg_fixtures(spark, out_dir: str, n: int = 12) -> list[str]:
+    """Encode the synthetic grayscale pixel fields as REAL baseline
+    JPEGs via the JVM's ``javax.imageio`` (py4j, one bulk
+    ``setDataElements`` per image — no per-pixel round trips).
+
+    Driver-side by design: this is the fixture/ingest-test utility.
+    The DISTRIBUTED leg is :func:`read_images_jvm` — executors decode
+    with the same ImageIO through Spark's built-in image source."""
+    from pathlib import Path
+
+    jvm = spark._jvm
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    out = []
+    for i in range(n):
+        w, h = synthetic_image_dims(i)
+        px = synthetic_image_pixels(i)
+        bgr = np.repeat(px[:, :, None], 3, axis=2).tobytes()
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        )
+        bi.getRaster().setDataElements(0, 0, w, h, bgr)
+        path = f"{out_dir}/img-{i:04d}.jpg"
+        jvm.javax.imageio.ImageIO.write(bi, "jpg", jvm.java.io.File(path))
+        out.append(path)
+    return out
+
+
+def read_images_jvm(df_or_spark, path: str):
+    """Distributed REAL JPEG/PNG/GIF/BMP decode: Spark's built-in
+    ``image`` data source (JVM ``javax.imageio`` on the EXECUTORS — no
+    Python, no Pillow).  Returns one row per image file:
+    ``(origin, height, width, n_channels, mode, data)`` with ``data``
+    the decoded 8-bit BGR(A) pixel bytes.
+
+    This closes the JPEG half of the codec boundary for the
+    INGESTION path (files on the lake).  Decoding JPEG bytes already
+    inside a binary COLUMN still needs a Python-side codec
+    (:func:`real_decode_backend`) — the image source is file-based."""
+    from pyspark.sql import functions as F
+
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return spark.read.format("image").load(path).select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.height").alias("height"),
+        F.col("image.width").alias("width"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.mode").alias("mode"),
+        F.col("image.data").alias("data"),
+    )
+
+
 def real_decode_backend(*_args, **_kwargs):  # pragma: no cover
-    """Swap-in point for native codecs this environment doesn't ship
-    (JPEG via Pillow, MP3/FLAC via librosa, video via av).  PNG and
-    WAV are decoded for real by the stdlib codecs above."""
+    """Swap-in point for the codecs this environment cannot run in
+    Python workers (JPEG-bytes-in-a-column via Pillow, MP3/FLAC via
+    librosa, video via av).  PNG and WAV are decoded for real by the
+    stdlib codecs above, and JPEG FILES are decoded for real,
+    distributed, by :func:`read_images_jvm` (Spark's image source —
+    executor-side javax.imageio)."""
     raise NotImplementedError(
-        "only stdlib codecs are available: PNG (zlib) and WAV (wave) "
-        "are decoded for real; JPEG/MP3/video need Pillow/librosa/av"
+        "Python-side codecs available: PNG (zlib) and WAV (wave); "
+        "JPEG files decode JVM-side via read_images_jvm; JPEG bytes in "
+        "a binary column / MP3 / video need Pillow/librosa/av"
     )

@@ -1928,3 +1928,65 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+_JPEG_N = 12
+
+
+def _mm_jpeg_golden() -> list[tuple]:
+    """Expected image-source readout, re-derived from the generator
+    SPEC: JPEG is lossy in VALUES but exact in GEOMETRY, so dims,
+    channel count (ImageIO decodes baseline JPEG to 3-channel BGR,
+    OpenCV mode 16) and the decoded buffer size h*w*3 are all
+    deterministic — pixel bytes are codec-version-dependent and
+    deliberately not asserted."""
+    from .operators.multimodal import synthetic_image_dims
+
+    rows = []
+    for i in range(_JPEG_N):
+        w, h = synthetic_image_dims(i)
+        rows.append((i, h, w, 3, h * w * 3))
+    return rows
+
+
+@register(
+    "mm_jpeg_image_source",
+    _values_oracle(
+        _mm_jpeg_golden(),
+        [
+            ("asset_id", "BIGINT"),
+            ("height", "INTEGER"),
+            ("width", "INTEGER"),
+            ("n_channels", "INTEGER"),
+            ("decoded_bytes", "BIGINT"),
+        ],
+    ),
+    doc="REAL JPEG decode, distributed: baseline JPEGs are encoded "
+    "from the synthetic pixel fields via the JVM's javax.imageio "
+    "(operators/multimodal.py:write_jpeg_fixtures, driver-side "
+    "fixture utility), then read back through Spark's built-in image "
+    "data source — executor-side ImageIO decode, zero Python in the "
+    "decode path (read_images_jvm). The oracle re-derives geometry "
+    "from the generator spec: dims survive the lossy codec exactly, "
+    "ImageIO yields 3-channel BGR, and the decoded buffer is h*w*3 "
+    "bytes. This closes the JPEG ingestion half of the codec "
+    "boundary; JPEG bytes inside a binary column remain the "
+    "documented Pillow swap-in.",
+)
+def mm_jpeg_image_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.multimodal import read_images_jvm, write_jpeg_fixtures
+
+    d = tempfile.mkdtemp(prefix="mm-jpeg-")
+    write_jpeg_fixtures(spark, d, _JPEG_N)
+    imgs = read_images_jvm(spark, d)
+    return imgs.select(
+        F.regexp_extract("origin", r"img-(\d+)\.jpg", 1)
+        .cast("bigint")
+        .alias("asset_id"),
+        "height",
+        "width",
+        "n_channels",
+        F.length("data").cast("bigint").alias("decoded_bytes"),
+    )
