@@ -42,7 +42,7 @@ from .operators.similarity import (
     hyperplanes,
     lsh_bucket_topk,
 )
-from .query_catalog import register
+from .query_catalog import register, sql_query
 from .sources.registry import load_table
 
 # ---- shared constants (Spark impl and oracle MUST agree) -------------
@@ -2027,4 +2027,102 @@ def events_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
             F.max("k").cast("bigint").alias("max_k"),
         )
+    )
+
+
+sql_query(
+    "pipe_syntax_order_stats",
+    """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             round(sum(round(o_totalprice, 2)), 2) AS total_price
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority, n, total_price
+""",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    doc="SQL pipe syntax (Spark 4, SPARK-49555): the same filtered "
+    "aggregate written as a |> pipeline — each operator applies in "
+    "reading order, the composable form long analytics chains stay "
+    "reviewable in. Plans identically to the classic text (same "
+    "Catalyst plan), which the classic-SQL oracle proves by value.",
+)
+
+
+@register(
+    "dedup_exact_collated",
+    """
+WITH g AS (SELECT lower(text) AS k, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY lower(text))
+SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+       CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS removable_docs
+FROM g WHERE cnt > 1
+""",
+    doc="Case-insensitive exact dedup via Spark 4 string collations: "
+    "GROUP BY text COLLATE UTF8_LCASE compares under the collation "
+    "INSIDE the hash aggregate — no lower() copy of every document "
+    "materialized in the shuffle, the difference between shuffling N "
+    "documents and N lowercased duplicates of them. The oracle states "
+    "the same grouping with lower(); equivalent on this ASCII corpus "
+    "(collation-vs-lower differences are confined to locale-special "
+    "codepoints the generator never emits).",
+)
+def dedup_exact_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_coll"
+    )
+    return spark.sql(
+        """
+WITH g AS (SELECT count(*) AS cnt
+           FROM documents_coll
+           GROUP BY text COLLATE UTF8_LCASE)
+SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+       CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS removable_docs
+FROM g WHERE cnt > 1
+"""
+    )
+
+
+@register(
+    "sql_udf_price_banding",
+    """
+WITH banded AS (
+  SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+              WHEN o_totalprice < 150000 THEN 'mid'
+              ELSE 'high' END AS band,
+         round(o_totalprice, 2) AS p
+  FROM orders)
+SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total_price
+FROM banded GROUP BY band
+""",
+    doc="Declarative SQL UDF (Spark 4.1 CREATE FUNCTION ... RETURN): "
+    "the banding rule is defined ONCE as a catalog-level scalar "
+    "function and reused; Catalyst inlines the body, so the plan is "
+    "identical to writing the CASE inline (the oracle states exactly "
+    "that inline form) — reuse without a Python-worker round trip, the "
+    "idiomatic way to share row-level business rules across plans.",
+)
+def sql_udf_price_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+RETURNS STRING
+RETURN CASE WHEN p < 50000 THEN 'low'
+            WHEN p < 150000 THEN 'mid'
+            ELSE 'high' END
+"""
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udf")
+    return spark.sql(
+        """
+SELECT price_band(o_totalprice) AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders_udf GROUP BY price_band(o_totalprice)
+"""
     )
