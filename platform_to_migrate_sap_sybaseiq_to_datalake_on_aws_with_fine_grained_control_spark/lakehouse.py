@@ -963,7 +963,8 @@ class TransactionLog:
         ``operators.schema_evolution``); the commit is the single
         point of truth, versioned, replacing the K1 sidecar."""
         keys = partition_keys or []
-        state = self._replay(self.latest_version())
+        read_v0 = self.latest_version()  # the version our schema derives from
+        state = self._replay(read_v0)
         if state["schema"] is not None:
             if keys and state["partition_keys"] and keys != state["partition_keys"]:
                 raise ValueError(
@@ -1005,13 +1006,48 @@ class TransactionLog:
                 "dataChange": True,
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
-                "schema": schema_json,
+                "schema": self._reconcile_append_schema(read_v0, v, schema_json),
                 "partition_keys": keys,
                 "add": adds,
                 "remove": [],
             }
 
         return self._commit_with_retry(rec, read_version=None)
+
+    def _reconcile_append_schema(
+        self, read_v: int, commit_v: int, schema_json: dict
+    ) -> dict:
+        """Schema a blind append should commit at ``commit_v`` after
+        reading the table at ``read_v``.
+
+        A commit carries the FULL schema, so a retried append that
+        lost a version race to a concurrent WIDENING commit must not
+        re-commit its older schema — that would revert schema
+        authority and make the widened files unreadable (long parquet
+        under an int table schema).  If the interleaved schema is a
+        pure widening of ours (merge == theirs), commit THEIRS — our
+        narrower files read fine under it.  Anything else is a real
+        conflict and raises for a caller-level re-run."""
+        if commit_v == read_v + 1:
+            return schema_json  # no interleaved commits
+        cur = self._replay(commit_v - 1)["schema"]
+        if cur is None or cur == schema_json:
+            return schema_json
+        from .operators.schema_evolution import merge_schemas
+
+        ours = StructType.fromJson(schema_json)
+        theirs = StructType.fromJson(cur)
+        try:
+            # the widened union covers BOTH sides' files (widen-only
+            # casts, null backfill) — commit it, whichever side is the
+            # wider one; merge failure = genuinely incompatible types
+            return merge_schemas([theirs, ours]).jsonValue()
+        except ValueError as e:
+            raise ConcurrentCommitError(
+                f"append to {self.table_path} raced a schema change at "
+                f"v{commit_v - 1} it cannot merge with "
+                f"({ours.simpleString()} vs {theirs.simpleString()}): {e}"
+            ) from e
 
     def overwrite(
         self, df: DataFrame, partition_keys: list[str] | None = None

@@ -217,7 +217,7 @@ class LakehouseBatchReader(DataSourceReader):
         log = TransactionLog(self.path)
         state = log._replay(self.version or log.latest_version())
         dv_by_file = _dv_positions_by_file(log.table_path, state.get("dvs") or [])
-        return [
+        parts = [
             LakehouseFilePartition(
                 abs_path=str(log.table_path / rel),
                 partition_values=add.get("partition_values") or {},
@@ -225,8 +225,14 @@ class LakehouseBatchReader(DataSourceReader):
             )
             for rel, add in sorted(state["files"].items())
         ]
+        # a committed-but-empty table (everything deleted/overwritten
+        # away) still needs ONE partition — Spark invokes read() with
+        # None when the batch list is empty
+        return parts or [LakehouseFilePartition(abs_path="")]
 
     def read(self, partition: LakehouseFilePartition):
+        if partition is None or not partition.abs_path:
+            return  # empty-table marker partition
         yield from _file_to_batches(
             partition.abs_path,
             partition.partition_values,
@@ -508,7 +514,11 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
                 "dataChange": True,
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
-                "schema": schema_json,
+                # the stream's schema was derived at query start, so
+                # EVERY batch reconciles: a concurrent widening must
+                # not be reverted by a later micro-batch's commit
+                # (read_v=-1 forces the check; replay is checkpointed)
+                "schema": log._reconcile_append_schema(-1, v, schema_json),
                 "partition_keys": self.partition_keys,
                 "add": adds,
                 "remove": [],

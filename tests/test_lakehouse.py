@@ -929,3 +929,67 @@ def test_engine_acid_autocompact_policy(spark, tmp_path):
     # compaction commits contributed nothing to the change stream
     inc = t.read_changes(spark, 0).count()
     assert inc == 15
+
+
+def test_append_racing_widen_commits_widened_schema(spark, tbl, monkeypatch):
+    """A blind append that loses the version race to a concurrent
+    int->long widening must commit the WIDENED schema (its narrower
+    files read fine under it), never revert schema authority — the
+    failure mode: long parquet files under a re-committed int schema
+    are unreadable."""
+    ints = spark.createDataFrame([(1, 10, "2024")], "id int, v int, year string")
+    tbl.append(ints, ["year"])
+
+    wide = spark.createDataFrame(
+        [(2, 1 << 40, "2025")], "id long, v long, year string"
+    )
+    orig = tbl._stage_files
+    fired = {"done": False}
+
+    def stage_then_race(df, keys, max_records_per_file=None):
+        adds = orig(df, keys, max_records_per_file)
+        if not fired["done"]:
+            fired["done"] = True
+            TransactionLog(tbl.table_path).append(wide, evolve_schema=True)
+        return adds
+
+    monkeypatch.setattr(tbl, "_stage_files", stage_then_race)
+    v = tbl.append(
+        spark.createDataFrame([(3, 30, "2024")], "id int, v int, year string")
+    )
+    assert v == 3  # retried onto the next version
+    st = tbl._replay(v)
+    assert StructTypeFromJson(st["schema"])["v"].dataType.simpleString() == "bigint"
+    out = tbl.snapshot(spark)
+    assert sorted((r.id, r.v) for r in out.collect()) == [
+        (1, 10), (2, 1 << 40), (3, 30),
+    ]
+
+
+def StructTypeFromJson(j):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(j)
+
+
+def test_append_racing_incompatible_schema_raises(spark, tbl, monkeypatch):
+    """If the interleaved commit's schema does NOT cover this append
+    (a column the table no longer has, an incompatible type), the
+    retry must raise instead of silently committing either schema."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    replacement = spark.createDataFrame(
+        [(9, 9.5, "2025")], "id long, v double, year string"
+    )  # v: string -> double is not a widening of either side
+    orig = tbl._stage_files
+    fired = {"done": False}
+
+    def stage_then_race(df, keys, max_records_per_file=None):
+        adds = orig(df, keys, max_records_per_file)
+        if not fired["done"]:
+            fired["done"] = True
+            TransactionLog(tbl.table_path).overwrite(replacement, ["year"])
+        return adds
+
+    monkeypatch.setattr(tbl, "_stage_files", stage_then_race)
+    with pytest.raises(ConcurrentCommitError, match="schema change"):
+        tbl.append(_df(spark, [(2, "b", "2024")]))
