@@ -2897,3 +2897,31 @@ def test_lsh_signature_udf_matches_sql_fold(spark):
         [(1, None)], "vec_id int, embedding array<float>"
     ).select(lsh_signature_udf(hp)(F.col("embedding")).alias("s"))
     assert nulls.collect()[0].s is None
+
+
+def test_png_codec_cross_validates_against_jvm_imageio(spark, tmp_path):
+    """Independent differential for the self-written PNG codec: PNGs
+    emitted by png_encode_gray, decoded by a DIFFERENT implementation
+    (executor-side javax.imageio through Spark's image source), must
+    reproduce the source pixel bytes exactly — PNG is lossless, so any
+    codec bug on either side breaks byte equality."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        png_encode_gray,
+        read_images_jvm,
+        synthetic_image_dims,
+        synthetic_image_pixels,
+    )
+
+    d = tmp_path / "pngs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"img-{i:04d}.png").write_bytes(
+            png_encode_gray(synthetic_image_pixels(i))
+        )
+    rows = {r.origin.rsplit("-", 1)[-1]: r for r in read_images_jvm(spark, str(d)).collect()}
+    assert len(rows) == 6
+    for i in range(6):
+        r = rows[f"{i:04d}.png"]
+        w, h = synthetic_image_dims(i)
+        assert (r.height, r.width, r.n_channels) == (h, w, 1)
+        assert bytes(r.data) == synthetic_image_pixels(i).tobytes()
