@@ -2925,3 +2925,31 @@ def test_png_codec_cross_validates_against_jvm_imageio(spark, tmp_path):
         w, h = synthetic_image_dims(i)
         assert (r.height, r.width, r.n_channels) == (h, w, 1)
         assert bytes(r.data) == synthetic_image_pixels(i).tobytes()
+
+
+def test_wav_codec_cross_validates_against_jvm_audiosystem(spark, tmp_path):
+    """Same independent-differential idea for the WAV codec: files
+    emitted by wav_encode_pcm16, parsed by javax.sound.sampled, must
+    declare the exact format (mono PCM16 LE at the stated rate) and
+    reproduce the sample bytes exactly."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.multimodal import (
+        synthetic_audio_samples,
+        wav_encode_pcm16,
+    )
+
+    jvm = spark._jvm
+    for i in range(4):
+        s = synthetic_audio_samples(i)
+        f = tmp_path / f"a{i}.wav"
+        f.write_bytes(wav_encode_pcm16(s, rate=8000))
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.File(str(f))
+        )
+        fmt = ais.getFormat()
+        assert (
+            fmt.getSampleRate(),
+            fmt.getSampleSizeInBits(),
+            fmt.getChannels(),
+            fmt.isBigEndian(),
+        ) == (8000.0, 16, 1, False)
+        assert bytes(ais.readAllBytes()) == s.tobytes()
