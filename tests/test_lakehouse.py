@@ -772,6 +772,21 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         for v, snap in enumerate(history, start=1):
             got = {(r.id, r.v) for r in t.snapshot(spark, version=v).collect()}
             assert got == set(snap.items()), f"time travel to v{v}"
+        # the row-level change feed is COMPLETE: folding every feed row
+        # from v0 re-derives the final state exactly (inserts/
+        # postimages assert, deletes retract) — valid whenever the
+        # history contains no full-refresh op (overwrite/restore raise
+        # in the feed by contract)
+        executed_ops = {op for op, _ in ops}
+        if t.latest_version() and not executed_ops & {"overwrite", "restore"}:
+            folded: dict[int, int] = {}
+            feed = t.read_change_feed(spark, 0).collect()
+            for r in sorted(feed, key=lambda r: r._commit_version):
+                if r._change_type in ("insert", "update_postimage"):
+                    folded[r.id] = r.v
+                elif r._change_type == "delete":
+                    folded.pop(r.id, None)
+            assert folded == model, "CDF fold != final state"
         # the Python Data Source connector agrees with the JVM read on
         # whatever state the random history produced (DVs, compactions,
         # restores and all)
