@@ -1609,14 +1609,27 @@ class TransactionLog:
             )
         return out
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_s: float = 600.0
+    ) -> list[str]:
         """Physically delete files referenced by NO retained version
         (the latest ``retain_versions`` snapshots stay readable), plus
         crashed staging dirs.  Returns deleted relative paths.
 
+        ``min_age_s`` guards concurrent writers (the published Delta
+        retention-threshold design): a file a racing writer has staged
+        but not yet committed is unreferenced BY CONSTRUCTION, and an
+        in-flight ``_staging-*`` dir looks exactly like a crashed one —
+        only candidates whose modification time is older than the
+        threshold are swept, so any write that commits within the
+        window survives.  Pass ``min_age_s=0`` only when no writers
+        can be active (tests, single-writer maintenance windows).
+
         This is the ONLY operation that removes data files — commits
         merely unreference them, which is what keeps pinned snapshot
         reads stable through overwrites and compactions."""
+        import time as _time
+
         latest = self.latest_version()
         keep_from = max(1, latest - retain_versions + 1)
         live: set[str] = set()
@@ -1629,17 +1642,26 @@ class TransactionLog:
             live.update(
                 c["path"] for c in self._read_commit(v).get("cdf") or []
             )
+        cutoff = _time.time() - min_age_s
+
+        def _old_enough(p: Path) -> bool:
+            try:
+                return p.stat().st_mtime <= cutoff
+            except OSError:
+                return False  # raced a writer's rename — leave it
+
         deleted: list[str] = []
         for f in sorted(self.table_path.rglob("*.parquet")):
             rel = f.relative_to(self.table_path).as_posix()
             if rel.startswith((_LOG_DIR + "/", "_staging-")):
                 continue
-            if rel not in live:
+            if rel not in live and _old_enough(f):
                 f.unlink()
                 deleted.append(rel)
         for d in self.table_path.glob("_staging-*"):
-            shutil.rmtree(d)
-            deleted.append(d.name)
+            if _old_enough(d):
+                shutil.rmtree(d)
+                deleted.append(d.name)
         # prune now-empty partition dirs so listings stay clean
         for d in sorted(
             (x for x in self.table_path.rglob("*") if x.is_dir()),
@@ -1701,8 +1723,10 @@ def read_changes(
     return TransactionLog(path).read_changes(spark, from_version, to_version)
 
 
-def vacuum(path: str, retain_versions: int = 1) -> list[str]:
-    return TransactionLog(path).vacuum(retain_versions)
+def vacuum(
+    path: str, retain_versions: int = 1, min_age_s: float = 600.0
+) -> list[str]:
+    return TransactionLog(path).vacuum(retain_versions, min_age_s=min_age_s)
 
 
 def history(path: str) -> list[CommitInfo]:

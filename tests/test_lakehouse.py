@@ -63,7 +63,7 @@ def test_crash_before_commit_is_invisible(spark, tbl):
     orphan_adds = tbl._stage_files(_df(spark, [(9, "z", "2024")]), ["year"])
     assert orphan_adds  # files physically present in the table dir
     assert _ids(tbl.snapshot(spark)) == [1]
-    deleted = tbl.vacuum()
+    deleted = tbl.vacuum(min_age_s=0)
     assert any(a["path"] in deleted for a in orphan_adds)
     assert _ids(tbl.snapshot(spark)) == [1]
 
@@ -177,12 +177,12 @@ def test_vacuum_retention(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
     tbl.append(_df(spark, [(2, "b", "2024")]))
     tbl.overwrite(_df(spark, [(9, "z", "2026")]), ["year"])
-    deleted = tbl.vacuum(retain_versions=2)
+    deleted = tbl.vacuum(retain_versions=2, min_age_s=0)
     # v3 (latest) and v2 retained: v2's files include v1's, so nothing
     # from v1/v2 is deletable; only nothing or staging dirs go
     assert _ids(tbl.snapshot(spark, version=2)) == [1, 2]
     assert _ids(tbl.snapshot(spark)) == [9]
-    deleted = tbl.vacuum(retain_versions=1)
+    deleted = tbl.vacuum(retain_versions=1, min_age_s=0)
     assert deleted  # now v1/v2's files are unreferenced
     assert _ids(tbl.snapshot(spark)) == [9]
     with pytest.raises(Exception):
@@ -399,7 +399,7 @@ def test_change_feed_row_level_types(spark, tbl):
 def test_change_feed_survives_vacuum_of_retained_versions(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
     tbl.delete_where(spark, "id = 1")
-    tbl.vacuum(retain_versions=2)  # both commits retained
+    tbl.vacuum(retain_versions=2, min_age_s=0)  # both commits retained
     got = {(r.id, r._change_type) for r in tbl.read_change_feed(spark, 0).collect()}
     assert got == {(1, "insert"), (1, "delete")}
 
@@ -520,7 +520,7 @@ def test_restore_validations(spark, tbl):
     with pytest.raises(ValueError, match="earlier version"):
         tbl.restore(0)
     # vacuum away v1's files -> restore must refuse to commit dangling refs
-    tbl.vacuum(retain_versions=1)
+    tbl.vacuum(retain_versions=1, min_age_s=0)
     with pytest.raises(ValueError, match="vacuumed"):
         tbl.restore(1)
 
@@ -538,7 +538,7 @@ def test_check_constraint_enforcement(spark, tbl):
     # violating write left NO trace: no commit, no staged files
     assert tbl.latest_version() == before_v
     assert _ids(tbl.snapshot(spark)) == [1]
-    assert tbl.vacuum(retain_versions=10) == []
+    assert tbl.vacuum(retain_versions=10, min_age_s=0) == []
     # NULL passes (SQL CHECK semantics: only FALSE violates)
     tbl.append(_df(spark, [(None, "n", "2024"), (7, "g", "2024")]))
     assert sorted(
@@ -666,7 +666,7 @@ def test_dv_interplay_with_merge_cow_and_vacuum(spark, tbl):
     st = tbl._replay(tbl.latest_version())
     assert len(st["dvs"]) == 1
     # vacuum keeps the sidecar of the retained snapshot
-    tbl.vacuum(retain_versions=1)
+    tbl.vacuum(retain_versions=1, min_age_s=0)
     assert (tbl.table_path / st["dvs"][0]["path"]).exists()
     assert _ids(tbl.snapshot(spark)) == [1, 3, 4, 6]
 
@@ -1008,3 +1008,35 @@ def test_append_racing_incompatible_schema_raises(spark, tbl, monkeypatch):
     monkeypatch.setattr(tbl, "_stage_files", stage_then_race)
     with pytest.raises(ConcurrentCommitError, match="schema change"):
         tbl.append(_df(spark, [(2, "b", "2024")]))
+
+
+def test_vacuum_age_guard_protects_inflight_writes(spark, tbl):
+    """Default vacuum must NOT sweep what a concurrent writer just
+    staged: freshly-staged (uncommitted) files and fresh _staging-*
+    dirs are younger than the retention threshold, so the racing
+    write can still commit and read back intact."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    # a racing writer mid-flight: files staged, commit not yet landed
+    adds = tbl._stage_files(_df(spark, [(2, "b", "2024")]), ["year"])
+    staging = tbl.table_path / "_staging-pretend-live"
+    staging.mkdir()
+    (staging / "part-0.parquet").write_bytes(b"in-flight bytes")
+
+    assert tbl.vacuum() == []  # age guard: nothing is old enough
+    assert all((tbl.table_path / a["path"]).exists() for a in adds)
+    assert staging.exists()
+
+    # the racing writer now commits its staged files — table intact
+    rec = {
+        "version": 2, "op": "append", "dataChange": True,
+        "ts": "2026-01-01T00:00:00+00:00", "txn": "race",
+        "schema": tbl._replay(1)["schema"], "partition_keys": ["year"],
+        "add": adds, "remove": [],
+    }
+    tbl._try_commit(2, rec)
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+    # with the guard waived (maintenance window), the dead dir goes
+    import shutil as _shutil
+
+    _shutil.rmtree(staging)
+    assert tbl.vacuum(min_age_s=0) == []  # everything referenced now
