@@ -1040,3 +1040,29 @@ def test_vacuum_age_guard_protects_inflight_writes(spark, tbl):
 
     _shutil.rmtree(staging)
     assert tbl.vacuum(min_age_s=0) == []  # everything referenced now
+
+
+def test_partial_compact_with_zorder(spark, tbl):
+    """OPTIMIZE ... WHERE + ZORDER compose: only the matching
+    partition is rewritten, clustered on the z-key, and the untouched
+    partition keeps its exact file list."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), "2024") for i in range(200)] + [
+        (1000 + i, i, "2025") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "year"]).repartition(6)
+    tbl.append(df, ["year"])
+    before = tbl._replay(tbl.latest_version())["files"]
+    f25 = {r for r in before if r.startswith("year=2025")}
+
+    v = tbl.compact(
+        spark, target_files_per_partition=2, zorder_by=("id", "v"),
+        where="year = '2024'",
+    )
+    after = tbl._replay(v)["files"]
+    assert {r for r in after if r.startswith("year=2025")} == f25
+    assert 1 <= len({r for r in after if r.startswith("year=2024")}) <= 3
+    got = sorted((r.id, r.v) for r in tbl.snapshot(spark).collect())
+    assert got == sorted((i, v_) for i, v_, _ in rows)
