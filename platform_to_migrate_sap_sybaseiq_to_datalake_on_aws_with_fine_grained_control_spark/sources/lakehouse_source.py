@@ -164,7 +164,14 @@ def _feed_batches(partition: "LakehouseFilePartition", schema: StructType):
 
         raw = pq.read_table(partition.abs_path)
         target = to_arrow_schema(base)
-        cols = [raw.column(f.name).cast(f.type) for f in target]
+        # sidecars written before a column-add lack the new field —
+        # null-fill, exactly like the batch feed's align_to_schema
+        cols = [
+            raw.column(f.name).cast(f.type)
+            if f.name in raw.column_names
+            else pa.nulls(raw.num_rows, f.type)
+            for f in target
+        ]
         ct = raw.column("_change_type").cast(pa.string())
         src = pa.table(
             cols + [ct], schema=target.append(pa.field("_change_type", pa.string()))

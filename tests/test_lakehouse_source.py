@@ -340,3 +340,40 @@ def test_stream_sink_merge_schema_column_add(spark, tbl, tmp_path):
             [],
             None,
         )
+
+
+def test_stream_change_feed_spans_column_add(spark, tbl, tmp_path):
+    """A CDF sidecar staged BEFORE a column-add lacks the new field;
+    the streamed feed must null-fill it under the widened stream
+    schema (like the batch feed's align_to_schema) instead of
+    crashing."""
+    tbl.append(_df(spark, [(1, 10, "2024"), (2, 20, "2024")]), ["year"])
+    tbl.delete_where(spark, "id = 2", mode="dv")  # sidecar, old schema
+    tbl.append(
+        spark.createDataFrame(
+            [(3, 30, "2024", "x")], "id long, v long, year string, extra string"
+        ),
+        evolve_schema=True,
+    )
+    out = tmp_path / "feed"
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .load(str(tbl.table_path))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.id, r.extra, r._change_type)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [
+        (1, None, "insert"),
+        (2, None, "delete"),
+        (2, None, "insert"),
+        (3, "x", "insert"),
+    ]
