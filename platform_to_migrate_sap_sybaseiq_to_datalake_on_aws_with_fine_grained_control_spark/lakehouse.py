@@ -948,6 +948,66 @@ class TransactionLog:
         self._try_commit(v, rec)
         return v
 
+    def clone_to(self, target: str | Path, version: int | None = None) -> int:
+        """SHALLOW CLONE (the published Delta ``CREATE TABLE .. CLONE``
+        design): commit a new table at ``target`` whose v1 references
+        THIS table's data files in place — zero bytes copied, O(files)
+        metadata.  The clone is immediately independent: writes to it
+        commit to its own log (copy-on-write rewrites land inside the
+        clone dir), and later commits to the source never change what
+        the clone reads, because its v1 pins the source's file list at
+        ``version``.
+
+        Cloned entries carry an absolute ``path`` plus ``base`` (the
+        source root, so hive partition derivation still works);
+        everything downstream — snapshots, data skipping, merge/delete
+        file pruning, deletion vectors, CDF-synthesized inserts, the
+        streaming source — works unchanged on them.  ``compact()`` on
+        the clone rewrites referenced data into the clone's own dir
+        (a deep clone when scoped to the whole table).
+
+        The one shared-fate edge is the published Delta caveat:
+        ``vacuum`` on the SOURCE does not know about clone references,
+        so vacuuming source versions a shallow clone still pins breaks
+        the clone — deep-clone (compact) first.  Vacuum on the CLONE
+        only ever touches files under the clone dir, never the
+        source's."""
+        src_v = version or self.latest_version()
+        if src_v == 0:
+            raise ValueError(f"{self.table_path} has no commits to clone")
+        state = self._replay(src_v)
+        src_base = str(self.table_path.resolve())
+
+        def absolutize(entry: dict) -> dict:
+            e = dict(entry)
+            b = e.get("base") or src_base  # cloning a clone keeps its base
+            e["path"] = str(Path(b) / e["path"])  # passthrough if absolute
+            e["base"] = b
+            return e
+
+        tgt = TransactionLog(target, self.checkpoint_interval)
+        if tgt.latest_version() != 0:
+            raise ValueError(f"clone target {tgt.table_path} is not empty")
+        tgt._try_commit(
+            1,
+            {
+                "version": 1,
+                "op": "clone",
+                # to a downstream consumer of the CLONE all rows are new
+                "dataChange": True,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": state["partition_keys"],
+                "constraints": state["constraints"],
+                "clone_of": {"table": src_base, "version": src_v},
+                "add": [absolutize(a) for _, a in sorted(state["files"].items())],
+                "remove": [],
+                "dvs": [absolutize(d) for d in state["dvs"]],
+            },
+        )
+        return 1
+
     def append(
         self,
         df: DataFrame,
@@ -1415,8 +1475,8 @@ class TransactionLog:
         from pyspark.sql import functions as F
 
         schema = StructType.fromJson(state["schema"])
-        paths = [str(self.table_path / rel) for rel in sorted(state["files"])]
-        if not paths:
+        files = state["files"]
+        if not files:
             df = spark.createDataFrame([], schema)
             if with_file_info:
                 df = df.select(
@@ -1428,12 +1488,25 @@ class TransactionLog:
         # explicit file list + basePath: Spark builds an in-memory file
         # index (zero directory listing) and still derives partition
         # columns from the hive-style subdirs; the committed schema
-        # governs types, so int->long-widened histories read correctly
-        base = (
-            spark.read.schema(schema)
-            .option("basePath", str(self.table_path))
-            .parquet(*paths)
-        )
+        # governs types, so int->long-widened histories read correctly.
+        # Entries a shallow CLONE committed reference files inside their
+        # SOURCE table (absolute ``path`` + a ``base`` recording the
+        # source root); hive derivation needs basePath to be the dir
+        # the partition subdirs hang off, so each distinct base gets
+        # its own scan and the scans union by name — still one
+        # in-memory file index per base, zero listing.
+        by_base: dict[str, list[str]] = {}
+        for rel in sorted(files):
+            b = files[rel].get("base") or str(self.table_path)
+            # pathlib passthrough: absolute `rel` wins over table_path
+            by_base.setdefault(b, []).append(str(self.table_path / rel))
+        scans = [
+            spark.read.schema(schema).option("basePath", b).parquet(*ps)
+            for b, ps in sorted(by_base.items())
+        ]
+        base = scans[0]
+        for s in scans[1:]:
+            base = base.unionByName(s)
         dvs = state.get("dvs") or []
         need_info = with_file_info or bool(dvs)
         if need_info:
@@ -1702,6 +1775,10 @@ def txn_merge(
 
 def txn_restore(path: str, version: int) -> int:
     return TransactionLog(path).restore(version)
+
+
+def txn_clone(source: str, target: str, version: int | None = None) -> int:
+    return TransactionLog(source).clone_to(target, version)
 
 
 def txn_delete(spark: SparkSession, path: str, predicate: str) -> int:

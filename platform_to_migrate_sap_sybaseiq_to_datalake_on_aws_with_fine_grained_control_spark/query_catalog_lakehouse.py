@@ -773,3 +773,58 @@ def acid_partial_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snap string, n_orders bigint, total_price double",
     )
     return aggs.unionByName(counts)
+
+
+@register(
+    "acid_shallow_clone_orders",
+    """
+WITH f AS (SELECT o_orderkey, round(o_totalprice, 2) AS p
+           FROM orders WHERE o_orderstatus = 'F'),
+fo AS (SELECT round(o_totalprice, 2) AS p
+       FROM orders WHERE o_orderstatus IN ('F', 'O')),
+cl AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN round(p + 5.0, 2)
+                   ELSE p END AS p FROM f)
+SELECT 'src' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM fo
+UNION ALL
+SELECT 'clone', count(*), round(sum(p), 2) FROM cl
+""",
+    doc="SHALLOW CLONE through the transaction log (the published "
+    "Delta CLONE design): source table = 'F' orders (v1) + 'O' orders "
+    "(v2); clone_to() at v1 commits a NEW table whose v1 references "
+    "the source's v1 files in place (zero bytes copied — absolute "
+    "path + base entries, hive partition derivation through the "
+    "source basePath); then a copy-on-write MERGE restates "
+    "key % 5 == 0 (+5.00) INSIDE the clone, rewriting only the "
+    "affected cloned files into the clone's own dir. 'src' must still "
+    "aggregate F+O unrestated (clone writes never leak back) and "
+    "'clone' must aggregate the restated F slice pinned at v1 (the "
+    "source's later 'O' append never leaks forward). Parity proves "
+    "zero-copy reads, version pinning, and clone/source write "
+    "isolation in one loop.",
+)
+def acid_shallow_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="acid-clone-")
+    t = TransactionLog(root + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    t.append(_orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "O"))
+
+    c = TransactionLog(root + "/orders_clone")
+    t.clone_to(c.table_path, version=1)
+    restated = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("p", F.round(F.col("p") + 5.0, 2))
+    )
+    c.merge_upsert(restated, ["o_orderkey"])
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+
+    return agg(t.snapshot(spark), "src").unionByName(
+        agg(c.snapshot(spark), "clone")
+    )

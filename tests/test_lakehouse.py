@@ -1066,3 +1066,131 @@ def test_partial_compact_with_zorder(spark, tbl):
     assert 1 <= len({r for r in after if r.startswith("year=2024")}) <= 3
     got = sorted((r.id, r.v) for r in tbl.snapshot(spark).collect())
     assert got == sorted((i, v_) for i, v_, _ in rows)
+
+
+# ---- shallow clone -------------------------------------------------------
+
+
+def _parquet_under(root):
+    return sorted(
+        p for p in root.rglob("*.parquet") if "_txn_log" not in p.parts
+    )
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tbl, tmp_path):
+    """CLONE commits a new table referencing the source's files in
+    place (zero bytes copied); afterwards the two logs are fully
+    independent — writes to either never move the other."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.append(_df(spark, [(3, "c", "2024")]))
+
+    clone = TransactionLog(tmp_path / "c")
+    assert tbl.clone_to(clone.table_path) == 1
+    # zero-copy: the clone dir holds ONLY its log
+    assert _parquet_under(clone.table_path) == []
+    assert _ids(clone.snapshot(spark)) == [1, 2, 3]
+    # partition values derive through the source basePath
+    assert {r.year for r in clone.snapshot(spark).collect()} == {
+        "2024",
+        "2025",
+    }
+
+    # divergence: clone append is invisible to the source and vice versa
+    clone.append(_df(spark, [(4, "d", "2026")]))
+    tbl.append(_df(spark, [(9, "z", "2024")]))
+    assert _ids(clone.snapshot(spark)) == [1, 2, 3, 4]
+    assert _ids(tbl.snapshot(spark)) == [1, 2, 3, 9]
+    # the clone's own append landed under the CLONE dir
+    assert len(_parquet_under(clone.table_path)) > 0
+
+    with pytest.raises(ValueError, match="not empty"):
+        tbl.clone_to(clone.table_path)
+
+
+def test_clone_at_version_pins_history(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    clone = TransactionLog(tmp_path / "c")
+    tbl.clone_to(clone.table_path, version=1)
+    assert _ids(clone.snapshot(spark)) == [1]
+    rec = json.loads((clone.log_path / f"{str(1).zfill(20)}.json").read_text())
+    assert rec["clone_of"]["version"] == 1
+
+
+def test_clone_carries_deletion_vectors_and_constraints(spark, tbl, tmp_path):
+    """Merge-on-read state and CHECK constraints travel with the
+    clone: the clone reads THROUGH the source's deletion vectors, and
+    a violating write to the clone is refused by the cloned
+    constraint."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2024")]), ["year"])
+    tbl.add_check_constraint(spark, "pos_id", "id > 0")
+    tbl.delete_where(spark, "id = 2", mode="dv")
+
+    clone = TransactionLog(tmp_path / "c")
+    tbl.clone_to(clone.table_path)
+    assert _ids(clone.snapshot(spark)) == [1, 3]
+    with pytest.raises(ConstraintViolationError):
+        clone.append(_df(spark, [(-5, "x", "2024")]))
+
+
+def test_clone_compact_materializes_and_survives_source_vacuum(
+    spark, tbl, tmp_path
+):
+    """compact() on a shallow clone rewrites the referenced data into
+    the clone's own dir (= deep clone), after which vacuuming the
+    source — the published shallow-clone hazard — no longer affects
+    it."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    clone = TransactionLog(tmp_path / "c")
+    tbl.clone_to(clone.table_path)
+
+    clone.compact(spark, target_files_per_partition=1)
+    state = clone._replay(clone.latest_version())
+    assert all("base" not in a for a in state["files"].values())
+    assert len(_parquet_under(clone.table_path)) > 0
+
+    # source moves on and vacuums the files the clone used to reference
+    tbl.overwrite(_df(spark, [(7, "q", "2024")]), ["year"])
+    tbl.vacuum(min_age_s=0)
+    assert _ids(clone.snapshot(spark)) == [1, 2]
+
+
+def test_clone_merge_rewrites_locally(spark, tbl, tmp_path):
+    """Copy-on-write MERGE on a clone prunes to the affected CLONED
+    file, rewrites it under the clone dir, and never touches the
+    source's bytes."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    src_files = _parquet_under(tbl.table_path)
+    clone = TransactionLog(tmp_path / "c")
+    tbl.clone_to(clone.table_path)
+
+    clone.merge_upsert(_df(spark, [(1, "A", "2024"), (5, "e", "2025")]), ["id"])
+    got = {(r.id, r.v) for r in clone.snapshot(spark).collect()}
+    assert got == {(1, "A"), (2, "b"), (5, "e")}
+    # source bytes and view unchanged
+    assert _parquet_under(tbl.table_path) == src_files
+    assert {(r.id, r.v) for r in tbl.snapshot(spark).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # the unaffected 2025 cloned file is still referenced in place
+    state = clone._replay(clone.latest_version())
+    assert any("base" in a for a in state["files"].values())
+
+
+def test_clone_of_clone_keeps_original_base(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    c1 = TransactionLog(tmp_path / "c1")
+    tbl.clone_to(c1.table_path)
+    c2 = TransactionLog(tmp_path / "c2")
+    c1.clone_to(c2.table_path)
+    state = c2._replay(1)
+    assert all(
+        a["base"] == str(tbl.table_path.resolve())
+        for a in state["files"].values()
+    )
+    assert _ids(c2.snapshot(spark)) == [1]
