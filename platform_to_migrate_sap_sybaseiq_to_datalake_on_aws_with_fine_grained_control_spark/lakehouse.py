@@ -74,7 +74,7 @@ from pathlib import Path
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 __all__ = [
     "TransactionLog",
@@ -320,13 +320,22 @@ def _cmp_ok(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
-def _file_matches_atom(atom: str, add: dict) -> bool:
+def _file_matches_atom(atom: str, add: dict, mapping: dict | None = None) -> bool:
     """Can file ``add`` contain a row satisfying ``atom``?  True (keep)
-    whenever the atom is unrecognized or the needed stat is absent."""
+    whenever the atom is unrecognized or the needed stat is absent.
+
+    ``mapping`` (logical→physical column names) translates the atom's
+    column token at lookup time: predicates are written LOGICAL, but
+    stats/partition values are keyed by the frozen PHYSICAL names."""
     stats = add.get("stats") or {}
     pv = add.get("partition_values") or {}
+    # logical→physical, applied EXACTLY once per atom column (chained
+    # renames can make one column's logical name equal another's
+    # physical name, so a second application would hit the wrong stats)
+    _phys = (mapping or {}).get
 
     def bounds(col: str):
+        col = _phys(col, col)
         if col in pv:  # partition value: exact point (or NULL)
             v = pv[col]
             return v, v, (add.get("rows") if v is None else 0), True
@@ -353,8 +362,9 @@ def _file_matches_atom(atom: str, add: dict) -> bool:
     if m:
         lo, hi, nulls, known = bounds(m.group(1))
         rows = add.get("rows")
-        if m.group(1) in pv:
-            return pv[m.group(1)] is not None
+        pcol = _phys(m.group(1), m.group(1))
+        if pcol in pv:
+            return pv[pcol] is not None
         return nulls is None or rows is None or nulls < rows
     m = re.fullmatch(
         rf"({_COL_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})",
@@ -421,15 +431,41 @@ def _file_matches_atom(atom: str, add: dict) -> bool:
     return True  # unrecognized atom: no skipping from it
 
 
-def _prune_files(files: dict[str, dict], where: str) -> dict[str, dict]:
+def _prune_files(
+    files: dict[str, dict], where: str, mapping: dict | None = None
+) -> dict[str, dict]:
     atoms = _split_top_and(where)
     if not atoms:
         return files
     out = {}
     for rel, add in files.items():
-        if all(_file_matches_atom(a, add) for a in atoms):
+        if all(_file_matches_atom(a, add, mapping) for a in atoms):
             out[rel] = add
     return out
+
+
+def _physical_struct(schema: StructType, mapping: dict | None) -> StructType:
+    """The schema as it lives in parquet footers: logical field names
+    replaced by their frozen physical names (identity when unmapped)."""
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _rename_frame(df: DataFrame, m: dict) -> DataFrame:
+    """Rename columns per ``m`` (missing = keep); plan-only select."""
+    from pyspark.sql import functions as F
+
+    if not any(m.get(c, c) != c for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
 
 
 class TransactionLog:
@@ -490,6 +526,8 @@ class TransactionLog:
             "partition_keys": state["partition_keys"],
             "constraints": state["constraints"],
             "dvs": state["dvs"],
+            "column_mapping": state["column_mapping"],
+            "retired_physical": state["retired_physical"],
             "files": sorted(state["files"].items()),
         }
         p = self.log_path / f"_checkpoint.{_fmt_version(version)}.json"
@@ -531,6 +569,8 @@ class TransactionLog:
         partition_keys: list[str] = []
         constraints: dict[str, str] = {}
         dvs: list[dict] = []
+        column_mapping: dict[str, str] = {}
+        retired_physical: list[str] = []
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -540,6 +580,8 @@ class TransactionLog:
                 partition_keys = ckpt["partition_keys"]
                 constraints = dict(ckpt.get("constraints", {}))
                 dvs = list(ckpt.get("dvs", []))
+                column_mapping = dict(ckpt.get("column_mapping", {}))
+                retired_physical = list(ckpt.get("retired_physical", []))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -568,12 +610,20 @@ class TransactionLog:
             if "dvs" in rec:
                 dvs = list(rec["dvs"])
             dvs.extend(rec.get("dv", []))
+            # column mapping (logical→frozen physical) + retired
+            # physical names: full-map semantics like schema/constraints
+            if "column_mapping" in rec:
+                column_mapping = dict(rec["column_mapping"])
+            if "retired_physical" in rec:
+                retired_physical = list(rec["retired_physical"])
         return {
             "files": files,
             "schema": schema,
             "partition_keys": partition_keys,
             "constraints": constraints,
             "dvs": dvs,
+            "column_mapping": column_mapping,
+            "retired_physical": retired_physical,
         }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
@@ -593,14 +643,22 @@ class TransactionLog:
         df: DataFrame,
         partition_keys: list[str],
         max_records_per_file: int | None = None,
+        mapping: dict | None = None,
     ) -> list[dict]:
         """Write ``df``'s files under uuid names inside the table dir.
 
         Staged files are invisible until a commit references them: the
         read path never lists the directory.  Row counts come from a
-        footer-only pyarrow read (O(files) metadata, zero data IO)."""
+        footer-only pyarrow read (O(files) metadata, zero data IO).
+
+        ``mapping`` (logical→physical): staged BYTES always carry the
+        frozen physical column names — renames are metadata, never a
+        rewrite — so the logical frame is renamed before writing.
+        ``partition_keys`` are given physical."""
         import pyarrow.parquet as pq
 
+        if mapping:
+            df = _rename_frame(df, mapping)
         staging = self.table_path / f"_staging-{uuid.uuid4().hex}"
         writer = df.write.mode("error").format("parquet")
         if max_records_per_file is not None:
@@ -637,15 +695,19 @@ class TransactionLog:
         shutil.rmtree(staging)
         return adds
 
-    def _stage_cdf(self, df: DataFrame) -> list[dict]:
+    def _stage_cdf(self, df: DataFrame, mapping: dict | None = None) -> list[dict]:
         """Stage per-row change records (``_change_type`` column) under
         ``_cdf/<uuid>/`` — the change-data-feed sidecar.  CDF files are
         NOT table data: snapshots never read them, vacuum manages them
         by commit reference, and they become visible only through the
         commit record's ``cdf`` list (same invisibility rule as data
-        files)."""
+        files).  Like data files, sidecar BYTES carry physical column
+        names (stable across renames), so feeds spanning a rename read
+        correctly — ``read_change_feed`` maps back at read time."""
         import pyarrow.parquet as pq
 
+        if mapping:
+            df = _rename_frame(df, mapping)
         staging = self.table_path / f"_staging-{uuid.uuid4().hex}"
         df.write.mode("error").format("parquet").save(str(staging))
         out: list[dict] = []
@@ -936,8 +998,12 @@ class TransactionLog:
             "add": adds,
             "remove": removes,
             # data rewinds to the target INCLUDING its deletion-vector
-            # state; constraints are metadata and stay current
+            # state and column mapping (the target's files need the
+            # target's physical bindings); constraints are metadata
+            # and stay current
             "dvs": target["dvs"],
+            "column_mapping": target["column_mapping"],
+            "retired_physical": target["retired_physical"],
         }
         v = self.latest_version() + 1
         if v != read_v + 1:
@@ -1004,9 +1070,151 @@ class TransactionLog:
                 "add": [absolutize(a) for _, a in sorted(state["files"].items())],
                 "remove": [],
                 "dvs": [absolutize(d) for d in state["dvs"]],
+                "column_mapping": state["column_mapping"],
+                "retired_physical": state["retired_physical"],
             },
         )
         return 1
+
+    @staticmethod
+    def _assign_physical(
+        merged: StructType,
+        existing: StructType,
+        mapping: dict,
+        retired: list[str],
+    ) -> dict:
+        """Mapping after a schema evolution adds columns: a NEW logical
+        name whose default physical would collide with a LIVE physical
+        (another column's frozen name after a rename) or a RETIRED one
+        (a dropped column's bytes still sit in old files) gets a fresh
+        uuid-suffixed physical — re-adding a dropped column must never
+        resurrect the dead bytes."""
+        have = {f.name for f in existing.fields}
+        blocked = {mapping.get(f.name, f.name) for f in existing.fields} | set(
+            retired
+        )
+        out = dict(mapping)
+        for f in merged.fields:
+            if f.name not in have and f.name in blocked:
+                out[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
+        return out
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE .. RENAME COLUMN`` as ONE metadata commit —
+        zero data files touched (the published Delta column-mapping
+        design, name-mode): the column's PHYSICAL parquet name is
+        frozen at first write; renames only move the logical name, and
+        every read aliases physical→logical from the committed
+        mapping.  At 100 TB a rename is a 1 KB commit, not a rewrite.
+
+        Time travel is exact: old snapshots replay THEIR mapping, so
+        they still show the old name.  Partition columns rename too
+        (hive dirs keep the physical name; reads alias)."""
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            raise ValueError(f"{self.table_path} has no commits yet")
+        schema = StructType.fromJson(state["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for cname, expr in sorted(state["constraints"].items()):
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cname} [{expr}] — drop the constraint first"
+                )
+        mapping = dict(state["column_mapping"])
+        phys = mapping.pop(old, old)
+        if new != phys:
+            mapping[new] = phys
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+        rec = {
+            "version": read_v + 1,
+            "op": "rename_column",
+            "dataChange": False,
+            "ts": _utc_now_iso(),
+            "txn": uuid.uuid4().hex,
+            "schema": new_schema.jsonValue(),
+            "partition_keys": state["partition_keys"],
+            "rename": {"from": old, "to": new, "physical": phys},
+            "add": [],
+            "remove": [],
+            "column_mapping": mapping,
+            "retired_physical": state["retired_physical"],
+        }
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while rename was staged "
+                f"(read {read_v})"
+            )
+        self._try_commit(v, rec)
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE .. DROP COLUMN`` as ONE metadata commit — the
+        column leaves the logical schema; its bytes stay in the files
+        (unread: scans project the physical schema, which no longer
+        includes them) and the physical name is RETIRED so a later
+        re-add of the same name gets a fresh physical and never
+        resurrects the dead values.  The next OPTIMIZE rewrite sheds
+        the bytes for the files it touches."""
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            raise ValueError(f"{self.table_path} has no commits yet")
+        schema = StructType.fromJson(state["schema"])
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        mapping = dict(state["column_mapping"])
+        phys = mapping.pop(name, name)
+        if phys in state["partition_keys"]:
+            raise ValueError(
+                f"column {name!r} is a partition key — repartition via "
+                "overwrite instead"
+            )
+        for cname, expr in sorted(state["constraints"].items()):
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname} [{expr}] — drop the constraint first"
+                )
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        rec = {
+            "version": read_v + 1,
+            "op": "drop_column",
+            "dataChange": False,
+            "ts": _utc_now_iso(),
+            "txn": uuid.uuid4().hex,
+            "schema": new_schema.jsonValue(),
+            "partition_keys": state["partition_keys"],
+            "drop": {"column": name, "physical": phys},
+            "add": [],
+            "remove": [],
+            "column_mapping": mapping,
+            "retired_physical": sorted(
+                set(state["retired_physical"]) | {phys}
+            ),
+        }
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while drop was staged "
+                f"(read {read_v})"
+            )
+        self._try_commit(v, rec)
+        return v
 
     def append(
         self,
@@ -1025,10 +1233,14 @@ class TransactionLog:
         keys = partition_keys or []
         read_v0 = self.latest_version()  # the version our schema derives from
         state = self._replay(read_v0)
+        mapping = dict(state["column_mapping"])
+        retired = list(state["retired_physical"])
         if state["schema"] is not None:
-            if keys and state["partition_keys"] and keys != state["partition_keys"]:
+            inv = {p: l for l, p in mapping.items()}
+            logical_keys = [inv.get(k, k) for k in state["partition_keys"]]
+            if keys and state["partition_keys"] and keys != logical_keys:
                 raise ValueError(
-                    f"partition keys {keys} != table's {state['partition_keys']}"
+                    f"partition keys {keys} != table's {logical_keys}"
                 )
             keys = state["partition_keys"] or keys
             existing = StructType.fromJson(state["schema"])
@@ -1040,6 +1252,7 @@ class TransactionLog:
 
                 merged = merge_schemas([existing, df.schema])
                 df = align_to_schema(df, merged)
+                mapping = self._assign_physical(merged, existing, mapping, retired)
             elif [f.name.lower() for f in df.schema.fields] != [
                 f.name.lower() for f in existing.fields
             ]:
@@ -1047,7 +1260,7 @@ class TransactionLog:
                     "append schema drift without evolve_schema=True: "
                     f"{df.schema.simpleString()} vs {existing.simpleString()}"
                 )
-        adds = self._stage_files(df, keys, max_records_per_file)
+        adds = self._stage_files(df, keys, max_records_per_file, mapping)
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(
             df.sparkSession,
@@ -1056,58 +1269,120 @@ class TransactionLog:
                 "schema": schema_json,
                 "partition_keys": keys,
                 "constraints": state["constraints"],
+                "column_mapping": mapping,
             },
         )
 
         def rec(v: int) -> dict:
+            sch, cmap, ret = self._reconcile_append_meta(
+                read_v0, v, schema_json, mapping, retired
+            )
             return {
                 "version": v,
                 "op": "append",
                 "dataChange": True,
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
-                "schema": self._reconcile_append_schema(read_v0, v, schema_json),
+                "schema": sch,
                 "partition_keys": keys,
                 "add": adds,
                 "remove": [],
+                "column_mapping": cmap,
+                "retired_physical": ret,
             }
 
         return self._commit_with_retry(rec, read_version=None)
 
-    def _reconcile_append_schema(
-        self, read_v: int, commit_v: int, schema_json: dict
-    ) -> dict:
-        """Schema a blind append should commit at ``commit_v`` after
-        reading the table at ``read_v``.
+    def _reconcile_append_meta(
+        self,
+        read_v: int,
+        commit_v: int,
+        schema_json: dict,
+        mapping: dict | None = None,
+        retired: list[str] | None = None,
+    ) -> tuple[dict, dict, list[str]]:
+        """(schema, column_mapping, retired_physical) a blind append
+        should commit at ``commit_v`` after reading at ``read_v``.
 
-        A commit carries the FULL schema, so a retried append that
-        lost a version race to a concurrent WIDENING commit must not
-        re-commit its older schema — that would revert schema
+        A commit carries the FULL schema/mapping, so a retried append
+        that lost a version race to a concurrent WIDENING commit must
+        not re-commit its older metadata — that would revert schema
         authority and make the widened files unreadable (long parquet
         under an int table schema).  If the interleaved schema is a
-        pure widening of ours (merge == theirs), commit THEIRS — our
-        narrower files read fine under it.  Anything else is a real
-        conflict and raises for a caller-level re-run."""
-        if commit_v == read_v + 1:
-            return schema_json  # no interleaved commits
-        cur = self._replay(commit_v - 1)["schema"]
-        if cur is None or cur == schema_json:
-            return schema_json
+        pure widening of ours, commit the merged union — our narrower
+        files read fine under it.
+
+        Racing a RENAME or DROP is a real conflict: our staged bytes
+        carry physical names per OUR read-time mapping, so any
+        interleaved commit that removed one of our logical names or
+        changed any of their physical bindings raises for a
+        caller-level re-run."""
+        mapping = mapping or {}
+        retired = retired or []
+        if commit_v == read_v + 1 and read_v >= 0:
+            return schema_json, mapping, retired  # no interleaved commits
+        cur = self._replay(commit_v - 1)
+        if cur["schema"] is None or (
+            cur["schema"] == schema_json
+            and cur["column_mapping"] == mapping
+            and cur["retired_physical"] == retired
+        ):
+            return schema_json, mapping, retired
         from .operators.schema_evolution import merge_schemas
 
         ours = StructType.fromJson(schema_json)
-        theirs = StructType.fromJson(cur)
+        theirs = StructType.fromJson(cur["schema"])
+        their_names = {f.name for f in theirs.fields}
+        tm = cur["column_mapping"]
+        # one of OUR columns absent from THEIR schema is either (a) a
+        # column WE are adding (fine — the merge widens) or (b) one
+        # THEY renamed/dropped while we staged.  (b) always leaves a
+        # trace: a drop retires the physical name, a rename binds it
+        # to a different logical in their mapping.
+        their_bound = set(tm.values())
+        raced = [
+            f.name
+            for f in ours.fields
+            if f.name not in their_names
+            and (
+                (p := mapping.get(f.name, f.name)) in cur["retired_physical"]
+                or p in their_bound
+            )
+        ]
+        if raced:
+            raise ConcurrentCommitError(
+                f"append to {self.table_path} raced a rename/drop of "
+                f"{raced} at v{commit_v - 1} — staged files carry the "
+                "old physical layout; re-run"
+            )
+        rebind = [
+            f.name
+            for f in ours.fields
+            if f.name in their_names
+            and mapping.get(f.name, f.name) != tm.get(f.name, f.name)
+        ]
+        if rebind:
+            raise ConcurrentCommitError(
+                f"append to {self.table_path} raced a physical-name "
+                f"rebinding of {rebind} at v{commit_v - 1}; re-run"
+            )
         try:
             # the widened union covers BOTH sides' files (widen-only
             # casts, null backfill) — commit it, whichever side is the
             # wider one; merge failure = genuinely incompatible types
-            return merge_schemas([theirs, ours]).jsonValue()
+            merged = merge_schemas([theirs, ours]).jsonValue()
         except ValueError as e:
             raise ConcurrentCommitError(
                 f"append to {self.table_path} raced a schema change at "
                 f"v{commit_v - 1} it cannot merge with "
                 f"({ours.simpleString()} vs {theirs.simpleString()}): {e}"
             ) from e
+        merged_map = dict(tm)
+        merged_map.update(
+            {k: v for k, v in mapping.items() if k not in their_names}
+        )
+        merged_ret = sorted(set(retired) | set(cur["retired_physical"]))
+        return merged, merged_map, merged_ret
 
     def overwrite(
         self, df: DataFrame, partition_keys: list[str] | None = None
@@ -1142,6 +1417,11 @@ class TransactionLog:
                 "partition_keys": keys,
                 "add": adds,
                 "remove": sorted(state["files"]),
+                # a full replace writes fresh bytes under the frame's
+                # own names — mapping and retirements reset (history
+                # replays its own mapping for time travel)
+                "column_mapping": {},
+                "retired_physical": [],
             }
 
         v = self.latest_version() + 1
@@ -1195,14 +1475,20 @@ class TransactionLog:
         if state["schema"] is None:
             return self.append(source)  # empty table: merge == insert
         part_keys = state["partition_keys"]
+        mapping = dict(state["column_mapping"])
         existing = StructType.fromJson(state["schema"])
         if evolve_schema:
             from .operators.schema_evolution import align_to_schema, merge_schemas
 
             merged = merge_schemas([existing, source.schema])
             source = align_to_schema(source, merged)
+            mapping = self._assign_physical(
+                merged, existing, mapping, state["retired_physical"]
+            )
             # carried-over rows must land under the same widened schema
-            state = dict(state, schema=merged.jsonValue())
+            state = dict(
+                state, schema=merged.jsonValue(), column_mapping=mapping
+            )
         else:
             if sorted(f.name.lower() for f in source.schema.fields) != sorted(
                 f.name.lower() for f in existing.fields
@@ -1246,9 +1532,9 @@ class TransactionLog:
         else:
             out = source
             changes = source.select("*", ct("insert"))
-        adds = self._stage_files(out, part_keys)
+        adds = self._stage_files(out, part_keys, mapping=mapping)
         self._enforce_constraints(spark, adds, state)
-        cdf = self._stage_cdf(changes)
+        cdf = self._stage_cdf(changes, mapping)
 
         def rec(v: int) -> dict:
             r = {
@@ -1262,6 +1548,7 @@ class TransactionLog:
                 "add": adds,
                 "remove": sorted(affected),
                 "cdf": cdf,
+                "column_mapping": mapping,
             }
             if affected and state.get("dvs"):
                 r["dvs"] = self._surviving_dvs(state, sorted(affected))
@@ -1303,6 +1590,7 @@ class TransactionLog:
         cdf: list[dict] = []
         dv_entries: list[dict] = []
         removes: list[str] = []
+        mapping = state["column_mapping"]
         if affected and mode == "dv":
             removes = []
             dv_entries = self._stage_dv(
@@ -1315,18 +1603,22 @@ class TransactionLog:
             cdf = self._stage_cdf(
                 hits.drop("_fn", "_ridx").select(
                     "*", F.lit("delete").alias("_change_type")
-                )
+                ),
+                mapping,
             )
         elif affected:
             removes = sorted(affected)
             aff_state = dict(state, files={r: state["files"][r] for r in affected})
             aff_df = self._read_files(spark, aff_state)
             kept = aff_df.filter(F.expr(f"NOT coalesce(({predicate}), false)"))
-            adds = self._stage_files(kept, state["partition_keys"])
+            adds = self._stage_files(
+                kept, state["partition_keys"], mapping=mapping
+            )
             cdf = self._stage_cdf(
                 aff_df.filter(F.expr(predicate)).select(
                     "*", F.lit("delete").alias("_change_type")
-                )
+                ),
+                mapping,
             )
 
         def rec(v: int) -> dict:
@@ -1341,6 +1633,7 @@ class TransactionLog:
                 "add": adds,
                 "remove": removes,
                 "cdf": cdf,
+                "column_mapping": mapping,
             }
             if dv_entries:
                 r["dv"] = dv_entries
@@ -1384,9 +1677,10 @@ class TransactionLog:
 
         read_v = self.latest_version()
         state = self._replay(read_v)
+        mapping = state["column_mapping"]
         files = state["files"]
         if where is not None:
-            files = _prune_files(files, where)
+            files = _prune_files(files, where, mapping)
         if min_files is not None:
             by_dir: dict[str, list[str]] = {}
             for rel in files:
@@ -1399,7 +1693,9 @@ class TransactionLog:
             }
         if not files:
             raise ValueError(f"nothing to compact at {self.table_path}")
-        keys = state["partition_keys"]
+        keys = state["partition_keys"]  # physical (hive dir names)
+        inv = {p: l for l, p in mapping.items()}
+        lkeys = [inv.get(k, k) for k in keys]  # logical, for frame ops
         df = self._read_files(spark, dict(state, files=files))
         if zorder_by is not None:
             from .operators.layout import zorder_key
@@ -1410,17 +1706,17 @@ class TransactionLog:
                 bits=zorder_bits,
             )
             n_parts = (
-                max(1, df.select(*keys).distinct().count()) if keys else 1
+                max(1, df.select(*lkeys).distinct().count()) if lkeys else 1
             )
             laid_out = df.repartitionByRange(
                 n_parts * max(1, target_files_per_partition),
-                *[F.col(k) for k in keys],
+                *[F.col(k) for k in lkeys],
                 zkey,
-            ).sortWithinPartitions(*[F.col(k) for k in keys], zkey)
+            ).sortWithinPartitions(*[F.col(k) for k in lkeys], zkey)
         elif not keys:
             laid_out = df.coalesce(max(1, target_files_per_partition))
         elif target_files_per_partition <= 1:
-            laid_out = df.repartition(*[F.col(k) for k in keys])
+            laid_out = df.repartition(*[F.col(k) for k in lkeys])
         else:
             salt = F.pmod(
                 F.hash(*[F.col(c) for c in df.columns]),
@@ -1428,10 +1724,10 @@ class TransactionLog:
             )
             laid_out = (
                 df.withColumn("_salt", salt)
-                .repartition(*[F.col(k) for k in keys], F.col("_salt"))
+                .repartition(*[F.col(k) for k in lkeys], F.col("_salt"))
                 .drop("_salt")
             )
-        adds = self._stage_files(laid_out, keys)
+        adds = self._stage_files(laid_out, keys, mapping=mapping)
         removes = sorted(files)
         v = self.latest_version() + 1
         if v != read_v + 1:
@@ -1449,6 +1745,7 @@ class TransactionLog:
                 "txn": uuid.uuid4().hex,
                 "schema": state["schema"],
                 "partition_keys": keys,
+                "column_mapping": mapping,
                 "add": adds,
                 "remove": removes,
                 # the rewrite read THROUGH the deletion vectors, so the
@@ -1474,10 +1771,15 @@ class TransactionLog:
         for these columns here instead of deriving them downstream."""
         from pyspark.sql import functions as F
 
-        schema = StructType.fromJson(state["schema"])
+        logical = StructType.fromJson(state["schema"])
+        mapping = state.get("column_mapping") or {}
+        # parquet footers (and hive dirs) carry the FROZEN physical
+        # names; the scan runs physical and the plan renames to the
+        # logical view at the end — a rename is never a rewrite
+        schema = _physical_struct(logical, mapping)
         files = state["files"]
         if not files:
-            df = spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], logical)
             if with_file_info:
                 df = df.select(
                     "*",
@@ -1507,6 +1809,8 @@ class TransactionLog:
         base = scans[0]
         for s in scans[1:]:
             base = base.unionByName(s)
+        if mapping:
+            base = _rename_frame(base, {p: l for l, p in mapping.items()})
         dvs = state.get("dvs") or []
         need_info = with_file_info or bool(dvs)
         if need_info:
@@ -1559,7 +1863,10 @@ class TransactionLog:
         state = self._replay(version)
         if where is None:
             return self._read_files(spark, state)
-        pruned = dict(state, files=_prune_files(state["files"], where))
+        pruned = dict(
+            state,
+            files=_prune_files(state["files"], where, state["column_mapping"]),
+        )
         from pyspark.sql import functions as F
 
         return self._read_files(spark, pruned).filter(F.expr(where))
@@ -1568,7 +1875,9 @@ class TransactionLog:
         """The file list a ``snapshot(where=...)`` at ``version`` would
         scan — the observable data-skipping surface for tests/EXPLAIN."""
         state = self._replay(version or self.latest_version())
-        return sorted(_prune_files(state["files"], where))
+        return sorted(
+            _prune_files(state["files"], where, state["column_mapping"])
+        )
 
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -1590,7 +1899,14 @@ class TransactionLog:
                 adds[a["path"]] = a
         return self._read_files(
             spark,
-            {"files": adds, "schema": state["schema"], "partition_keys": state["partition_keys"]},
+            {
+                "files": adds,
+                "schema": state["schema"],
+                "partition_keys": state["partition_keys"],
+                # physical names are frozen, so the to-version mapping
+                # reads files added under ANY interim logical naming
+                "column_mapping": state["column_mapping"],
+            },
         )
 
     def read_change_feed(
@@ -1612,16 +1928,26 @@ class TransactionLog:
 
         Rows are aligned to the ``to``-version schema (widen-only), so
         a feed spanning an int→long evolution reads under the widened
-        type."""
+        type.  Feeds also span RENAMEs exactly: staged bytes (data and
+        ``_cdf`` sidecars alike) carry the frozen PHYSICAL names, so
+        every per-commit frame is taken to physical and renamed ONCE
+        into the ``to``-version logical view; columns dropped before
+        ``to`` are dead for the feed and excluded before the rename
+        (their physical names may have been reused logically)."""
         from pyspark.sql import functions as F
 
         from .operators.schema_evolution import align_to_schema
 
         to_version = to_version or self.latest_version()
         state = self._replay(to_version)
+        to_map = state["column_mapping"]
         target = StructType.fromJson(state["schema"]).add(
             "_change_type", "string", False
         )
+        # physical name -> to-version logical name, TOTAL over live cols
+        phys_to_logical = {
+            to_map.get(f.name, f.name): f.name for f in target.fields[:-1]
+        }
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             rec = self._read_commit(v)
@@ -1633,12 +1959,15 @@ class TransactionLog:
                     "not a delta) — read snapshot() at or after it instead"
                 )
             commit_schema = StructType.fromJson(rec["schema"])
+            cm = rec.get("column_mapping") or {}
             if rec.get("cdf") is not None:
                 paths = [str(self.table_path / c["path"]) for c in rec["cdf"]]
                 if not paths:
                     continue
                 df = spark.read.schema(
-                    commit_schema.add("_change_type", "string", False)
+                    _physical_struct(commit_schema, cm).add(
+                        "_change_type", "string", False
+                    )
                 ).parquet(*paths)
             else:
                 add_files = {a["path"]: a for a in rec.get("add", [])}
@@ -1650,8 +1979,21 @@ class TransactionLog:
                         "files": add_files,
                         "schema": rec["schema"],
                         "partition_keys": rec.get("partition_keys", []),
+                        "column_mapping": cm,
                     },
-                ).select("*", F.lit("insert").alias("_change_type"))
+                )
+                # commit-logical -> physical (the stable spine)
+                df = _rename_frame(df, cm).select(
+                    "*", F.lit("insert").alias("_change_type")
+                )
+            # physical -> to-logical; dead physicals dropped first
+            df = df.select(
+                *[
+                    F.col(c).alias(phys_to_logical.get(c, c))
+                    for c in df.columns
+                    if c in phys_to_logical or c == "_change_type"
+                ]
+            )
             parts.append(
                 align_to_schema(df, target).select(
                     "*", F.lit(v).cast("bigint").alias("_commit_version")
@@ -1779,6 +2121,14 @@ def txn_restore(path: str, version: int) -> int:
 
 def txn_clone(source: str, target: str, version: int | None = None) -> int:
     return TransactionLog(source).clone_to(target, version)
+
+
+def txn_rename_column(path: str, old: str, new: str) -> int:
+    return TransactionLog(path).rename_column(old, new)
+
+
+def txn_drop_column(path: str, name: str) -> int:
+    return TransactionLog(path).drop_column(name)
 
 
 def txn_delete(spark: SparkSession, path: str, predicate: str) -> int:

@@ -828,3 +828,67 @@ def acid_shallow_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(t.snapshot(spark), "src").unionByName(
         agg(c.snapshot(spark), "clone")
     )
+
+
+@register(
+    "acid_rename_column_orders",
+    """
+WITH fo AS (SELECT round(o_totalprice, 2) AS price, CAST(NULL AS VARCHAR) AS st
+            FROM orders WHERE o_orderstatus IN ('F', 'O')),
+pp AS (SELECT round(o_totalprice, 2) AS price, o_orderstatus AS st
+       FROM orders WHERE o_orderstatus = 'P'),
+allr AS (SELECT * FROM fo UNION ALL SELECT * FROM pp),
+f AS (SELECT round(o_totalprice, 2) AS p FROM orders WHERE o_orderstatus = 'F')
+SELECT 'latest' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total_price,
+       CAST(count(st) AS BIGINT) AS n_status FROM allr
+UNION ALL
+SELECT 'v1', count(*), round(sum(p), 2), count(*) FROM f
+""",
+    doc="Column mapping through the transaction log (the published "
+    "Delta RENAME/DROP COLUMN design, name-mode): v1 appends 'F' "
+    "orders; v2 RENAMEs p→price as a 1 KB metadata commit (zero files "
+    "rewritten — the parquet physical name is frozen, reads alias); "
+    "v3 appends 'O' orders under the NEW logical name; v4 DROPs "
+    "o_orderstatus (physical name retired, bytes stay unread in old "
+    "files); v5 evolve-appends 'P' orders RE-ADDING o_orderstatus, "
+    "which binds a fresh physical name. 'latest' must aggregate all "
+    "three slices under the renamed price column with o_orderstatus "
+    "non-null ONLY for the 'P' rows (the dropped values never "
+    "resurrect), and the v1 time-travel snapshot must still read "
+    "under the ORIGINAL name p with every status present. Parity "
+    "proves rename-without-rewrite, retirement, and versioned naming "
+    "in one loop.",
+)
+def acid_rename_column_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-rename-") + "/orders")
+    t.append(
+        _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F"),
+        ["o_orderpriority"],
+    )
+    t.rename_column("p", "price")
+    t.append(
+        _orders_cols(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "O")
+        .withColumnRenamed("p", "price")
+    )
+    t.drop_column("o_orderstatus")
+    t.append(
+        _orders_cols(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "P")
+        .withColumnRenamed("p", "price"),
+        evolve_schema=True,
+    )
+    latest = t.snapshot(spark).agg(
+        F.lit("latest").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+        F.count("o_orderstatus").cast("bigint").alias("n_status"),
+    )
+    v1 = t.snapshot(spark, version=1).agg(
+        F.lit("v1").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+        F.count("o_orderstatus").cast("bigint").alias("n_status"),
+    )
+    return latest.unionByName(v1)

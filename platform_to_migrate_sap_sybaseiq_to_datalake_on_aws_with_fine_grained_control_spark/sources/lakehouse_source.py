@@ -110,11 +110,17 @@ def _file_to_batches(
     partition_values: dict,
     deleted_rows: list[int],
     schema: StructType,
+    rename: dict | None = None,
 ) -> Iterator:
     """Read one committed parquet file into Arrow record batches:
     drop DV-deleted row positions, inject typed partition-column
     values, align columns to the committed schema (widen-only casts,
-    e.g. an int32 file under an int64 table schema)."""
+    e.g. an int32 file under an int64 table schema).
+
+    ``rename`` (a TOTAL physical→logical map for column-mapped tables)
+    aliases file columns to the logical view first; file columns NOT
+    in the map are dead (dropped/renamed-away) and excluded — their
+    physical name may since have been reused by a new logical column."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -124,6 +130,11 @@ def _file_to_batches(
         dead = set(deleted_rows)
         keep = [i for i in range(table.num_rows) if i not in dead]
         table = table.take(pa.array(keep, type=pa.int64()))
+    if rename:
+        keep_cols = [c for c in table.column_names if c in rename]
+        table = table.select(keep_cols).rename_columns(
+            [rename[c] for c in keep_cols]
+        )
     target = to_arrow_schema(schema)
     by_type = {f.name: f.dataType for f in schema.fields}
     cols = []
@@ -148,6 +159,8 @@ class LakehouseFilePartition(InputPartition):
     # data file to synthesize "insert" rows from
     commit_version: int = 0
     is_cdf: bool = False
+    # column-mapped tables: TOTAL physical→logical map ({} = identity)
+    rename: dict = field(default_factory=dict)
 
 
 def _feed_batches(partition: "LakehouseFilePartition", schema: StructType):
@@ -163,6 +176,17 @@ def _feed_batches(partition: "LakehouseFilePartition", schema: StructType):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         raw = pq.read_table(partition.abs_path)
+        if partition.rename:
+            # sidecar bytes carry physical names; alias to the pinned
+            # logical view, dropping dead (unmapped) physicals
+            keep = [
+                c
+                for c in raw.column_names
+                if c in partition.rename or c == "_change_type"
+            ]
+            raw = raw.select(keep).rename_columns(
+                [partition.rename.get(c, c) for c in keep]
+            )
         target = to_arrow_schema(base)
         # sidecars written before a column-add lack the new field —
         # null-fill, exactly like the batch feed's align_to_schema
@@ -187,6 +211,7 @@ def _feed_batches(partition: "LakehouseFilePartition", schema: StructType):
                 partition.partition_values,
                 partition.deleted_rows,
                 base,
+                partition.rename,
             )
         )
     for b in batches:
@@ -194,6 +219,28 @@ def _feed_batches(partition: "LakehouseFilePartition", schema: StructType):
             "_commit_version",
             pa.array([partition.commit_version] * b.num_rows, pa.int64()),
         )
+
+
+def _total_rename(schema: StructType, mapping: dict) -> dict:
+    """TOTAL physical→logical map over the live columns of ``schema``
+    (the feed columns excluded); {} when the mapping is identity so
+    plain tables skip the alias path entirely."""
+    if not mapping:
+        return {}
+    live = [
+        f.name
+        for f in schema.fields
+        if f.name not in ("_change_type", "_commit_version")
+    ]
+    return {mapping.get(n, n): n for n in live}
+
+
+def _logical_pv(pv: dict, rename: dict) -> dict:
+    """Partition values are keyed by PHYSICAL dir names; the reader
+    injects them under logical column names (dead keys dropped)."""
+    if not rename:
+        return pv
+    return {rename[k]: v for k, v in pv.items() if k in rename}
 
 
 def _dv_positions_by_file(table_path: Path, dvs: list[dict]) -> dict[str, list[int]]:
@@ -224,11 +271,15 @@ class LakehouseBatchReader(DataSourceReader):
         log = TransactionLog(self.path)
         state = log._replay(self.version or log.latest_version())
         dv_by_file = _dv_positions_by_file(log.table_path, state.get("dvs") or [])
+        rename = _total_rename(self.schema, state.get("column_mapping") or {})
         parts = [
             LakehouseFilePartition(
                 abs_path=str(log.table_path / rel),
-                partition_values=add.get("partition_values") or {},
+                partition_values=_logical_pv(
+                    add.get("partition_values") or {}, rename
+                ),
                 deleted_rows=dv_by_file.get(rel.rsplit("/", 1)[-1], []),
+                rename=rename,
             )
             for rel, add in sorted(state["files"].items())
         ]
@@ -245,6 +296,7 @@ class LakehouseBatchReader(DataSourceReader):
             partition.partition_values,
             partition.deleted_rows,
             self.schema,
+            partition.rename,
         )
 
 
@@ -271,12 +323,17 @@ class LakehouseStreamReader(DataSourceStreamReader):
         starting_version: int,
         skip_change_commits: bool,
         read_change_feed: bool = False,
+        rename: dict | None = None,
     ):
         self.path = path
         self.schema = schema
         self.starting_version = starting_version
         self.skip_change_commits = skip_change_commits
         self.read_change_feed = read_change_feed
+        # physical→logical map pinned WITH the schema: physical names
+        # are frozen, so one map reads files/sidecars from every commit
+        # in the stream regardless of when their logical names changed
+        self.rename = rename or {}
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -311,6 +368,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 abs_path=str(log.table_path / c["path"]),
                                 commit_version=v,
                                 is_cdf=True,
+                                rename=self.rename,
                             )
                         )
                     continue
@@ -327,8 +385,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 parts.append(
                     LakehouseFilePartition(
                         abs_path=str(log.table_path / a["path"]),
-                        partition_values=a.get("partition_values") or {},
+                        partition_values=_logical_pv(
+                            a.get("partition_values") or {}, self.rename
+                        ),
                         commit_version=v,
+                        rename=self.rename,
                     )
                 )
         return parts
@@ -342,6 +403,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 partition.partition_values,
                 partition.deleted_rows,
                 self.schema,
+                partition.rename,
             )
 
     def commit(self, end: dict) -> None:
@@ -392,6 +454,13 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
                 f"{sorted(state['constraints'])}; the streaming sink cannot "
                 "enforce them batch-atomically — drop them or use "
                 "foreachBatch with TransactionLog.append"
+            )
+        if state.get("column_mapping"):
+            raise ValueError(
+                f"streaming write to {path}: table has renamed columns "
+                "(non-identity column mapping); the sink stages bytes "
+                "under the stream's own names — use foreachBatch with "
+                "TransactionLog.append, which maps logical to physical"
             )
         if state["schema"] is not None:
             existing = StructType.fromJson(state["schema"])
@@ -515,20 +584,26 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         schema_json = self.commit_schema.jsonValue()
 
         def rec(v: int) -> dict:
+            # the stream's schema was derived at query start, so EVERY
+            # batch reconciles: a concurrent widening must not be
+            # reverted by a later micro-batch's commit (read_v=-1
+            # forces the check; replay is checkpointed).  The same
+            # check guards column mapping: staged stream bytes carry
+            # LOGICAL names physically, so a rename/drop landing
+            # mid-stream rebinding any stream column raises.
+            sch, cmap, ret = log._reconcile_append_meta(-1, v, schema_json)
             r = {
                 "version": v,
                 "op": "append",
                 "dataChange": True,
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
-                # the stream's schema was derived at query start, so
-                # EVERY batch reconciles: a concurrent widening must
-                # not be reverted by a later micro-batch's commit
-                # (read_v=-1 forces the check; replay is checkpointed)
-                "schema": log._reconcile_append_schema(-1, v, schema_json),
+                "schema": sch,
                 "partition_keys": self.partition_keys,
                 "add": adds,
                 "remove": [],
+                "column_mapping": cmap,
+                "retired_physical": ret,
             }
             if self.txn_app_id is not None:
                 r["streamTxn"] = {"appId": self.txn_app_id, "batchId": batchId}
@@ -612,12 +687,15 @@ class LakehouseDataSource(DataSource):
         return LakehouseBatchReader(self._path(), schema, self._pinned_version())
 
     def streamReader(self, schema: StructType) -> LakehouseStreamReader:
+        log = TransactionLog(self._path())
+        state = log._replay(self._pinned_version())
         return LakehouseStreamReader(
             self._path(),
             schema,
             int(self.options.get("startingversion") or 0),
             str(self.options.get("skipchangecommits", "")).lower() == "true",
             read_change_feed=self._cdf(),
+            rename=_total_rename(schema, state.get("column_mapping") or {}),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -961,8 +961,8 @@ def test_append_racing_widen_commits_widened_schema(spark, tbl, monkeypatch):
     orig = tbl._stage_files
     fired = {"done": False}
 
-    def stage_then_race(df, keys, max_records_per_file=None):
-        adds = orig(df, keys, max_records_per_file)
+    def stage_then_race(df, keys, max_records_per_file=None, mapping=None):
+        adds = orig(df, keys, max_records_per_file, mapping)
         if not fired["done"]:
             fired["done"] = True
             TransactionLog(tbl.table_path).append(wide, evolve_schema=True)
@@ -998,8 +998,8 @@ def test_append_racing_incompatible_schema_raises(spark, tbl, monkeypatch):
     orig = tbl._stage_files
     fired = {"done": False}
 
-    def stage_then_race(df, keys, max_records_per_file=None):
-        adds = orig(df, keys, max_records_per_file)
+    def stage_then_race(df, keys, max_records_per_file=None, mapping=None):
+        adds = orig(df, keys, max_records_per_file, mapping)
         if not fired["done"]:
             fired["done"] = True
             TransactionLog(tbl.table_path).overwrite(replacement, ["year"])
@@ -1194,3 +1194,201 @@ def test_clone_of_clone_keeps_original_base(spark, tbl, tmp_path):
         for a in state["files"].values()
     )
     assert _ids(c2.snapshot(spark)) == [1]
+
+
+# ---- column mapping (rename / drop without rewrite) ------------------------
+
+
+def test_rename_column_is_metadata_only(spark, tbl):
+    """RENAME COLUMN commits zero data files; reads alias the frozen
+    physical name to the new logical one, and time travel shows each
+    version under ITS name."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    before = _parquet_under(tbl.table_path)
+    v = tbl.rename_column("v", "val")
+    assert v == 2
+    assert _parquet_under(tbl.table_path) == before  # zero bytes moved
+    snap = tbl.snapshot(spark)
+    assert sorted(snap.columns) == ["id", "val", "year"]
+    assert sorted((r.id, r.val) for r in snap.collect()) == [(1, "a"), (2, "b")]
+    # time travel: v1 still reads under the OLD name
+    assert sorted(tbl.snapshot(spark, version=1).columns) == ["id", "v", "year"]
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("id", "val")
+    with pytest.raises(ValueError, match="no column"):
+        tbl.rename_column("nope", "x")
+
+
+def test_rename_partition_column_and_appends(spark, tbl):
+    """Partition columns rename too: hive dirs keep the physical name,
+    reads alias, and appends written under the NEW logical name land
+    in the same physical layout."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.rename_column("year", "yr")
+    tbl.append(spark.createDataFrame([(2, "b", "2024")], ["id", "v", "yr"]))
+    snap = tbl.snapshot(spark)
+    assert sorted(snap.columns) == ["id", "v", "yr"]
+    assert sorted((r.id, r.yr) for r in snap.collect()) == [
+        (1, "2024"),
+        (2, "2024"),
+    ]
+    # both files physically live under year=2024 (frozen physical dir)
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert all(rel.startswith("year=2024/") for rel in files)
+    # stale logical partition key now refused
+    with pytest.raises(ValueError, match="partition keys"):
+        tbl.append(_df(spark, [(3, "c", "2024")]), ["year"])
+
+
+def test_drop_column_then_readd_never_resurrects(spark, tbl):
+    """DROP retires the physical name; a later evolve-append re-adding
+    the same logical name binds a FRESH physical, so the dead bytes in
+    old files never leak back."""
+    tbl.append(_df(spark, [(1, "secret", "2024")]), ["year"])
+    tbl.drop_column("v")
+    assert sorted(tbl.snapshot(spark).columns) == ["id", "year"]
+    tbl.append(
+        spark.createDataFrame([(2, "new", "2024")], ["id", "v", "year"]),
+        evolve_schema=True,
+    )
+    got = {(r.id, r.v) for r in tbl.snapshot(spark).collect()}
+    assert got == {(1, None), (2, "new")}  # old 'secret' stays dead
+    state = tbl._replay(tbl.latest_version())
+    assert state["retired_physical"] == ["v"]
+    assert state["column_mapping"]["v"].startswith("v_")
+    with pytest.raises(ValueError, match="partition key"):
+        tbl.drop_column("year")
+
+
+def test_rename_data_skipping_and_predicates(spark, tbl):
+    """snapshot(where=...) on a renamed column still prunes: the
+    logical predicate is translated to the frozen physical name before
+    the stats/partition-value bound math."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.rename_column("year", "yr")
+    tbl.rename_column("id", "key")
+    assert len(tbl.matching_files("yr = '2024'")) == 1
+    assert len(tbl.matching_files("key >= 2")) == 1
+    got = tbl.snapshot(spark, where="yr = '2024' AND key <= 1").collect()
+    assert [(r.key, r.yr) for r in got] == [(1, "2024")]
+
+
+def test_rename_merge_delete_and_feed_span_rename(spark, tbl):
+    """Copy-on-write MERGE and DV DELETE on a renamed table write
+    physical bytes under the frozen names, and a change feed spanning
+    the rename comes back entirely under the to-version names."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.rename_column("v", "val")  # v2
+    tbl.merge_upsert(
+        spark.createDataFrame([(1, "UPD", "2024")], ["id", "val", "year"]),
+        ["id"],
+    )  # v3
+    tbl.delete_where(spark, "id = 2", mode="dv")  # v4
+    assert sorted(
+        (r.id, r.val) for r in tbl.snapshot(spark).collect()
+    ) == [(1, "UPD")]
+    feed = tbl.read_change_feed(spark, 1)
+    rows = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in feed.collect()
+    )
+    assert rows == [
+        (1, "UPD", "update_postimage", 3),
+        (1, "a", "update_preimage", 3),
+        (2, "b", "delete", 4),
+    ]
+    # staged bytes kept the PHYSICAL name (v), not the logical alias
+    import pyarrow.parquet as pq
+
+    merged = [
+        p
+        for p in tbl.table_path.rglob("*.parquet")
+        if "_txn_log" not in p.parts and "_cdf" not in p.parts and "_dv" not in p.parts
+    ]
+    assert all("v" in pq.ParquetFile(p).schema_arrow.names for p in merged)
+    assert not any(
+        "val" in pq.ParquetFile(p).schema_arrow.names for p in merged
+    )
+
+
+def test_rename_restore_rewinds_mapping(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.rename_column("v", "val")
+    tbl.restore(1)
+    snap = tbl.snapshot(spark)
+    assert sorted(snap.columns) == ["id", "v", "year"]
+    assert tbl._replay(tbl.latest_version())["column_mapping"] == {}
+
+
+def test_rename_blocked_by_referencing_constraint(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.add_check_constraint(spark, "pos_id", "id > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        tbl.rename_column("id", "key")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        tbl.drop_column("id")
+    tbl.drop_check_constraint("pos_id")
+    tbl.rename_column("id", "key")
+    assert sorted(tbl.snapshot(spark).columns) == ["key", "v", "year"]
+
+
+def test_append_racing_rename_raises(spark, tbl, monkeypatch):
+    """A blind append whose staged bytes predate a concurrent RENAME
+    must not land: its physical layout was planned under the old
+    mapping."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    orig = TransactionLog._stage_files
+    raced = {"done": False}
+
+    def stage_then_rename(self, *a, **k):
+        adds = orig(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).rename_column("v", "val")
+        return adds
+
+    monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_rename)
+    with pytest.raises(ConcurrentCommitError, match="rename/drop"):
+        tbl.append(_df(spark, [(2, "b", "2024")]))
+
+
+def test_rename_connector_batch_and_stream(spark, tbl, tmp_path):
+    """The Python Data Source reads mapped tables: physical file
+    columns alias to the logical view, partition values inject under
+    the logical name, and the streaming sink refuses mapped tables
+    loudly."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.rename_column("year", "yr")
+    tbl.delete_where(spark, "id = 2", mode="dv")
+    got = spark.read.format("lakehouse").load(str(tbl.table_path))
+    assert sorted(got.columns) == ["id", "v", "yr"]
+    assert sorted((r.id, r.yr) for r in got.collect()) == [(1, "2024")]
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("skipChangeCommits", "true")
+        .load(str(tbl.table_path))
+        .writeStream.format("memory")
+        .queryName("maptest")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from maptest").collect()
+    assert sorted(r.yr for r in rows) == ["2024", "2025"]  # pre-DV commits
+
+    # the sink's refusal fires at writer construction
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+        LakehouseStreamWriter,
+    )
+
+    with pytest.raises(ValueError, match="renamed columns"):
+        LakehouseStreamWriter(
+            str(tbl.table_path), tbl.snapshot(spark).schema, [], None
+        )
