@@ -676,11 +676,12 @@ def test_dv_interplay_with_merge_cow_and_vacuum(spark, tbl):
 
 def test_log_state_machine_random_ops(spark, tmp_path):
     """Hypothesis drives random append / merge / delete(cow|dv) /
-    overwrite / compact / restore sequences against a dict-of-rows
-    reference model; after every op the snapshot must equal the model,
-    and at the end every historical version must still replay to its
-    recorded model state (time travel is never corrupted by later
-    ops)."""
+    overwrite / compact / restore / rename / drop+re-add sequences
+    against a dict-of-rows reference model; after every op the
+    snapshot must equal the model, and at the end every historical
+    version must still replay to its recorded model state UNDER ITS
+    OWN column names (time travel is never corrupted by later ops,
+    including later renames)."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -693,6 +694,8 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             st.tuples(st.just("overwrite"), st.integers(1, 3)),
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("restore"), st.integers(1, 6)),
+            st.tuples(st.just("rename"), st.just(0)),
+            st.tuples(st.just("drop_readd"), st.just(0)),
         ),
         min_size=3,
         max_size=7,
@@ -709,8 +712,11 @@ def test_log_state_machine_random_ops(spark, tmp_path):
     def run(ops):
         counter["case"] += 1
         t = TransactionLog(tmp_path / f"pt{counter['case']}")
-        model: dict[int, int] = {}
-        history: list[dict[int, int]] = []  # model state per version
+        model: dict[int, int | None] = {}
+        # per-version record: model rows + the value column's LOGICAL
+        # name at that version (None while dropped)
+        history: list[tuple[dict, str | None]] = []
+        name = "v"  # current logical name of the value column
 
         def fresh_rows(n):
             out = []
@@ -720,22 +726,31 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             return out
 
         def df_of(rows):
-            return spark.createDataFrame(rows, ["id", "v", "year"])
+            return spark.createDataFrame(rows, ["id", name, "year"])
 
-        def record(version):
+        def record(version, col="__cur__"):
             assert version == len(history) + 1
-            history.append(dict(model))
+            history.append((dict(model), name if col == "__cur__" else col))
+
+        def snap_set(df, col):
+            if col is None:
+                return {(r.id, None) for r in df.collect()}
+            return {(r.id, getattr(r, col)) for r in df.collect()}
 
         for op, arg in ops:
             if op == "append":
                 rows = fresh_rows(arg)
-                v = t.append(df_of(rows), ["year"])
+                # evolve=True: a drop+re-add leaves the value column
+                # LAST in the table schema, and the model's frames are
+                # built (id, value, year) — align instead of drifting
+                v = t.append(df_of(rows), ["year"], evolve_schema=True)
                 model.update({r[0]: r[1] for r in rows})
             elif op == "merge":
                 if not model:
                     continue
                 upd = sorted(model)[: arg % (len(model) + 1)]
-                rows = [(k, model[k] + 1, "2024") for k in upd] + fresh_rows(1)
+                rows = [(k, (model[k] or 0) + 1, "2024") for k in upd]
+                rows += fresh_rows(1)
                 v = t.merge_upsert(df_of(rows), ["id"])
                 model.update({r[0]: r[1] for r in rows})
             elif op in ("delete_cow", "delete_dv"):
@@ -757,51 +772,82 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                     continue
                 v = t.compact(spark)
             elif op == "restore":
-                if len(history) < 2:
+                # only restore to versions where the value column
+                # exists (drop-gap targets would need schema surgery
+                # in the model's frame builder, not the log)
+                targets = [
+                    i + 1
+                    for i, (_, n) in enumerate(history[:-1])
+                    if n is not None
+                ]
+                if not targets:
                     continue
-                target = (arg % (len(history) - 1)) + 1
+                target = targets[arg % len(targets)]
                 v = t.restore(target)
                 model.clear()
-                model.update(history[target - 1])
+                model.update(history[target - 1][0])
+                name = history[target - 1][1]
+            elif op == "rename":
+                if not t.latest_version():
+                    continue
+                new = "w" if name == "v" else "v"
+                v = t.rename_column(name, new)
+                name = new
+            elif op == "drop_readd":
+                if not t.latest_version() or not model:
+                    continue
+                v = t.drop_column(name)
+                for k in model:
+                    model[k] = None  # values gone from the logical view
+                record(v, col=None)  # the gap version has NO value col
+                rows = fresh_rows(1)
+                v = t.append(df_of(rows), evolve_schema=True)
+                model.update({r[0]: r[1] for r in rows})
             record(v)
-            got = {
-                (r.id, r.v) for r in t.snapshot(spark).collect()
-            } if t.latest_version() else set()
+            got = (
+                snap_set(t.snapshot(spark), name)
+                if t.latest_version()
+                else set()
+            )
             assert got == set(model.items()), f"after {op}({arg})"
-        # every historical version still replays exactly
-        for v, snap in enumerate(history, start=1):
-            got = {(r.id, r.v) for r in t.snapshot(spark, version=v).collect()}
+        # every historical version still replays exactly, under the
+        # column name it had THEN
+        for v, (snap, vname) in enumerate(history, start=1):
+            got = snap_set(t.snapshot(spark, version=v), vname)
             assert got == set(snap.items()), f"time travel to v{v}"
         # the row-level change feed is COMPLETE: folding every feed row
         # from v0 re-derives the final state exactly (inserts/
         # postimages assert, deletes retract) — valid whenever the
         # history contains no full-refresh op (overwrite/restore raise
-        # in the feed by contract)
+        # in the feed by contract) and no column drop (a schema-level
+        # removal is invisible to a row-level feed — the same caveat
+        # the published CDF design documents)
         executed_ops = {op for op, _ in ops}
-        if t.latest_version() and not executed_ops & {"overwrite", "restore"}:
+        if t.latest_version() and not executed_ops & {
+            "overwrite",
+            "restore",
+            "drop_readd",
+        }:
             folded: dict[int, int] = {}
             feed = t.read_change_feed(spark, 0).collect()
             for r in sorted(feed, key=lambda r: r._commit_version):
                 if r._change_type in ("insert", "update_postimage"):
-                    folded[r.id] = r.v
+                    folded[r.id] = getattr(r, name)
                 elif r._change_type == "delete":
                     folded.pop(r.id, None)
             assert folded == model, "CDF fold != final state"
         # the Python Data Source connector agrees with the JVM read on
         # whatever state the random history produced (DVs, compactions,
-        # restores and all)
+        # restores, renames and all)
         if t.latest_version():
             from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
                 register_lakehouse_source,
             )
 
             register_lakehouse_source(spark)
-            via_connector = {
-                (r.id, r.v)
-                for r in spark.read.format("lakehouse")
-                .load(str(t.table_path))
-                .collect()
-            }
+            via_connector = snap_set(
+                spark.read.format("lakehouse").load(str(t.table_path)), name
+            )
             assert via_connector == set(model.items()), "connector read"
 
     run()
