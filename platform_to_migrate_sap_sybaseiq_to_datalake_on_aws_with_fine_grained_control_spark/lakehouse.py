@@ -1099,6 +1099,53 @@ class TransactionLog:
                 out[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         return out
 
+    def set_partition_spec(self, partition_keys: list[str]) -> int:
+        """Partition-spec EVOLUTION (the published Iceberg design):
+        change the partition layout for FUTURE writes as ONE metadata
+        commit — existing files keep their old hive layout and stay
+        referenced as-is, because at 100 TB "repartition the table" is
+        not an operation.  The read path groups the file list by
+        layout (each group's hive dirs derive its partition columns; a
+        column that is a dir level in one group lives in the data
+        bytes of another), per-file pruning keeps working on both
+        generations (old files prune via their partition values, new
+        ones via column stats, and vice versa), and the next OPTIMIZE
+        rewrite migrates whatever it touches to the current spec."""
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            raise ValueError(f"{self.table_path} has no commits yet")
+        schema = StructType.fromJson(state["schema"])
+        names = {f.name for f in schema.fields}
+        unknown = [k for k in partition_keys if k not in names]
+        if unknown:
+            raise ValueError(f"partition keys {unknown} not in {sorted(names)}")
+        mapping = state["column_mapping"]
+        phys_keys = [mapping.get(k, k) for k in partition_keys]
+        if phys_keys == state["partition_keys"]:
+            raise ValueError(f"partition spec is already {partition_keys}")
+        rec = {
+            "version": read_v + 1,
+            "op": "set_partition_spec",
+            "dataChange": False,
+            "ts": _utc_now_iso(),
+            "txn": uuid.uuid4().hex,
+            "schema": state["schema"],
+            "partition_keys": phys_keys,
+            "previous_partition_keys": state["partition_keys"],
+            "add": [],
+            "remove": [],
+            "column_mapping": mapping,
+        }
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while spec change was staged "
+                f"(read {read_v})"
+            )
+        self._try_commit(v, rec)
+        return v
+
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE .. RENAME COLUMN`` as ONE metadata commit —
         zero data files touched (the published Delta column-mapping
@@ -1238,11 +1285,14 @@ class TransactionLog:
         if state["schema"] is not None:
             inv = {p: l for l, p in mapping.items()}
             logical_keys = [inv.get(k, k) for k in state["partition_keys"]]
-            if keys and state["partition_keys"] and keys != logical_keys:
+            # the committed spec is authoritative for an existing table
+            # (set_partition_spec evolves it) — mismatched caller keys
+            # raise rather than silently re-partitioning
+            if keys and keys != logical_keys:
                 raise ValueError(
                     f"partition keys {keys} != table's {logical_keys}"
                 )
-            keys = state["partition_keys"] or keys
+            keys = state["partition_keys"]
             existing = StructType.fromJson(state["schema"])
             if evolve_schema:
                 from .operators.schema_evolution import (
@@ -1274,8 +1324,8 @@ class TransactionLog:
         )
 
         def rec(v: int) -> dict:
-            sch, cmap, ret = self._reconcile_append_meta(
-                read_v0, v, schema_json, mapping, retired
+            sch, cmap, ret, pkeys = self._reconcile_append_meta(
+                read_v0, v, schema_json, mapping, retired, keys
             )
             return {
                 "version": v,
@@ -1284,7 +1334,7 @@ class TransactionLog:
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
                 "schema": sch,
-                "partition_keys": keys,
+                "partition_keys": pkeys,
                 "add": adds,
                 "remove": [],
                 "column_mapping": cmap,
@@ -1300,9 +1350,11 @@ class TransactionLog:
         schema_json: dict,
         mapping: dict | None = None,
         retired: list[str] | None = None,
-    ) -> tuple[dict, dict, list[str]]:
-        """(schema, column_mapping, retired_physical) a blind append
-        should commit at ``commit_v`` after reading at ``read_v``.
+        keys: list[str] | None = None,
+    ) -> tuple[dict, dict, list[str], list[str]]:
+        """(schema, column_mapping, retired_physical, partition_keys)
+        a blind append should commit at ``commit_v`` after reading at
+        ``read_v``.
 
         A commit carries the FULL schema/mapping, so a retried append
         that lost a version race to a concurrent WIDENING commit must
@@ -1319,15 +1371,22 @@ class TransactionLog:
         caller-level re-run."""
         mapping = mapping or {}
         retired = retired or []
+        keys = keys or []
         if commit_v == read_v + 1 and read_v >= 0:
-            return schema_json, mapping, retired  # no interleaved commits
+            return schema_json, mapping, retired, keys  # nothing interleaved
         cur = self._replay(commit_v - 1)
-        if cur["schema"] is None or (
+        if cur["schema"] is None:
+            return schema_json, mapping, retired, keys
+        # an interleaved set_partition_spec wins: OUR staged files keep
+        # their old hive layout (mixed specs read fine), but re-stating
+        # the old spec would revert the table's layout authority
+        keys = cur["partition_keys"] if cur["partition_keys"] != keys else keys
+        if (
             cur["schema"] == schema_json
             and cur["column_mapping"] == mapping
             and cur["retired_physical"] == retired
         ):
-            return schema_json, mapping, retired
+            return schema_json, mapping, retired, keys
         from .operators.schema_evolution import merge_schemas
 
         ours = StructType.fromJson(schema_json)
@@ -1382,7 +1441,7 @@ class TransactionLog:
             {k: v for k, v in mapping.items() if k not in their_names}
         )
         merged_ret = sorted(set(retired) | set(cur["retired_physical"]))
-        return merged, merged_map, merged_ret
+        return merged, merged_map, merged_ret, keys
 
     def overwrite(
         self, df: DataFrame, partition_keys: list[str] | None = None
@@ -1796,29 +1855,40 @@ class TransactionLog:
         # source root); hive derivation needs basePath to be the dir
         # the partition subdirs hang off, so each distinct base gets
         # its own scan and the scans union by name — still one
-        # in-memory file index per base, zero listing.
-        by_base: dict[str, list[str]] = {}
+        # in-memory file index per base, zero listing.  Files written
+        # under DIFFERENT partition specs (set_partition_spec evolves
+        # the layout for future writes only) group separately too:
+        # within a group every file shares one hive layout, and a
+        # column that is a dir level in one group lives in the data
+        # bytes of another — either way the schema read produces it.
+        by_base: dict[tuple, list[str]] = {}
         for rel in sorted(files):
-            b = files[rel].get("base") or str(self.table_path)
+            a = files[rel]
+            b = a.get("base") or str(self.table_path)
+            layout = tuple(sorted(a.get("partition_values") or {}))
             # pathlib passthrough: absolute `rel` wins over table_path
-            by_base.setdefault(b, []).append(str(self.table_path / rel))
-        scans = [
-            spark.read.schema(schema).option("basePath", b).parquet(*ps)
-            for b, ps in sorted(by_base.items())
-        ]
+            by_base.setdefault((b, layout), []).append(
+                str(self.table_path / rel)
+            )
+        dvs = state.get("dvs") or []
+        need_info = with_file_info or bool(dvs)
+        scans = []
+        for (b, _), ps in sorted(by_base.items()):
+            s = spark.read.schema(schema).option("basePath", b).parquet(*ps)
+            if need_info:
+                # _metadata is a per-relation pseudo-column — it must
+                # be projected BEFORE the layout groups union
+                s = s.select(
+                    "*",
+                    F.col("_metadata.file_name").alias("_fn"),
+                    F.col("_metadata.row_index").alias("_ridx"),
+                )
+            scans.append(s)
         base = scans[0]
         for s in scans[1:]:
             base = base.unionByName(s)
         if mapping:
             base = _rename_frame(base, {p: l for l, p in mapping.items()})
-        dvs = state.get("dvs") or []
-        need_info = with_file_info or bool(dvs)
-        if need_info:
-            base = base.select(
-                "*",
-                F.col("_metadata.file_name").alias("_fn"),
-                F.col("_metadata.row_index").alias("_ridx"),
-            )
         if dvs:
             # merge-on-read: logically-deleted (file, row) positions are
             # anti-joined out.  AQE broadcasts the DV side in the common
@@ -2125,6 +2195,10 @@ def txn_clone(source: str, target: str, version: int | None = None) -> int:
 
 def txn_rename_column(path: str, old: str, new: str) -> int:
     return TransactionLog(path).rename_column(old, new)
+
+
+def txn_set_partition_spec(path: str, partition_keys: list[str]) -> int:
+    return TransactionLog(path).set_partition_spec(partition_keys)
 
 
 def txn_drop_column(path: str, name: str) -> int:

@@ -892,3 +892,85 @@ def acid_rename_column_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").cast("bigint").alias("n_status"),
     )
     return latest.unionByName(v1)
+
+
+@register(
+    "acid_partition_evolution_orders",
+    f"""
+WITH f AS (SELECT o_orderkey, round(o_totalprice, 2) AS p, o_orderpriority
+           FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT o_orderkey, round(o_totalprice, 2) AS p,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'O'),
+old_hit AS (SELECT count(*) AS c FROM (
+    SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+    FROM f GROUP BY o_orderpriority
+) WHERE mn <= {DS_HI} AND mx >= {DS_LO}),
+new_hit AS (SELECT count(DISTINCT CAST(floor((rn - 1) / {DS_FILE_ROWS}.0) AS INT)) AS c
+            FROM o WHERE o_orderkey BETWEEN {DS_LO} AND {DS_HI})
+SELECT 'all' AS snap, CAST((SELECT count(*) FROM f) + (SELECT count(*) FROM o) AS BIGINT) AS n,
+       round((SELECT sum(p) FROM f) + (SELECT sum(p) FROM o), 2) AS total_price
+UNION ALL
+SELECT 'files_scanned', CAST((SELECT c FROM old_hit) + (SELECT c FROM new_hit) AS BIGINT), 0.0
+UNION ALL
+SELECT 'old_generation_intact',
+       CAST((SELECT count(DISTINCT o_orderpriority) FROM f) AS BIGINT), 0.0
+""",
+    doc="Partition-spec EVOLUTION through the transaction log (the "
+    "published Iceberg design): v1 appends 'F' orders hive-partitioned "
+    "by o_orderpriority (coalesce(1) → exactly one file per priority "
+    "dir); v2 set_partition_spec([]) — a metadata-only commit changing "
+    "the layout for FUTURE writes; v3 appends 'O' orders unpartitioned "
+    f"as sorted {DS_FILE_ROWS}-row chunks. 'all' proves reads union "
+    "the two layout generations exactly. 'files_scanned' proves "
+    "per-file pruning works on BOTH generations at once: for a key "
+    "range, old files prune via their footer key stats (the oracle "
+    "recomputes per-priority min/max overlap) and new files via "
+    "sorted-chunk stats (distinct 200-row chunk indexes) — the same "
+    "exact-minimal analytic as acid_data_skipping_orders. "
+    "'old_generation_intact' pins the old generation's file count "
+    "(one per priority — zero files rewritten by the spec change). "
+    "At 100 TB this is the difference between re-partitioning the "
+    "lake and committing 1 KB of metadata.",
+)
+def acid_partition_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-spec-") + "/orders")
+    f_src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("p"),
+            "o_orderpriority",
+        )
+        .coalesce(1)
+    )
+    t.append(f_src, ["o_orderpriority"])
+    n_old_files = len(t.history()[-1].add)
+    t.set_partition_spec([])
+    o_src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("p"),
+            F.col("o_orderpriority"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    t.append(o_src, max_records_per_file=DS_FILE_ROWS)
+    scanned = len(t.matching_files(DS_PRED))
+    all_row = t.snapshot(spark).agg(
+        F.lit("all").alias("snap"),
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    counts = spark.createDataFrame(
+        [
+            ("files_scanned", scanned, 0.0),
+            ("old_generation_intact", n_old_files, 0.0),
+        ],
+        "snap string, n bigint, total_price double",
+    )
+    return all_row.unionByName(counts)

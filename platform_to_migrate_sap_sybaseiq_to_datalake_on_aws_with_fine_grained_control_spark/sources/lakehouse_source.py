@@ -591,7 +591,9 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             # check guards column mapping: staged stream bytes carry
             # LOGICAL names physically, so a rename/drop landing
             # mid-stream rebinding any stream column raises.
-            sch, cmap, ret = log._reconcile_append_meta(-1, v, schema_json)
+            sch, cmap, ret, pkeys = log._reconcile_append_meta(
+                -1, v, schema_json, keys=self.partition_keys
+            )
             r = {
                 "version": v,
                 "op": "append",
@@ -599,7 +601,7 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
                 "schema": sch,
-                "partition_keys": self.partition_keys,
+                "partition_keys": pkeys,
                 "add": adds,
                 "remove": [],
                 "column_mapping": cmap,

@@ -696,6 +696,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             st.tuples(st.just("restore"), st.integers(1, 6)),
             st.tuples(st.just("rename"), st.just(0)),
             st.tuples(st.just("drop_readd"), st.just(0)),
+            st.tuples(st.just("respec"), st.just(0)),
         ),
         min_size=3,
         max_size=7,
@@ -742,8 +743,14 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 rows = fresh_rows(arg)
                 # evolve=True: a drop+re-add leaves the value column
                 # LAST in the table schema, and the model's frames are
-                # built (id, value, year) — align instead of drifting
-                v = t.append(df_of(rows), ["year"], evolve_schema=True)
+                # built (id, value, year) — align instead of drifting.
+                # keys only on the FIRST append: afterwards the
+                # committed spec (which respec toggles) is authoritative
+                v = t.append(
+                    df_of(rows),
+                    None if t.latest_version() else ["year"],
+                    evolve_schema=True,
+                )
                 model.update({r[0]: r[1] for r in rows})
             elif op == "merge":
                 if not model:
@@ -793,6 +800,11 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 new = "w" if name == "v" else "v"
                 v = t.rename_column(name, new)
                 name = new
+            elif op == "respec":
+                if not t.latest_version():
+                    continue
+                cur = t._replay(t.latest_version())["partition_keys"]
+                v = t.set_partition_spec([] if cur else ["year"])
             elif op == "drop_readd":
                 if not t.latest_version() or not model:
                     continue
@@ -1438,3 +1450,124 @@ def test_rename_connector_batch_and_stream(spark, tbl, tmp_path):
         LakehouseStreamWriter(
             str(tbl.table_path), tbl.snapshot(spark).schema, [], None
         )
+
+
+# ---- partition spec evolution ---------------------------------------------
+
+
+def _layouts(tbl):
+    files = tbl._replay(tbl.latest_version())["files"]
+    return sorted(
+        {tuple(sorted(a.get("partition_values") or {})) for a in files.values()}
+    ), files
+
+
+def test_partition_spec_evolution_mixed_layouts(spark, tbl):
+    """set_partition_spec changes the layout for FUTURE writes only:
+    old files keep their hive dirs and stay referenced (zero rewrite),
+    reads union the layout generations, and per-file pruning works on
+    both (old files via partition values, new via column stats — and
+    vice versa for the new spec's column)."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    before = _parquet_under(tbl.table_path)
+    tbl.set_partition_spec(["v"])
+    assert _parquet_under(tbl.table_path) == before  # metadata-only
+    tbl.append(_df(spark, [(3, "c", "2024"), (4, "d", "2026")]))
+
+    layouts, files = _layouts(tbl)
+    assert layouts == [("v",), ("year",)]
+    got = sorted((r.id, r.v, r.year) for r in tbl.snapshot(spark).collect())
+    assert got == [(1, "a", "2024"), (2, "b", "2025"), (3, "c", "2024"), (4, "d", "2026")]
+    # pruning across generations: year=2024 keeps the old 2024 dir file
+    # (partition value) plus the one new file whose stats span 2024
+    assert len(tbl.matching_files("year = '2024'")) == 2
+    assert len(tbl.matching_files("v = 'c'")) == 1
+    with pytest.raises(ValueError, match="not in"):
+        tbl.set_partition_spec(["nope"])
+    with pytest.raises(ValueError, match="already"):
+        tbl.set_partition_spec(["v"])
+
+
+def test_partition_spec_compact_migrates_layout(spark, tbl):
+    """OPTIMIZE after a spec change rewrites what it touches into the
+    CURRENT spec — the incremental path from old layout to new."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.set_partition_spec(["v"])
+    tbl.append(_df(spark, [(3, "c", "2024")]))
+    tbl.delete_where(spark, "id = 2", mode="dv")
+    tbl.compact(spark, target_files_per_partition=1)
+    layouts, files = _layouts(tbl)
+    assert layouts == [("v",)]  # everything migrated
+    assert tbl._replay(tbl.latest_version())["dvs"] == []
+    assert _ids(tbl.snapshot(spark)) == [1, 3]
+
+
+def test_partition_spec_to_unpartitioned_and_back(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.set_partition_spec([])
+    tbl.append(_df(spark, [(2, "b", "2025")]))
+    layouts, _ = _layouts(tbl)
+    assert layouts == [(), ("year",)]
+    tbl.set_partition_spec(["year"])
+    tbl.append(_df(spark, [(3, "c", "2026")]))
+    assert _ids(tbl.snapshot(spark)) == [1, 2, 3]
+    assert {r.year for r in tbl.snapshot(spark).collect()} == {
+        "2024", "2025", "2026",
+    }
+
+
+def test_append_racing_spec_change_commits_new_spec(spark, tbl, monkeypatch):
+    """A blind append that loses the version race to a concurrent
+    set_partition_spec commits THEIR spec (its own files keep the old
+    layout — mixed generations read fine) instead of reverting layout
+    authority."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    orig = TransactionLog._stage_files
+    raced = {"done": False}
+
+    def stage_then_respec(self, *a, **k):
+        adds = orig(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).set_partition_spec(["v"])
+        return adds
+
+    monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_respec)
+    v = tbl.append(_df(spark, [(2, "b", "2024")]))
+    st = tbl._replay(v)
+    assert st["partition_keys"] == ["v"]  # theirs won
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+    # the next append (no race) lands under the new spec
+    monkeypatch.setattr(TransactionLog, "_stage_files", orig)
+    tbl.append(_df(spark, [(3, "c", "2024")]))
+    layouts, _ = _layouts(tbl)
+    assert ("v",) in layouts
+
+
+def test_partition_spec_restore_rewinds_spec(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.set_partition_spec(["v"])
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    tbl.restore(1)
+    assert tbl._replay(tbl.latest_version())["partition_keys"] == ["year"]
+    tbl.append(_df(spark, [(4, "d", "2027")]))
+    layouts, files = _layouts(tbl)
+    assert layouts == [("year",)]
+    assert _ids(tbl.snapshot(spark)) == [1, 4]
+
+
+def test_partition_spec_with_renamed_partition_column(spark, tbl):
+    """Spec evolution composes with column mapping: the spec is stored
+    in PHYSICAL names, so evolving to a renamed column's new logical
+    name resolves through the mapping."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.rename_column("v", "val")
+    tbl.set_partition_spec(["val"])  # logical name of physical 'v'
+    assert tbl._replay(tbl.latest_version())["partition_keys"] == ["v"]
+    tbl.append(
+        spark.createDataFrame([(2, "b", "2025")], ["id", "val", "year"])
+    )
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert any(rel.startswith("v=b/") for rel in files)  # physical dir
+    got = sorted((r.id, r.val, r.year) for r in tbl.snapshot(spark).collect())
+    assert got == [(1, "a", "2024"), (2, "b", "2025")]
