@@ -80,6 +80,8 @@ __all__ = [
     "TransactionLog",
     "ConcurrentCommitError",
     "ConstraintViolationError",
+    "UnsupportedTableFeatureError",
+    "SUPPORTED_READER_FEATURES",
     "txn_append",
     "txn_overwrite",
     "txn_compact",
@@ -95,6 +97,23 @@ __all__ = [
 _LOG_DIR = "_txn_log"
 _LAST_CKPT = "_last_checkpoint"
 _VERSION_DIGITS = 20  # zero-padded fixed width => lexicographic == numeric
+
+#: Reader features THIS implementation understands (the published
+#: Delta "table features" protocol design): a commit whose semantics
+#: an unaware reader would silently MISREAD — not merely fail on —
+#: declares the feature, replay accumulates the set, and every read
+#: entry point refuses tables requiring a feature it does not know.
+#: Silent misreads the gate prevents: stale logical names / resurrected
+#: dropped bytes (columnMapping), undeleted rows (deletionVectors),
+#: missing data files (externalFiles — clone references outside the
+#: table dir).
+SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "deletionVectors", "externalFiles"}
+)
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The table requires a reader feature this build does not know."""
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -528,6 +547,7 @@ class TransactionLog:
             "dvs": state["dvs"],
             "column_mapping": state["column_mapping"],
             "retired_physical": state["retired_physical"],
+            "reader_features": sorted(state["reader_features"]),
             "files": sorted(state["files"].items()),
         }
         p = self.log_path / f"_checkpoint.{_fmt_version(version)}.json"
@@ -571,6 +591,7 @@ class TransactionLog:
         dvs: list[dict] = []
         column_mapping: dict[str, str] = {}
         retired_physical: list[str] = []
+        reader_features: set[str] = set()
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -582,6 +603,7 @@ class TransactionLog:
                 dvs = list(ckpt.get("dvs", []))
                 column_mapping = dict(ckpt.get("column_mapping", {}))
                 retired_physical = list(ckpt.get("retired_physical", []))
+                reader_features = set(ckpt.get("reader_features", []))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -616,6 +638,10 @@ class TransactionLog:
                 column_mapping = dict(rec["column_mapping"])
             if "retired_physical" in rec:
                 retired_physical = list(rec["retired_physical"])
+            # table features are MONOTONE (the published protocol
+            # design): once a table requires a reader feature, later
+            # commits never silently un-require it
+            reader_features.update(rec.get("reader_features", []))
         return {
             "files": files,
             "schema": schema,
@@ -624,6 +650,7 @@ class TransactionLog:
             "dvs": dvs,
             "column_mapping": column_mapping,
             "retired_physical": retired_physical,
+            "reader_features": reader_features,
         }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
@@ -1072,6 +1099,12 @@ class TransactionLog:
                 "dvs": [absolutize(d) for d in state["dvs"]],
                 "column_mapping": state["column_mapping"],
                 "retired_physical": state["retired_physical"],
+                # the clone's files live OUTSIDE its table dir — a
+                # reader unaware of external references would vacuum/
+                # resolve them wrong
+                "reader_features": sorted(
+                    state["reader_features"] | {"externalFiles"}
+                ),
             },
         )
         return 1
@@ -1196,6 +1229,9 @@ class TransactionLog:
             "remove": [],
             "column_mapping": mapping,
             "retired_physical": state["retired_physical"],
+            "reader_features": sorted(
+                state["reader_features"] | {"columnMapping"}
+            ),
         }
         v = self.latest_version() + 1
         if v != read_v + 1:
@@ -1252,6 +1288,9 @@ class TransactionLog:
             "column_mapping": mapping,
             "retired_physical": sorted(
                 set(state["retired_physical"]) | {phys}
+            ),
+            "reader_features": sorted(
+                state["reader_features"] | {"columnMapping"}
             ),
         }
         v = self.latest_version() + 1
@@ -1696,6 +1735,9 @@ class TransactionLog:
             }
             if dv_entries:
                 r["dv"] = dv_entries
+                r["reader_features"] = sorted(
+                    state["reader_features"] | {"deletionVectors"}
+                )
             elif removes and state.get("dvs"):
                 r["dvs"] = self._surviving_dvs(state, removes)
             return r
@@ -1818,6 +1860,20 @@ class TransactionLog:
 
     # ---- read path ---------------------------------------------------------
 
+    @staticmethod
+    def _check_features(state: dict) -> None:
+        """Refuse to read a table requiring a feature this build does
+        not understand — an unaware read would be silently WRONG
+        (stale names, undeleted rows, missing files), which is worse
+        than failing."""
+        unknown = set(state.get("reader_features") or ()) - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"table requires reader features {sorted(unknown)}; this "
+                f"build supports {sorted(SUPPORTED_READER_FEATURES)} — "
+                "upgrade the reader"
+            )
+
     def _read_files(
         self, spark: SparkSession, state: dict, with_file_info: bool = False
     ) -> DataFrame:
@@ -1830,6 +1886,7 @@ class TransactionLog:
         for these columns here instead of deriving them downstream."""
         from pyspark.sql import functions as F
 
+        self._check_features(state)
         logical = StructType.fromJson(state["schema"])
         mapping = state.get("column_mapping") or {}
         # parquet footers (and hive dirs) carry the FROZEN physical
@@ -2010,6 +2067,7 @@ class TransactionLog:
 
         to_version = to_version or self.latest_version()
         state = self._replay(to_version)
+        self._check_features(state)
         to_map = state["column_mapping"]
         target = StructType.fromJson(state["schema"]).add(
             "_change_type", "string", False

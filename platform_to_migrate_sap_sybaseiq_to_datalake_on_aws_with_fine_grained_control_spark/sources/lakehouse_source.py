@@ -270,6 +270,7 @@ class LakehouseBatchReader(DataSourceReader):
     def partitions(self):
         log = TransactionLog(self.path)
         state = log._replay(self.version or log.latest_version())
+        TransactionLog._check_features(state)
         dv_by_file = _dv_positions_by_file(log.table_path, state.get("dvs") or [])
         rename = _total_rename(self.schema, state.get("column_mapping") or {})
         parts = [
@@ -691,6 +692,7 @@ class LakehouseDataSource(DataSource):
     def streamReader(self, schema: StructType) -> LakehouseStreamReader:
         log = TransactionLog(self._path())
         state = log._replay(self._pinned_version())
+        TransactionLog._check_features(state)
         return LakehouseStreamReader(
             self._path(),
             schema,

@@ -1571,3 +1571,59 @@ def test_partition_spec_with_renamed_partition_column(spark, tbl):
     assert any(rel.startswith("v=b/") for rel in files)  # physical dir
     got = sorted((r.id, r.val, r.year) for r in tbl.snapshot(spark).collect())
     assert got == [(1, "a", "2024"), (2, "b", "2025")]
+
+
+# ---- protocol reader features ---------------------------------------------
+
+
+def test_reader_features_declared_and_monotone(spark, tbl, tmp_path):
+    """Commits whose semantics an unaware reader would silently
+    misread declare the required feature; the set is monotone across
+    later commits (the published table-features protocol design)."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    assert tbl._replay(1)["reader_features"] == set()
+    tbl.rename_column("v", "val")
+    tbl.delete_where(spark, "id = 2", mode="dv")
+    feats = tbl._replay(tbl.latest_version())["reader_features"]
+    assert feats == {"columnMapping", "deletionVectors"}
+    # monotone through a compaction that drops the vectors
+    tbl.compact(spark, target_files_per_partition=1)
+    assert tbl._replay(tbl.latest_version())["reader_features"] == feats
+    clone = TransactionLog(tmp_path / "c")
+    tbl.clone_to(clone.table_path)
+    assert clone._replay(1)["reader_features"] == feats | {"externalFiles"}
+
+
+def test_unknown_reader_feature_refuses_reads(spark, tbl):
+    """A table requiring a feature this build does not know must fail
+    loudly on EVERY read path — an unaware read would return wrong
+    data, which is worse."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        UnsupportedTableFeatureError,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+        register_lakehouse_source,
+    )
+
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    # a future writer lands a commit requiring a feature we don't have
+    rec = json.loads((tbl.log_path / f"{str(1).zfill(20)}.json").read_text())
+    rec2 = dict(
+        rec,
+        version=2,
+        op="future_op",
+        add=[],
+        remove=[],
+        reader_features=["timeTravelByRowId"],
+    )
+    (tbl.log_path / f"{str(2).zfill(20)}.json").write_text(json.dumps(rec2))
+
+    with pytest.raises(UnsupportedTableFeatureError, match="timeTravelByRowId"):
+        tbl.snapshot(spark)
+    with pytest.raises(UnsupportedTableFeatureError):
+        tbl.read_change_feed(spark, 1)
+    register_lakehouse_source(spark)
+    with pytest.raises(Exception, match="timeTravelByRowId"):
+        spark.read.format("lakehouse").load(str(tbl.table_path)).collect()
+    # pinned reads BEFORE the feature commit still work
+    assert _ids(tbl.snapshot(spark, version=1)) == [1]
