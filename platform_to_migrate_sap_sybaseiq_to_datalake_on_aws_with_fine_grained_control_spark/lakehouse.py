@@ -548,6 +548,7 @@ class TransactionLog:
             "column_mapping": state["column_mapping"],
             "retired_physical": state["retired_physical"],
             "reader_features": sorted(state["reader_features"]),
+            "generated": state["generated"],
             "files": sorted(state["files"].items()),
         }
         p = self.log_path / f"_checkpoint.{_fmt_version(version)}.json"
@@ -592,6 +593,7 @@ class TransactionLog:
         column_mapping: dict[str, str] = {}
         retired_physical: list[str] = []
         reader_features: set[str] = set()
+        generated: dict[str, str] = {}
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -604,6 +606,7 @@ class TransactionLog:
                 column_mapping = dict(ckpt.get("column_mapping", {}))
                 retired_physical = list(ckpt.get("retired_physical", []))
                 reader_features = set(ckpt.get("reader_features", []))
+                generated = dict(ckpt.get("generated", {}))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -642,6 +645,8 @@ class TransactionLog:
             # design): once a table requires a reader feature, later
             # commits never silently un-require it
             reader_features.update(rec.get("reader_features", []))
+            if "generated" in rec:
+                generated = dict(rec["generated"])
         return {
             "files": files,
             "schema": schema,
@@ -651,6 +656,7 @@ class TransactionLog:
             "column_mapping": column_mapping,
             "retired_physical": retired_physical,
             "reader_features": reader_features,
+            "generated": generated,
         }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
@@ -1132,6 +1138,72 @@ class TransactionLog:
                 out[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         return out
 
+    def add_generated_column(self, name: str, expr: str) -> int:
+        """Declare ``name`` as a GENERATED column (the published Delta
+        generated-columns design): every write that omits it computes
+        ``expr`` (a deterministic SQL expression over the row's other
+        columns), and a write that supplies it is validated against
+        the expression on the staged bytes (the same enforcement path
+        as CHECK constraints — a mismatched write sweeps its files and
+        commits nothing).  Declaring on a table that already holds
+        files is refused: pre-existing rows would read NULL and break
+        the invariant (Delta requires declaration at creation for the
+        same reason).  Combined with ``partition_keys`` /
+        :meth:`set_partition_spec` this is the hidden-partitioning
+        layout pattern: ``add_generated_column("event_date",
+        "to_date(ts)")`` + partitioning by ``event_date`` gives
+        date-pruned layout while writers only ever supply ``ts``."""
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["files"]:
+            raise ValueError(
+                f"cannot declare generated column {name!r}: "
+                f"{self.table_path} already holds data files whose rows "
+                "would read NULL — declare before the first write"
+            )
+        if name in state["generated"]:
+            raise ValueError(f"generated column {name!r} already declared")
+        generated = dict(state["generated"], **{name: expr})
+        rec = {
+            "version": read_v + 1,
+            "op": "add_generated_column",
+            "dataChange": False,
+            "ts": _utc_now_iso(),
+            "txn": uuid.uuid4().hex,
+            "schema": state["schema"],
+            "partition_keys": state["partition_keys"],
+            "add": [],
+            "remove": [],
+            "generated": generated,
+        }
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while the generated-column "
+                f"declaration was staged (read {read_v})"
+            )
+        self._try_commit(v, rec)
+        return v
+
+    @staticmethod
+    def _apply_generated(df: DataFrame, generated: dict[str, str]) -> DataFrame:
+        """Compute declared generated columns the frame omits (plan-
+        level select; supplied columns pass through for staged-bytes
+        validation)."""
+        from pyspark.sql import functions as F
+
+        missing = {n: e for n, e in generated.items() if n not in df.columns}
+        if not missing:
+            return df
+        return df.select(
+            "*", *[F.expr(e).alias(n) for n, e in sorted(missing.items())]
+        )
+
+    @staticmethod
+    def _generated_constraints(generated: dict[str, str]) -> dict[str, str]:
+        """The implicit CHECKs enforcing supplied-value fidelity."""
+        return {f"_gen_{n}": f"{n} <=> ({e})" for n, e in generated.items()}
+
     def set_partition_spec(self, partition_keys: list[str]) -> int:
         """Partition-spec EVOLUTION (the published Iceberg design):
         change the partition layout for FUTURE writes as ONE metadata
@@ -1206,6 +1278,12 @@ class TransactionLog:
                     f"column {old!r} is referenced by CHECK constraint "
                     f"{cname} [{expr}] — drop the constraint first"
                 )
+        for gname, gexpr in sorted(state["generated"].items()):
+            if old == gname or re.search(rf"\b{re.escape(old)}\b", gexpr):
+                raise ValueError(
+                    f"column {old!r} is part of generated column "
+                    f"{gname} [{gexpr}] — generated declarations are fixed"
+                )
         mapping = dict(state["column_mapping"])
         phys = mapping.pop(old, old)
         if new != phys:
@@ -1273,6 +1351,12 @@ class TransactionLog:
                     f"column {name!r} is referenced by CHECK constraint "
                     f"{cname} [{expr}] — drop the constraint first"
                 )
+        for gname, gexpr in sorted(state["generated"].items()):
+            if name == gname or re.search(rf"\b{re.escape(name)}\b", gexpr):
+                raise ValueError(
+                    f"column {name!r} is part of generated column "
+                    f"{gname} [{gexpr}] — generated declarations are fixed"
+                )
         new_schema = StructType([f for f in schema.fields if f.name != name])
         rec = {
             "version": read_v + 1,
@@ -1321,6 +1405,8 @@ class TransactionLog:
         state = self._replay(read_v0)
         mapping = dict(state["column_mapping"])
         retired = list(state["retired_physical"])
+        if state["generated"]:
+            df = self._apply_generated(df, state["generated"])
         if state["schema"] is not None:
             inv = {p: l for l, p in mapping.items()}
             logical_keys = [inv.get(k, k) for k in state["partition_keys"]]
@@ -1357,7 +1443,10 @@ class TransactionLog:
             {
                 "schema": schema_json,
                 "partition_keys": keys,
-                "constraints": state["constraints"],
+                "constraints": {
+                    **state["constraints"],
+                    **self._generated_constraints(state["generated"]),
+                },
                 "column_mapping": mapping,
             },
         )
@@ -1492,6 +1581,8 @@ class TransactionLog:
         keys = partition_keys or []
         read_v = self.latest_version()
         state = self._replay(read_v)
+        if state["generated"]:
+            df = self._apply_generated(df, state["generated"])
         adds = self._stage_files(df, keys)
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(
@@ -1500,7 +1591,10 @@ class TransactionLog:
             {
                 "schema": schema_json,
                 "partition_keys": keys,
-                "constraints": state["constraints"],
+                "constraints": {
+                    **state["constraints"],
+                    **self._generated_constraints(state["generated"]),
+                },
             },
         )
 
@@ -1572,6 +1666,8 @@ class TransactionLog:
         state = self._replay(read_v)
         if state["schema"] is None:
             return self.append(source)  # empty table: merge == insert
+        if state["generated"]:
+            source = self._apply_generated(source, state["generated"])
         part_keys = state["partition_keys"]
         mapping = dict(state["column_mapping"])
         existing = StructType.fromJson(state["schema"])
@@ -1631,7 +1727,15 @@ class TransactionLog:
             out = source
             changes = source.select("*", ct("insert"))
         adds = self._stage_files(out, part_keys, mapping=mapping)
-        self._enforce_constraints(spark, adds, state)
+        self._enforce_constraints(
+            spark,
+            adds,
+            state,
+            constraints={
+                **state["constraints"],
+                **self._generated_constraints(state["generated"]),
+            },
+        )
         cdf = self._stage_cdf(changes, mapping)
 
         def rec(v: int) -> dict:
@@ -2257,6 +2361,10 @@ def txn_rename_column(path: str, old: str, new: str) -> int:
 
 def txn_set_partition_spec(path: str, partition_keys: list[str]) -> int:
     return TransactionLog(path).set_partition_spec(partition_keys)
+
+
+def txn_add_generated_column(path: str, name: str, expr: str) -> int:
+    return TransactionLog(path).add_generated_column(name, expr)
 
 
 def txn_drop_column(path: str, name: str) -> int:

@@ -974,3 +974,70 @@ def acid_partition_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFra
         "snap string, n bigint, total_price double",
     )
     return all_row.unionByName(counts)
+
+
+@register(
+    "acid_generated_hidden_partitioning_orders",
+    """
+WITH f AS (SELECT o_orderkey, round(o_totalprice, 2) AS p,
+                  CAST(year(o_orderdate) AS INT) AS o_year
+           FROM orders WHERE o_orderstatus = 'F')
+SELECT CAST(o_year AS INT) AS o_year, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price,
+       CAST(NULL AS BIGINT) AS files_scanned
+FROM f GROUP BY o_year
+UNION ALL
+SELECT NULL, NULL, NULL,
+       CAST(count(DISTINCT CASE WHEN o_year = 1995 THEN 1 END) AS BIGINT)
+FROM f
+""",
+    doc="Generated columns as hidden partitioning (the published Delta "
+    "generated-columns design composed with the Iceberg layout "
+    "pattern): add_generated_column('o_year', 'year(o_orderdate)') is "
+    "declared BEFORE the first write; the 'F' orders append supplies "
+    "only o_orderdate — the log computes o_year, lands one file per "
+    "year dir (coalesce(1)), and enforces supplied-value fidelity as "
+    "an implicit CHECK on staged bytes. The per-year aggregate proves "
+    "the computed values equal the oracle's year() exactly, and "
+    "files_scanned proves a predicate on the GENERATED column prunes "
+    "to exactly the one matching partition dir (1 if 1995 exists in "
+    "the slice, else 0 — the oracle states that analytically). "
+    "Writers never materialize the layout column themselves; the "
+    "declaration is the single point of truth.",
+)
+def acid_generated_hidden_partitioning_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-gen-") + "/orders")
+    t.add_generated_column("o_year", "CAST(year(o_orderdate) AS INT)")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("p"),
+            "o_orderdate",
+        )
+        .coalesce(1)
+    )
+    t.append(src, ["o_year"])
+    scanned = len(t.matching_files("o_year = 1995"))
+    per_year = (
+        t.snapshot(spark)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+        .select(
+            "o_year",
+            "n_orders",
+            "total_price",
+            F.lit(None).cast("bigint").alias("files_scanned"),
+        )
+    )
+    counts = spark.createDataFrame(
+        [(None, None, None, scanned)],
+        "o_year int, n_orders bigint, total_price double, files_scanned bigint",
+    )
+    return per_year.unionByName(counts)

@@ -463,6 +463,13 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
                 "under the stream's own names — use foreachBatch with "
                 "TransactionLog.append, which maps logical to physical"
             )
+        if state.get("generated"):
+            raise ValueError(
+                f"streaming write to {path}: table declares generated "
+                f"columns {sorted(state['generated'])}; the sink cannot "
+                "compute or validate them batch-atomically — use "
+                "foreachBatch with TransactionLog.append"
+            )
         if state["schema"] is not None:
             existing = StructType.fromJson(state["schema"])
             if merge_schema:

@@ -1627,3 +1627,79 @@ def test_unknown_reader_feature_refuses_reads(spark, tbl):
         spark.read.format("lakehouse").load(str(tbl.table_path)).collect()
     # pinned reads BEFORE the feature commit still work
     assert _ids(tbl.snapshot(spark, version=1)) == [1]
+
+
+# ---- generated columns -----------------------------------------------------
+
+
+def test_generated_column_computed_validated_partitions(spark, tbl):
+    """A declared generated column is computed for writes that omit
+    it, validated on the staged bytes for writes that supply it, and
+    serves as a partition key (the hidden-partitioning layout
+    pattern: writers only supply the source column)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    tbl.add_generated_column("yr", "substring(d, 1, 4)")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01"), (2, "2025-07-09")], ["id", "d"]
+    )
+    tbl.append(df, ["yr"])
+    snap = tbl.snapshot(spark)
+    assert sorted(snap.columns) == ["d", "id", "yr"]
+    assert sorted((r.id, r.yr) for r in snap.collect()) == [
+        (1, "2024"),
+        (2, "2025"),
+    ]
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert sorted({rel.split("/")[0] for rel in files}) == [
+        "yr=2024",
+        "yr=2025",
+    ]
+    assert len(tbl.matching_files("yr = '2024'")) == 1
+
+    # a supplied-but-wrong value is refused on the STAGED bytes
+    with pytest.raises(ConstraintViolationError, match="_gen_yr"):
+        tbl.append(
+            spark.createDataFrame(
+                [(3, "2026-01-01", "1999")], ["id", "d", "yr"]
+            )
+        )
+    # merge computes it for the source side too
+    tbl.merge_upsert(
+        spark.createDataFrame([(1, "2024-12-31")], ["id", "d"]), ["id"]
+    )
+    assert sorted((r.id, r.yr) for r in tbl.snapshot(spark).collect()) == [
+        (1, "2024"),
+        (2, "2025"),
+    ]
+    # several more commits so replay goes through a checkpoint
+    tbl.append(spark.createDataFrame([(7, "2027-01-01")], ["id", "d"]))
+    tbl.append(spark.createDataFrame([(8, "2028-01-01")], ["id", "d"]))
+    assert tbl._replay(tbl.latest_version())["generated"] == {
+        "yr": "substring(d, 1, 4)"
+    }
+
+
+def test_generated_column_declaration_rules(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    with pytest.raises(ValueError, match="already holds data files"):
+        tbl.add_generated_column("yr", "substring(year, 1, 4)")
+
+
+def test_generated_column_blocks_rename_drop_and_stream_sink(spark, tbl):
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+        LakehouseStreamWriter,
+    )
+
+    tbl.add_generated_column("yr", "substring(d, 1, 4)")
+    tbl.append(spark.createDataFrame([(1, "2024-01-01")], ["id", "d"]), ["yr"])
+    with pytest.raises(ValueError, match="generated"):
+        tbl.rename_column("d", "dt")  # referenced by the expression
+    with pytest.raises(ValueError, match="generated"):
+        tbl.rename_column("yr", "y")  # the generated column itself
+    with pytest.raises(ValueError, match="generated"):
+        LakehouseStreamWriter(
+            str(tbl.table_path), tbl.snapshot(spark).schema, [], None
+        )
