@@ -144,6 +144,18 @@ class CommitInfo:
     add: list[dict] = field(default_factory=list)
     remove: list[str] = field(default_factory=list)
 
+    @property
+    def operation_metrics(self) -> dict[str, int]:
+        """The DESCRIBE-HISTORY metrics readout, derived from the
+        commit's add actions (row counts/sizes were footer-harvested
+        at stage time — zero extra IO here)."""
+        return {
+            "num_added_files": len(self.add),
+            "num_removed_files": len(self.remove),
+            "num_added_rows": sum(a.get("rows") or 0 for a in self.add),
+            "bytes_added": sum(a.get("size") or 0 for a in self.add),
+        }
+
 
 def _utc_now_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
@@ -2257,11 +2269,18 @@ class TransactionLog:
         return out
 
     def vacuum(
-        self, retain_versions: int = 1, min_age_s: float = 600.0
+        self,
+        retain_versions: int = 1,
+        min_age_s: float = 600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Physically delete files referenced by NO retained version
         (the latest ``retain_versions`` snapshots stay readable), plus
         crashed staging dirs.  Returns deleted relative paths.
+
+        ``dry_run`` returns the candidate list WITHOUT deleting
+        anything (``VACUUM ... DRY RUN``) — the operator's audit step
+        before an irreversible sweep.
 
         ``min_age_s`` guards concurrent writers (the published Delta
         retention-threshold design): a file a racing writer has staged
@@ -2303,12 +2322,16 @@ class TransactionLog:
             if rel.startswith((_LOG_DIR + "/", "_staging-")):
                 continue
             if rel not in live and _old_enough(f):
-                f.unlink()
+                if not dry_run:
+                    f.unlink()
                 deleted.append(rel)
         for d in self.table_path.glob("_staging-*"):
             if _old_enough(d):
-                shutil.rmtree(d)
+                if not dry_run:
+                    shutil.rmtree(d)
                 deleted.append(d.name)
+        if dry_run:
+            return deleted
         # prune now-empty partition dirs so listings stay clean
         for d in sorted(
             (x for x in self.table_path.rglob("*") if x.is_dir()),

@@ -1703,3 +1703,26 @@ def test_generated_column_blocks_rename_drop_and_stream_sink(spark, tbl):
         LakehouseStreamWriter(
             str(tbl.table_path), tbl.snapshot(spark).schema, [], None
         )
+
+
+def test_vacuum_dry_run_and_history_metrics(spark, tbl):
+    """VACUUM ... DRY RUN lists candidates without deleting; commit
+    history exposes DESCRIBE-HISTORY operation metrics derived from
+    the footer-harvested add actions."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.overwrite(_df(spark, [(3, "c", "2024")]), ["year"])
+
+    candidates = tbl.vacuum(retain_versions=1, min_age_s=0, dry_run=True)
+    assert len(candidates) == 2  # v1's two partition files, listed only
+    assert all((tbl.table_path / c).exists() for c in candidates)
+    assert _ids(tbl.snapshot(spark, version=1)) == [1, 2]  # untouched
+
+    assert tbl.vacuum(retain_versions=1, min_age_s=0) == candidates
+
+    h = tbl.history()
+    m1 = h[0].operation_metrics
+    assert (m1["num_added_files"], m1["num_added_rows"]) == (2, 2)
+    m2 = h[1].operation_metrics
+    assert m2["num_removed_files"] == 2
+    assert m2["num_added_rows"] == 1
+    assert m2["bytes_added"] > 0
