@@ -86,6 +86,14 @@ BAND3 = [
     "acid_partial_optimize_orders",
     "acid_connector_roundtrip_orders",
     "acid_stream_feed_orders",
+    # round-6 second half: metadata-operation tier (clone / rename /
+    # spec evolution / generated columns) — these must stay CHEAP
+    # relative to the data ops above; a regression here means a
+    # "metadata-only" operation started touching data
+    "acid_shallow_clone_orders",
+    "acid_rename_column_orders",
+    "acid_partition_evolution_orders",
+    "acid_generated_hidden_partitioning_orders",
 ]
 
 
