@@ -1041,3 +1041,104 @@ def acid_generated_hidden_partitioning_orders(
         "o_year int, n_orders bigint, total_price double, files_scanned bigint",
     )
     return per_year.unionByName(counts)
+
+
+@register(
+    "acid_stream_ivm_orders",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+src AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               round(p + 10.0, 2) AS p
+        FROM base WHERE o_orderkey % 3 = 0),
+merged AS (SELECT * FROM src
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN src s USING (o_orderkey)
+           WHERE s.o_orderkey IS NULL),
+final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price
+FROM final GROUP BY o_orderpriority
+""",
+    doc="STREAMING incremental materialized-view maintenance, end to "
+    "end through the log: the per-priority aggregate is materialized "
+    "at v1 into a SECOND transactional table; a MERGE restatement and "
+    "a merge-on-read DV DELETE land on the source; then "
+    "readStream(readChangeFeed, startingVersion=1) delivers the "
+    "row-level delta and foreachBatch folds it into the view table — "
+    "preimages/deletes subtract, postimages/inserts add — committing "
+    "each micro-batch as ONE atomic overwrite of the view. The base "
+    "table is never rescanned after v1 (the O(delta) contract); the "
+    "oracle recomputes the final aggregate from scratch, so parity "
+    "proves the streamed fold reaches the exact recompute state. This "
+    "is the batch entry acid_incremental_agg_maintenance promoted to "
+    "the streaming pipeline a 100 TB lake actually runs.",
+)
+def acid_stream_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.lakehouse_source import register_lakehouse_source
+
+    register_lakehouse_source(spark)
+    root = tempfile.mkdtemp(prefix="acid-sivm-")
+    t = TransactionLog(root + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    mv = TransactionLog(root + "/mv")
+    mv.append(
+        t.snapshot(spark, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("p").alias("total_price"),
+        )
+    )
+    src = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("p", F.round(F.col("p") + 10.0, 2))
+    )
+    t.merge_upsert(src, ["o_orderkey"])
+    t.delete_where(spark, "o_orderkey % 7 = 0", mode="dv")
+
+    def fold(batch_df, batch_id) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"),
+            F.lit(-1),
+        ).otherwise(F.lit(1))
+        delta = batch_df.groupBy("o_orderpriority").agg(
+            F.sum(sign).cast("long").alias("d_n"),
+            F.sum(sign * F.col("p")).alias("d_p"),
+        )
+        cur = mv.snapshot(batch_df.sparkSession)
+        new = (
+            cur.join(delta, "o_orderpriority", "full_outer")
+            .select(
+                "o_orderpriority",
+                (
+                    F.coalesce("n_orders", F.lit(0))
+                    + F.coalesce("d_n", F.lit(0))
+                ).cast("long").alias("n_orders"),
+                (
+                    F.coalesce("total_price", F.lit(0.0))
+                    + F.coalesce("d_p", F.lit(0.0))
+                ).alias("total_price"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+        mv.overwrite(new)
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(str(t.table_path))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", root + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return mv.snapshot(spark).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("total_price", 2).alias("total_price"),
+    )
