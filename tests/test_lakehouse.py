@@ -704,20 +704,27 @@ def test_log_state_machine_random_ops(spark, tmp_path):
 
     counter = {"n": 0, "case": 0}
 
-    @given(ops=op_strategy)
+    @given(ops=op_strategy, use_gen=st.booleans())
     @settings(
         max_examples=12,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
-    def run(ops):
+    def run(ops, use_gen):
         counter["case"] += 1
         t = TransactionLog(tmp_path / f"pt{counter['case']}")
         model: dict[int, int | None] = {}
         # per-version record: model rows + the value column's LOGICAL
-        # name at that version (None while dropped)
-        history: list[tuple[dict, str | None]] = []
+        # name at that version (None while dropped); keyed by version
+        # because metadata commits (the generated-column declaration)
+        # occupy versions the model does not snapshot
+        history: dict[int, tuple[dict, str | None]] = {}
         name = "v"  # current logical name of the value column
+        # some cases declare a generated column before the first
+        # write: every append/merge/overwrite must compute it, and it
+        # must hold on every row of every later state
+        if use_gen:
+            t.add_generated_column("g", "pmod(id, 10)")
 
         def fresh_rows(n):
             out = []
@@ -730,8 +737,8 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             return spark.createDataFrame(rows, ["id", name, "year"])
 
         def record(version, col="__cur__"):
-            assert version == len(history) + 1
-            history.append((dict(model), name if col == "__cur__" else col))
+            assert version not in history
+            history[version] = (dict(model), name if col == "__cur__" else col)
 
         def snap_set(df, col):
             if col is None:
@@ -781,27 +788,38 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             elif op == "restore":
                 # only restore to versions where the value column
                 # exists (drop-gap targets would need schema surgery
-                # in the model's frame builder, not the log)
+                # in the model's frame builder, not the log), and
+                # never to the latest recorded version (a no-op
+                # restore is refused)
+                latest_rec = max(history, default=0)
                 targets = [
-                    i + 1
-                    for i, (_, n) in enumerate(history[:-1])
-                    if n is not None
+                    ver
+                    for ver, (_, n) in sorted(history.items())
+                    if n is not None and ver < latest_rec
                 ]
                 if not targets:
                     continue
                 target = targets[arg % len(targets)]
                 v = t.restore(target)
                 model.clear()
-                model.update(history[target - 1][0])
-                name = history[target - 1][1]
+                model.update(history[target][0])
+                name = history[target][1]
             elif op == "rename":
-                if not t.latest_version():
+                # needs a committed schema (the generated-column
+                # declaration alone leaves schema None)
+                if (
+                    not t.latest_version()
+                    or t._replay(t.latest_version())["schema"] is None
+                ):
                     continue
                 new = "w" if name == "v" else "v"
                 v = t.rename_column(name, new)
                 name = new
             elif op == "respec":
-                if not t.latest_version():
+                if (
+                    not t.latest_version()
+                    or t._replay(t.latest_version())["schema"] is None
+                ):
                     continue
                 cur = t._replay(t.latest_version())["partition_keys"]
                 v = t.set_partition_spec([] if cur else ["year"])
@@ -824,9 +842,14 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             assert got == set(model.items()), f"after {op}({arg})"
         # every historical version still replays exactly, under the
         # column name it had THEN
-        for v, (snap, vname) in enumerate(history, start=1):
+        for v, (snap, vname) in sorted(history.items()):
             got = snap_set(t.snapshot(spark, version=v), vname)
             assert got == set(snap.items()), f"time travel to v{v}"
+        # the generated column holds on EVERY row of the final state
+        if use_gen and history and model:
+            assert all(
+                r.g == r.id % 10 for r in t.snapshot(spark).collect()
+            ), "generated invariant"
         # the row-level change feed is COMPLETE: folding every feed row
         # from v0 re-derives the final state exactly (inserts/
         # postimages assert, deletes retract) — valid whenever the
@@ -835,7 +858,10 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         # removal is invisible to a row-level feed — the same caveat
         # the published CDF design documents)
         executed_ops = {op for op, _ in ops}
-        if t.latest_version() and not executed_ops & {
+        wrote = t.latest_version() and (
+            t._replay(t.latest_version())["schema"] is not None
+        )
+        if wrote and not executed_ops & {
             "overwrite",
             "restore",
             "drop_readd",
@@ -851,7 +877,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         # the Python Data Source connector agrees with the JVM read on
         # whatever state the random history produced (DVs, compactions,
         # restores, renames and all)
-        if t.latest_version():
+        if wrote:
             from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
                 register_lakehouse_source,
             )
