@@ -2126,3 +2126,70 @@ SELECT price_band(o_totalprice) AS band,
 FROM orders_udf GROUP BY price_band(o_totalprice)
 """
     )
+
+
+sql_query(
+    "group_by_all_order_mix",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders
+GROUP BY ALL
+""",
+    doc="GROUP BY ALL (Spark 3.4+/ANSI shorthand, same text in "
+    "DuckDB): every non-aggregate select item becomes a grouping key, "
+    "so adding a dimension to a wide report never desyncs the SELECT "
+    "and GROUP BY lists — identical hash-aggregate plan to the "
+    "explicit form.",
+)
+
+
+sql_query(
+    "lateral_alias_price_pipeline",
+    """
+SELECT o_orderpriority,
+       round(sum(round(o_totalprice, 2)), 2) AS gross,
+       round(gross * 0.07, 2) AS est_tax,
+       round(gross - est_tax, 2) AS net
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    doc="Lateral column aliases (Spark 3.4, SPARK-27561; DuckDB "
+    "supports the same reuse): later select items reference earlier "
+    "aliases in the SAME select list, so derived-metric chains "
+    "(gross -> tax -> net) are written once instead of re-expanding "
+    "the whole aggregate expression per step — Catalyst inlines the "
+    "alias, one aggregate in the plan.",
+)
+
+
+@register(
+    "parameterized_sql_status_slice",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price
+FROM orders WHERE o_orderstatus = 'P' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+""",
+    doc="Parameterized SQL (Spark 3.4+, SPARK-41271): the query text "
+    "carries named :status/:floor markers and values bind through "
+    "spark.sql(args=...) — the injection-safe path for plan templates "
+    "that interpolating user strings into SQL can never be (the "
+    "reference's plan language concatenates its Query field verbatim; "
+    "this is the hardened equivalent). The oracle inlines the same "
+    "literals, proving binding equals inlining.",
+)
+def parameterized_sql_status_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.registry import register_parquet_views
+
+    register_parquet_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               round(sum(round(o_totalprice, 2)), 2) AS total_price
+        FROM orders WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "P", "floor": 1000.0},
+    )
