@@ -550,8 +550,18 @@ class TransactionLog:
     # ---- checkpoints -----------------------------------------------------
 
     def _write_checkpoint(self, version: int) -> None:
+        """Checkpoint = small JSON metadata sidecar + a PARQUET file of
+        the per-file add actions (the published parquet-checkpoint
+        design): at 100 TB the live set is ~10^6 add actions, and a
+        single JSON blob means one giant string parse and a whole-dict
+        materialization on every replay — the columnar form streams,
+        compresses, and keeps per-entry JSON confined to the nested
+        stats/partition-value cells."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         state = self._replay(version, use_checkpoint=False)
-        ckpt = {
+        meta = {
             "version": version,
             "schema": state["schema"],
             "partition_keys": state["partition_keys"],
@@ -561,13 +571,74 @@ class TransactionLog:
             "retired_physical": state["retired_physical"],
             "reader_features": sorted(state["reader_features"]),
             "generated": state["generated"],
-            "files": sorted(state["files"].items()),
         }
+        rows = sorted(state["files"].items())
+        table = pa.table(
+            {
+                "path": pa.array([k for k, _ in rows], pa.string()),
+                "size": pa.array(
+                    [a.get("size") for _, a in rows], pa.int64()
+                ),
+                "rows": pa.array(
+                    [a.get("rows") for _, a in rows], pa.int64()
+                ),
+                "base": pa.array(
+                    [a.get("base") for _, a in rows], pa.string()
+                ),
+                "partition_values": pa.array(
+                    [
+                        json.dumps(
+                            a.get("partition_values") or {},
+                            separators=(",", ":"),
+                        )
+                        for _, a in rows
+                    ],
+                    pa.string(),
+                ),
+                "stats": pa.array(
+                    [
+                        json.dumps(a.get("stats") or {}, separators=(",", ":"))
+                        for _, a in rows
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pfile = self.log_path / f"_checkpoint.{_fmt_version(version)}.parquet"
+        tmp_p = self.log_path / f".tmp-ckpt-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, str(tmp_p))
+        tmp_p.rename(pfile)  # overwrite-safe: checkpoints are derived data
         p = self.log_path / f"_checkpoint.{_fmt_version(version)}.json"
         tmp = self.log_path / f".tmp-ckpt-{uuid.uuid4().hex}.json"
-        tmp.write_text(json.dumps(ckpt, separators=(",", ":")))
-        tmp.rename(p)  # overwrite-safe: checkpoints are derived data
+        tmp.write_text(json.dumps(meta, separators=(",", ":")))
+        tmp.rename(p)
         (self.log_path / _LAST_CKPT).write_text(json.dumps({"version": version}))
+
+    @staticmethod
+    def _ckpt_files_from_parquet(pfile: Path) -> list[tuple[str, dict]]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(str(pfile))
+        out: list[tuple[str, dict]] = []
+        for path, size, rows, base, pv, stats in zip(
+            t.column("path").to_pylist(),
+            t.column("size").to_pylist(),
+            t.column("rows").to_pylist(),
+            t.column("base").to_pylist(),
+            t.column("partition_values").to_pylist(),
+            t.column("stats").to_pylist(),
+        ):
+            e: dict = {
+                "path": path,
+                "size": size,
+                "rows": rows,
+                "partition_values": json.loads(pv),
+                "stats": json.loads(stats),
+            }
+            if base is not None:
+                e["base"] = base
+            out.append((path, e))
+        return out
 
     def _load_checkpoint_at_or_before(self, version: int) -> dict | None:
         ptr = self.log_path / _LAST_CKPT
@@ -588,8 +659,17 @@ class TransactionLog:
                     candidates.append(v)
         for v in sorted(candidates, reverse=True):
             p = self.log_path / f"_checkpoint.{_fmt_version(v)}.json"
-            if p.exists():
-                return json.loads(p.read_text())
+            if not p.exists():
+                continue
+            ckpt = json.loads(p.read_text())
+            if "files" not in ckpt:
+                # current form: metadata JSON + parquet file actions
+                pfile = self.log_path / f"_checkpoint.{_fmt_version(v)}.parquet"
+                if not pfile.exists():
+                    continue  # torn checkpoint pair: fall back further
+                ckpt["files"] = self._ckpt_files_from_parquet(pfile)
+            # else: legacy single-JSON checkpoint — files inline
+            return ckpt
         return None
 
     # ---- state reconstruction -------------------------------------------

@@ -1752,3 +1752,51 @@ def test_vacuum_dry_run_and_history_metrics(spark, tbl):
     assert m2["num_removed_files"] == 2
     assert m2["num_added_rows"] == 1
     assert m2["bytes_added"] > 0
+
+
+def test_parquet_checkpoint_and_legacy_json_compat(spark, tbl):
+    """Checkpoints store file actions COLUMNAR (parquet) next to a
+    small JSON metadata sidecar; a legacy single-JSON checkpoint (the
+    pre-parquet form, files inline) still loads, and a torn pair
+    (metadata without its parquet) falls back to older checkpoints
+    instead of failing."""
+    for i in range(4):  # checkpoint_interval=3 → checkpoint at v3
+        tbl.append(_df(spark, [(i, f"r{i}", "2024")]), ["year"])
+    ck_json = tbl.log_path / f"_checkpoint.{str(3).zfill(20)}.json"
+    ck_parq = tbl.log_path / f"_checkpoint.{str(3).zfill(20)}.parquet"
+    assert ck_json.exists() and ck_parq.exists()
+    meta = json.loads(ck_json.read_text())
+    assert "files" not in meta  # actions live in the parquet half
+    assert _ids(tbl.snapshot(spark)) == [0, 1, 2, 3]
+    full = tbl._replay(4, use_checkpoint=False)
+    via_ckpt = tbl._replay(4)
+    assert via_ckpt["files"] == full["files"]
+    assert via_ckpt["schema"] == full["schema"]
+
+    # legacy form: one JSON with files inline — still loads
+    legacy = dict(meta, files=sorted(full["files"].items()))
+    ck_parq.unlink()
+    ck_json.write_text(json.dumps(legacy))
+    assert tbl._replay(4)["files"] == full["files"]
+
+    # torn pair: metadata without parquet or inline files → fall back
+    # (here: no older checkpoint, so full replay from v1)
+    ck_json.write_text(json.dumps(meta))
+    assert tbl._replay(4)["files"] == full["files"]
+
+
+def test_checkpoint_scales_to_many_files(spark, tbl):
+    """A checkpoint over thousands of add actions round-trips exactly
+    (the columnar form is the 10^6-file path at 100 TB; this pins the
+    encoding at 4-digit scale)."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "2024") for i in range(3000)], ["id", "v", "year"]
+    ).repartition(4)
+    tbl.append(df, ["year"], max_records_per_file=2)  # ~1500 files
+    tbl.append(_df(spark, [(9001, "x", "2025")]))
+    tbl.append(_df(spark, [(9002, "y", "2025")]))  # v3 → checkpoint
+    full = tbl._replay(3, use_checkpoint=False)
+    via = tbl._replay(3)
+    assert len(full["files"]) > 1000
+    assert via["files"] == full["files"]
+    assert tbl.snapshot(spark).count() == 3002
