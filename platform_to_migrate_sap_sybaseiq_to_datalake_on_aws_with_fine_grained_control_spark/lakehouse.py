@@ -791,8 +791,11 @@ class TransactionLog:
         if partition_keys:
             writer = writer.partitionBy(*partition_keys)
         writer.save(str(staging))
-        def _stage_one(f: Path) -> dict:
+        def _stage_one(f: Path) -> dict | None:
             rel = f.relative_to(staging)
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                return None  # empty task output: never commit a 0-row file
             dest_rel = rel.parent / f"{uuid.uuid4().hex[:12]}-{rel.name}"
             dest = self.table_path / dest_rel
             dest.parent.mkdir(parents=True, exist_ok=True)
@@ -816,7 +819,7 @@ class TransactionLog:
         # the add list (and every downstream hash/test) is deterministic.
         staged = sorted(staging.rglob("*.parquet"))
         with ThreadPoolExecutor(max_workers=16) as pool:
-            adds = list(pool.map(_stage_one, staged))
+            adds = [a for a in pool.map(_stage_one, staged) if a is not None]
         shutil.rmtree(staging)
         return adds
 
@@ -2083,6 +2086,13 @@ class TransactionLog:
         from pyspark.sql import functions as F
 
         self._check_features(state)
+        if state["schema"] is None:
+            # a version holding only metadata commits (e.g. the
+            # generated-column declaration) precedes the first write
+            raise ValueError(
+                f"{self.table_path} has no data schema at this version "
+                "— it precedes the first write"
+            )
         logical = StructType.fromJson(state["schema"])
         mapping = state.get("column_mapping") or {}
         # parquet footers (and hive dirs) carry the FROZEN physical
