@@ -1233,6 +1233,51 @@ class TransactionLog:
                 out[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         return out
 
+    def create(
+        self,
+        schema: StructType,
+        partition_keys: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
+    ) -> int:
+        """Explicit ``CREATE TABLE``: commit schema authority, the
+        partition spec, CHECK constraints, and generated-column
+        declarations BEFORE any data exists — one commit instead of
+        declaration calls racing the first append.  A created-but-
+        empty table snapshots as an empty frame under its schema.
+        Implicit creation (first ``append`` defines everything) keeps
+        working; ``create`` is for tables whose contract should exist
+        before their first writer runs."""
+        if self.latest_version() != 0:
+            raise ValueError(f"{self.table_path} already has commits")
+        keys = partition_keys or []
+        names = {f.name for f in schema.fields}
+        unknown = [k for k in keys if k not in names]
+        if unknown:
+            raise ValueError(f"partition keys {unknown} not in {sorted(names)}")
+        for gname in generated or {}:
+            if gname not in names:
+                raise ValueError(
+                    f"generated column {gname!r} must be in the schema"
+                )
+        self._try_commit(
+            1,
+            {
+                "version": 1,
+                "op": "create",
+                "dataChange": False,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": schema.jsonValue(),
+                "partition_keys": keys,
+                "constraints": dict(constraints or {}),
+                "generated": dict(generated or {}),
+                "add": [],
+                "remove": [],
+            },
+        )
+        return 1
+
     def add_generated_column(self, name: str, expr: str) -> int:
         """Declare ``name`` as a GENERATED column (the published Delta
         generated-columns design): every write that omits it computes
@@ -1523,13 +1568,18 @@ class TransactionLog:
                 merged = merge_schemas([existing, df.schema])
                 df = align_to_schema(df, merged)
                 mapping = self._assign_physical(merged, existing, mapping, retired)
-            elif [f.name.lower() for f in df.schema.fields] != [
+            elif sorted(f.name.lower() for f in df.schema.fields) != sorted(
                 f.name.lower() for f in existing.fields
-            ]:
+            ):
                 raise ValueError(
                     "append schema drift without evolve_schema=True: "
                     f"{df.schema.simpleString()} vs {existing.simpleString()}"
                 )
+            else:
+                # same name set, any order (a generated column the
+                # frame omitted lands LAST after _apply_generated):
+                # normalize to the table's column order
+                df = df.select(*[f.name for f in existing.fields])
         adds = self._stage_files(df, keys, max_records_per_file, mapping)
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(

@@ -1800,3 +1800,49 @@ def test_checkpoint_scales_to_many_files(spark, tbl):
     assert len(full["files"]) > 1000
     assert via["files"] == full["files"]
     assert tbl.snapshot(spark).count() == 3002
+
+
+def test_create_table_contract_before_first_writer(spark, tbl):
+    """Explicit CREATE TABLE commits schema authority, partition spec,
+    constraints, and generated declarations before any data exists; a
+    created-but-empty table snapshots as an empty frame under its
+    schema, and the first writers inherit the full contract."""
+    from pyspark.sql.types import StructType
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    schema = (
+        StructType()
+        .add("id", "long")
+        .add("d", "string")
+        .add("yr", "string")
+    )
+    assert (
+        tbl.create(
+            schema,
+            partition_keys=["yr"],
+            constraints={"pos_id": "id > 0"},
+            generated={"yr": "substring(d, 1, 4)"},
+        )
+        == 1
+    )
+    empty = tbl.snapshot(spark)
+    assert empty.columns == ["id", "d", "yr"] and empty.count() == 0
+
+    # writer supplies only (id, d): yr computed, landed in its dir,
+    # frame order normalized to the CREATE order
+    tbl.append(spark.createDataFrame([(1, "2024-02-03")], ["id", "d"]))
+    got = tbl.snapshot(spark).collect()
+    assert [(r.id, r.yr) for r in got] == [(1, "2024")]
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert all(rel.startswith("yr=2024/") for rel in files)
+    # the created constraint enforces from write one
+    with pytest.raises(ConstraintViolationError, match="pos_id"):
+        tbl.append(spark.createDataFrame([(-9, "2024-01-01")], ["id", "d"]))
+    with pytest.raises(ValueError, match="already has commits"):
+        tbl.create(schema)
+    with pytest.raises(ValueError, match="not in"):
+        TransactionLog(tbl.table_path.parent / "t2").create(
+            schema, partition_keys=["nope"]
+        )
