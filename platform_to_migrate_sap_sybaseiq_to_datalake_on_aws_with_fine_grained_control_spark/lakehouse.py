@@ -1903,6 +1903,114 @@ class TransactionLog:
 
         return self._commit_rmw(read_v, rec, "merge")
 
+    def update_where(
+        self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
+    ) -> int:
+        """``UPDATE .. SET col = expr .. WHERE predicate`` as ONE
+        atomic copy-on-write commit: only files containing at least
+        one matching row are rewritten (file pruning via the log's
+        committed stats is implicit — non-matching files are never
+        touched, let alone read twice); rows the predicate misses (or
+        NULLs out) are carried unchanged.  SET expressions may
+        reference the row's own columns (``p = p * 1.1``) — they
+        evaluate against the PRE-update row, all-at-once, per SQL
+        UPDATE semantics.  The commit stages update_preimage/
+        update_postimage CDF rows, so downstream feeds see exact
+        row-level changes.  Generated columns cannot be SET directly
+        (they follow their expression; SET a source column and the
+        generated value is recomputed)."""
+        from pyspark.sql import functions as F
+
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            raise ValueError(f"{self.table_path} has no commits yet")
+        schema = StructType.fromJson(state["schema"])
+        names = [f.name for f in schema.fields]
+        unknown = [c for c in set_exprs if c not in names]
+        if unknown:
+            raise ValueError(f"SET columns {unknown} not in {names}")
+        gens = state["generated"]
+        bad = [c for c in set_exprs if c in gens]
+        if bad:
+            raise ValueError(
+                f"columns {bad} are GENERATED — update their source "
+                "columns instead"
+            )
+        mapping = state["column_mapping"]
+        tbl = self._read_files(spark, state, with_file_info=True)
+        affected = self._affected_files(
+            spark, state, tbl.filter(F.expr(predicate))
+        )
+        if not affected:
+            # metadata no-op: nothing matched, nothing committed
+            return read_v
+        aff_state = dict(state, files={r: state["files"][r] for r in affected})
+        aff_df = self._read_files(spark, aff_state)
+        hit = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
+        # all SET expressions evaluate against the PRE-update row: one
+        # select applies every assignment simultaneously (SQL UPDATE
+        # semantics — `SET a = b, b = a` swaps)
+        updated_cols = [
+            F.when(hit, F.expr(e)).otherwise(F.col(c)).cast(
+                schema[c].dataType
+            ).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c, e in ((n, set_exprs.get(n)) for n in names)
+        ]
+        def regen(df: DataFrame) -> DataFrame:
+            if not gens:
+                return df
+            # recompute generated columns from the updated sources
+            return df.select(
+                *[
+                    F.expr(gens[c]).cast(schema[c].dataType).alias(c)
+                    if c in gens
+                    else F.col(c)
+                    for c in names
+                ]
+            )
+
+        out = regen(aff_df.select(*updated_cols))
+        adds = self._stage_files(out, state["partition_keys"], mapping=mapping)
+        self._enforce_constraints(
+            spark,
+            adds,
+            state,
+            constraints={
+                **state["constraints"],
+                **self._generated_constraints(gens),
+            },
+        )
+        pre = aff_df.filter(hit).select(
+            "*", F.lit("update_preimage").alias("_change_type")
+        )
+        post = regen(aff_df.filter(hit).select(*updated_cols)).select(
+            "*", F.lit("update_postimage").alias("_change_type")
+        )
+        cdf = self._stage_cdf(pre.unionByName(post), mapping)
+
+        def rec(v: int) -> dict:
+            r = {
+                "version": v,
+                "op": "update",
+                "dataChange": True,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": state["partition_keys"],
+                "add": adds,
+                "remove": sorted(affected),
+                "cdf": cdf,
+                "column_mapping": mapping,
+            }
+            if state.get("dvs"):
+                r["dvs"] = self._surviving_dvs(state, sorted(affected))
+            return r
+
+        return self._commit_rmw(read_v, rec, "update")
+
     def delete_where(
         self, spark: SparkSession, predicate: str, mode: str = "cow"
     ) -> int:
@@ -2536,6 +2644,12 @@ def txn_drop_column(path: str, name: str) -> int:
 
 def txn_delete(spark: SparkSession, path: str, predicate: str) -> int:
     return TransactionLog(path).delete_where(spark, predicate)
+
+
+def txn_update(
+    spark: SparkSession, path: str, set_exprs: dict[str, str], predicate: str
+) -> int:
+    return TransactionLog(path).update_where(spark, set_exprs, predicate)
 
 
 def snapshot(

@@ -1142,3 +1142,52 @@ def acid_stream_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.round("total_price", 2).alias("total_price"),
     )
+
+
+@register(
+    "acid_update_orders",
+    """
+WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS p,
+                     o_orderpriority
+              FROM orders WHERE o_orderstatus = 'F'),
+upd AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN round(p + 5.0, 2)
+                    ELSE p END AS p,
+               o_orderpriority
+        FROM base)
+SELECT 'latest' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM upd
+UNION ALL
+SELECT 'updated_rows',
+       CAST(2 * count(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT),
+       0.0
+FROM base
+""",
+    doc="UPDATE ... SET ... WHERE as one atomic copy-on-write commit "
+    "(completing the DML triad next to MERGE and DELETE): 'F' orders "
+    "land at v1, then update_where(p = p + 5.00, key % 4 == 0) "
+    "rewrites ONLY the files containing matches — missed rows carry "
+    "unchanged, SET expressions evaluate against the pre-update row. "
+    "'latest' parity proves the selective restatement is exact; "
+    "'updated_rows' counts the staged CDF rows (one update_preimage + "
+    "one update_postimage per matched row), proving the feed records "
+    "exactly the touched rows and nothing else.",
+)
+def acid_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-upd-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).drop("o_orderstatus")
+    t.append(base, ["o_orderpriority"])
+    t.update_where(spark, {"p": "round(p + 5.0, 2)"}, "o_orderkey % 4 = 0")
+    latest = t.snapshot(spark).agg(
+        F.lit("latest").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    cdf_rows = t.read_change_feed(spark, 1).agg(
+        F.lit("updated_rows").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.lit(0.0).alias("total_price"),
+    )
+    return latest.unionByName(cdf_rows)

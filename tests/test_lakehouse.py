@@ -1846,3 +1846,78 @@ def test_create_table_contract_before_first_writer(spark, tbl):
         TransactionLog(tbl.table_path.parent / "t2").create(
             schema, partition_keys=["nope"]
         )
+
+
+# ---- UPDATE ... SET ... WHERE ----------------------------------------------
+
+
+def test_update_where_cow_semantics(spark, tbl):
+    """UPDATE rewrites ONLY files containing matches, carries missed
+    rows unchanged, evaluates every SET against the PRE-update row
+    (swap works), treats NULL predicates as no-match, stages exact
+    pre/postimage CDF rows, and a zero-match update commits nothing."""
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10.0, "2024"), (2, 20.0, "2024"), (3, 30.0, "2025")],
+            ["id", "p", "year"],
+        ),
+        ["year"],
+    )
+    before = tbl._replay(1)["files"]
+    f25 = {r for r in before if r.startswith("year=2025")}
+    v = tbl.update_where(spark, {"p": "p * 2"}, "id <= 2")
+    assert v == 2
+    got = sorted((r.id, r.p) for r in tbl.snapshot(spark).collect())
+    assert got == [(1, 20.0), (2, 40.0), (3, 30.0)]
+    after = tbl._replay(v)["files"]
+    assert {r for r in after if r.startswith("year=2025")} == f25  # pruned
+    feed = tbl.read_change_feed(spark, 1)
+    assert sorted((r.id, r.p, r._change_type) for r in feed.collect()) == [
+        (1, 10.0, "update_preimage"),
+        (1, 20.0, "update_postimage"),
+        (2, 20.0, "update_preimage"),
+        (2, 40.0, "update_postimage"),
+    ]
+    # no-match: metadata no-op, version unchanged
+    assert tbl.update_where(spark, {"p": "0.0"}, "id = 99") == v
+    with pytest.raises(ValueError, match="SET columns"):
+        tbl.update_where(spark, {"nope": "1"}, "id = 1")
+
+
+def test_update_swap_and_generated_recompute(spark, tbl):
+    """SET expressions all see the pre-update row (a=b, b=a swaps);
+    updating a generated column's SOURCE recomputes the generated
+    value, and SETting the generated column directly is refused."""
+    tbl.add_generated_column("yr", "substring(d, 1, 4)")
+    tbl.append(
+        spark.createDataFrame([(1, "2024-05-05")], ["id", "d"]), ["yr"]
+    )
+    tbl.update_where(spark, {"d": "'2030-01-01'"}, "id = 1")
+    r = tbl.snapshot(spark).collect()[0]
+    assert (r.d, r.yr) == ("2030-01-01", "2030")  # generated follows
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert all(rel.startswith("yr=2030/") for rel in files)
+    with pytest.raises(ValueError, match="GENERATED"):
+        tbl.update_where(spark, {"yr": "'1999'"}, "id = 1")
+
+    t2 = TransactionLog(tbl.table_path.parent / "swap")
+    t2.append(spark.createDataFrame([(1, 5.0, 7.0)], ["id", "a", "b"]))
+    t2.update_where(spark, {"a": "b", "b": "a"}, "id = 1")
+    assert [(r.a, r.b) for r in t2.snapshot(spark).collect()] == [(7.0, 5.0)]
+
+
+def test_update_on_renamed_and_dv_table(spark, tbl):
+    """UPDATE composes with column mapping (logical SET on a renamed
+    column writes the frozen physical bytes) and with active deletion
+    vectors (deleted rows are not updated or resurrected)."""
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10.0, "2024"), (2, 20.0, "2024")], ["id", "p", "year"]
+        ),
+        ["year"],
+    )
+    tbl.rename_column("p", "price")
+    tbl.delete_where(spark, "id = 2", mode="dv")
+    tbl.update_where(spark, {"price": "price + 1"}, "id >= 1")
+    got = sorted((r.id, r.price) for r in tbl.snapshot(spark).collect())
+    assert got == [(1, 11.0)]  # row 2 stays deleted, not updated back
