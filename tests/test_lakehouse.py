@@ -697,6 +697,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             st.tuples(st.just("rename"), st.just(0)),
             st.tuples(st.just("drop_readd"), st.just(0)),
             st.tuples(st.just("respec"), st.just(0)),
+            st.tuples(st.just("update"), st.integers(2, 5)),
         ),
         min_size=3,
         max_size=7,
@@ -774,6 +775,15 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 v = t.delete_where(spark, f"id % {arg} = 0", mode=mode)
                 for k in [k for k in model if k % arg == 0]:
                     del model[k]
+            elif op == "update":
+                if not any(k % arg == 0 for k in model):
+                    continue  # zero-match updates commit nothing
+                v = t.update_where(
+                    spark, {name: f"{name} + 1"}, f"id % {arg} = 0"
+                )
+                for k in model:
+                    if k % arg == 0 and model[k] is not None:
+                        model[k] += 1  # NULL + 1 stays NULL
             elif op == "overwrite":
                 rows = fresh_rows(arg)
                 v = t.overwrite(df_of(rows), ["year"])
