@@ -571,6 +571,7 @@ class TransactionLog:
             "retired_physical": state["retired_physical"],
             "reader_features": sorted(state["reader_features"]),
             "generated": state["generated"],
+            "identity": state["identity"],
         }
         rows = sorted(state["files"].items())
         table = pa.table(
@@ -686,6 +687,7 @@ class TransactionLog:
         retired_physical: list[str] = []
         reader_features: set[str] = set()
         generated: dict[str, str] = {}
+        identity: dict[str, dict] = {}
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -699,6 +701,7 @@ class TransactionLog:
                 retired_physical = list(ckpt.get("retired_physical", []))
                 reader_features = set(ckpt.get("reader_features", []))
                 generated = dict(ckpt.get("generated", {}))
+                identity = dict(ckpt.get("identity", {}))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -739,6 +742,8 @@ class TransactionLog:
             reader_features.update(rec.get("reader_features", []))
             if "generated" in rec:
                 generated = dict(rec["generated"])
+            if "identity" in rec:
+                identity = dict(rec["identity"])
         return {
             "files": files,
             "schema": schema,
@@ -749,6 +754,7 @@ class TransactionLog:
             "retired_physical": retired_physical,
             "reader_features": reader_features,
             "generated": generated,
+            "identity": identity,
         }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
@@ -1239,6 +1245,7 @@ class TransactionLog:
         partition_keys: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int:
         """Explicit ``CREATE TABLE``: commit schema authority, the
         partition spec, CHECK constraints, and generated-column
@@ -1260,6 +1267,22 @@ class TransactionLog:
                 raise ValueError(
                     f"generated column {gname!r} must be in the schema"
                 )
+        ident: dict[str, dict] = {}
+        for iname, spec in (identity or {}).items():
+            if iname not in names:
+                raise ValueError(
+                    f"identity column {iname!r} must be in the schema"
+                )
+            if schema[iname].dataType.simpleString() != "bigint":
+                raise ValueError(
+                    f"identity column {iname!r} must be LONG, got "
+                    f"{schema[iname].dataType.simpleString()}"
+                )
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            if step < 1:
+                raise ValueError("identity step must be a positive integer")
+            ident[iname] = {"start": start, "step": step, "high": start}
         self._try_commit(
             1,
             {
@@ -1272,11 +1295,90 @@ class TransactionLog:
                 "partition_keys": keys,
                 "constraints": dict(constraints or {}),
                 "generated": dict(generated or {}),
+                "identity": ident,
                 "add": [],
                 "remove": [],
             },
         )
         return 1
+
+    @staticmethod
+    def _assign_identity(
+        df: DataFrame, identity: dict[str, dict]
+    ) -> DataFrame:
+        """GENERATED ALWAYS AS IDENTITY assignment: frames must OMIT
+        declared identity columns (always-generated semantics — a
+        supplied value would break allocation); values are
+        ``high + step * monotonically_increasing_id()`` — unique and
+        ascending WITHIN the write without any global sort or driver
+        round-trip (the published contract allows gaps, and the sparse
+        task-range encoding is exactly how distributed allocation
+        avoids coordination).  The sparsity burns ~(partitions << 33)
+        of the int64 space per write — ~10^6 writes of 1024-partition
+        frames before exhaustion, far beyond any real table's commit
+        count, and overflow would fail loudly in the cast."""
+        from pyspark.sql import functions as F
+
+        supplied = [c for c in identity if c in df.columns]
+        if supplied:
+            raise ValueError(
+                f"identity columns {supplied} are GENERATED ALWAYS — "
+                "omit them from the frame"
+            )
+        for c, spec in sorted(identity.items()):
+            df = df.select(
+                "*",
+                (
+                    F.lit(spec["high"])
+                    + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                ).cast("long").alias(c),
+            )
+        return df
+
+    def _advance_identity(
+        self,
+        identity: dict[str, dict],
+        adds: list[dict],
+        spark: SparkSession,
+        state: dict,
+    ) -> dict[str, dict]:
+        """New watermarks from the staged files' footer stats (zero
+        extra IO — the max of each identity column was harvested with
+        the row counts).  A file whose stats missed the column (the
+        32-column stats cap) forces one exact aggregate over the
+        staged files: a silently stale watermark would hand out
+        duplicate ids on the next write."""
+        from pyspark.sql import functions as F
+
+        out = {}
+        blind = [
+            c
+            for c in identity
+            for a in adds
+            if (a.get("rows") or 0) > 0 and c not in (a.get("stats") or {})
+        ]
+        exact: dict[str, int] = {}
+        if blind and adds:
+            row = (
+                self._read_files(
+                    spark, dict(state, files={a["path"]: a for a in adds})
+                )
+                .agg(*[F.max(c).alias(c) for c in sorted(set(blind))])
+                .collect()[0]
+            )
+            exact = {c: row[c] for c in set(blind) if row[c] is not None}
+        for c, spec in identity.items():
+            highs = [
+                a["stats"][c]["max"]
+                for a in adds
+                if c in (a.get("stats") or {})
+                and a["stats"][c].get("max") is not None
+            ]
+            if c in exact:
+                highs.append(exact[c])
+            new_high = max(highs) + spec["step"] if highs else spec["high"]
+            out[c] = dict(spec, high=max(spec["high"], new_high))
+        return out
 
     def add_generated_column(self, name: str, expr: str) -> int:
         """Declare ``name`` as a GENERATED column (the published Delta
@@ -1424,6 +1526,11 @@ class TransactionLog:
                     f"column {old!r} is part of generated column "
                     f"{gname} [{gexpr}] — generated declarations are fixed"
                 )
+        if old in state["identity"]:
+            raise ValueError(
+                f"column {old!r} is an identity column — its declaration "
+                "is fixed"
+            )
         mapping = dict(state["column_mapping"])
         phys = mapping.pop(old, old)
         if new != phys:
@@ -1497,6 +1604,11 @@ class TransactionLog:
                     f"column {name!r} is part of generated column "
                     f"{gname} [{gexpr}] — generated declarations are fixed"
                 )
+        if name in state["identity"]:
+            raise ValueError(
+                f"column {name!r} is an identity column — its declaration "
+                "is fixed"
+            )
         new_schema = StructType([f for f in schema.fields if f.name != name])
         rec = {
             "version": read_v + 1,
@@ -1547,6 +1659,9 @@ class TransactionLog:
         retired = list(state["retired_physical"])
         if state["generated"]:
             df = self._apply_generated(df, state["generated"])
+        identity = state["identity"]
+        if identity:
+            df = self._assign_identity(df, identity)
         if state["schema"] is not None:
             inv = {p: l for l, p in mapping.items()}
             logical_keys = [inv.get(k, k) for k in state["partition_keys"]]
@@ -1600,7 +1715,7 @@ class TransactionLog:
             sch, cmap, ret, pkeys = self._reconcile_append_meta(
                 read_v0, v, schema_json, mapping, retired, keys
             )
-            return {
+            r = {
                 "version": v,
                 "op": "append",
                 "dataChange": True,
@@ -1613,6 +1728,20 @@ class TransactionLog:
                 "column_mapping": cmap,
                 "retired_physical": ret,
             }
+            if identity:
+                # allocation derived from the READ-time watermark: a
+                # racing commit that also advanced it would hand out
+                # overlapping ids — raise for a caller-level re-run
+                for i in range(read_v0 + 1, v):
+                    if self._read_commit(i).get("identity"):
+                        raise ConcurrentCommitError(
+                            f"append to {self.table_path} raced an "
+                            f"identity allocation at v{i}; re-run"
+                        )
+                r["identity"] = self._advance_identity(
+                    identity, adds, df.sparkSession, state
+                )
+            return r
 
         return self._commit_with_retry(rec, read_version=None)
 
@@ -1728,6 +1857,11 @@ class TransactionLog:
         state = self._replay(read_v)
         if state["generated"]:
             df = self._apply_generated(df, state["generated"])
+        identity = state["identity"]
+        if identity:
+            # a full replace still allocates ABOVE the old watermark:
+            # identity values are never reused across table lifetimes
+            df = self._assign_identity(df, identity)
         adds = self._stage_files(df, keys)
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(
@@ -1759,6 +1893,15 @@ class TransactionLog:
                 # replays its own mapping for time travel)
                 "column_mapping": {},
                 "retired_physical": [],
+                **(
+                    {
+                        "identity": self._advance_identity(
+                            identity, adds, df.sparkSession, state
+                        )
+                    }
+                    if identity
+                    else {}
+                ),
             }
 
         v = self.latest_version() + 1
@@ -1813,6 +1956,34 @@ class TransactionLog:
             return self.append(source)  # empty table: merge == insert
         if state["generated"]:
             source = self._apply_generated(source, state["generated"])
+        identity = state["identity"]
+        if identity:
+            supplied = [c for c in identity if c in source.columns]
+            if supplied:
+                raise ValueError(
+                    f"identity columns {supplied} are GENERATED ALWAYS — "
+                    "omit them from the merge source"
+                )
+            # matched rows RETAIN their target ids (recovered by key);
+            # unmatched rows allocate fresh ones.  Fresh values burned
+            # on matched rows leave gaps — the identity contract
+            # explicitly allows gaps, never duplicates.
+            tbl_ids = self._read_files(source.sparkSession, state).select(
+                *keys, *sorted(identity)
+            )
+            source = source.join(tbl_ids, keys, "left")
+            for c, spec in sorted(identity.items()):
+                source = source.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c),
+                        (
+                            F.lit(spec["high"])
+                            + F.lit(spec["step"])
+                            * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    ),
+                )
         part_keys = state["partition_keys"]
         mapping = dict(state["column_mapping"])
         existing = StructType.fromJson(state["schema"])
@@ -1899,6 +2070,16 @@ class TransactionLog:
             }
             if affected and state.get("dvs"):
                 r["dvs"] = self._surviving_dvs(state, sorted(affected))
+            if identity:
+                for i in range(read_v + 1, v):
+                    if self._read_commit(i).get("identity"):
+                        raise ConcurrentCommitError(
+                            f"merge to {self.table_path} raced an "
+                            f"identity allocation at v{i}; re-run"
+                        )
+                r["identity"] = self._advance_identity(
+                    identity, adds, spark, state
+                )
             return r
 
         return self._commit_rmw(read_v, rec, "merge")
@@ -1936,6 +2117,12 @@ class TransactionLog:
             raise ValueError(
                 f"columns {bad} are GENERATED — update their source "
                 "columns instead"
+            )
+        bad_id = [c for c in set_exprs if c in state["identity"]]
+        if bad_id:
+            raise ValueError(
+                f"columns {bad_id} are GENERATED ALWAYS AS IDENTITY — "
+                "their values are allocation-owned"
             )
         mapping = state["column_mapping"]
         tbl = self._read_files(spark, state, with_file_info=True)

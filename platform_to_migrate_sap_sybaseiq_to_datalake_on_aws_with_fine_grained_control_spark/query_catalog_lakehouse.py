@@ -1191,3 +1191,86 @@ def acid_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("total_price"),
     )
     return latest.unionByName(cdf_rows)
+
+
+@register(
+    "acid_identity_orders",
+    """
+WITH f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O')
+SELECT 'v2_f_slice' AS snap, CAST((SELECT n FROM f) AS BIGINT) AS n_rows,
+       CAST((SELECT n FROM f) AS BIGINT) AS n_distinct_ids,
+       TRUE AS invariant
+UNION ALL
+SELECT 'v3_total', (SELECT n FROM f) + (SELECT n FROM o),
+       (SELECT n FROM f) + (SELECT n FROM o), TRUE
+""",
+    doc="GENERATED ALWAYS AS IDENTITY through the transaction log "
+    "(the published Delta identity-columns design): create() declares "
+    "rid LONG with start 1000/step 10; two appends (the 'F' then 'O' "
+    "order slices) OMIT the column and the log allocates "
+    "watermark + step * monotonically_increasing_id per write — "
+    "unique without any global sort, gaps allowed, never duplicates. "
+    "The exact values are partition-layout dependent, so the entry "
+    "checks the INVARIANTS as values: count(distinct rid) equals the "
+    "row count at both versions (uniqueness across writes, proven "
+    "cumulative by v3), and 'invariant' asserts every id is >= start, "
+    "on the step lattice, and that v3's new ids all sit ABOVE v2's "
+    "max (the watermark advanced through the commit). The oracle "
+    "states the expected counts and TRUE literals from the source "
+    "table.",
+)
+def acid_identity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-id-") + "/orders")
+    schema = (
+        StructType()
+        .add("rid", "long")
+        .add("o_orderkey", "long")
+        .add("p", "double")
+    )
+    t.create(schema, identity={"rid": {"start": 1000, "step": 10}})
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        F.round("o_totalprice", 2).alias("p"),
+        "o_orderstatus",
+    )
+    t.append(src.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus"))
+    v2 = t.snapshot(spark, version=2)
+    v2_max = v2.agg(F.max("rid")).collect()[0][0]
+    t.append(src.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus"))
+    v3 = t.snapshot(spark)
+
+    def agg(df: DataFrame, label: str, floor: int) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("rid").cast("bigint").alias("n_distinct_ids"),
+            (
+                (F.min("rid") >= F.lit(1000))
+                & (F.sum(F.pmod(F.col("rid") - 1000, F.lit(10))) == 0)
+                & (
+                    F.min(F.when(F.col("rid") > F.lit(floor), F.col("rid")))
+                    > F.lit(floor)
+                )
+            ).alias("invariant"),
+        )
+
+    # v3's invariant additionally requires the O-slice ids (the rows
+    # beyond v2's) to sit above v2's max — expressed by counting how
+    # many ids exceed it
+    v3_inv = v3.agg(
+        F.lit("v3_total").alias("snap"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("rid").cast("bigint").alias("n_distinct_ids"),
+        (
+            (F.min("rid") >= F.lit(1000))
+            & (F.sum(F.pmod(F.col("rid") - 1000, F.lit(10))) == 0)
+            & (
+                F.sum((F.col("rid") > F.lit(v2_max)).cast("int"))
+                == F.count("*") - F.lit(v2.count())
+            )
+        ).alias("invariant"),
+    )
+    return agg(v2, "v2_f_slice", 0).unionByName(v3_inv)

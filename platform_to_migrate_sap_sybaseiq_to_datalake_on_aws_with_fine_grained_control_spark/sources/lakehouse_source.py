@@ -470,6 +470,13 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
                 "compute or validate them batch-atomically — use "
                 "foreachBatch with TransactionLog.append"
             )
+        if state.get("identity"):
+            raise ValueError(
+                f"streaming write to {path}: table declares identity "
+                f"columns {sorted(state['identity'])}; the sink cannot "
+                "allocate watermark-owned values — use foreachBatch "
+                "with TransactionLog.append"
+            )
         if state["schema"] is not None:
             existing = StructType.fromJson(state["schema"])
             if merge_schema:

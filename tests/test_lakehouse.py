@@ -1931,3 +1931,74 @@ def test_update_on_renamed_and_dv_table(spark, tbl):
     tbl.update_where(spark, {"price": "price + 1"}, "id >= 1")
     got = sorted((r.id, r.price) for r in tbl.snapshot(spark).collect())
     assert got == [(1, 11.0)]  # row 2 stays deleted, not updated back
+
+
+# ---- identity columns ------------------------------------------------------
+
+
+def test_identity_column_allocation(spark, tbl):
+    """GENERATED ALWAYS AS IDENTITY: values allocate above the
+    committed watermark per write (unique across appends, never
+    reused after overwrite), merge keeps matched rows' ids and
+    allocates for inserts, supplied values and SETs are refused, and
+    the declaration blocks rename/drop."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("rid", "long").add("name", "string")
+    tbl.create(schema, identity={"rid": {"start": 100, "step": 2}})
+    tbl.append(spark.createDataFrame([("a",), ("b",)], ["name"]))
+    first = {r.name: r.rid for r in tbl.snapshot(spark).collect()}
+    assert all(i >= 100 and (i - 100) % 2 == 0 for i in first.values())
+    assert len(set(first.values())) == 2
+
+    tbl.append(spark.createDataFrame([("c",)], ["name"]))
+    snap = {r.name: r.rid for r in tbl.snapshot(spark).collect()}
+    assert len(set(snap.values())) == 3
+    assert snap["c"] > max(first.values())  # above the watermark
+
+    # merge: matched keeps its id, insert allocates a fresh one
+    tbl.merge_upsert(spark.createDataFrame([("a",), ("z",)], ["name"]), ["name"])
+    after = {r.name: r.rid for r in tbl.snapshot(spark).collect()}
+    assert after["a"] == first["a"]
+    assert after["z"] not in set(snap.values())
+    assert len(set(after.values())) == 4
+
+    # overwrite still allocates ABOVE the old watermark
+    tbl.overwrite(spark.createDataFrame([("q",)], ["name"]))
+    q_id = tbl.snapshot(spark).collect()[0].rid
+    assert q_id > max(after.values())
+
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        tbl.append(spark.createDataFrame([(1, "x")], ["rid", "name"]))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tbl.update_where(spark, {"rid": "1"}, "name = 'q'")
+    with pytest.raises(ValueError, match="identity"):
+        tbl.rename_column("rid", "row_id")
+    with pytest.raises(ValueError, match="identity"):
+        tbl.drop_column("rid")
+
+
+def test_identity_racing_append_raises(spark, tbl, monkeypatch):
+    """Two appends allocating from the same read-time watermark would
+    hand out overlapping ids — the loser of the version race must
+    raise, never rebase."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("rid", "long").add("name", "string")
+    tbl.create(schema, identity={"rid": {}})
+    tbl.append(spark.createDataFrame([("seed",)], ["name"]))
+    orig = TransactionLog._stage_files
+    raced = {"done": False}
+
+    def stage_then_race(self, *a, **k):
+        adds = orig(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).append(
+                spark.createDataFrame([("intruder",)], ["name"])
+            )
+        return adds
+
+    monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_race)
+    with pytest.raises(ConcurrentCommitError, match="identity allocation"):
+        tbl.append(spark.createDataFrame([("late",)], ["name"]))
