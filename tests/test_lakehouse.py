@@ -705,13 +705,13 @@ def test_log_state_machine_random_ops(spark, tmp_path):
 
     counter = {"n": 0, "case": 0}
 
-    @given(ops=op_strategy, use_gen=st.booleans())
+    @given(ops=op_strategy, use_gen=st.booleans(), use_identity=st.booleans())
     @settings(
         max_examples=12,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
-    def run(ops, use_gen):
+    def run(ops, use_gen, use_identity):
         counter["case"] += 1
         t = TransactionLog(tmp_path / f"pt{counter['case']}")
         model: dict[int, int | None] = {}
@@ -721,6 +721,21 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         # occupy versions the model does not snapshot
         history: dict[int, tuple[dict, str | None]] = {}
         name = "v"  # current logical name of the value column
+        # some cases declare an identity column at creation: every
+        # write allocates it, and distinct-count == row-count must
+        # hold on every final state the random history produces
+        if use_identity:
+            from pyspark.sql.types import StructType
+
+            t.create(
+                StructType()
+                .add("id", "long")
+                .add("v", "long")
+                .add("year", "string")
+                .add("rid", "long"),
+                partition_keys=["year"],
+                identity={"rid": {"start": 7, "step": 3}},
+            )
         # some cases declare a generated column before the first
         # write: every append/merge/overwrite must compute it, and it
         # must hold on every row of every later state
@@ -860,6 +875,14 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             assert all(
                 r.g == r.id % 10 for r in t.snapshot(spark).collect()
             ), "generated invariant"
+        # identity stays unique across every random write history
+        if use_identity and history and model:
+            snap = t.snapshot(spark)
+            rids = [r.rid for r in snap.collect()]
+            assert len(set(rids)) == len(rids), "identity uniqueness"
+            assert all(
+                r is not None and r >= 7 and (r - 7) % 3 == 0 for r in rids
+            ), "identity lattice"
         # the row-level change feed is COMPLETE: folding every feed row
         # from v0 re-derives the final state exactly (inserts/
         # postimages assert, deletes retract) — valid whenever the
