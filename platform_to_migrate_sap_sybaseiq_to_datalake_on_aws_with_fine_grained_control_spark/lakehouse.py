@@ -1206,6 +1206,11 @@ class TransactionLog:
                 "dvs": [absolutize(d) for d in state["dvs"]],
                 "column_mapping": state["column_mapping"],
                 "retired_physical": state["retired_physical"],
+                # declarations travel too: a write to the clone must
+                # compute generated columns and allocate identity
+                # values exactly like a write to the source would
+                "generated": state["generated"],
+                "identity": state["identity"],
                 # the clone's files live OUTSIDE its table dir — a
                 # reader unaware of external references would vacuum/
                 # resolve them wrong

@@ -698,6 +698,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             st.tuples(st.just("drop_readd"), st.just(0)),
             st.tuples(st.just("respec"), st.just(0)),
             st.tuples(st.just("update"), st.integers(2, 5)),
+            st.tuples(st.just("clone"), st.just(0)),
         ),
         min_size=3,
         max_size=7,
@@ -720,6 +721,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         # because metadata commits (the generated-column declaration)
         # occupy versions the model does not snapshot
         history: dict[int, tuple[dict, str | None]] = {}
+        clones: list[tuple[TransactionLog, dict, str | None]] = []
         name = "v"  # current logical name of the value column
         # some cases declare an identity column at creation: every
         # write allocates it, and distinct-count == row-count must
@@ -799,6 +801,21 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 for k in model:
                     if k % arg == 0 and model[k] is not None:
                         model[k] += 1  # NULL + 1 stays NULL
+            elif op == "clone":
+                # zero-copy clone of the CURRENT state into a side
+                # table; the stash must still hold at the end no
+                # matter what later ops do to the source
+                if (
+                    not t.latest_version()
+                    or t._replay(t.latest_version())["schema"] is None
+                ):
+                    continue
+                c = TransactionLog(
+                    tmp_path / f"pt{counter['case']}-clone{len(clones)}"
+                )
+                t.clone_to(c.table_path)
+                clones.append((c, dict(model), name))
+                continue  # no source version consumed; nothing to record
             elif op == "overwrite":
                 rows = fresh_rows(arg)
                 v = t.overwrite(df_of(rows), ["year"])
@@ -875,6 +892,10 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             assert all(
                 r.g == r.id % 10 for r in t.snapshot(spark).collect()
             ), "generated invariant"
+        # clones stay frozen at their stash regardless of later source ops
+        for c, snap, cname in clones:
+            got = snap_set(c.snapshot(spark), cname)
+            assert got == set(snap.items()), "clone drift"
         # identity stays unique across every random write history
         if use_identity and history and model:
             snap = t.snapshot(spark)
@@ -2025,3 +2046,31 @@ def test_identity_racing_append_raises(spark, tbl, monkeypatch):
     monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_race)
     with pytest.raises(ConcurrentCommitError, match="identity allocation"):
         tbl.append(spark.createDataFrame([("late",)], ["name"]))
+
+
+def test_clone_carries_generated_and_identity_declarations(spark, tbl, tmp_path):
+    """Writes to a clone must compute generated columns and allocate
+    identity values exactly like writes to the source — the
+    declarations travel with the clone commit."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType().add("rid", "long").add("d", "string").add("yr", "string")
+    )
+    tbl.create(
+        schema,
+        identity={"rid": {"start": 1, "step": 1}},
+        generated={"yr": "substring(d, 1, 4)"},
+    )
+    tbl.append(spark.createDataFrame([("2024-01-01",)], ["d"]))
+    c = TransactionLog(tmp_path / "c")
+    tbl.clone_to(c.table_path)
+    st = c._replay(1)
+    assert st["generated"] == {"yr": "substring(d, 1, 4)"}
+    assert st["identity"]["rid"]["high"] > 1
+
+    c.append(spark.createDataFrame([("2025-02-02",)], ["d"]))
+    rows = {(r.d, r.yr) for r in c.snapshot(spark).collect()}
+    assert rows == {("2024-01-01", "2024"), ("2025-02-02", "2025")}
+    rids = [r.rid for r in c.snapshot(spark).collect()]
+    assert len(set(rids)) == 2 and all(r is not None for r in rids)
