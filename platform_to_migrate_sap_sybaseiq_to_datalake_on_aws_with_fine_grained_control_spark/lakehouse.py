@@ -373,6 +373,16 @@ def _file_matches_atom(atom: str, add: dict, mapping: dict | None = None) -> boo
         st = stats.get(col, {})
         return st.get("min"), st.get("max"), st.get("nulls"), col in stats
 
+    def bloom_rejects(col: str, lit) -> bool:
+        """Point-lookup skipping via the file's bloom filter: only for
+        hash-canonical literal types (int/str — the writer hashed
+        str(value) of those exact python types), never a reason to
+        KEEP a file, only to drop one the ranges could not."""
+        if not isinstance(lit, (int, str)) or isinstance(lit, bool):
+            return False
+        bl = (add.get("bloom") or {}).get(_phys(col, col))
+        return bl is not None and not _bloom_maybe_contains(bl, lit)
+
     def coerce(lit, ref):
         # partition values arrive as strings; align them to the
         # literal's type before comparing
@@ -430,7 +440,7 @@ def _file_matches_atom(atom: str, add: dict, mapping: dict | None = None) -> boo
             clo, chi = coerce(lit, lo), coerce(lit, hi)
             below = clo is not None and _cmp_ok(clo, lit) and clo > lit
             above = chi is not None and _cmp_ok(chi, lit) and chi < lit
-            if not below and not above:
+            if not below and not above and not bloom_rejects(col, lit):
                 return True
         return False
     m = re.fullmatch(
@@ -450,7 +460,9 @@ def _file_matches_atom(atom: str, add: dict, mapping: dict | None = None) -> boo
         lo_ok = lo is not None and _cmp_ok(lo, lit)
         hi_ok = hi is not None and _cmp_ok(hi, lit)
         if op in ("=", "=="):
-            return not (lo_ok and lo > lit) and not (hi_ok and hi < lit)
+            if (lo_ok and lo > lit) or (hi_ok and hi < lit):
+                return False
+            return not bloom_rejects(col, lit)
         if op == "<":
             return not lo_ok or lo < lit
         if op == "<=":
@@ -473,6 +485,53 @@ def _prune_files(
         if all(_file_matches_atom(a, add, mapping) for a in atoms):
             out[rel] = add
     return out
+
+
+def _bloom_build(values, fpp: float) -> dict | None:
+    """Per-file Bloom filter over a column's values (the published
+    Delta bloom-filter-index design): md5 double-hashing into an
+    m-bit set, serialized base64 into the add action.  ~1.2 KB per
+    1000 rows at 1% fpp — metadata-priced point-lookup skipping on
+    high-cardinality columns whose min/max never prunes."""
+    import base64
+    import hashlib
+    import math
+
+    vals = {str(v) for v in values if v is not None}
+    if not vals:
+        return None
+    n = len(vals)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for s in vals:
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        for j in range(k):
+            idx = (h1 + j * h2) % m
+            bits[idx // 8] |= 1 << (idx % 8)
+    return {
+        "m": m,
+        "k": k,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+    import hashlib
+
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    for j in range(k):
+        idx = (h1 + j * h2) % m
+        if not (bits[idx // 8] >> (idx % 8)) & 1:
+            return False
+    return True
 
 
 def _physical_struct(schema: StructType, mapping: dict | None) -> StructType:
@@ -572,6 +631,7 @@ class TransactionLog:
             "reader_features": sorted(state["reader_features"]),
             "generated": state["generated"],
             "identity": state["identity"],
+            "bloom_index": state["bloom_index"],
         }
         rows = sorted(state["files"].items())
         table = pa.table(
@@ -603,6 +663,31 @@ class TransactionLog:
                     ],
                     pa.string(),
                 ),
+                # forward-compat: any add-action field beyond the typed
+                # columns (bloom filters, future features) rides as
+                # JSON — a checkpoint must NEVER drop commit state
+                "extra": pa.array(
+                    [
+                        json.dumps(
+                            {
+                                k: v
+                                for k, v in a.items()
+                                if k
+                                not in (
+                                    "path",
+                                    "size",
+                                    "rows",
+                                    "base",
+                                    "partition_values",
+                                    "stats",
+                                )
+                            },
+                            separators=(",", ":"),
+                        )
+                        for _, a in rows
+                    ],
+                    pa.string(),
+                ),
             }
         )
         pfile = self.log_path / f"_checkpoint.{_fmt_version(version)}.parquet"
@@ -620,14 +705,20 @@ class TransactionLog:
         import pyarrow.parquet as pq
 
         t = pq.read_table(str(pfile))
+        extras = (
+            t.column("extra").to_pylist()
+            if "extra" in t.column_names
+            else [None] * t.num_rows
+        )
         out: list[tuple[str, dict]] = []
-        for path, size, rows, base, pv, stats in zip(
+        for path, size, rows, base, pv, stats, extra in zip(
             t.column("path").to_pylist(),
             t.column("size").to_pylist(),
             t.column("rows").to_pylist(),
             t.column("base").to_pylist(),
             t.column("partition_values").to_pylist(),
             t.column("stats").to_pylist(),
+            extras,
         ):
             e: dict = {
                 "path": path,
@@ -638,6 +729,8 @@ class TransactionLog:
             }
             if base is not None:
                 e["base"] = base
+            if extra:
+                e.update(json.loads(extra))
             out.append((path, e))
         return out
 
@@ -688,6 +781,7 @@ class TransactionLog:
         reader_features: set[str] = set()
         generated: dict[str, str] = {}
         identity: dict[str, dict] = {}
+        bloom_index: dict[str, dict] = {}
         start = 1
         if use_checkpoint:
             ckpt = self._load_checkpoint_at_or_before(version)
@@ -702,6 +796,7 @@ class TransactionLog:
                 reader_features = set(ckpt.get("reader_features", []))
                 generated = dict(ckpt.get("generated", {}))
                 identity = dict(ckpt.get("identity", {}))
+                bloom_index = dict(ckpt.get("bloom_index", {}))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
             f = self._commit_file(v)
@@ -744,6 +839,8 @@ class TransactionLog:
                 generated = dict(rec["generated"])
             if "identity" in rec:
                 identity = dict(rec["identity"])
+            if "bloom_index" in rec:
+                bloom_index = dict(rec["bloom_index"])
         return {
             "files": files,
             "schema": schema,
@@ -755,6 +852,7 @@ class TransactionLog:
             "reader_features": reader_features,
             "generated": generated,
             "identity": identity,
+            "bloom_index": bloom_index,
         }
 
     def version_at_timestamp(self, ts_iso: str) -> int:
@@ -775,6 +873,7 @@ class TransactionLog:
         partition_keys: list[str],
         max_records_per_file: int | None = None,
         mapping: dict | None = None,
+        bloom_index: dict | None = None,
     ) -> list[dict]:
         """Write ``df``'s files under uuid names inside the table dir.
 
@@ -807,7 +906,7 @@ class TransactionLog:
             dest.parent.mkdir(parents=True, exist_ok=True)
             f.rename(dest)
             pf = pq.ParquetFile(dest)
-            return {
+            entry = {
                 "path": dest_rel.as_posix(),
                 "size": dest.stat().st_size,
                 "rows": pf.metadata.num_rows,
@@ -816,6 +915,21 @@ class TransactionLog:
                 # for the row count — zero extra IO
                 "stats": _collect_file_stats(pf),
             }
+            if bloom_index:
+                file_cols = set(pf.schema_arrow.names)
+                blooms = {}
+                for pcol, spec in sorted(bloom_index.items()):
+                    if pcol not in file_cols:
+                        continue  # partition column: pv prunes exactly
+                    b = _bloom_build(
+                        pf.read(columns=[pcol]).column(0).to_pylist(),
+                        spec.get("fpp", 0.01),
+                    )
+                    if b is not None:
+                        blooms[pcol] = b
+                if blooms:
+                    entry["bloom"] = blooms
+            return entry
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1385,6 +1499,62 @@ class TransactionLog:
             out[c] = dict(spec, high=max(spec["high"], new_high))
         return out
 
+    def add_bloom_index(self, name: str, fpp: float = 0.01) -> int:
+        """Declare a per-file BLOOM FILTER INDEX on ``name`` (the
+        published Delta design): every file staged AFTER the
+        declaration carries an md5 double-hashed bitset of the
+        column's distinct values in its add action, and equality /
+        IN-list data skipping consults it — the point-lookup pruner
+        for high-cardinality columns whose per-file min/max spans the
+        whole domain (ids, UUIDs, customer keys in arrival order).
+        Files written BEFORE the declaration simply have no bloom and
+        never skip on it; the next OPTIMIZE rewrite indexes whatever
+        it touches.  Integer and string columns only: the hash
+        canonicalization (``str(value)``) must be exact on both the
+        write and lookup side, which float formatting cannot
+        guarantee."""
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            raise ValueError(f"{self.table_path} has no commits yet")
+        schema = StructType.fromJson(state["schema"])
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        dt = schema[name].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint", "string"):
+            raise ValueError(
+                f"bloom index on {name!r}: {dt} is not hash-canonical "
+                "(integer and string columns only)"
+            )
+        if not (0 < fpp < 0.5):
+            raise ValueError("fpp must be in (0, 0.5)")
+        if name in state["bloom_index"]:
+            raise ValueError(f"bloom index on {name!r} already declared")
+        mapping = state["column_mapping"]
+        phys = mapping.get(name, name)
+        rec = {
+            "version": read_v + 1,
+            "op": "add_bloom_index",
+            "dataChange": False,
+            "ts": _utc_now_iso(),
+            "txn": uuid.uuid4().hex,
+            "schema": state["schema"],
+            "partition_keys": state["partition_keys"],
+            "add": [],
+            "remove": [],
+            # keyed PHYSICAL: blooms are built over staged bytes
+            "bloom_index": dict(state["bloom_index"], **{phys: {"fpp": fpp}}),
+        }
+        v = self.latest_version() + 1
+        if v != read_v + 1:
+            raise ConcurrentCommitError(
+                f"table advanced to {v - 1} while the bloom-index "
+                f"declaration was staged (read {read_v})"
+            )
+        self._try_commit(v, rec)
+        return v
+
     def add_generated_column(self, name: str, expr: str) -> int:
         """Declare ``name`` as a GENERATED column (the published Delta
         generated-columns design): every write that omits it computes
@@ -1700,7 +1870,9 @@ class TransactionLog:
                 # frame omitted lands LAST after _apply_generated):
                 # normalize to the table's column order
                 df = df.select(*[f.name for f in existing.fields])
-        adds = self._stage_files(df, keys, max_records_per_file, mapping)
+        adds = self._stage_files(
+            df, keys, max_records_per_file, mapping, state["bloom_index"]
+        )
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(
             df.sparkSession,
@@ -1867,7 +2039,9 @@ class TransactionLog:
             # a full replace still allocates ABOVE the old watermark:
             # identity values are never reused across table lifetimes
             df = self._assign_identity(df, identity)
-        adds = self._stage_files(df, keys)
+        adds = self._stage_files(
+            df, keys, bloom_index=state["bloom_index"]
+        )
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(
             df.sparkSession,
@@ -2047,7 +2221,9 @@ class TransactionLog:
         else:
             out = source
             changes = source.select("*", ct("insert"))
-        adds = self._stage_files(out, part_keys, mapping=mapping)
+        adds = self._stage_files(
+            out, part_keys, mapping=mapping, bloom_index=state["bloom_index"]
+        )
         self._enforce_constraints(
             spark,
             adds,
@@ -2165,7 +2341,12 @@ class TransactionLog:
             )
 
         out = regen(aff_df.select(*updated_cols))
-        adds = self._stage_files(out, state["partition_keys"], mapping=mapping)
+        adds = self._stage_files(
+            out,
+            state["partition_keys"],
+            mapping=mapping,
+            bloom_index=state["bloom_index"],
+        )
         self._enforce_constraints(
             spark,
             adds,
@@ -2259,7 +2440,10 @@ class TransactionLog:
             aff_df = self._read_files(spark, aff_state)
             kept = aff_df.filter(F.expr(f"NOT coalesce(({predicate}), false)"))
             adds = self._stage_files(
-                kept, state["partition_keys"], mapping=mapping
+                kept,
+                state["partition_keys"],
+                mapping=mapping,
+                bloom_index=state["bloom_index"],
             )
             cdf = self._stage_cdf(
                 aff_df.filter(F.expr(predicate)).select(
@@ -2377,7 +2561,9 @@ class TransactionLog:
                 .repartition(*[F.col(k) for k in lkeys], F.col("_salt"))
                 .drop("_salt")
             )
-        adds = self._stage_files(laid_out, keys, mapping=mapping)
+        adds = self._stage_files(
+            laid_out, keys, mapping=mapping, bloom_index=state["bloom_index"]
+        )
         removes = sorted(files)
         v = self.latest_version() + 1
         if v != read_v + 1:

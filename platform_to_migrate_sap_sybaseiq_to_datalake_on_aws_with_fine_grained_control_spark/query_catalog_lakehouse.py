@@ -1274,3 +1274,87 @@ def acid_identity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("invariant"),
     )
     return agg(v2, "v2_f_slice", 0).unionByName(v3_inv)
+
+
+@register(
+    "acid_bloom_skipping_orders",
+    f"""
+WITH t AS (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS p,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn
+           FROM orders),
+k AS (SELECT min(o_custkey) AS ck FROM orders),
+hits AS (SELECT * FROM t WHERE o_custkey = (SELECT ck FROM k))
+SELECT 'lookup' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS total_price, TRUE AS ok FROM hits
+UNION ALL
+SELECT 'pruning',
+       CAST(count(DISTINCT CAST(floor((rn - 1) / {DS_FILE_ROWS}.0) AS INT)) AS BIGINT),
+       0.0, TRUE
+FROM hits
+""",
+    doc="Per-file BLOOM FILTER INDEX (the published Delta design): "
+    "orders land sorted by o_orderkey in exact 200-row chunks AFTER "
+    "add_bloom_index('o_custkey') — a high-cardinality column in "
+    "arrival order, so most chunks' min/max spans make range stats a "
+    "weak pruner; each add action instead carries an md5 double-hashed "
+    "bitset of its distinct custkeys. The point lookup (the smallest "
+    "custkey) must return exact rows ('lookup' parity), and 'pruning' "
+    "proves the scan is bloom-tight: the Spark side reports TRUE only "
+    "if matching_files count >= the true chunk count (no false "
+    "negatives — every file holding a hit is scanned) AND < the total "
+    "file count (the index actually skipped), with n_rows restating "
+    "the analytic chunk count the oracle computes over the sorted "
+    "rank space.",
+)
+def acid_bloom_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-bloom-") + "/orders")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.round("o_totalprice", 2).alias("p"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    empty = src.limit(0)
+    t.append(empty)  # v1 establishes schema so the index can declare
+    t.add_bloom_index("o_custkey")
+    t.append(src, max_records_per_file=DS_FILE_ROWS)
+    ck = src.agg(F.min("o_custkey")).collect()[0][0]
+    files_total = len(t._replay(t.latest_version())["files"])
+    scanned = len(t.matching_files(f"o_custkey = {ck}"))
+    # the true chunk count, computed the same analytic way the oracle
+    # states it (rank-space chunks of the sorted layout)
+    from pyspark.sql import Window
+
+    true_chunks = (
+        src.withColumn(
+            "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+        )
+        .filter(F.col("o_custkey") == ck)
+        .select(
+            F.floor((F.col("rn") - 1) / DS_FILE_ROWS).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    lookup = t.snapshot(spark, where=f"o_custkey = {ck}").agg(
+        F.lit("lookup").alias("snap"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+        F.lit(True).alias("ok"),
+    )
+    pruning = spark.createDataFrame(
+        [
+            (
+                "pruning",
+                true_chunks,
+                0.0,
+                bool(true_chunks <= scanned < files_total),
+            )
+        ],
+        "snap string, n_rows bigint, total_price double, ok boolean",
+    )
+    return lookup.unionByName(pruning)

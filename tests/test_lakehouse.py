@@ -1099,8 +1099,8 @@ def test_append_racing_widen_commits_widened_schema(spark, tbl, monkeypatch):
     orig = tbl._stage_files
     fired = {"done": False}
 
-    def stage_then_race(df, keys, max_records_per_file=None, mapping=None):
-        adds = orig(df, keys, max_records_per_file, mapping)
+    def stage_then_race(df, keys, *a, **k):
+        adds = orig(df, keys, *a, **k)
         if not fired["done"]:
             fired["done"] = True
             TransactionLog(tbl.table_path).append(wide, evolve_schema=True)
@@ -1136,8 +1136,8 @@ def test_append_racing_incompatible_schema_raises(spark, tbl, monkeypatch):
     orig = tbl._stage_files
     fired = {"done": False}
 
-    def stage_then_race(df, keys, max_records_per_file=None, mapping=None):
-        adds = orig(df, keys, max_records_per_file, mapping)
+    def stage_then_race(df, keys, *a, **k):
+        adds = orig(df, keys, *a, **k)
         if not fired["done"]:
             fired["done"] = True
             TransactionLog(tbl.table_path).overwrite(replacement, ["year"])
@@ -2074,3 +2074,67 @@ def test_clone_carries_generated_and_identity_declarations(spark, tbl, tmp_path)
     assert rows == {("2024-01-01", "2024"), ("2025-02-02", "2025")}
     rids = [r.rid for r in c.snapshot(spark).collect()]
     assert len(set(rids)) == 2 and all(r is not None for r in rids)
+
+
+# ---- bloom filter index ----------------------------------------------------
+
+
+def test_bloom_index_point_lookup_skipping(spark, tbl):
+    """A declared bloom index prunes equality/IN lookups on a
+    high-cardinality UNSORTED column whose per-file min/max spans the
+    domain; results stay exact (no false negatives by construction),
+    pre-declaration files simply never bloom-skip, and OPTIMIZE
+    indexes what it rewrites."""
+    import random
+
+    rng = random.Random(42)
+    keys = list(range(10000, 10400))
+    rng.shuffle(keys)
+    df = spark.createDataFrame(
+        [(k, f"u{k}") for k in keys], ["custkey", "name"]
+    ).coalesce(1)
+    tbl.append(df, max_records_per_file=100)  # 4 files, pre-declaration
+    tbl.add_bloom_index("custkey")
+    # pre-declaration files have no bloom: no skipping beyond stats
+    assert all(
+        "bloom" not in a
+        for a in tbl._replay(tbl.latest_version())["files"].values()
+    )
+    tbl.compact(spark, target_files_per_partition=4)
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert all("bloom" in a for a in files.values())
+
+    target = keys[123]
+    m = tbl.matching_files(f"custkey = {target}")
+    assert len(m) < len(files)  # bloom pruned something
+    got = tbl.snapshot(spark, where=f"custkey = {target}").collect()
+    assert [(r.custkey, r.name) for r in got] == [(target, f"u{target}")]
+    # absent key: every bloom says no
+    assert tbl.matching_files("custkey = 99999999") == []
+    # IN-list unions the per-literal verdicts
+    m2 = tbl.matching_files(f"custkey IN ({keys[1]}, {keys[300]})")
+    assert 1 <= len(m2) <= len(files)
+
+
+
+def test_bloom_index_string_and_declaration_rules(spark, tbl):
+    tbl.append(
+        spark.createDataFrame(
+            [(f"id-{i}", float(i)) for i in range(300)], ["uid", "x"]
+        ).coalesce(1),
+        max_records_per_file=100,
+    )
+    with pytest.raises(ValueError, match="hash-canonical"):
+        tbl.add_bloom_index("x")  # float: str() not canonical
+    tbl.add_bloom_index("uid", fpp=0.001)
+    with pytest.raises(ValueError, match="already declared"):
+        tbl.add_bloom_index("uid")
+    tbl.compact(spark, target_files_per_partition=3)
+    files = tbl._replay(tbl.latest_version())["files"]
+    assert len(tbl.matching_files("uid = 'id-250'")) == 1
+    assert tbl.matching_files("uid = 'missing'") == []
+    # checkpoint round-trips the blooms (interval=3 hit at v3)
+    via = tbl._replay(tbl.latest_version())
+    full = tbl._replay(tbl.latest_version(), use_checkpoint=False)
+    assert via["files"] == full["files"]
+    assert via["bloom_index"] == {"uid": {"fpp": 0.001}}
