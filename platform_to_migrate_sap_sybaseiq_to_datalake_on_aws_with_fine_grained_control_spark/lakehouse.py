@@ -1435,7 +1435,11 @@ class TransactionLog:
         avoids coordination).  The sparsity burns ~(partitions << 33)
         of the int64 space per write — ~10^6 writes of 1024-partition
         frames before exhaustion, far beyond any real table's commit
-        count, and overflow would fail loudly in the cast."""
+        count.  NOTE: overflow would NOT fail here — with ANSI mode
+        off (the default) long arithmetic wraps silently and casting a
+        long to long is a no-op; :meth:`_advance_identity` guards
+        instead (a staged max BELOW the read watermark is impossible
+        without wraparound, so it raises loudly)."""
         from pyspark.sql import functions as F
 
         supplied = [c for c in identity if c in df.columns]
@@ -1460,6 +1464,7 @@ class TransactionLog:
         adds: list[dict],
         spark: SparkSession,
         state: dict,
+        fresh_allocation: bool = True,
     ) -> dict[str, dict]:
         """New watermarks from the staged files' footer stats (zero
         extra IO — the max of each identity column was harvested with
@@ -1495,6 +1500,18 @@ class TransactionLog:
             ]
             if c in exact:
                 highs.append(exact[c])
+            # fresh allocation starts AT the read watermark, so any
+            # staged row's id is >= high — a smaller max means the
+            # int64 arithmetic wrapped (ANSI off: silent), which MUST
+            # fail loudly before duplicate/negative ids reach a commit.
+            # (merge passes fresh_allocation=False: matched rows RETAIN
+            # ids legitimately below the watermark)
+            if fresh_allocation and highs and max(highs) < spec["high"]:
+                raise RuntimeError(
+                    f"identity column {c!r}: staged max {max(highs)} is "
+                    f"below the read watermark {spec['high']} — int64 "
+                    "allocation wrapped; the identity space is exhausted"
+                )
             new_high = max(highs) + spec["step"] if highs else spec["high"]
             out[c] = dict(spec, high=max(spec["high"], new_high))
         return out
@@ -1890,7 +1907,14 @@ class TransactionLog:
 
         def rec(v: int) -> dict:
             sch, cmap, ret, pkeys = self._reconcile_append_meta(
-                read_v0, v, schema_json, mapping, retired, keys
+                read_v0,
+                v,
+                schema_json,
+                mapping,
+                retired,
+                keys,
+                generated=state["generated"],
+                identity=identity,
             )
             r = {
                 "version": v,
@@ -1930,10 +1954,20 @@ class TransactionLog:
         mapping: dict | None = None,
         retired: list[str] | None = None,
         keys: list[str] | None = None,
+        generated: dict | None = None,
+        identity: dict | None = None,
     ) -> tuple[dict, dict, list[str], list[str]]:
         """(schema, column_mapping, retired_physical, partition_keys)
         a blind append should commit at ``commit_v`` after reading at
         ``read_v``.
+
+        ``generated``/``identity`` are the declarations the append SAW
+        at read time (and therefore computed/validated/allocated).  A
+        declaration interleaving between read and commit is a real
+        conflict: our staged rows never computed the generated column
+        (they would read NULL, violating the declare-before-first-write
+        invariant) or never allocated the identity — raise for a
+        caller-level re-run that applies them.
 
         A commit carries the FULL schema/mapping, so a retried append
         that lost a version race to a concurrent WIDENING commit must
@@ -1954,6 +1988,20 @@ class TransactionLog:
         if commit_v == read_v + 1 and read_v >= 0:
             return schema_json, mapping, retired, keys  # nothing interleaved
         cur = self._replay(commit_v - 1)
+        # BEFORE any early return: an interleaved generated/identity
+        # declaration our staged rows never applied is a conflict even
+        # when the schemas compare equal (declarations live outside the
+        # schema JSON — add_generated_column / create leave it as-is)
+        new_decl = [g for g in cur["generated"] if g not in (generated or {})] + [
+            c for c in cur["identity"] if c not in (identity or {})
+        ]
+        if new_decl:
+            raise ConcurrentCommitError(
+                f"append to {self.table_path} raced generated/identity "
+                f"declarations {sorted(new_decl)} landing by "
+                f"v{commit_v - 1} — staged rows never computed them; "
+                "re-run"
+            )
         if cur["schema"] is None:
             return schema_json, mapping, retired, keys
         # an interleaved set_partition_spec wins: OUR staged files keep
@@ -2039,9 +2087,25 @@ class TransactionLog:
             # a full replace still allocates ABOVE the old watermark:
             # identity values are never reused across table lifetimes
             df = self._assign_identity(df, identity)
-        adds = self._stage_files(
-            df, keys, bloom_index=state["bloom_index"]
-        )
+        # the overwrite resets column_mapping/retired_physical (fresh
+        # bytes under the frame's own names), so the bloom index —
+        # keyed by PHYSICAL names — must be re-keyed alongside: an
+        # old-physical key would silently stop building blooms (no file
+        # carries that name anymore) and could later attach to an
+        # unrelated column reusing it.  An entry survives only if its
+        # logical column exists in the new frame with a hash-canonical
+        # type (str(value) must stay exact on both write and lookup).
+        inv_map = {p: l for l, p in state["column_mapping"].items()}
+        canonical = ("tinyint", "smallint", "int", "bigint", "string")
+        bloom_index = {}
+        for pcol, spec in state["bloom_index"].items():
+            lcol = inv_map.get(pcol, pcol)
+            if (
+                lcol in df.columns
+                and df.schema[lcol].dataType.simpleString() in canonical
+            ):
+                bloom_index[lcol] = spec
+        adds = self._stage_files(df, keys, bloom_index=bloom_index)
         schema_json = df.schema.jsonValue()
         self._enforce_constraints(
             df.sparkSession,
@@ -2069,9 +2133,11 @@ class TransactionLog:
                 "remove": sorted(state["files"]),
                 # a full replace writes fresh bytes under the frame's
                 # own names — mapping and retirements reset (history
-                # replays its own mapping for time travel)
+                # replays its own mapping for time travel), and the
+                # bloom index rides along re-keyed to the new physicals
                 "column_mapping": {},
                 "retired_physical": [],
+                "bloom_index": bloom_index,
                 **(
                     {
                         "identity": self._advance_identity(
@@ -2163,6 +2229,15 @@ class TransactionLog:
                         ).cast("long"),
                     ),
                 )
+            # monotonically_increasing_id is NONDETERMINISTIC across
+            # evaluations, and this plan is executed twice below (once
+            # staging the data files, once staging the CDF sidecar) —
+            # without pinning, a task retry or AQE re-plan between the
+            # two runs could commit ids to the table that differ from
+            # the ones the change feed delivers.  localCheckpoint
+            # materializes the allocation exactly once; both downstream
+            # stagings read the pinned partitions.
+            source = source.localCheckpoint()
         part_keys = state["partition_keys"]
         mapping = dict(state["column_mapping"])
         existing = StructType.fromJson(state["schema"])
@@ -2234,6 +2309,18 @@ class TransactionLog:
             },
         )
         cdf = self._stage_cdf(changes, mapping)
+        # the new watermark depends only on the staged adds and the
+        # read-time state — compute it ONCE here, not inside rec():
+        # _commit_rmw probes build_record(0) and re-invokes on every
+        # retry, and _advance_identity can cost a Spark aggregate when
+        # stats missed the column
+        new_identity = (
+            self._advance_identity(
+                identity, adds, spark, state, fresh_allocation=False
+            )
+            if identity
+            else None
+        )
 
         def rec(v: int) -> dict:
             r = {
@@ -2258,9 +2345,7 @@ class TransactionLog:
                             f"merge to {self.table_path} raced an "
                             f"identity allocation at v{i}; re-run"
                         )
-                r["identity"] = self._advance_identity(
-                    identity, adds, spark, state
-                )
+                r["identity"] = new_identity
             return r
 
         return self._commit_rmw(read_v, rec, "merge")

@@ -2138,3 +2138,90 @@ def test_bloom_index_string_and_declaration_rules(spark, tbl):
     full = tbl._replay(tbl.latest_version(), use_checkpoint=False)
     assert via["files"] == full["files"]
     assert via["bloom_index"] == {"uid": {"fpp": 0.001}}
+
+
+# ---- round-7 conflict/metadata regressions --------------------------------
+
+
+def test_append_racing_generated_declaration_raises(spark, tbl, monkeypatch):
+    """A blind append that read an EMPTY pre-declaration table must not
+    retry past an interleaved generated-column declaration: its staged
+    rows never computed the column (they would read NULL, violating
+    the declare-before-first-write invariant)."""
+    orig = TransactionLog._stage_files
+    raced = {"done": False}
+
+    def stage_then_declare(self, *a, **k):
+        adds = orig(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).add_generated_column(
+                "twice", "v * 2"
+            )
+        return adds
+
+    monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_declare)
+    with pytest.raises(ConcurrentCommitError, match="generated/identity"):
+        tbl.append(spark.createDataFrame([(1, 10)], ["id", "v"]))
+    # the loser left no trace; a re-run that sees the declaration works
+    monkeypatch.setattr(TransactionLog, "_stage_files", orig)
+    tbl.append(spark.createDataFrame([(1, 10)], ["id", "v"]))
+    row = tbl.snapshot(spark).collect()[0]
+    assert row.twice == 20
+
+
+def test_overwrite_rekeys_bloom_index(spark, tbl):
+    """Overwrite resets column_mapping, so the bloom index (keyed by
+    PHYSICAL names) must be re-keyed alongside: post-overwrite files
+    keep building blooms under the new physical (= logical) names, and
+    an index whose column the new frame dropped is removed rather than
+    left to attach to an unrelated future column."""
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(200)], ["custkey", "name"]
+        ).coalesce(1),
+        max_records_per_file=50,
+    )
+    tbl.add_bloom_index("custkey")
+    tbl.rename_column("custkey", "ck")  # index stays keyed "custkey"
+    assert "custkey" in tbl._replay(tbl.latest_version())["bloom_index"]
+    tbl.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(300, 500)], ["ck", "name"]
+        ).coalesce(1)
+    )
+    st = tbl._replay(tbl.latest_version())
+    assert st["column_mapping"] == {}
+    # re-keyed to the post-reset physical name...
+    assert st["bloom_index"] == {"ck": {"fpp": 0.01}}
+    # ...and the overwrite's own files already carry blooms under it
+    assert all("ck" in (a.get("bloom") or {}) for a in st["files"].values())
+    assert tbl.matching_files("ck = 99999999") == []
+    got = tbl.snapshot(spark, where="ck = 321").collect()
+    assert [(r.ck, r.name) for r in got] == [(321, "v321")]
+
+    # an overwrite that DROPS the indexed column drops the index
+    tbl.overwrite(spark.createDataFrame([("only",)], ["name"]))
+    assert tbl._replay(tbl.latest_version())["bloom_index"] == {}
+
+
+def test_merge_identity_ids_consistent_between_table_and_feed(spark, tbl):
+    """The ids a merge commits to the table must be the ids its change
+    feed delivers (the allocation is materialized once — a re-executed
+    nondeterministic plan could diverge between the two stagings)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("rid", "long").add("name", "string")
+    tbl.create(schema, identity={"rid": {"start": 1, "step": 1}})
+    tbl.append(spark.createDataFrame([("a",), ("b",)], ["name"]))
+    v = tbl.merge_upsert(
+        spark.createDataFrame([("a",), ("x",), ("y",)], ["name"]), ["name"]
+    )
+    table_ids = {r.name: r.rid for r in tbl.snapshot(spark).collect()}
+    feed = tbl.read_change_feed(spark, from_version=v - 1, to_version=v)
+    feed_ids = {
+        r.name: r.rid
+        for r in feed.collect()
+        if r._change_type in ("insert", "update_postimage")
+    }
+    assert feed_ids == {n: table_ids[n] for n in feed_ids}
