@@ -94,6 +94,11 @@ BAND3 = [
     "acid_rename_column_orders",
     "acid_partition_evolution_orders",
     "acid_generated_hidden_partitioning_orders",
+    # round 7: commit-path scale microbench — ~1000 exact-sized files
+    # through a bloom-indexed append + checkpoint at bench sf; times
+    # the staging/commit/replay/checkpoint lifecycle at a 100x file
+    # count so commit-path regressions surface round-over-round
+    "acid_commit_path_bloom_files",
 ]
 
 

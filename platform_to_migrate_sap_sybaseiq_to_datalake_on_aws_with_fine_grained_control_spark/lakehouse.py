@@ -896,6 +896,15 @@ class TransactionLog:
         if partition_keys:
             writer = writer.partitionBy(*partition_keys)
         writer.save(str(staging))
+        if bloom_index:
+            # a declared bloom index makes staging DATA-proportional
+            # (every indexed column is re-read and hashed); that work
+            # runs as a distributed job, never on the driver
+            adds = self._stage_files_distributed(
+                df.sparkSession, staging, bloom_index
+            )
+            shutil.rmtree(staging)
+            return adds
         def _stage_one(f: Path) -> dict | None:
             rel = f.relative_to(staging)
             pf = pq.ParquetFile(f)
@@ -915,20 +924,6 @@ class TransactionLog:
                 # for the row count — zero extra IO
                 "stats": _collect_file_stats(pf),
             }
-            if bloom_index:
-                file_cols = set(pf.schema_arrow.names)
-                blooms = {}
-                for pcol, spec in sorted(bloom_index.items()):
-                    if pcol not in file_cols:
-                        continue  # partition column: pv prunes exactly
-                    b = _bloom_build(
-                        pf.read(columns=[pcol]).column(0).to_pylist(),
-                        spec.get("fpp", 0.01),
-                    )
-                    if b is not None:
-                        blooms[pcol] = b
-                if blooms:
-                    entry["bloom"] = blooms
             return entry
 
         from concurrent.futures import ThreadPoolExecutor
@@ -941,6 +936,81 @@ class TransactionLog:
         with ThreadPoolExecutor(max_workers=16) as pool:
             adds = [a for a in pool.map(_stage_one, staged) if a is not None]
         shutil.rmtree(staging)
+        return adds
+
+    def _stage_files_distributed(
+        self, spark: SparkSession, staging: Path, bloom_index: dict
+    ) -> list[dict]:
+        """Staging harvest for bloom-indexed tables, executor-side.
+
+        The footer walk (rows / min-max stats) is metadata-priced, but
+        a bloom build re-reads every indexed column and md5-hashes each
+        distinct value — DATA-proportional work that must not run on
+        the driver (a 100 TB append would re-read everything it just
+        wrote through one process).  The driver keeps only the O(files)
+        metadata renames; ONE Spark job over the renamed paths computes
+        rows/stats/blooms per file with the exact same functions the
+        driver path uses, so committed entries are bit-identical to the
+        pre-round-7 driver harvest.  Zero-row task outputs are dropped
+        (and unlinked) after the harvest reports them — same invariant
+        as the driver path, enforcement just moves after the map."""
+        items: list[tuple[str, str, dict]] = []
+        for f in sorted(staging.rglob("*.parquet")):
+            rel = f.relative_to(staging)
+            dest_rel = rel.parent / f"{uuid.uuid4().hex[:12]}-{rel.name}"
+            dest = self.table_path / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            f.rename(dest)
+            items.append(
+                (str(dest), dest_rel.as_posix(), _parse_partition_dirs(rel.parent))
+            )
+        if not items:
+            return []
+        bi = {k: dict(v) for k, v in sorted(bloom_index.items())}
+        collect_stats, bloom_build = _collect_file_stats, _bloom_build
+
+        def harvest(it: tuple[str, str, dict]):
+            import os as _os
+
+            import pyarrow.parquet as pq
+
+            path, dest_rel, pv = it
+            pf = pq.ParquetFile(path)
+            rows = pf.metadata.num_rows
+            if rows == 0:
+                return dest_rel, None  # empty task output: never commit
+            entry: dict = {
+                "path": dest_rel,
+                "size": _os.stat(path).st_size,
+                "rows": rows,
+                "partition_values": pv,
+                "stats": collect_stats(pf),
+            }
+            file_cols = set(pf.schema_arrow.names)
+            blooms = {}
+            for pcol, spec in bi.items():
+                if pcol not in file_cols:
+                    continue  # partition column: pv prunes exactly
+                b = bloom_build(
+                    pf.read(columns=[pcol]).column(0).to_pylist(),
+                    spec.get("fpp", 0.01),
+                )
+                if b is not None:
+                    blooms[pcol] = b
+            if blooms:
+                entry["bloom"] = blooms
+            return dest_rel, entry
+
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(items), sc.defaultParallelism))
+        got = dict(sc.parallelize(items, n_slices).map(harvest).collect())
+        adds: list[dict] = []
+        for _, dest_rel, _ in items:  # original sorted order: adds stay
+            entry = got[dest_rel]  # deterministic for hashes/tests
+            if entry is None:
+                (self.table_path / dest_rel).unlink(missing_ok=True)
+            else:
+                adds.append(entry)
         return adds
 
     def _stage_cdf(self, df: DataFrame, mapping: dict | None = None) -> list[dict]:

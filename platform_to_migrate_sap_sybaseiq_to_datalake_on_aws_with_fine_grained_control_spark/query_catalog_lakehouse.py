@@ -1358,3 +1358,61 @@ def acid_bloom_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snap string, n_rows bigint, total_price double, ok boolean",
     )
     return lookup.unionByName(pruning)
+
+
+# ---- round 7: commit-path scale microbench --------------------------------
+
+#: rows per staged file for the commit-path microbench: orders at
+#: sf0.01 -> ~100 files (correctness scale), sf0.1 -> ~1000 files
+#: (bench scale) — the file count, not the row count, is what the
+#: commit path is O() of, so band3 timing this entry round-over-round
+#: makes staging/replay/checkpoint regressions visible the way query
+#: regressions already are (r6 VERDICT item 7).
+CP_FILE_ROWS = 150
+
+
+@register(
+    "acid_commit_path_bloom_files",
+    f"""
+SELECT CAST(ceil(count(*) / {CP_FILE_ROWS}.0) AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(round(o_totalprice, 2)), 2) AS total_price,
+       TRUE AS checkpoint_ok, TRUE AS blooms_ok
+FROM orders
+""",
+    doc="Commit-path scale microbench (r6 VERDICT items 1+7): ONE "
+    "append of ~n/150 exact-sized files into a bloom-indexed table "
+    "with checkpoint_interval=1, so the band3 wall time covers the "
+    "full commit lifecycle at a 100-1000x file count — distributed "
+    "stats/bloom harvest (never a driver-side column read), the "
+    "many-add commit record, the parquet checkpoint write, and a "
+    "checkpointed vs full replay. Output proves the lifecycle: exact "
+    "file count, row/price parity through the log, checkpointed "
+    "replay == full replay, every file carries its bloom.",
+)
+def acid_commit_path_bloom_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(
+        tempfile.mkdtemp(prefix="acid-cp-") + "/orders", checkpoint_interval=1
+    )
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round("o_totalprice", 2).alias("p"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    t.append(src.limit(0))  # v1 establishes schema for the declaration
+    t.add_bloom_index("o_orderkey")
+    v = t.append(src, max_records_per_file=CP_FILE_ROWS)
+    full = t._replay(v, use_checkpoint=False)
+    ck = t._replay(v)  # interval=1: served by the fresh checkpoint
+    files = ck["files"]
+    return t.snapshot(spark).agg(
+        F.lit(len(files)).cast("bigint").alias("n_files"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+        F.lit(full["files"] == files).alias("checkpoint_ok"),
+        F.lit(all("bloom" in a for a in files.values())).alias("blooms_ok"),
+    )

@@ -2225,3 +2225,29 @@ def test_merge_identity_ids_consistent_between_table_and_feed(spark, tbl):
         if r._change_type in ("insert", "update_postimage")
     }
     assert feed_ids == {n: table_ids[n] for n in feed_ids}
+
+
+def test_bloom_staging_runs_executor_side(spark, tbl, monkeypatch):
+    """With a declared bloom index, staging's data-proportional work
+    (re-reading the indexed column, hashing values) must run as a
+    distributed job — the driver keeps only O(files) renames.  Without
+    one, the cheap footer-only driver path still runs (no job-launch
+    latency on metadata-priced appends)."""
+    calls = {"distributed": 0}
+    orig = TransactionLog._stage_files_distributed
+
+    def spy(self, *a, **k):
+        calls["distributed"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(TransactionLog, "_stage_files_distributed", spy)
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(100)], ["k", "s"])
+    tbl.append(df.coalesce(1))
+    assert calls["distributed"] == 0  # no index: footer-only driver path
+    tbl.add_bloom_index("k")
+    tbl.append(df.coalesce(1), max_records_per_file=25)
+    assert calls["distributed"] == 1
+    st = tbl._replay(tbl.latest_version())
+    indexed = [a for a in st["files"].values() if "bloom" in a]
+    assert len(indexed) == 4  # every post-declaration file carries one
+    assert tbl.matching_files("k = 999999") == []

@@ -1,0 +1,121 @@
+"""Commit-path microbench (r6 VERDICT items 1 + 7): decomposed timings
+for the transaction log's write lifecycle — staging (bloom-indexed, so
+data-proportional work runs executor-side), commit, checkpointed vs
+full replay, checkpoint write — at a sweep of file counts and
+rows-per-file.
+
+Two claims this records round-over-round:
+
+* **append latency is O(files), not O(rows-per-file), when a bloom
+  index is declared** — the round-7 executor-side harvest removed the
+  driver-side indexed-column read, so quadrupling rows-per-file at a
+  fixed file count must not quadruple staging time (the distributed
+  job absorbs it across local[32]);
+* **replay/checkpoint stay O(files)** — their cost is the add-action
+  count, never the data.
+
+Usage::
+
+    python tools/bench_commit_path.py            # writes BENCH_commit.json
+    python tools/bench_commit_path.py --files 10000   # the big sweep point
+
+Output: one JSON line per configuration with
+``{files, rows_per_file, stage_commit_s, replay_ckpt_s, replay_full_s,
+checkpoint_s}`` plus a summary dict, also written to
+``BENCH_commit.json`` at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (  # noqa: E402
+    get_spark,
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (  # noqa: E402
+    TransactionLog,
+)
+
+
+def run_config(spark, n_files: int, rows_per_file: int) -> dict:
+    from pyspark.sql import functions as F
+
+    t = TransactionLog(
+        tempfile.mkdtemp(prefix="bench-commit-") + "/t",
+        checkpoint_interval=10_000_000,  # manual checkpoint timing below
+    )
+    n_rows = n_files * rows_per_file
+    src = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        .coalesce(1)
+    )
+    t.append(src.limit(0))
+    t.add_bloom_index("k")
+
+    t0 = time.time()
+    v = t.append(src, max_records_per_file=rows_per_file)
+    stage_commit = time.time() - t0
+
+    t0 = time.time()
+    st_full = t._replay(v, use_checkpoint=False)
+    replay_full = time.time() - t0
+
+    t0 = time.time()
+    t._write_checkpoint(v)
+    checkpoint = time.time() - t0
+
+    t0 = time.time()
+    st_ckpt = t._replay(v)
+    replay_ckpt = time.time() - t0
+
+    assert st_full["files"] == st_ckpt["files"]
+    assert len(st_full["files"]) == n_files, (len(st_full["files"]), n_files)
+    assert all("bloom" in a for a in st_full["files"].values())
+    return {
+        "files": n_files,
+        "rows_per_file": rows_per_file,
+        "stage_commit_s": round(stage_commit, 3),
+        "replay_full_s": round(replay_full, 3),
+        "checkpoint_s": round(checkpoint, 3),
+        "replay_ckpt_s": round(replay_ckpt, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=None,
+                    help="single sweep point at this file count")
+    args = ap.parse_args()
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # default sweep: file-count scaling at fixed rows/file (1k and the
+    # r6-VERDICT 10k point), plus rows-per-file scaling at fixed files
+    # (the executor-side-harvest claim: latency must NOT track rows)
+    configs = (
+        [(args.files, 100)]
+        if args.files
+        else [(1000, 100), (10000, 100), (1000, 400), (1000, 1600)]
+    )
+    results = [run_config(spark, nf, rpf) for nf, rpf in configs]
+    for r in results:
+        print(json.dumps(r))
+    out = {"metric": "commit_path_lifecycle", "unit": "sec", "configs": results}
+    Path(__file__).resolve().parent.parent.joinpath("BENCH_commit.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+    print(json.dumps({"wrote": "BENCH_commit.json", "n": len(results)}))
+
+
+if __name__ == "__main__":
+    main()
