@@ -2420,6 +2420,443 @@ class TransactionLog:
 
         return self._commit_rmw(read_v, rec, "merge")
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
+    ) -> int:
+        """Full-clause MERGE (the published Delta/Iceberg grammar),
+        copy-on-write, ONE atomic commit:
+
+        * ``when_matched``: ``[{"cond": sql|None, "action":
+          "update"|"delete", "set": {col: sql}|"*"}]`` — per matched
+          (target, source) pair, clauses evaluate IN ORDER and the
+          first whose ``cond`` holds applies; no clause ⇒ the target
+          row carries unchanged.  Conditions/SET expressions reference
+          both sides as ``t.col`` / ``s.col``; ``"set": "*"`` updates
+          every column to the source's.
+        * ``when_not_matched``: ``[{"cond": sql|None, "action":
+          "insert", "values": {col: sql}|"*"}]`` — per source row with
+          no target match; un-inserted rows are dropped.  Expressions
+          see ``s.col``; omitted columns insert NULL.
+        * ``when_not_matched_by_source``: ``[{"cond": sql|None,
+          "action": "update"|"delete", "set": {...}}]`` — per target
+          row no source key matches; expressions see ``t.col``.
+
+        SQL-standard guards: within each group every clause except the
+        last must carry a condition (otherwise later clauses are dead),
+        and a source with duplicate keys matching one target row raises
+        (ambiguous MERGE).  File pruning: only files holding matched
+        keys — plus, when by-source clauses exist, files holding rows
+        their conditions could hit — are rewritten; an unconditional
+        by-source clause touches every live file by definition.  CDF
+        stages exact per-clause change types (update_preimage/
+        update_postimage, delete, insert), so feeds are
+        clause-faithful.  Identity columns allocate for inserts and are
+        retained for matched/by-source rows; generated columns
+        recompute from the post-merge values; CHECK constraints
+        enforce on the staged bytes.
+
+        :meth:`merge_upsert` remains the unconditional fast path
+        (``when_matched=[{update *}], when_not_matched=[{insert *}]``).
+        """
+        from pyspark.sql import functions as F
+
+        wm = [dict(c) for c in when_matched or []]
+        wnm = [dict(c) for c in when_not_matched or []]
+        wnmbs = [dict(c) for c in when_not_matched_by_source or []]
+        if not (wm or wnm or wnmbs):
+            raise ValueError("MERGE needs at least one WHEN clause")
+        for c in wm:
+            if c.get("action") not in ("update", "delete"):
+                raise ValueError(f"when_matched action {c.get('action')!r}")
+        for c in wnm:
+            if c.get("action", "insert") != "insert":
+                raise ValueError("when_not_matched only supports insert")
+        for c in wnmbs:
+            if c.get("action") not in ("update", "delete"):
+                raise ValueError(
+                    f"when_not_matched_by_source action {c.get('action')!r}"
+                )
+        for group, gname in ((wm, "when_matched"), (wnm, "when_not_matched"),
+                             (wnmbs, "when_not_matched_by_source")):
+            for c in group[:-1]:
+                if not c.get("cond"):
+                    raise ValueError(
+                        f"every {gname} clause except the last needs a "
+                        "condition — later clauses would be unreachable"
+                    )
+
+        read_v = self.latest_version()
+        state = self._replay(read_v)
+        if state["schema"] is None:
+            # empty table: only the not-matched (insert) clauses apply
+            if not wnm:
+                return read_v
+            s = source.alias("s")
+            out = None
+            for c in wnm:
+                sel = s if c.get("cond") is None else s.filter(F.expr(c["cond"]))
+                if c.get("values", "*") != "*":
+                    sel = sel.select(
+                        *[
+                            F.expr(c["values"][col]).alias(col)
+                            if col in c["values"]
+                            else F.lit(None).alias(col)
+                            for col in source.columns
+                        ]
+                    )
+                out = sel if out is None else out.unionByName(sel)
+                if c.get("cond") is None:
+                    break
+            return self.append(out)
+
+        if state["generated"]:
+            source = self._apply_generated(source, state["generated"])
+        schema = StructType.fromJson(state["schema"])
+        names = [f.name for f in schema.fields]
+        identity = state["identity"]
+        gens = state["generated"]
+        for c in wm + wnmbs:
+            sets = c.get("set")
+            if isinstance(sets, dict):
+                bad = [k for k in sets if k in identity or k in gens]
+                if bad:
+                    raise ValueError(
+                        f"SET targets {bad} are identity/generated — "
+                        "allocation- or expression-owned"
+                    )
+        spark = source.sparkSession
+        if identity:
+            supplied = [c for c in identity if c in source.columns]
+            if supplied:
+                raise ValueError(
+                    f"identity columns {supplied} are GENERATED ALWAYS — "
+                    "omit them from the merge source"
+                )
+            tbl_ids = self._read_files(spark, state).select(
+                *keys, *sorted(identity)
+            )
+            source = source.join(tbl_ids, keys, "left")
+            for c, spec in sorted(identity.items()):
+                source = source.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c),
+                        (
+                            F.lit(spec["high"])
+                            + F.lit(spec["step"])
+                            * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    ),
+                )
+            # one evaluation for data files AND the CDF sidecar (the
+            # same nondeterminism pin merge_upsert carries)
+            source = source.localCheckpoint()
+        if sorted(f.name.lower() for f in source.schema.fields) != sorted(
+            f.name.lower() for f in schema.fields
+        ):
+            raise ValueError(
+                "merge source schema drift: "
+                f"{source.schema.simpleString()} vs {schema.simpleString()}"
+            )
+        source = source.select(*names)
+
+        mapping = dict(state["column_mapping"])
+        part_keys = state["partition_keys"]
+        tbl = self._read_files(spark, state, with_file_info=True)
+        src_keys = F.broadcast(source.select(*keys).distinct())
+        # matched-key detection (a key-pruned semi-join scan) is needed
+        # whenever matched rows are rewritten (wm) OR inserts must skip
+        # keys already present (wnm) — a pure by-source merge skips it
+        matched_files: set[str] = set()
+        if wm or wnm:
+            matched_files = set(
+                self._affected_files(
+                    spark, state, tbl.join(src_keys, keys, "left_semi")
+                )
+            )
+        bs_files: set[str] = set()
+        if wnmbs:
+            conds = [c.get("cond") for c in wnmbs]
+            if any(c is None for c in conds):
+                bs_files = set(state["files"])  # unconditional: every file
+            else:
+                pred = " OR ".join(f"({c})" for c in conds)
+                bs_files = set(
+                    self._affected_files(
+                        spark,
+                        state,
+                        tbl.withColumn("t", F.struct(*names)).filter(
+                            F.expr(pred)
+                        ),
+                    )
+                )
+        # without matched clauses, matched rows are untouched — their
+        # files rewrite only if a by-source clause drags them in
+        affected = sorted((matched_files if wm else set()) | bs_files)
+
+        # ambiguity guard: >1 source row hitting one target row makes
+        # update/delete outcomes order-dependent — SQL MERGE raises
+        if wm and matched_files:
+            dup_keys = (
+                source.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(*keys)
+            )
+            m_state = dict(
+                state, files={r: state["files"][r] for r in sorted(matched_files)}
+            )
+            if (
+                self._read_files(spark, m_state)
+                .join(F.broadcast(dup_keys), keys, "left_semi")
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "MERGE source has duplicate key rows matching the same "
+                    "target row — ambiguous update/delete order"
+                )
+
+        def regen(df: DataFrame) -> DataFrame:
+            if not gens:
+                return df
+            return df.select(
+                *[
+                    F.expr(gens[c]).cast(schema[c].dataType).alias(c)
+                    if c in gens
+                    else F.col(c)
+                    for c in names
+                ]
+            )
+
+        ct = lambda s: F.lit(s).alias("_change_type")  # noqa: E731
+
+        def clause_idx(clauses: list[dict]) -> "F.Column":
+            whens = [
+                F.when(
+                    F.expr(c["cond"]) if c.get("cond") else F.lit(True),
+                    F.lit(i),
+                )
+                for i, c in enumerate(clauses)
+            ]
+            return F.coalesce(*whens, F.lit(-1)) if whens else F.lit(-1)
+
+        out_parts: list[DataFrame] = []
+        cdf_parts: list[DataFrame] = []
+        if affected:
+            aff_state = dict(state, files={r: state["files"][r] for r in affected})
+            aff_df = self._read_files(spark, aff_state)
+            t, s = aff_df.alias("t"), source.alias("s")
+            t_star = [F.col(f"t.{c}").alias(c) for c in names]
+
+            # ---- matched pairs -------------------------------------
+            if wm:
+                joined = t.join(
+                    s,
+                    [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                    "inner",
+                ).withColumn("_clause", clause_idx(wm))
+                upd_idx = [i for i, c in enumerate(wm) if c["action"] == "update"]
+                del_idx = [i for i, c in enumerate(wm) if c["action"] == "delete"]
+
+                def m_value(col: str) -> "F.Column":
+                    expr = F.col(f"t.{col}")
+                    for i in reversed(upd_idx):
+                        sets = wm[i].get("set", "*")
+                        if col in identity:  # allocation-owned: never SET
+                            v = F.col(f"t.{col}")
+                        elif sets == "*" or sets is None:
+                            v = F.col(f"s.{col}")
+                        elif col in sets:
+                            v = F.expr(sets[col])
+                        else:
+                            v = F.col(f"t.{col}")
+                        expr = F.when(F.col("_clause") == i, v).otherwise(expr)
+                    return expr.cast(schema[col].dataType).alias(col)
+
+                survivors = joined.filter(
+                    ~F.col("_clause").isin(del_idx) if del_idx else F.lit(True)
+                )
+                out_parts.append(
+                    regen(survivors.select(*[m_value(c) for c in names]))
+                )
+                if upd_idx:
+                    hit_u = joined.filter(F.col("_clause").isin(upd_idx))
+                    cdf_parts.append(hit_u.select(*t_star, ct("update_preimage")))
+                    cdf_parts.append(
+                        regen(hit_u.select(*[m_value(c) for c in names])).select(
+                            "*", ct("update_postimage")
+                        )
+                    )
+                if del_idx:
+                    cdf_parts.append(
+                        joined.filter(F.col("_clause").isin(del_idx)).select(
+                            *t_star, ct("delete")
+                        )
+                    )
+            else:
+                # no matched clauses: matched rows in files a by-source
+                # clause rewrites are carried verbatim (semi-join, so a
+                # duplicate-key source can never duplicate them)
+                out_parts.append(
+                    aff_df.join(src_keys, keys, "left_semi").select(*names)
+                )
+
+            # ---- target rows no source key matches -----------------
+            un_t = (
+                aff_df.join(src_keys, keys, "left_anti")
+                .alias("t")
+                .withColumn("_clause", clause_idx(wnmbs))
+            )
+            bs_upd = [i for i, c in enumerate(wnmbs) if c["action"] == "update"]
+            bs_del = [i for i, c in enumerate(wnmbs) if c["action"] == "delete"]
+
+            def bs_value(col: str) -> "F.Column":
+                expr = F.col(f"t.{col}")
+                for i in reversed(bs_upd):
+                    sets = wnmbs[i].get("set") or {}
+                    if col in sets and col not in identity:
+                        v = F.expr(sets[col])
+                    else:
+                        v = F.col(f"t.{col}")
+                    expr = F.when(F.col("_clause") == i, v).otherwise(expr)
+                return expr.cast(schema[col].dataType).alias(col)
+
+            bs_survivors = un_t.filter(
+                ~F.col("_clause").isin(bs_del) if bs_del else F.lit(True)
+            )
+            out_parts.append(regen(bs_survivors.select(*[bs_value(c) for c in names])))
+            if bs_upd:
+                hit_b = un_t.filter(F.col("_clause").isin(bs_upd))
+                cdf_parts.append(hit_b.select(*t_star, ct("update_preimage")))
+                cdf_parts.append(
+                    regen(hit_b.select(*[bs_value(c) for c in names])).select(
+                        "*", ct("update_postimage")
+                    )
+                )
+            if bs_del:
+                cdf_parts.append(
+                    un_t.filter(F.col("_clause").isin(bs_del)).select(
+                        *t_star, ct("delete")
+                    )
+                )
+        # ---- source rows with no target match ----------------------
+        # matched keys come from the matched FILES (every matched key
+        # lives in one by construction) — a column-pruned read, never
+        # the whole table, and independent of whether those files are
+        # being rewritten (wm may be empty)
+        matched_keys = (
+            F.broadcast(
+                self._read_files(
+                    spark,
+                    dict(
+                        state,
+                        files={
+                            r: state["files"][r] for r in sorted(matched_files)
+                        },
+                    ),
+                )
+                .join(src_keys, keys, "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            if wnm and matched_files
+            else None
+        )
+        un_s = (
+            source.join(matched_keys, keys, "left_anti")
+            if matched_keys is not None
+            else source
+        ).alias("s")
+        if wnm:
+            un_s = un_s.withColumn("_iclause", clause_idx(wnm))
+
+            def i_value(col: str, c: dict) -> "F.Column":
+                vals = c.get("values", "*")
+                if vals == "*" or vals is None:
+                    v = F.col(f"s.{col}")
+                elif col in vals:
+                    v = F.expr(vals[col])
+                elif col in identity:
+                    v = F.col(f"s.{col}")  # the allocated id
+                else:
+                    v = F.lit(None)
+                return v.cast(schema[col].dataType).alias(col)
+
+            ins = None
+            for i, c in enumerate(wnm):
+                part = un_s.filter(F.col("_iclause") == i).select(
+                    *[i_value(col, c) for col in names]
+                )
+                ins = part if ins is None else ins.unionByName(part)
+            ins = regen(ins)
+            out_parts.append(ins)
+            cdf_parts.append(ins.select("*", ct("insert")))
+
+        if not out_parts:
+            return read_v  # nothing matched, nothing to insert
+        out = out_parts[0]
+        for p in out_parts[1:]:
+            out = out.unionByName(p)
+        adds = self._stage_files(
+            out, part_keys, mapping=mapping, bloom_index=state["bloom_index"]
+        )
+        if not adds and not affected:
+            return read_v  # no file rewritten, no row inserted: no-op
+        self._enforce_constraints(
+            spark,
+            adds,
+            state,
+            constraints={
+                **state["constraints"],
+                **self._generated_constraints(gens),
+            },
+        )
+        changes = cdf_parts[0]
+        for p in cdf_parts[1:]:
+            changes = changes.unionByName(p)
+        cdf = self._stage_cdf(changes, mapping)
+        new_identity = (
+            self._advance_identity(
+                identity, adds, spark, state, fresh_allocation=False
+            )
+            if identity
+            else None
+        )
+
+        def rec(v: int) -> dict:
+            r = {
+                "version": v,
+                "op": "merge",
+                "dataChange": True,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": state["schema"],
+                "partition_keys": part_keys,
+                "add": adds,
+                "remove": affected,
+                "cdf": cdf,
+                "column_mapping": mapping,
+            }
+            if affected and state.get("dvs"):
+                r["dvs"] = self._surviving_dvs(state, affected)
+            if identity:
+                for i in range(read_v + 1, v):
+                    if self._read_commit(i).get("identity"):
+                        raise ConcurrentCommitError(
+                            f"merge to {self.table_path} raced an "
+                            f"identity allocation at v{i}; re-run"
+                        )
+                r["identity"] = new_identity
+            return r
+
+        return self._commit_rmw(read_v, rec, "merge")
+
     def update_where(
         self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
     ) -> int:
@@ -3149,6 +3586,11 @@ def txn_merge(
     source: DataFrame, path: str, keys: list[str], evolve_schema: bool = False
 ) -> int:
     return TransactionLog(path).merge_upsert(source, keys, evolve_schema)
+
+
+def txn_merge_clauses(source: DataFrame, path: str, keys: list[str], **clauses) -> int:
+    """Full-clause MERGE; see :meth:`TransactionLog.merge`."""
+    return TransactionLog(path).merge(source, keys, **clauses)
 
 
 def txn_restore(path: str, version: int) -> int:

@@ -1416,3 +1416,83 @@ def acid_commit_path_bloom_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(full["files"] == files).alias("checkpoint_ok"),
         F.lit(all("bloom" in a for a in files.values())).alias("blooms_ok"),
     )
+
+
+@register(
+    "acid_merge_clauses_orders",
+    """
+WITH b AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+                  o_orderpriority AS pr
+           FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)),
+s AS (SELECT o_orderkey AS k, round(o_totalprice, 2) + 10.0 AS p,
+             'NEW' AS pr
+      FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)),
+final AS (
+  SELECT b.k, s.p, 'UPD' AS pr
+  FROM b JOIN s ON b.k = s.k WHERE s.p > 100010
+  UNION ALL
+  SELECT b.k, b.p, 'STALE'
+  FROM b LEFT JOIN s ON b.k = s.k
+  WHERE s.k IS NULL AND b.pr NOT LIKE '1-%'
+  UNION ALL
+  SELECT s.k, s.p, 'NEW'
+  FROM s LEFT JOIN b ON s.k = b.k WHERE b.k IS NULL AND s.p <= 50010
+)
+SELECT pr, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS total_price
+FROM final GROUP BY pr ORDER BY pr
+""",
+    doc="Full-clause MERGE (r6 VERDICT item 2; the published "
+    "Delta/Iceberg grammar): WHEN MATCHED AND cond THEN UPDATE, "
+    "WHEN MATCHED THEN DELETE, WHEN NOT MATCHED AND cond THEN INSERT, "
+    "WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE, WHEN NOT "
+    "MATCHED BY SOURCE THEN UPDATE — all five clause shapes in ONE "
+    "atomic commit against an orders-derived table, first-true clause "
+    "winning per row. The oracle restates each clause as its src/base "
+    "set algebra (join = matched, left-join-null = the two "
+    "not-matched directions), so parity proves clause routing, "
+    "condition evaluation on s./t. qualified columns, SET/VALUES "
+    "projection, and the copy-on-write commit end-to-end. Survivor "
+    "groups: UPD (matched big orders, price restated), STALE "
+    "(by-source kept, re-flagged), NEW (small unmatched inserts); "
+    "matched small orders and '1-URGENT' by-source rows are deleted.",
+)
+def acid_merge_clauses_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-mrg-") + "/orders")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 < 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("p"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    t.append(base.coalesce(2))
+    src = orders.filter(F.col("o_orderkey") % 4 > 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.round("o_totalprice", 2) + F.lit(10.0)).alias("p"),
+        F.lit("NEW").alias("pr"),
+    )
+    t.merge(
+        src,
+        ["k"],
+        when_matched=[
+            {"cond": "s.p > 100010", "action": "update",
+             "set": {"p": "s.p", "pr": "'UPD'"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[
+            {"cond": "s.p <= 50010", "action": "insert", "values": "*"},
+        ],
+        when_not_matched_by_source=[
+            {"cond": "t.pr LIKE '1-%'", "action": "delete"},
+            {"action": "update", "set": {"pr": "'STALE'"}},
+        ],
+    )
+    return (
+        t.snapshot(spark)
+        .groupBy("pr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+        .orderBy("pr")
+    )

@@ -689,6 +689,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
         st.one_of(
             st.tuples(st.just("append"), st.integers(1, 3)),
             st.tuples(st.just("merge"), st.integers(0, 9)),
+            st.tuples(st.just("merge_clauses"), st.integers(0, 9)),
             st.tuples(st.just("delete_cow"), st.integers(2, 5)),
             st.tuples(st.just("delete_dv"), st.integers(2, 5)),
             st.tuples(st.just("overwrite"), st.integers(1, 3)),
@@ -785,6 +786,46 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 rows += fresh_rows(1)
                 v = t.merge_upsert(df_of(rows), ["id"])
                 model.update({r[0]: r[1] for r in rows})
+            elif op == "merge_clauses":
+                # the full clause grammar against the model: matched
+                # rows update when the NEW value is even, else delete;
+                # one fresh row always inserts; unmatched target rows
+                # with id % 7 == 0 get +100 via NOT MATCHED BY SOURCE
+                if not model:
+                    continue
+                upd = sorted(model)[: arg % (len(model) + 1)]
+                rows = [(k, (model[k] or 0) + 5, "2024") for k in upd]
+                rows += fresh_rows(1)
+                v = t.merge(
+                    df_of(rows),
+                    ["id"],
+                    when_matched=[
+                        {"cond": f"s.{name} % 2 = 0", "action": "update",
+                         "set": "*"},
+                        {"action": "delete"},
+                    ],
+                    when_not_matched=[{"action": "insert"}],
+                    when_not_matched_by_source=[
+                        {"cond": "t.id % 7 = 0", "action": "update",
+                         "set": {name: f"t.{name} + 100"}},
+                    ],
+                )
+                src_ids = {r[0] for r in rows}
+                for k, val, _ in rows:
+                    if k in model:
+                        if val % 2 == 0:
+                            model[k] = val
+                        else:
+                            del model[k]
+                    else:
+                        model[k] = val
+                for k in list(model):
+                    if (
+                        k not in src_ids
+                        and k % 7 == 0
+                        and model[k] is not None
+                    ):
+                        model[k] += 100
             elif op in ("delete_cow", "delete_dv"):
                 if not model:
                     continue
@@ -2251,3 +2292,192 @@ def test_bloom_staging_runs_executor_side(spark, tbl, monkeypatch):
     indexed = [a for a in st["files"].values() if "bloom" in a]
     assert len(indexed) == 4  # every post-declaration file carries one
     assert tbl.matching_files("k = 999999") == []
+
+
+# ---- full-clause MERGE (round 7) ------------------------------------------
+
+
+def _merge_tbl(spark, tbl):
+    """id/qty/status target: two files so clause merges can prune."""
+    tbl.append(
+        spark.createDataFrame(
+            [(1, 10, "open"), (2, 20, "open"), (3, 30, "hold")],
+            ["id", "qty", "status"],
+        ).coalesce(1)
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(4, 40, "open"), (5, 50, "closed")], ["id", "qty", "status"]
+        ).coalesce(1)
+    )
+    return tbl
+
+
+def _rows(df):
+    return sorted((r.id, r.qty, r.status) for r in df.collect())
+
+
+def test_merge_clauses_conditional_update_delete_insert(spark, tbl):
+    """WHEN MATCHED AND cond THEN UPDATE / WHEN MATCHED THEN DELETE /
+    WHEN NOT MATCHED AND cond THEN INSERT — first-true clause wins per
+    row, unmatched-no-clause source rows drop, untouched files carry."""
+    _merge_tbl(spark, tbl)
+    src = spark.createDataFrame(
+        [(1, 100, "open"), (3, 300, "hold"), (6, 60, "new"), (7, 7, "tiny")],
+        ["id", "qty", "status"],
+    )
+    v = tbl.merge(
+        src,
+        ["id"],
+        when_matched=[
+            {"cond": "s.qty > 200", "action": "update",
+             "set": {"qty": "s.qty", "status": "'bulk'"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[
+            {"cond": "s.qty >= 50", "action": "insert", "values": "*"},
+        ],
+    )
+    # id=1 matched, s.qty=100 <= 200 -> second clause: DELETE
+    # id=3 matched, s.qty=300 -> update qty=300 status='bulk'
+    # id=6 unmatched, qty 60 >= 50 -> insert; id=7 unmatched small -> drop
+    assert _rows(tbl.snapshot(spark)) == [
+        (2, 20, "open"),
+        (3, 300, "bulk"),
+        (4, 40, "open"),
+        (5, 50, "closed"),
+        (6, 60, "new"),
+    ]
+    # file pruning: the (4,5) file had no matched key and no by-source
+    # clause — it must not have been rewritten
+    rec = json.loads((tbl.log_path / f"{str(v).zfill(20)}.json").read_text())
+    assert len(rec["remove"]) == 1
+    # clause-faithful CDF
+    feed = tbl.read_change_feed(spark, from_version=v - 1, to_version=v)
+    types = sorted(
+        (r.id, r._change_type) for r in feed.collect()
+    )
+    assert types == [
+        (1, "delete"),
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+        (6, "insert"),
+    ]
+
+
+def test_merge_clauses_not_matched_by_source(spark, tbl):
+    """WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE — the
+    CDC full-sync shape: rows absent from the source expire."""
+    _merge_tbl(spark, tbl)
+    src = spark.createDataFrame([(1, 11, "open"), (2, 22, "open")],
+                                ["id", "qty", "status"])
+    tbl.merge(
+        src,
+        ["id"],
+        when_matched=[{"action": "update", "set": "*"}],
+        when_not_matched_by_source=[
+            {"cond": "t.status = 'hold'", "action": "delete"},
+            {"action": "update", "set": {"status": "'stale'"}},
+        ],
+    )
+    assert _rows(tbl.snapshot(spark)) == [
+        (1, 11, "open"),
+        (2, 22, "open"),
+        (4, 40, "stale"),
+        (5, 50, "stale"),
+    ]
+
+
+def test_merge_clauses_by_source_only_prunes_by_condition(spark, tbl):
+    """A conditional by-source merge with NO matched clauses rewrites
+    only the files its condition can hit; matched rows in them carry."""
+    _merge_tbl(spark, tbl)
+    src = spark.createDataFrame([(4, 0, "x")], ["id", "qty", "status"])
+    v = tbl.merge(
+        src,
+        ["id"],
+        when_not_matched_by_source=[
+            {"cond": "t.status = 'closed'", "action": "delete"},
+        ],
+    )
+    assert _rows(tbl.snapshot(spark)) == [
+        (1, 10, "open"),
+        (2, 20, "open"),
+        (3, 30, "hold"),
+        (4, 40, "open"),  # matched: carried, wm absent
+    ]
+    rec = json.loads((tbl.log_path / f"{str(v).zfill(20)}.json").read_text())
+    assert len(rec["remove"]) == 1  # only the (4,5) file held 'closed'
+
+
+def test_merge_clauses_validation_and_ambiguity(spark, tbl):
+    _merge_tbl(spark, tbl)
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        tbl.merge(spark.createDataFrame([(1, 1, "a")], ["id", "qty", "status"]), ["id"])
+    with pytest.raises(ValueError, match="unreachable"):
+        tbl.merge(
+            spark.createDataFrame([(1, 1, "a")], ["id", "qty", "status"]),
+            ["id"],
+            when_matched=[{"action": "delete"}, {"action": "update", "set": "*"}],
+        )
+    dup = spark.createDataFrame(
+        [(1, 5, "a"), (1, 6, "b")], ["id", "qty", "status"]
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        tbl.merge(dup, ["id"], when_matched=[{"action": "update", "set": "*"}])
+    # duplicate UNMATCHED keys insert twice (SQL allows it)
+    dup2 = spark.createDataFrame(
+        [(9, 1, "a"), (9, 2, "b")], ["id", "qty", "status"]
+    )
+    tbl.merge(dup2, ["id"], when_not_matched=[{"action": "insert"}])
+    assert [r.id for r in tbl.snapshot(spark).collect()].count(9) == 2
+
+
+def test_merge_clauses_empty_table_and_noop(spark, tbl):
+    src = spark.createDataFrame([(1, 10, "open"), (2, 2, "t")],
+                                ["id", "qty", "status"])
+    v = tbl.merge(
+        src, ["id"],
+        when_not_matched=[{"cond": "s.qty >= 10", "action": "insert"}],
+    )
+    assert v == 1
+    assert _rows(tbl.snapshot(spark)) == [(1, 10, "open")]
+    # nothing matches, nothing inserts -> metadata no-op, version holds
+    v2 = tbl.merge(
+        spark.createDataFrame([(99, 0, "z")], ["id", "qty", "status"]),
+        ["id"],
+        when_matched=[{"action": "delete"}],
+    )
+    assert v2 == 1 and tbl.latest_version() == 1
+
+
+def test_merge_clauses_identity_and_generated(spark, tbl):
+    """Inserts allocate identity; matched updates retain target ids;
+    generated columns recompute from post-merge values; SET may not
+    target either."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType().add("rid", "long").add("name", "string").add("qty", "long")
+        .add("dbl", "long")
+    )
+    tbl.create(schema, generated={"dbl": "qty * 2"},
+               identity={"rid": {"start": 1, "step": 1}})
+    tbl.append(spark.createDataFrame([("a", 1), ("b", 2)], ["name", "qty"]))
+    before = {r.name: r.rid for r in tbl.snapshot(spark).collect()}
+    with pytest.raises(ValueError, match="identity/generated"):
+        tbl.merge(
+            spark.createDataFrame([("a", 9)], ["name", "qty"]),
+            ["name"],
+            when_matched=[{"action": "update", "set": {"dbl": "1"}}],
+        )
+    tbl.merge(
+        spark.createDataFrame([("a", 10), ("c", 30)], ["name", "qty"]),
+        ["name"],
+        when_matched=[{"action": "update", "set": {"qty": "s.qty"}}],
+        when_not_matched=[{"action": "insert"}],
+    )
+    after = {r.name: (r.rid, r.qty, r.dbl) for r in tbl.snapshot(spark).collect()}
+    assert after["a"] == (before["a"], 10, 20)  # id kept, generated recomputed
+    assert after["b"][1:] == (2, 4)
+    assert after["c"][0] not in before.values() and after["c"][1:] == (30, 60)
