@@ -2858,23 +2858,41 @@ class TransactionLog:
         return self._commit_rmw(read_v, rec, "merge")
 
     def update_where(
-        self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, str],
+        predicate: str,
+        mode: str = "cow",
     ) -> int:
         """``UPDATE .. SET col = expr .. WHERE predicate`` as ONE
-        atomic copy-on-write commit: only files containing at least
+        atomic commit.
+
+        ``mode="cow"`` (copy-on-write): only files containing at least
         one matching row are rewritten (file pruning via the log's
         committed stats is implicit — non-matching files are never
         touched, let alone read twice); rows the predicate misses (or
-        NULLs out) are carried unchanged.  SET expressions may
-        reference the row's own columns (``p = p * 1.1``) — they
-        evaluate against the PRE-update row, all-at-once, per SQL
-        UPDATE semantics.  The commit stages update_preimage/
-        update_postimage CDF rows, so downstream feeds see exact
-        row-level changes.  Generated columns cannot be SET directly
-        (they follow their expression; SET a source column and the
-        generated value is recomputed)."""
+        NULLs out) are carried unchanged.
+
+        ``mode="dv"`` (merge-on-read): REWRITE NOTHING — the matching
+        rows' ``(file, row_index)`` positions land as a ``_dv/``
+        sidecar (the preimages become logically deleted) and the
+        post-update rows append as NEW small files, one commit.  At
+        100 TB this turns a predicate touching one row in each of
+        10 000 wide files from a 10 000-file rewrite into one sidecar
+        plus the postimage bytes; the rewrite cost defers to the next
+        ``compact``, which reads through the vectors and materializes.
+        Both modes stage identical update_preimage/update_postimage
+        CDF rows, so feeds are mode-agnostic.
+
+        SET expressions may reference the row's own columns
+        (``p = p * 1.1``) — they evaluate against the PRE-update row,
+        all-at-once, per SQL UPDATE semantics.  Generated columns
+        cannot be SET directly (they follow their expression; SET a
+        source column and the generated value is recomputed)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         read_v = self.latest_version()
         state = self._replay(read_v)
         if state["schema"] is None:
@@ -2899,12 +2917,84 @@ class TransactionLog:
             )
         mapping = state["column_mapping"]
         tbl = self._read_files(spark, state, with_file_info=True)
-        affected = self._affected_files(
-            spark, state, tbl.filter(F.expr(predicate))
-        )
+        hits = tbl.filter(F.expr(predicate))
+        affected = self._affected_files(spark, state, hits)
         if not affected:
             # metadata no-op: nothing matched, nothing committed
             return read_v
+        if mode == "dv":
+            # merge-on-read: DV the preimage positions, append the
+            # postimage rows — zero rewrites of the affected files
+            dv_entries = self._stage_dv(
+                hits.select(
+                    F.col("_fn").alias("file_name"),
+                    F.col("_ridx").alias("row_index"),
+                ),
+                [r.rsplit("/", 1)[-1] for r in affected],
+            )
+            base = hits.drop("_fn", "_ridx")
+            set_cols = [
+                F.expr(set_exprs[c]).cast(schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in names
+            ]
+            if gens:
+                post = base.select(*set_cols).select(
+                    *[
+                        F.expr(gens[c]).cast(schema[c].dataType).alias(c)
+                        if c in gens
+                        else F.col(c)
+                        for c in names
+                    ]
+                )
+            else:
+                post = base.select(*set_cols)
+            adds = self._stage_files(
+                post,
+                state["partition_keys"],
+                mapping=mapping,
+                bloom_index=state["bloom_index"],
+            )
+            self._enforce_constraints(
+                spark,
+                adds,
+                state,
+                constraints={
+                    **state["constraints"],
+                    **self._generated_constraints(gens),
+                },
+            )
+            cdf = self._stage_cdf(
+                base.select("*", F.lit("update_preimage").alias("_change_type"))
+                .unionByName(
+                    post.select(
+                        "*", F.lit("update_postimage").alias("_change_type")
+                    )
+                ),
+                mapping,
+            )
+
+            def rec_dv(v: int) -> dict:
+                return {
+                    "version": v,
+                    "op": "update",
+                    "dataChange": True,
+                    "ts": _utc_now_iso(),
+                    "txn": uuid.uuid4().hex,
+                    "schema": state["schema"],
+                    "partition_keys": state["partition_keys"],
+                    "add": adds,
+                    "remove": [],
+                    "cdf": cdf,
+                    "column_mapping": mapping,
+                    "dv": dv_entries,
+                    "reader_features": sorted(
+                        state["reader_features"] | {"deletionVectors"}
+                    ),
+                }
+
+            return self._commit_rmw(read_v, rec_dv, "update")
         aff_state = dict(state, files={r: state["files"][r] for r in affected})
         aff_df = self._read_files(spark, aff_state)
         hit = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
@@ -3622,9 +3712,13 @@ def txn_delete(spark: SparkSession, path: str, predicate: str) -> int:
 
 
 def txn_update(
-    spark: SparkSession, path: str, set_exprs: dict[str, str], predicate: str
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    mode: str = "cow",
 ) -> int:
-    return TransactionLog(path).update_where(spark, set_exprs, predicate)
+    return TransactionLog(path).update_where(spark, set_exprs, predicate, mode)
 
 
 def snapshot(

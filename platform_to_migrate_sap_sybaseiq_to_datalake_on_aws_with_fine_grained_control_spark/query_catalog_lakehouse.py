@@ -1496,3 +1496,83 @@ def acid_merge_clauses_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pr")
     )
+
+
+@register(
+    "acid_update_dv_orders",
+    """
+WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS p,
+                     o_orderpriority
+              FROM orders WHERE o_orderstatus = 'F'),
+upd AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN round(p + 5.0, 2)
+                    ELSE p END AS p,
+               o_orderpriority
+        FROM base)
+SELECT 'latest' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM upd
+UNION ALL
+SELECT 'updated_rows',
+       CAST(2 * count(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT),
+       0.0
+FROM base
+UNION ALL
+SELECT 'zero_rewrites', CAST(0 AS BIGINT), 0.0
+UNION ALL
+SELECT 'after_compact', CAST(count(*) AS BIGINT), round(sum(p), 2) FROM upd
+""",
+    doc="Merge-on-read UPDATE (r6 VERDICT item 3): the same selective "
+    "restatement as acid_update_orders but with mode='dv' — matching "
+    "rows' (file, row_index) positions land as a deletion-vector "
+    "sidecar and the postimages append as NEW files, so the commit "
+    "REWRITES NOTHING ('zero_rewrites' reads the commit record: "
+    "remove list length 0, total_price stays 0.0 only if a DV entry "
+    "actually landed). 'latest' proves reads apply the vectors plus "
+    "postimages exactly; 'updated_rows' proves the CDF is "
+    "mode-identical to copy-on-write (one preimage + one postimage "
+    "per matched row); 'after_compact' proves OPTIMIZE reads through "
+    "the vectors, materializes the update, and drops them with "
+    "values intact. The wide-table cheap-restatement shape: one row "
+    "touched in each of 10k files costs a sidecar, not 10k rewrites.",
+)
+def acid_update_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-updv-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).drop("o_orderstatus")
+    t.append(base, ["o_orderpriority"])
+    v = t.update_where(
+        spark, {"p": "round(p + 5.0, 2)"}, "o_orderkey % 4 = 0", mode="dv"
+    )
+    rec = _json.loads(
+        (t.log_path / f"{str(v).zfill(20)}.json").read_text()
+    )
+    latest = t.snapshot(spark).agg(
+        F.lit("latest").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    cdf_rows = t.read_change_feed(spark, v - 1, v).agg(
+        F.lit("updated_rows").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.lit(0.0).alias("total_price"),
+    )
+    mor = spark.createDataFrame(
+        [
+            (
+                "zero_rewrites",
+                len(rec["remove"]),
+                0.0 if rec.get("dv") else -1.0,
+            )
+        ],
+        "snap string, n_orders bigint, total_price double",
+    )
+    t.compact(spark, target_files_per_partition=1)
+    after = t.snapshot(spark).agg(
+        F.lit("after_compact").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    return latest.unionByName(cdf_rows).unionByName(mor).unionByName(after)

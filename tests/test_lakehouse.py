@@ -699,6 +699,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             st.tuples(st.just("drop_readd"), st.just(0)),
             st.tuples(st.just("respec"), st.just(0)),
             st.tuples(st.just("update"), st.integers(2, 5)),
+            st.tuples(st.just("update_dv"), st.integers(2, 5)),
             st.tuples(st.just("clone"), st.just(0)),
         ),
         min_size=3,
@@ -833,11 +834,14 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 v = t.delete_where(spark, f"id % {arg} = 0", mode=mode)
                 for k in [k for k in model if k % arg == 0]:
                     del model[k]
-            elif op == "update":
+            elif op in ("update", "update_dv"):
                 if not any(k % arg == 0 for k in model):
                     continue  # zero-match updates commit nothing
                 v = t.update_where(
-                    spark, {name: f"{name} + 1"}, f"id % {arg} = 0"
+                    spark,
+                    {name: f"{name} + 1"},
+                    f"id % {arg} = 0",
+                    mode="dv" if op == "update_dv" else "cow",
                 )
                 for k in model:
                     if k % arg == 0 and model[k] is not None:
@@ -2481,3 +2485,47 @@ def test_merge_clauses_identity_and_generated(spark, tbl):
     assert after["a"] == (before["a"], 10, 20)  # id kept, generated recomputed
     assert after["b"][1:] == (2, 4)
     assert after["c"][0] not in before.values() and after["c"][1:] == (30, 60)
+
+
+def test_update_where_dv_mode(spark, tbl):
+    """Merge-on-read UPDATE: preimage positions land in a deletion
+    vector, postimages append as new files — ZERO rewrites of the
+    affected files — and the CDF is identical to cow mode."""
+    rows = [(i, float(i), "2024") for i in range(1, 9)]
+    tbl.append(_df(spark, rows), ["year"], max_records_per_file=4)
+    cow = TransactionLog(tbl.table_path.parent / "cow")
+    cow.append(_df(spark, rows), ["year"], max_records_per_file=4)
+
+    files_before = set(tbl._replay(tbl.latest_version())["files"])
+    v = tbl.update_where(spark, {"v": "v * 10"}, "id % 3 = 0", mode="dv")
+    vc = cow.update_where(spark, {"v": "v * 10"}, "id % 3 = 0")
+
+    got = {(r.id, r.v) for r in tbl.snapshot(spark).collect()}
+    want = {(i, x * 10 if i % 3 == 0 else x) for i, x, _ in rows}
+    assert got == want
+    assert got == {(r.id, r.v) for r in cow.snapshot(spark).collect()}
+
+    rec = json.loads((tbl.log_path / f"{str(v).zfill(20)}.json").read_text())
+    assert rec["remove"] == [] and rec["dv"]  # zero rewrites, DV landed
+    st = tbl._replay(tbl.latest_version())
+    assert files_before <= set(st["files"])  # old files all still live
+    assert "deletionVectors" in st["reader_features"]
+
+    # the feed is mode-agnostic: identical rows either way
+    feed = lambda t, ver: sorted(  # noqa: E731
+        (r.id, r.v, r._change_type)
+        for r in t.read_change_feed(spark, ver - 1, ver).collect()
+    )
+    assert feed(tbl, v) == feed(cow, vc)
+
+    # compact reads through the vectors and materializes
+    tbl.compact(spark)
+    st2 = tbl._replay(tbl.latest_version())
+    assert not st2["dvs"]
+    assert {(r.id, r.v) for r in tbl.snapshot(spark).collect()} == want
+
+    # a second dv update over already-dv-updated rows still lands
+    tbl.update_where(spark, {"v": "v + 1"}, "id = 3", mode="dv")
+    assert {(r.id, r.v) for r in tbl.snapshot(spark).collect()} == {
+        (i, x + 1 if i == 3 else x) for i, x in want
+    }
