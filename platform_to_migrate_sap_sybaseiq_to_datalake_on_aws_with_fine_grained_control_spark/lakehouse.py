@@ -82,6 +82,7 @@ __all__ = [
     "ConstraintViolationError",
     "UnsupportedTableFeatureError",
     "SUPPORTED_READER_FEATURES",
+    "foreach_batch_sink",
     "txn_append",
     "txn_overwrite",
     "txn_compact",
@@ -123,6 +124,12 @@ class ConcurrentCommitError(RuntimeError):
     (overwrite, compact) surface this so the caller re-reads — the
     files they planned to remove may no longer be live.
     """
+
+
+class _TxnAlreadyCommitted(Exception):
+    """Internal: an idempotent append discovered mid-retry that its
+    (app, batch) pair was committed by another writer — unwind as a
+    successful no-op, never a duplicate."""
 
 
 class ConstraintViolationError(ValueError):
@@ -1900,12 +1907,27 @@ class TransactionLog:
         self._try_commit(v, rec)
         return v
 
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Latest ``streamTxn.batchId`` committed for ``txn_app``
+        (None if no commit carries the app id).  Backward log scan —
+        O(commits-since-last-batch), run once per writer (re)start;
+        both the native streaming sink and the foreachBatch path cache
+        the answer forward."""
+        for v in range(self.latest_version(), 0, -1):
+            rec = self._read_commit(v)
+            txn = rec.get("streamTxn")
+            if txn and txn.get("appId") == txn_app:
+                return txn["batchId"]
+        return None
+
     def append(
         self,
         df: DataFrame,
         partition_keys: list[str] | None = None,
         evolve_schema: bool = False,
         max_records_per_file: int | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """ACID append; returns the committed version.
 
@@ -1913,7 +1935,21 @@ class TransactionLog:
         merge of the table's schema and the frame's (the frame is
         aligned first — typed-null backfill + widen-only casts via
         ``operators.schema_evolution``); the commit is the single
-        point of truth, versioned, replacing the K1 sidecar."""
+        point of truth, versioned, replacing the K1 sidecar.
+
+        ``txn_app``/``txn_version`` (the published Delta idempotent-
+        writes design, shared with the streaming sink's ``txnAppId``):
+        the pair is recorded in the commit as ``streamTxn``, and an
+        append whose version is <= the last committed one for the app
+        is SKIPPED entirely — a crash-replayed micro-batch (or any
+        at-least-once re-delivery) becomes a no-op instead of
+        duplicate rows."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version go together")
+        if txn_app is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and last >= txn_version:
+                return self.latest_version()  # already-committed replay
         keys = partition_keys or []
         read_v0 = self.latest_version()  # the version our schema derives from
         state = self._replay(read_v0)
@@ -2012,9 +2048,22 @@ class TransactionLog:
                 r["identity"] = self._advance_identity(
                     identity, adds, df.sparkSession, state
                 )
+            if txn_app is not None:
+                # re-validate on every version candidate: the race a
+                # blind retry can lose includes ANOTHER writer of the
+                # same app committing our batch id first
+                last = self.last_txn_version(txn_app)
+                if last is not None and last >= txn_version:
+                    for a in adds:  # replay detected late: drop bytes
+                        (self.table_path / a["path"]).unlink(missing_ok=True)
+                    raise _TxnAlreadyCommitted()
+                r["streamTxn"] = {"appId": txn_app, "batchId": txn_version}
             return r
 
-        return self._commit_with_retry(rec, read_version=None)
+        try:
+            return self._commit_with_retry(rec, read_version=None)
+        except _TxnAlreadyCommitted:
+            return self.latest_version()
 
     def _reconcile_append_meta(
         self,
@@ -3681,6 +3730,61 @@ def txn_merge(
 def txn_merge_clauses(source: DataFrame, path: str, keys: list[str], **clauses) -> int:
     """Full-clause MERGE; see :meth:`TransactionLog.merge`."""
     return TransactionLog(path).merge(source, keys, **clauses)
+
+
+def foreach_batch_sink(
+    path: str | Path,
+    app_id: str,
+    partition_keys: list[str] | None = None,
+    evolve_schema: bool = False,
+    max_records_per_file: int | None = None,
+):
+    """Exactly-once streaming sink for CONSTRAINED lakehouse tables —
+    the ``foreachBatch`` route the native ``format("lakehouse")``
+    writer's refusal messages point at (r6 VERDICT item 6).
+
+    The native Python-DataSource sink stages bytes on executors with
+    no SparkSession, so it cannot enforce CHECK constraints, compute
+    generated columns, or allocate identity values batch-atomically
+    and refuses such tables up front.  ``foreachBatch`` hands the
+    driver a full session per micro-batch, so this sink routes each
+    batch through :meth:`TransactionLog.append` — the SAME path batch
+    writes take: constraints enforce on the staged bytes (a violating
+    batch sweeps its files, commits nothing, and fails the query —
+    zero trace), generated columns compute, identity allocates above
+    the watermark.
+
+    Exactly-once: every commit records ``streamTxn = (app_id,
+    batch_id)`` (the idempotent-writes design the native sink shares),
+    so a crash-replayed batch is a no-op.  The last committed batch is
+    scanned once per (re)start and cached forward.
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(foreach_batch_sink(table, "my-app"))
+               .option("checkpointLocation", ckpt).start())
+    """
+    state: dict = {"last": None, "scanned": False}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        log = TransactionLog(path)
+        if not state["scanned"]:
+            state["last"] = log.last_txn_version(app_id)
+            state["scanned"] = True
+        if state["last"] is not None and state["last"] >= batch_id:
+            return  # crash-replayed batch: already committed
+        log.append(
+            batch_df,
+            partition_keys=partition_keys,
+            evolve_schema=evolve_schema,
+            max_records_per_file=max_records_per_file,
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+        state["last"] = batch_id
+
+    return sink
 
 
 def txn_restore(path: str, version: int) -> int:

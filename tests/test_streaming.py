@@ -943,3 +943,87 @@ def test_stream_restart_after_schema_widening(spark, tmp_path):
     assert {r.v for r in got.collect()} == {10, 20, 2**40}
     # time travel back to the pre-widening commit still reads as int
     assert dict(tbl.snapshot(spark, version=1).dtypes)["v"] == "int"
+
+
+def test_stream_into_constrained_table_via_foreach_batch(spark, tmp_path):
+    """r6 VERDICT item 6: CHECK/generated/identity tables as stream
+    targets through foreach_batch_sink — each micro-batch rides the
+    batch append path (full session), so the generated column is
+    computed, identity allocates above the watermark, and a
+    constraint-violating batch aborts the query with ZERO trace in
+    the table.  streamTxn makes redelivery a no-op."""
+    from pyspark.sql.types import StructType
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        TransactionLog,
+        foreach_batch_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = TransactionLog(tmp_path / "lake" / "t")
+    tbl.create(
+        StructType()
+        .add("rid", "long")
+        .add("id", "long")
+        .add("v", "long")
+        .add("vv", "long"),
+        constraints={"v_pos": "v > 0"},
+        generated={"vv": "v * 2"},
+        identity={"rid": {"start": 100, "step": 1}},
+    )
+    schema = "id LONG, v LONG"
+
+    def run(ckpt_name):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                foreach_batch_sink(tbl.table_path, "constrained-app")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q
+
+    spark.createDataFrame([(1, 10), (2, 20)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = run("ck")
+    assert q.awaitTermination(600)
+    got = {r.id: (r.v, r.vv) for r in tbl.snapshot(spark).collect()}
+    assert got == {1: (10, 20), 2: (20, 40)}  # generated computed
+    rids = [r.rid for r in tbl.snapshot(spark).collect()]
+    assert len(set(rids)) == 2 and all(r >= 100 for r in rids)
+    v_ok = tbl.latest_version()
+
+    # a violating batch fails the query and leaves no trace
+    spark.createDataFrame([(3, -5)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = run("ck")
+    with pytest.raises(Exception, match="v_pos"):
+        q.awaitTermination(600)
+    assert tbl.latest_version() == v_ok
+    assert {r.id for r in tbl.snapshot(spark).collect()} == {1, 2}
+    leftovers = [
+        p
+        for p in tbl.table_path.rglob("*.parquet")
+        if "_txn_log" not in p.parts
+        and p.name not in {a.rsplit("/", 1)[-1] for a in
+                           tbl._replay(v_ok)["files"]}
+    ]
+    assert leftovers == []  # violating batch swept its staged bytes
+
+    # redelivery of an already-committed batch id is a no-op
+    batch = spark.createDataFrame([(9, 90)], schema)
+    sink = foreach_batch_sink(tbl.table_path, "app2")
+    sink(batch, 0)
+    n1 = tbl.snapshot(spark).count()
+    sink(batch, 0)  # same writer replays
+    fresh = foreach_batch_sink(tbl.table_path, "app2")
+    fresh(batch, 0)  # restarted writer replays (log-scan path)
+    assert tbl.snapshot(spark).count() == n1
+    fresh(batch, 1)  # next batch lands
+    assert tbl.snapshot(spark).count() == n1 + 1
