@@ -2529,3 +2529,112 @@ def test_update_where_dv_mode(spark, tbl):
     assert {(r.id, r.v) for r in tbl.snapshot(spark).collect()} == {
         (i, x + 1 if i == 3 else x) for i, x in want
     }
+
+
+def test_cross_process_blind_appends_all_land(spark, tmp_path):
+    """The os.link create-if-absent arbitration proven across REAL
+    driver PROCESSES (separate JVMs, separate Python interpreters) —
+    the in-thread race test shares one interpreter, which this
+    retires (r6 VERDICT item 5).  Two drivers blind-append N batches
+    each into one table from a synchronized start: every commit must
+    land under a unique gapless version (losers retried under fresh
+    versions), and no row is lost."""
+    import subprocess
+    import sys
+    import time
+
+    n_batches, rows_per = 4, 10
+    table = tmp_path / "xproc"
+    worker = tmp_path / "worker.py"
+    repo = str(tbl_repo_root())
+    worker.write_text(
+        f"""
+import json, sys, time
+from pathlib import Path
+
+sys.path.insert(0, {repo!r})
+tag, n, rows = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+table, barrier = {str(table)!r}, {str(tmp_path / "go")!r}
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("xproc-" + tag)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+    ConcurrentCommitError,
+    TransactionLog,
+)
+
+log = TransactionLog(table)
+Path(barrier + "-ready-" + tag).write_text("")
+while not Path(barrier).exists():
+    time.sleep(0.02)
+committed, hard_retries = [], 0
+for i in range(n):
+    df = spark.createDataFrame(
+        [(tag, i, j) for j in range(rows)], ["writer", "batch", "j"]
+    )
+    while True:
+        try:
+            committed.append(log.append(df))
+            break
+        except ConcurrentCommitError:
+            hard_retries += 1
+Path(table + "-" + tag + ".json").write_text(
+    json.dumps({{"committed": committed, "hard_retries": hard_retries}})
+)
+spark.stop()
+"""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), tag, str(n_batches), str(rows_per)],
+            cwd=str(tmp_path),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for tag in ("a", "b")
+    ]
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        (tmp_path / f"go-ready-{t}").exists() for t in ("a", "b")
+    ):
+        if any(p.poll() is not None for p in procs):
+            break  # a worker died before the barrier: fall through
+        time.sleep(0.1)
+    (tmp_path / "go").write_text("")  # both JVMs warm: race for real
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    results = {
+        t: json.loads((tmp_path / f"xproc-{t}.json").read_text())
+        for t in ("a", "b")
+    }
+    all_versions = sorted(
+        v for r in results.values() for v in r["committed"]
+    )
+    total = 2 * n_batches
+    # gapless, collision-free: every loser retried under a fresh version
+    assert all_versions == list(range(1, total + 1)), (results, all_versions)
+
+    t = TransactionLog(table)
+    assert t.latest_version() == total
+    snap = t.snapshot(spark)
+    assert snap.count() == total * rows_per
+    per_writer = {
+        r.writer: r.n
+        for r in snap.groupBy("writer").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_writer == {"a": n_batches * rows_per, "b": n_batches * rows_per}
+
+
+def tbl_repo_root():
+    from pathlib import Path as _P
+
+    return _P(__file__).resolve().parent.parent
