@@ -1118,33 +1118,103 @@ class TransactionLog:
             f"append to {self.table_path} lost {attempts} version races"
         )
 
+    #: data-rewriting ops whose interleaves a footprint-declaring
+    #: transaction may tolerate when the file sets are provably
+    #: disjoint (the published Delta conflict matrix at
+    #: WriteSerializable).  Deliberately excludes overwrite/restore
+    #: (replace the whole file set), metadata/constraint/spec ops
+    #: (change the contract the staged bytes were validated against),
+    #: and append (handled by the dedicated rebase rule).
+    _DISJOINT_OK_OPS = frozenset({"delete", "update", "merge", "compact"})
+
     def _commit_rmw(
-        self, read_version: int, build_record, op: str, attempts: int = 20
+        self,
+        read_version: int,
+        build_record,
+        op: str,
+        attempts: int = 20,
+        read_files: set[str] | None = None,
     ) -> int:
         """Read-modify-write commit with append-rebase (the published
         Delta *WriteSerializable* level): interleaved PURE appends can
         never invalidate a staged rewrite — they only add files, so
         every file this transaction planned to remove is still live —
         and the rewrite simply does not see the concurrently appended
-        rows.  Any other interleaved op (overwrite, restore, another
-        merge/delete, compaction, constraint change) or an interleaved
-        schema change makes the staged removes/outputs stale and
+        rows.
+
+        ``read_files`` (basenames) widens the rebase to DISJOINT data
+        rewrites — the Delta conflict-matrix rule that lets concurrent
+        per-partition DELETE/UPDATE/OPTIMIZE pipelines share one table
+        instead of serializing on it.  It must be the transaction's
+        data-skipping READ surface: every file whose stats/partition
+        values admit a predicate match (``_prune_files`` output — a
+        sound over-approximation), or for a compaction exactly the
+        files it rewrites.  An interleaved delete/update/merge/compact
+        then conflicts only when the files it removed or DV-covered
+        intersect this transaction's footprint (read surface + its own
+        removes + its own DV targets); disjoint rewrites rebase like
+        appends do.  Rows the interleaved commit ADDED are not seen —
+        the same write-snapshot anomaly WriteSerializable already
+        accepts for appends.  Callers that read the whole table (merge
+        scans every target row for clause matching) pass ``None`` and
+        keep strict behavior.
+
+        Any other interleaved op (overwrite, restore, constraint or
+        schema change) makes the staged removes/outputs stale and
         raises for a caller-level re-run."""
         rec = build_record(0)  # probe for the schema this txn commits
         my_schema = rec.get("schema")
+        footprint: set[str] | None = None
+        if read_files is not None:
+            footprint = set(read_files)
+            footprint |= {
+                r.rsplit("/", 1)[-1] for r in rec.get("remove", [])
+            }
+            footprint |= {
+                b for d in rec.get("dv", []) for b in d.get("files", [])
+            }
         for _ in range(attempts):
             v = self.latest_version() + 1
+            rebased_past_rewrite = False
             for i in range(read_version + 1, v):
                 mid = self._read_commit(i)
-                if mid.get("op") != "append" or mid.get("schema") != my_schema:
-                    raise ConcurrentCommitError(
-                        f"table advanced to {v - 1} while {op} ran (read "
-                        f"{read_version}) and commit {i} is a "
-                        f"{mid.get('op')}/schema-change — staged removes "
-                        "are stale; re-run"
-                    )
+                if mid.get("op") == "append" and mid.get("schema") == my_schema:
+                    continue
+                if (
+                    footprint is not None
+                    and mid.get("op") in self._DISJOINT_OK_OPS
+                    and mid.get("schema") == my_schema
+                ):
+                    theirs = {
+                        r.rsplit("/", 1)[-1] for r in mid.get("remove", [])
+                    }
+                    theirs |= {
+                        b
+                        for d in mid.get("dv", [])
+                        for b in d.get("files", [])
+                    }
+                    if not (theirs & footprint):
+                        rebased_past_rewrite = True
+                        continue
+                raise ConcurrentCommitError(
+                    f"table advanced to {v - 1} while {op} ran (read "
+                    f"{read_version}) and commit {i} is a "
+                    f"{mid.get('op')}/schema-change touching this "
+                    "transaction's files — staged removes are stale; "
+                    "re-run"
+                )
             try:
-                self._try_commit(v, build_record(v))
+                full = build_record(v)
+                if rebased_past_rewrite and "dvs" in full:
+                    # the record's DV survival list is a FULL-REPLACE
+                    # field computed against the read-time state; a
+                    # rebase past a disjoint rewrite must recompute it
+                    # against the CURRENT state or it would silently
+                    # drop the vectors that rewrite added/kept
+                    full["dvs"] = self._surviving_dvs(
+                        self._replay(v - 1), full.get("remove", [])
+                    )
+                self._try_commit(v, full)
                 return v
             except ConcurrentCommitError:
                 continue  # loop re-validates the new interleaved commits
@@ -3043,7 +3113,17 @@ class TransactionLog:
                     ),
                 }
 
-            return self._commit_rmw(read_v, rec_dv, "update")
+            return self._commit_rmw(
+                read_v,
+                rec_dv,
+                "update",
+                read_files={
+                    rel.rsplit("/", 1)[-1]
+                    for rel in _prune_files(
+                        state["files"], predicate, mapping
+                    )
+                },
+            )
         aff_state = dict(state, files={r: state["files"][r] for r in affected})
         aff_df = self._read_files(spark, aff_state)
         hit = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
@@ -3113,7 +3193,15 @@ class TransactionLog:
                 r["dvs"] = self._surviving_dvs(state, sorted(affected))
             return r
 
-        return self._commit_rmw(read_v, rec, "update")
+        return self._commit_rmw(
+            read_v,
+            rec,
+            "update",
+            read_files={
+                rel.rsplit("/", 1)[-1]
+                for rel in _prune_files(state["files"], predicate, mapping)
+            },
+        )
 
     def delete_where(
         self, spark: SparkSession, predicate: str, mode: str = "cow"
@@ -3206,7 +3294,16 @@ class TransactionLog:
                 r["dvs"] = self._surviving_dvs(state, removes)
             return r
 
-        return self._commit_rmw(read_v, rec, "delete")
+        # read surface = every file whose stats admit a predicate
+        # match; lets disjoint per-partition deletes/rewrites commit
+        # concurrently instead of serializing (see _commit_rmw)
+        read_surface = {
+            rel.rsplit("/", 1)[-1]
+            for rel in _prune_files(state["files"], predicate, mapping)
+        }
+        return self._commit_rmw(
+            read_v, rec, "delete", read_files=read_surface
+        )
 
     def compact(
         self,
@@ -3296,15 +3393,9 @@ class TransactionLog:
             laid_out, keys, mapping=mapping, bloom_index=state["bloom_index"]
         )
         removes = sorted(files)
-        v = self.latest_version() + 1
-        if v != read_v + 1:
-            raise ConcurrentCommitError(
-                f"table advanced to {v - 1} while compaction ran (read "
-                f"{read_v}) — its removes are stale; re-run"
-            )
-        self._try_commit(
-            v,
-            {
+
+        def rec(v: int) -> dict:
+            return {
                 "version": v,
                 "op": "compact",
                 "dataChange": False,
@@ -3320,9 +3411,18 @@ class TransactionLog:
                 # physical; vectors still covering surviving files stay
                 # active (a full compact drops them all)
                 "dvs": self._surviving_dvs(state, removes),
-            },
+            }
+
+        # a compaction reads exactly the files it rewrites, so its
+        # read surface IS the remove set: interleaved appends and
+        # disjoint rewrites (another partition's OPTIMIZE/DELETE)
+        # rebase instead of forcing a re-run (see _commit_rmw)
+        return self._commit_rmw(
+            read_v,
+            rec,
+            "compact",
+            read_files={r.rsplit("/", 1)[-1] for r in removes},
         )
-        return v
 
     # ---- read path ---------------------------------------------------------
 

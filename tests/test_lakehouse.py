@@ -604,9 +604,15 @@ def test_rmw_rebases_over_concurrent_append(spark, tbl):
 
 
 def test_rmw_conflicts_with_concurrent_rewrite(spark, tbl):
-    """A concurrent non-append (here: another delete) invalidates the
-    staged removes -> the race surfaces instead of rebasing."""
-    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    """A concurrent rewrite of the SAME file invalidates the staged
+    removes -> the race surfaces instead of rebasing.  (Since the
+    disjoint-footprint rule landed, conflict granularity is per FILE:
+    both rows are pinned into one file here; rewrites of files outside
+    the read surface rebase — see the disjoint-footprint tests.)"""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (2, "b", "2024")]).coalesce(1),
+        ["year"],
+    )
     orig = TransactionLog._try_commit
     raced = {"done": False}
 
@@ -2638,3 +2644,137 @@ def tbl_repo_root():
     from pathlib import Path as _P
 
     return _P(__file__).resolve().parent.parent
+
+
+# ---- disjoint-footprint concurrency (Delta conflict matrix) ------------
+
+
+def _race_once(tbl, trigger_op, racing_fn):
+    """Patch ``tbl._try_commit`` to run ``racing_fn`` (a concurrent
+    writer) exactly once, right before the first ``trigger_op`` commit
+    attempt — deterministically interleaving a second writer between
+    the loser's read and its commit."""
+    orig = TransactionLog._try_commit
+    raced = {"done": False}
+
+    def racing(self, v, rec):
+        if rec.get("op") == trigger_op and not raced["done"]:
+            raced["done"] = True
+            racing_fn()
+        return orig(self, v, rec)
+
+    tbl._try_commit = racing.__get__(tbl)
+    return raced
+
+
+def test_disjoint_partition_deletes_both_commit(spark, tbl):
+    """Two DELETEs scoped to different partitions do not serialize:
+    the loser's read surface (stats-pruned file set) is disjoint from
+    the winner's removes, so it rebases like an append instead of
+    raising — concurrent per-partition pipelines can share a table."""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2025")]),
+        ["year"],
+    )
+    raced = _race_once(
+        tbl,
+        "delete",
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "year = '2025'"
+        ),
+    )
+    v = tbl.delete_where(spark, "id = 2 AND year = '2024'")
+    assert raced["done"] and v == 3
+    assert _ids(tbl.snapshot(spark)) == [1]  # both deletes landed
+
+
+def test_disjoint_compact_rebases_over_delete(spark, tbl):
+    """OPTIMIZE scoped to one partition tolerates a concurrent DELETE
+    in another: its read surface is exactly the files it rewrites."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    tbl.append(_df(spark, [(3, "c", "2025")]))
+    raced = _race_once(
+        tbl,
+        "compact",
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "year = '2025'"
+        ),
+    )
+    v = tbl.compact(spark, where="year = '2024'")
+    assert raced["done"] and v == 5
+    state = tbl._replay(v)
+    files_2024 = [f for f in state["files"] if "year=2024" in f]
+    assert len(files_2024) == 1  # compacted
+    assert _ids(tbl.snapshot(spark)) == [1, 2]  # delete's effect kept
+
+
+def test_rebased_commit_recomputes_dv_survival(spark, tbl):
+    """The DV survival list is a full-replace record field computed at
+    read time; a rebase past a disjoint DV-adding rewrite MUST
+    recompute it or the winner's logically-deleted rows resurrect."""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2025")]),
+        ["year"],
+    )
+    # v2: DVs exist on the 2024 file -> the loser's record carries "dvs"
+    tbl.delete_where(spark, "id = 1", mode="dv")
+    raced = _race_once(
+        tbl,
+        "delete",
+        # winner: disjoint DV-delete in the OTHER partition
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "id = 3", mode="dv"
+        ),
+    )
+    v = tbl.delete_where(spark, "year = '2024'")  # cow: removes 2024 file
+    assert raced["done"] and v == 4
+    # without the recompute the stale "dvs" list would drop the
+    # winner's vector and id=3 would come back from the dead
+    assert _ids(tbl.snapshot(spark)) == []
+    state = tbl._replay(v)
+    covered = {b for d in state["dvs"] for b in d["files"]}
+    live_2025 = {
+        f.rsplit("/", 1)[-1] for f in state["files"] if "year=2025" in f
+    }
+    assert live_2025 and live_2025 <= covered  # winner's vector survived
+
+
+def test_merge_stays_conservative_vs_disjoint_rewrite(spark, tbl):
+    """MERGE reads every target row for clause matching (NOT MATCHED
+    BY SOURCE, key discovery), so it declares no read surface and any
+    concurrent rewrite still conflicts — even a disjoint-partition
+    delete, whose removed rows could flip a clause outcome."""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (3, "c", "2025")]), ["year"]
+    )
+    raced = _race_once(
+        tbl,
+        "merge",
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "year = '2025'"
+        ),
+    )
+    with pytest.raises(ConcurrentCommitError, match="merge"):
+        tbl.merge_upsert(_df(spark, [(1, "A", "2024")]), ["id"])
+    assert raced["done"]
+
+
+def test_overlapping_file_deletes_still_conflict(spark, tbl):
+    """Same-file concurrency is NOT tolerated: the winner removed a
+    file inside the loser's read surface (both rows share one file, so
+    either predicate's stats admit it)."""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (2, "b", "2024")]).coalesce(1),
+        ["year"],
+    )
+    raced = _race_once(
+        tbl,
+        "delete",
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "id = 1"
+        ),
+    )
+    with pytest.raises(ConcurrentCommitError, match="delete"):
+        tbl.delete_where(spark, "id = 2")
+    assert raced["done"]
