@@ -890,3 +890,129 @@ def ivf_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.5,
+    codebook: DataFrame | None = None,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with k-means, then within each cluster drop every
+    vector that has a semantic duplicate (cosine >= ``tau``) which is
+    LESS similar to the cluster centroid — the paper's keep-the-
+    outlier rule (low centroid similarity = more informative example;
+    ties break to the lowest id).
+
+    Output per vector: ``(id, cid, cent_cos, kept)`` — cluster
+    assignment, 6-dp-rounded cosine to the assigned centroid, and the
+    keep decision.  All comparisons (pair cosine vs ``tau``, the
+    centroid-similarity order) use 6-dp-rounded values so the DuckDB
+    oracle reproduces the decision bit-for-bit.
+
+    Scale shape: the quadratic step is confined WITHIN clusters (the
+    paper's own design — its pairwise pass runs per cluster), reached
+    by an equi-join on ``cid``, never a corpus-wide self-join.  ``k``
+    is the blocking knob: it should grow with the corpus so the
+    expected cluster size (N/k) stays bounded — the same "key domain
+    scales with log2(corpus)" law the LSH/simhash tiers follow — and
+    AQE skew-splits any oversized cluster's join.  The codebook train
+    is an N×k broadcast cross join per iteration, so at large N×k
+    ``train_sample`` caps it: the codebook trains on the ``m`` corpus
+    vectors with the smallest ``md5(id)`` (deterministic, engine-
+    independent, a superset of the k seeds — the paper itself trains
+    its quantizer on a subset), while ASSIGNMENT still scans the full
+    corpus exactly once.  Pass a pre-trained ``codebook`` to amortize
+    training across runs.
+    """
+    if codebook is None:
+        train = corpus
+        if train_sample is not None:
+            train = (
+                corpus.select(
+                    id_col,
+                    vec_col,
+                    F.md5(F.col(id_col).cast("string")).alias("_seed"),
+                )
+                .orderBy(F.col("_seed").asc(), F.col(id_col).asc())
+                .limit(train_sample)
+                .drop("_seed")
+            )
+        codebook = kmeans_centroids(
+            train, id_col, vec_col, k=k, iters=iters
+        )
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_vn", F.expr(norm_expr("_v")))
+    cents = F.broadcast(
+        codebook.withColumn("_cn", F.expr(norm_expr("centroid")))
+    )
+    scored = base.crossJoin(cents).withColumn(
+        "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
+    )
+    # argmax as an aggregation (map-side combine): one row per vector
+    # crosses the wire, not one per (vector, centroid)
+    ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
+    assigned = (
+        scored.groupBy("_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("_v"), F.col("_vn"), F.col("cos_c")),
+                ord_,
+            ).alias("_m")
+        )
+        .select(
+            F.col("_id"),
+            F.col("_m.cid").alias("cid"),
+            F.col("_m._v").alias("_v"),
+            F.col("_m._vn").alias("_vn"),
+            F.round(F.col("_m.cos_c"), 6).alias("cent_cos"),
+        )
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"),
+        F.col("cid"),
+        F.col("_v").alias("_va"),
+        F.col("_vn").alias("_na"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"),
+        F.col("cid"),
+        F.col("_v").alias("_vb"),
+        F.col("_vn").alias("_nb"),
+        F.col("cent_cos").alias("cc_b"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.round(
+                F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)"), 6
+            )
+            >= F.lit(tau)
+        )
+        .filter(
+            (F.col("cc_b") < F.col("cc_a"))
+            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_dup", F.lit(True)), "_id", "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cid",
+            "cent_cos",
+            (~F.coalesce(F.col("_dup"), F.lit(False))).alias("kept"),
+        )
+    )

@@ -1423,22 +1423,24 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _duck_kmeans_ivf_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """The trained-codebook IVF oracle: deterministic Lloyd's k-means
-    UNROLLED into chained CTEs (fixed iteration count makes the loop
-    a straight-line query), then the same probe/search as
-    ``_duck_ivf_sql``.  Mirrors ``kmeans_centroids`` decision for
-    decision: md5-seeded init, cosine assignment with lowest-cid
-    tiebreak, per-dim mean rounded to 6 dp, empty clusters keep the
-    previous centroid."""
-    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+def _duck_kmeans_ctes(
+    k: int | str, iters: int, source: str = "embeddings"
+) -> tuple[list[str], str]:
+    """The deterministic Lloyd's k-means UNROLLED into chained CTEs
+    (fixed iteration count makes the loop a straight-line query),
+    mirroring ``kmeans_centroids`` decision for decision: md5-seeded
+    init, cosine assignment with lowest-cid tiebreak, per-dim mean
+    rounded to 6 dp, empty clusters keep the previous centroid.
+    Returns (ctes, name-of-final-centroid-CTE); shared by the IVF and
+    SemDeDup oracles.  ``k`` may be an int or a parenthesized scalar
+    subquery (corpus-adaptive cluster count); ``source`` is the train
+    corpus (a sample CTE for sampled training)."""
     cos_cent = _duck_cos("embedding", "centroid")
-    cos_full = _duck_cos("qvec", "embedding")
     ctes = [
         f"""cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM (SELECT vec_id, embedding FROM embeddings
+  FROM (SELECT vec_id, embedding FROM {source}
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))"""
     ]
     for t in range(1, iters + 1):
@@ -1448,7 +1450,7 @@ def _duck_kmeans_ivf_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
   SELECT vec_id, embedding, cid
   FROM (SELECT e.vec_id, e.embedding, c.cid,
           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_cent} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN {prev} c)
+        FROM {source} e CROSS JOIN {prev} c)
   WHERE rn = 1),
 newc{t} AS (
   SELECT cid, list(c ORDER BY pos) AS centroid
@@ -1462,7 +1464,16 @@ cent{t} AS (
   SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
   FROM {prev} p LEFT JOIN newc{t} n USING (cid))"""
         )
-    final = f"cent{iters}"
+    return ctes, f"cent{iters}"
+
+
+def _duck_kmeans_ivf_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The trained-codebook IVF oracle: the shared k-means CTE chain,
+    then the same probe/search as ``_duck_ivf_sql``."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos_cent = _duck_cos("embedding", "centroid")
+    cos_full = _duck_cos("qvec", "embedding")
+    ctes, final = _duck_kmeans_ctes(k, iters)
     ctes.append(
         f"""assigned AS (
   SELECT vec_id, embedding, cid AS list_label,
@@ -1509,6 +1520,96 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, "vec_id", "embedding",
         query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
         codebook=codebook,
+    )
+
+
+#: low enough that the keep-decision path is exercised at the driver
+#: SFs (max true pair cosine is ~0.48 at sf0.001 / ~0.51 at sf0.01 on
+#: the current corpus); production corpora would run ~0.95+
+SEMDEDUP_TAU = 0.35
+#: corpus-adaptive cluster count k = max(8, floor(sqrt(N/8))): the
+#: within-cluster pairwise pass is quadratic in cluster size, so a
+#: FIXED k would be the classic fixed-domain blocking key (25k-wide
+#: clusters at 200k vectors -> 5G pairs); sqrt growth keeps both the
+#: train cost (N*k) and the pair cost (N²/k) sub-quadratic, floor
+#: spelled explicitly because DuckDB CAST(DOUBLE AS BIGINT) rounds
+SEMDEDUP_K_SQL = (
+    "(SELECT greatest(8, CAST(floor(sqrt(count(*) / 8.0)) AS BIGINT)) "
+    "FROM embeddings)"
+)
+#: codebook train-sample cap (the paper trains its quantizer on a
+#:  subset too): full corpus at the driver SFs (N <= 25600 there, so
+#: parity is over the exact same computation), clipped at scale where
+#: the N x k train cross-join would otherwise dominate
+SEMDEDUP_TRAIN_SAMPLE = 25600
+
+
+def _semdedup_k(n: int) -> int:
+    import math
+
+    return max(8, int(math.floor(math.sqrt(n / 8.0))))
+
+
+def _duck_semdedup_sql(
+    iters: int = KMEANS_ITERS, tau: float = SEMDEDUP_TAU
+) -> str:
+    """SemDeDup oracle: the shared k-means CTE chain (corpus-adaptive
+    k, md5-sampled train corpus), nearest-centroid assignment over the
+    FULL corpus, then the within-cluster keep-the-outlier rule on
+    6-dp-rounded cosines (see ``operators.similarity.semantic_dedup``)."""
+    cos_cent = _duck_cos("embedding", "centroid")
+    cos_pair = _duck_cos("a.embedding", "b.embedding")
+    ctes, final = _duck_kmeans_ctes(SEMDEDUP_K_SQL, iters, source="samp")
+    ctes.insert(
+        0,
+        f"""samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {SEMDEDUP_TRAIN_SAMPLE})""",
+    )
+    ctes.append(
+        f"""asg AS (
+  SELECT vec_id, embedding, cid, round(cos_c, 6) AS cent_cos
+  FROM (SELECT e.vec_id, e.embedding, c.cid, {cos_cent} AS cos_c,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_cent} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE round({cos_pair}, 6) >= {tau}
+    AND (b.cent_cos < a.cent_cos
+         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT a.vec_id, a.cid, a.cent_cos, (d.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@register(
+    "dedup_semdedup_embeddings",
+    _duck_semdedup_sql(),
+    doc="SemDeDup (Abbas et al. 2023): k-means-cluster the embedding "
+    "space (corpus-adaptive k = max(8, floor(sqrt(N/8))), deterministic "
+    f"Lloyd's), then within each cluster drop every vector with a "
+    f"cosine>={SEMDEDUP_TAU} semantic duplicate that sits FURTHER from "
+    "the centroid (keep-the-outlier rule, lowest-id tiebreak). The "
+    "quadratic pass is confined within clusters (equi-join on cid — "
+    "the paper's own per-cluster design); k grows with the corpus so "
+    "cluster width shrinks relatively (N²/k pair cost). Oracle = the "
+    "identical k-means CTE chain + the same rounded-cosine decision.",
+)
+def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        df, "vec_id", "embedding",
+        k=_semdedup_k(df.count()), iters=KMEANS_ITERS, tau=SEMDEDUP_TAU,
+        train_sample=SEMDEDUP_TRAIN_SAMPLE,
     )
 
 

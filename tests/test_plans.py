@@ -27,6 +27,8 @@ BNLJ_OK = {
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    # corpus x k-row broadcast codebook (linear assignment, same as IVF)
+    "dedup_semdedup_embeddings",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_pairs_banded",
     # 1-row corpus-count broadcast for integer idf weights — scalar join
