@@ -2778,3 +2778,27 @@ def test_overlapping_file_deletes_still_conflict(spark, tbl):
     with pytest.raises(ConcurrentCommitError, match="delete"):
         tbl.delete_where(spark, "id = 2")
     assert raced["done"]
+
+
+def test_concurrent_disjoint_partition_deletes_threads(spark, tbl):
+    """8 writer threads each deleting its OWN partition concurrently:
+    under the disjoint-footprint rule every delete must land (losers
+    rebase past the winners instead of raising), versions are gapless,
+    and the final table holds exactly the undeleted partitions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = [(i * 10 + j, f"r{i}{j}", f"y{i}") for i in range(8) for j in range(2)]
+    tbl.append(_df(spark, rows), ["year"])
+
+    def drop_part(i: int) -> int:
+        return TransactionLog(tbl.table_path).delete_where(
+            spark, f"year = 'y{i}'"
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(drop_part, range(0, 8, 2)))  # y0 y2 y4 y6
+
+    assert sorted(versions) == [2, 3, 4, 5], "all four deletes must land"
+    kept = {r.year for r in tbl.snapshot(spark).collect()}
+    assert kept == {"y1", "y3", "y5", "y7"}
+    assert len(_ids(tbl.snapshot(spark))) == 8
