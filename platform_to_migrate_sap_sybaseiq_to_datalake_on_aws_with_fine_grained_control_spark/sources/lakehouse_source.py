@@ -325,6 +325,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         skip_change_commits: bool,
         read_change_feed: bool = False,
         rename: dict | None = None,
+        max_files_per_trigger: int | None = None,
     ):
         self.path = path
         self.schema = schema
@@ -335,14 +336,51 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # are frozen, so one map reads files/sidecars from every commit
         # in the stream regardless of when their logical names changed
         self.rename = rename or {}
+        self.max_files_per_trigger = max_files_per_trigger
+        # rate-limit cursor: the last offset this reader handed out.
+        # Restart-safe: a fresh reader starts at starting_version and
+        # partitions() re-syncs it forward to the checkpointed end, so
+        # a stale cursor can only cost an empty catch-up batch, never
+        # re-deliver or skip (delivery is governed by (start, end]).
+        self._cursor = starting_version
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": TransactionLog(self.path).latest_version()}
+        log = TransactionLog(self.path)
+        latest = log.latest_version()
+        if self.max_files_per_trigger is None or latest <= self._cursor:
+            self._cursor = max(self._cursor, latest)
+            return {"version": latest}
+        # admission control (the published maxFilesPerTrigger design,
+        # discretized to COMMIT granularity — a commit is the atomic
+        # delivery unit here, so a single commit larger than the cap
+        # is still admitted whole, always >= 1 commit per trigger):
+        # advance the offset only while the accumulated file/sidecar
+        # count stays within budget, so a backfill from version 0 of a
+        # 10^5-commit table becomes bounded micro-batches instead of
+        # one batch reading the entire table.
+        end, budget = self._cursor, self.max_files_per_trigger
+        while end < latest:
+            rec = log._read_commit(end + 1)
+            if not rec.get("dataChange", True):
+                n = 0
+            elif self.read_change_feed and rec.get("cdf") is not None:
+                n = len(rec["cdf"])
+            else:
+                n = len(rec.get("add") or [])
+            if end > self._cursor and n > budget:
+                break
+            end += 1
+            budget -= n
+            if budget <= 0:
+                break
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        self._cursor = max(self._cursor, end["version"])
         log = TransactionLog(self.path)
         parts: list[LakehouseFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -652,9 +690,12 @@ class LakehouseDataSource(DataSource):
     ``readChangeFeed`` (stream read: deliver the row-level change feed
     — table schema + ``_change_type`` + ``_commit_version``; merge and
     delete commits stream their ``_cdf`` sidecars, appends synthesize
-    inserts, only overwrite/restore raise), ``partitionKeys`` (stream
-    write, comma-separated), ``txnAppId`` (stream write:
-    idempotent-commit identity)."""
+    inserts, only overwrite/restore raise), ``maxFilesPerTrigger``
+    (stream read: admission control — each micro-batch advances only
+    through as many commits as fit the file budget, commit-granular,
+    always >= 1 commit per trigger), ``partitionKeys`` (stream write,
+    comma-separated), ``txnAppId`` (stream write: idempotent-commit
+    identity)."""
 
     @classmethod
     def name(cls) -> str:
@@ -714,6 +755,11 @@ class LakehouseDataSource(DataSource):
             str(self.options.get("skipchangecommits", "")).lower() == "true",
             read_change_feed=self._cdf(),
             rename=_total_rename(schema, state.get("column_mapping") or {}),
+            max_files_per_trigger=(
+                int(self.options["maxfilespertrigger"])
+                if self.options.get("maxfilespertrigger")
+                else None
+            ),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -377,3 +377,69 @@ def test_stream_change_feed_spans_column_add(spark, tbl, tmp_path):
         (2, None, "insert"),
         (3, "x", "insert"),
     ]
+
+
+def test_max_files_per_trigger_admission(spark, tbl):
+    """Rate-limited offsets: latestOffset advances only through as
+    many commits as fit the file budget (commit-granular, >= 1 commit
+    per trigger), so a deep backlog becomes bounded micro-batches."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+        LakehouseStreamReader,
+    )
+
+    for i in range(6):  # 6 commits x 2 files each (one per partition)
+        tbl.append(
+            _df(spark, [(2 * i, i, "2024"), (2 * i + 1, i, "2025")]),
+            ["year"] if i == 0 else None,
+        )
+    schema = spark.read.format("lakehouse").load(str(tbl.table_path)).schema
+
+    r = LakehouseStreamReader(
+        str(tbl.table_path), schema, 0, False, max_files_per_trigger=4
+    )
+    ends = [r.latestOffset()["version"] for _ in range(4)]
+    assert ends == [2, 4, 6, 6]  # 2 commits (4 files) per trigger
+
+    # a single over-budget commit is still admitted whole (progress
+    # guarantee), one commit per trigger
+    r1 = LakehouseStreamReader(
+        str(tbl.table_path), schema, 0, False, max_files_per_trigger=1
+    )
+    assert [r1.latestOffset()["version"] for _ in range(3)] == [1, 2, 3]
+
+    # restart with a stale cursor: partitions() re-syncs forward, so
+    # the next trigger continues from the checkpointed end
+    r2 = LakehouseStreamReader(
+        str(tbl.table_path), schema, 0, False, max_files_per_trigger=4
+    )
+    r2.partitions({"version": 4}, {"version": 5})  # checkpoint says 5
+    assert r2.latestOffset()["version"] == 6  # not a rewind to 2
+
+
+def test_max_files_per_trigger_end_to_end(spark, tbl, tmp_path):
+    """The option plumbs through format("lakehouse"); under availableNow
+    each RUN drains one capped micro-batch from the checkpoint (the
+    Python data-source API has no availableNow catch-up loop), so
+    repeated runs step through the backlog exactly once — two commits
+    (2 files each, budget 2 -> 1 commit) per run, never re-delivered."""
+    for i in range(4):
+        tbl.append(
+            _df(spark, [(2 * i, i, "2024"), (2 * i + 1, i, "2025")]),
+            ["year"] if i == 0 else None,
+        )
+    dst = TransactionLog(tmp_path / "dst")
+    seen = []
+    for _ in range(4):
+        _run_to(
+            spark,
+            tbl.table_path,
+            dst.table_path,
+            tmp_path / "ck",
+            maxFilesPerTrigger="2",
+        )
+        seen.append(len(_rows(
+            spark.read.format("lakehouse").load(str(dst.table_path))
+        )))
+    assert seen == [2, 4, 6, 8]  # one 2-file commit per run, no replays
+    got = spark.read.format("lakehouse").load(str(dst.table_path))
+    assert _rows(got) == _rows(tbl.snapshot(spark))
