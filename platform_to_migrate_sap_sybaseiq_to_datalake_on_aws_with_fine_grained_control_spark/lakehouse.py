@@ -3313,6 +3313,7 @@ class TransactionLog:
         zorder_bits: int = 16,
         where: str | None = None,
         min_files: int | None = None,
+        purge_dvs: bool = False,
     ) -> int:
         """OPTIMIZE as a log commit: rewrite the live file set
         compacted (optionally z-ordered), commit add+remove with
@@ -3331,6 +3332,15 @@ class TransactionLog:
         rows for rewritten files point at dead basenames and match
         nothing); vectors whose covered files all died are dropped.
 
+        ``purge_dvs`` (the published ``REORG TABLE ... APPLY (PURGE)``
+        design) narrows the selection to exactly the files covered by
+        a live deletion vector: merge-on-read deletes/updates defer
+        their rewrite cost to this call, which materializes the
+        logical deletions and drops the vectors WITHOUT rewriting the
+        untouched 99% of the table.  Selection is metadata-only (the
+        covered basenames live in the commit records); composes with
+        ``where``/``min_files``.
+
         Unlike ``operators.maintenance.compact_partitions`` (the
         raw-parquet stage-and-swap with a documented FileNotFound race
         window), a racing reader here either replays to the old commit
@@ -3341,6 +3351,19 @@ class TransactionLog:
         state = self._replay(read_v)
         mapping = state["column_mapping"]
         files = state["files"]
+        if purge_dvs:
+            covered = {
+                b for d in state.get("dvs") or [] for b in d.get("files", [])
+            }
+            files = {
+                rel: a
+                for rel, a in files.items()
+                if rel.rsplit("/", 1)[-1] in covered
+            }
+            if not files:
+                raise ValueError(
+                    f"no live deletion vectors to purge at {self.table_path}"
+                )
         if where is not None:
             files = _prune_files(files, where, mapping)
         if min_files is not None:

@@ -2802,3 +2802,32 @@ def test_concurrent_disjoint_partition_deletes_threads(spark, tbl):
     kept = {r.year for r in tbl.snapshot(spark).collect()}
     assert kept == {"y1", "y3", "y5", "y7"}
     assert len(_ids(tbl.snapshot(spark))) == 8
+
+
+def test_compact_purge_dvs_rewrites_only_covered_files(spark, tbl):
+    """REORG APPLY (PURGE): compaction scoped to the DV-covered files
+    materializes the logical deletions and drops the vectors without
+    touching the rest of the table."""
+    tbl.append(
+        _df(spark, [(0, "a", "2024"), (1, "b", "2025")]), ["year"]
+    )
+    tbl.append(_df(spark, [(2, "c", "2024"), (3, "d", "2025")]))
+    before = set(tbl._replay(2)["files"])
+    assert len(before) == 4
+    tbl.delete_where(spark, "id = 0", mode="dv")  # one vector, one file
+    state = tbl._replay(3)
+    covered = {b for d in state["dvs"] for b in d["files"]}
+    assert len(covered) == 1
+
+    v = tbl.compact(spark, purge_dvs=True)
+    after = tbl._replay(v)
+    assert after["dvs"] == []  # vector materialized and dropped
+    rec = json.loads((tbl.log_path / f"{str(v).zfill(20)}.json").read_text())
+    removed = {r.rsplit("/", 1)[-1] for r in rec["remove"]}
+    assert removed == covered  # ONLY the covered file rewrote
+    untouched = {f for f in before if f.rsplit("/", 1)[-1] not in covered}
+    assert untouched <= set(after["files"])  # others keep their paths
+    assert _ids(tbl.snapshot(spark)) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="no live deletion vectors"):
+        tbl.compact(spark, purge_dvs=True)
