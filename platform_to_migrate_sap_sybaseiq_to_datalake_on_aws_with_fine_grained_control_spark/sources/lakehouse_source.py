@@ -683,7 +683,9 @@ class LakehouseDataSource(DataSource):
     """``format("lakehouse")`` — see module docstring.
 
     Options: ``path`` (table dir; or pass to ``load()``), ``version``
-    (batch time travel), ``startingVersion`` (stream: first delivered
+    (batch time travel), ``timestampAsOf`` (batch time travel by ISO
+    timestamp — resolved to the last commit at or before it; mutually
+    exclusive with ``version``), ``startingVersion`` (stream: first delivered
     commit is startingVersion+1; default 0 = the whole table as the
     initial batch), ``skipChangeCommits`` (stream read: skip
     unrepresentable data changes instead of raising),
@@ -717,10 +719,18 @@ class LakehouseDataSource(DataSource):
         to an old schema."""
         v = getattr(self, "_resolved_version", None)
         if v is None:
-            v = int(
-                self.options.get("version")
-                or TransactionLog(self._path()).latest_version()
-            )
+            ts = self.options.get("timestampasof")
+            if ts and self.options.get("version"):
+                raise ValueError(
+                    "version and timestampAsOf are mutually exclusive"
+                )
+            if ts:
+                v = TransactionLog(self._path()).version_at_timestamp(ts)
+            else:
+                v = int(
+                    self.options.get("version")
+                    or TransactionLog(self._path()).latest_version()
+                )
             self._resolved_version = v
         return v
 

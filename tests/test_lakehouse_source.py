@@ -443,3 +443,29 @@ def test_max_files_per_trigger_end_to_end(spark, tbl, tmp_path):
     assert seen == [2, 4, 6, 8]  # one 2-file commit per run, no replays
     got = spark.read.format("lakehouse").load(str(dst.table_path))
     assert _rows(got) == _rows(tbl.snapshot(spark))
+
+
+def test_batch_read_timestamp_as_of(spark, tbl):
+    """timestampAsOf resolves to the last commit at or before the ISO
+    timestamp — including schema: the read describes THAT version."""
+    import json as _json
+
+    tbl.append(_df(spark, [(1, 1, "2024")]), ["year"])
+    ts_v1 = _json.loads(
+        (tbl.log_path / f"{str(1).zfill(20)}.json").read_text()
+    )["ts"]
+    tbl.append(_df(spark, [(2, 2, "2024")]))
+    got = (
+        spark.read.format("lakehouse")
+        .option("timestampAsOf", ts_v1)
+        .load(str(tbl.table_path))
+    )
+    assert _rows(got) == [(1, 1, "2024")]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("lakehouse")
+            .option("timestampAsOf", ts_v1)
+            .option("version", "2")
+            .load(str(tbl.table_path))
+            .collect()
+        )
