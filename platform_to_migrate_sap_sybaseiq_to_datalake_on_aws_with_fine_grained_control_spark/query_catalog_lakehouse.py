@@ -1576,3 +1576,71 @@ def acid_update_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p"), 2).alias("total_price"),
     )
     return latest.unionByName(cdf_rows).unionByName(mor).unionByName(after)
+
+
+@register(
+    "acid_purge_dvs_orders",
+    """
+WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS p,
+                     o_orderpriority
+              FROM orders WHERE o_orderstatus = 'F'),
+kept AS (SELECT * FROM base
+         WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0))
+SELECT 'latest' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM kept
+UNION ALL
+SELECT 'vectors_dropped', CAST(0 AS BIGINT), 0.0
+UNION ALL
+SELECT 'scoped_rewrite', CAST(1 AS BIGINT), 0.0
+""",
+    doc="REORG APPLY (PURGE): a merge-on-read DELETE (deletion-vector "
+    "sidecar, zero rewrites) followed by compact(purge_dvs=True), "
+    "which rewrites EXACTLY the vector-covered files — 'latest' "
+    "proves the purged snapshot equals the logical state (vectors "
+    "materialized with values intact), 'vectors_dropped' reads the "
+    "post-purge state (0 live DV entries, else the row reports the "
+    "count), 'scoped_rewrite' is 1 only when the purge commit's "
+    "remove set == the covered basenames AND is a strict subset of "
+    "the table's files (the untouched partitions kept their paths). "
+    "The deferred-rewrite bill for merge-on-read DML, paid without "
+    "touching the other 99% of a 100 TB table.",
+)
+def acid_purge_dvs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-purge-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).drop("o_orderstatus")
+    t.append(base, ["o_orderpriority"])
+    n_files = len(t._replay(1)["files"])
+    dv_v = t.delete_where(
+        spark,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0",
+        mode="dv",
+    )
+    covered = {
+        b
+        for d in t._replay(dv_v)["dvs"]
+        for b in d["files"]
+    }
+    purge_v = t.compact(spark, purge_dvs=True)
+    rec = _json.loads(
+        (t.log_path / f"{str(purge_v).zfill(20)}.json").read_text()
+    )
+    removed = {r.rsplit("/", 1)[-1] for r in rec["remove"]}
+    scoped = int(removed == covered and 0 < len(covered) < n_files)
+    latest = t.snapshot(spark).agg(
+        F.lit("latest").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )
+    after = t._replay(purge_v)
+    meta = spark.createDataFrame(
+        [
+            ("vectors_dropped", len(after["dvs"]), 0.0),
+            ("scoped_rewrite", scoped, 0.0),
+        ],
+        "snap string, n_orders bigint, total_price double",
+    )
+    return latest.unionByName(meta)
