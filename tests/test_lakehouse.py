@@ -700,6 +700,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
             st.tuples(st.just("delete_dv"), st.integers(2, 5)),
             st.tuples(st.just("overwrite"), st.integers(1, 3)),
             st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("purge_dvs"), st.just(0)),
             st.tuples(st.just("restore"), st.integers(1, 6)),
             st.tuples(st.just("rename"), st.just(0)),
             st.tuples(st.just("drop_readd"), st.just(0)),
@@ -878,6 +879,15 @@ def test_log_state_machine_random_ops(spark, tmp_path):
                 )["files"]:
                     continue
                 v = t.compact(spark)
+            elif op == "purge_dvs":
+                # REORG APPLY (PURGE): only when live vectors exist;
+                # rewrites their covered files, model unchanged
+                if not t.latest_version() or not t._replay(
+                    t.latest_version()
+                )["dvs"]:
+                    continue
+                v = t.compact(spark, purge_dvs=True)
+                assert t._replay(v)["dvs"] == []
             elif op == "restore":
                 # only restore to versions where the value column
                 # exists (drop-gap targets would need schema surgery
