@@ -2841,3 +2841,21 @@ def test_compact_purge_dvs_rewrites_only_covered_files(spark, tbl):
 
     with pytest.raises(ValueError, match="no live deletion vectors"):
         tbl.compact(spark, purge_dvs=True)
+
+
+def test_vacuum_sweeps_purged_dv_sidecars(spark, tbl):
+    """After a purge the vector sidecars are referenced by no retained
+    version; vacuum must sweep them (and must NOT while a retained
+    snapshot still reads through them)."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+    tbl.delete_where(spark, "id = 1", mode="dv")
+    dv_files = [d["path"] for d in tbl._replay(2)["dvs"]]
+    assert dv_files
+    tbl.compact(spark, purge_dvs=True)  # v3: vectors materialized
+    # v2 retained -> its vector must survive the sweep
+    kept = tbl.vacuum(retain_versions=2, min_age_s=0)
+    assert not set(dv_files) & set(kept)
+    # only v3 retained -> the sidecar is garbage now
+    swept = tbl.vacuum(retain_versions=1, min_age_s=0)
+    assert set(dv_files) <= set(swept)
+    assert _ids(tbl.snapshot(spark)) == [2]
