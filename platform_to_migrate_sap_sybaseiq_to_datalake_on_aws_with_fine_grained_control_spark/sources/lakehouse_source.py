@@ -326,6 +326,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         read_change_feed: bool = False,
         rename: dict | None = None,
         max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,
     ):
         self.path = path
         self.schema = schema
@@ -337,6 +338,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # in the stream regardless of when their logical names changed
         self.rename = rename or {}
         self.max_files_per_trigger = max_files_per_trigger
+        self.max_bytes_per_trigger = max_bytes_per_trigger
         # rate-limit cursor: the last offset this reader handed out.
         # Restart-safe: a fresh reader starts at starting_version and
         # partitions() re-syncs it forward to the checkpointed end, so
@@ -350,31 +352,42 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         log = TransactionLog(self.path)
         latest = log.latest_version()
-        if self.max_files_per_trigger is None or latest <= self._cursor:
+        unlimited = (
+            self.max_files_per_trigger is None
+            and self.max_bytes_per_trigger is None
+        )
+        if unlimited or latest <= self._cursor:
             self._cursor = max(self._cursor, latest)
             return {"version": latest}
-        # admission control (the published maxFilesPerTrigger design,
-        # discretized to COMMIT granularity — a commit is the atomic
-        # delivery unit here, so a single commit larger than the cap
-        # is still admitted whole, always >= 1 commit per trigger):
-        # advance the offset only while the accumulated file/sidecar
-        # count stays within budget, so a backfill from version 0 of a
-        # 10^5-commit table becomes bounded micro-batches instead of
-        # one batch reading the entire table.
-        end, budget = self._cursor, self.max_files_per_trigger
+        # admission control (the published maxFilesPerTrigger /
+        # maxBytesPerTrigger design, discretized to COMMIT granularity
+        # — a commit is the atomic delivery unit here, so a single
+        # commit larger than the cap is still admitted whole, always
+        # >= 1 commit per trigger): advance the offset only while the
+        # accumulated file/sidecar count AND byte size stay within
+        # budget, so a backfill from version 0 of a 10^5-commit table
+        # becomes bounded micro-batches instead of one batch reading
+        # the entire table.
+        end = self._cursor
+        f_budget = self.max_files_per_trigger or float("inf")
+        b_budget = self.max_bytes_per_trigger or float("inf")
         while end < latest:
             rec = log._read_commit(end + 1)
             if not rec.get("dataChange", True):
-                n = 0
+                n, size = 0, 0
             elif self.read_change_feed and rec.get("cdf") is not None:
                 n = len(rec["cdf"])
+                size = sum(c.get("size") or 0 for c in rec["cdf"])
             else:
-                n = len(rec.get("add") or [])
-            if end > self._cursor and n > budget:
+                adds = rec.get("add") or []
+                n = len(adds)
+                size = sum(a.get("size") or 0 for a in adds)
+            if end > self._cursor and (n > f_budget or size > b_budget):
                 break
             end += 1
-            budget -= n
-            if budget <= 0:
+            f_budget -= n
+            b_budget -= size
+            if f_budget <= 0 or b_budget <= 0:
                 break
         self._cursor = end
         return {"version": end}
@@ -695,7 +708,9 @@ class LakehouseDataSource(DataSource):
     inserts, only overwrite/restore raise), ``maxFilesPerTrigger``
     (stream read: admission control — each micro-batch advances only
     through as many commits as fit the file budget, commit-granular,
-    always >= 1 commit per trigger), ``partitionKeys`` (stream write,
+    always >= 1 commit per trigger), ``maxBytesPerTrigger`` (same,
+    budgeted on committed file sizes; composable — the tighter budget
+    wins), ``partitionKeys`` (stream write,
     comma-separated), ``txnAppId`` (stream write: idempotent-commit
     identity)."""
 
@@ -768,6 +783,11 @@ class LakehouseDataSource(DataSource):
             max_files_per_trigger=(
                 int(self.options["maxfilespertrigger"])
                 if self.options.get("maxfilespertrigger")
+                else None
+            ),
+            max_bytes_per_trigger=(
+                int(self.options["maxbytespertrigger"])
+                if self.options.get("maxbytespertrigger")
                 else None
             ),
         )

@@ -469,3 +469,36 @@ def test_batch_read_timestamp_as_of(spark, tbl):
             .load(str(tbl.table_path))
             .collect()
         )
+
+
+def test_max_bytes_per_trigger_admission(spark, tbl):
+    """Byte-budgeted offsets: each commit's admitted size comes from
+    the committed add actions; an over-budget single commit is still
+    admitted whole, and the files/bytes budgets compose (tighter wins)."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.lakehouse_source import (
+        LakehouseStreamReader,
+    )
+
+    for i in range(4):
+        tbl.append(
+            _df(spark, [(2 * i, i, "2024"), (2 * i + 1, i, "2025")]),
+            ["year"] if i == 0 else None,
+        )
+    per_commit = sum(
+        a["size"]
+        for a in TransactionLog(tbl.table_path)._read_commit(1)["add"]
+    )
+    schema = spark.read.format("lakehouse").load(str(tbl.table_path)).schema
+    # budget ~= 1.5 commits of bytes -> 1 commit per trigger after the
+    # first admission exhausts most of it
+    r = LakehouseStreamReader(
+        str(tbl.table_path), schema, 0, False,
+        max_bytes_per_trigger=int(per_commit * 1.5),
+    )
+    assert [r.latestOffset()["version"] for _ in range(4)] == [1, 2, 3, 4]
+    # byte budget generous, file budget tight -> file budget governs
+    r2 = LakehouseStreamReader(
+        str(tbl.table_path), schema, 0, False,
+        max_files_per_trigger=2, max_bytes_per_trigger=10**9,
+    )
+    assert r2.latestOffset()["version"] == 1  # 2 files = first commit
