@@ -2859,3 +2859,90 @@ def test_vacuum_sweeps_purged_dv_sidecars(spark, tbl):
     swept = tbl.vacuum(retain_versions=1, min_age_s=0)
     assert set(dv_files) <= set(swept)
     assert _ids(tbl.snapshot(spark)) == [2]
+
+
+def test_cross_process_disjoint_deletes_both_commit(spark, tmp_path):
+    """The disjoint-footprint rebase proven across REAL driver
+    processes: two JVMs, synchronized start, each deleting its OWN
+    partition of one table.  Both must commit WITHOUT surfacing
+    ConcurrentCommitError to the caller (the loser rebases inside
+    _commit_rmw), versions gapless, final state = both deletions."""
+    import subprocess
+    import sys
+    import time
+
+    table = tmp_path / "xdel"
+    seed = _df(
+        spark,
+        [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2025"), (4, "d", "2025")],
+    )
+    TransactionLog(table).append(seed, ["year"])
+    worker = tmp_path / "worker.py"
+    repo = str(tbl_repo_root())
+    worker.write_text(
+        f"""
+import json, sys, time
+from pathlib import Path
+
+sys.path.insert(0, {repo!r})
+tag, year = sys.argv[1], sys.argv[2]
+table, barrier = {str(table)!r}, {str(tmp_path / "go")!r}
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("xdel-" + tag)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+    TransactionLog,
+)
+
+log = TransactionLog(table)
+Path(barrier + "-ready-" + tag).write_text("")
+while not Path(barrier).exists():
+    time.sleep(0.02)
+try:
+    v = log.delete_where(spark, "year = '" + year + "'")
+    out = {{"version": v}}
+except Exception as e:  # noqa: BLE001 — recorded for the assert
+    out = {{"error": type(e).__name__ + ": " + str(e)[:200]}}
+Path(table + "-" + tag + ".json").write_text(json.dumps(out))
+spark.stop()
+"""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), tag, year],
+            cwd=str(tmp_path),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for tag, year in (("a", "2024"), ("b", "2025"))
+    ]
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        (tmp_path / f"go-ready-{t}").exists() for t in ("a", "b")
+    ):
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.1)
+    (tmp_path / "go").write_text("")
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    import json as _json
+
+    results = {
+        t: _json.loads((tmp_path / f"xdel-{t}.json").read_text())
+        for t in ("a", "b")
+    }
+    assert all("version" in r for r in results.values()), results
+    assert sorted(r["version"] for r in results.values()) == [2, 3], results
+    t = TransactionLog(table)
+    assert t.latest_version() == 3
+    assert _ids(t.snapshot(spark)) == []  # both partitions deleted
