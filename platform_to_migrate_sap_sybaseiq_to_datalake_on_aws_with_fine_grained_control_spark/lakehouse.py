@@ -494,6 +494,29 @@ def _prune_files(
     return out
 
 
+def _render_bound_literal(v) -> str | None:
+    """Render a min/max key bound as a SQL literal in the exact grammar
+    ``_parse_literal`` reads back (numbers bare, strings ''-escaped,
+    date/timestamp in the same ISO forms ``_stats_jsonable`` stores, so
+    string comparison stays chronological).  ``None`` = the type has no
+    sound stats comparison — the caller must not narrow on it."""
+    if isinstance(v, bool):
+        return None  # a 2-value domain prunes nothing; keep strict
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return "TIMESTAMP '" + v.isoformat(sep=" ").replace("'", "''") + "'"
+    if isinstance(v, _dt.date):
+        return "DATE '" + v.isoformat() + "'"
+    return None
+
+
 def _bloom_build(values, fpp: float) -> dict | None:
     """Per-file Bloom filter over a column's values (the published
     Delta bloom-filter-index design): md5 double-hashing into an
@@ -626,7 +649,16 @@ class TransactionLog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        state = self._replay(version, use_checkpoint=False)
+        # INCREMENTAL: build this checkpoint from the previous one plus
+        # the ≤interval tail commits (use_checkpoint=True).  A from-
+        # scratch replay here would make every checkpoint write walk
+        # the whole log — O(commits²) over the table's life, a dealbreaker
+        # at the 10^5-commit logs the replay bench pins.  Chaining is
+        # sound because the checkpoint carries EVERY field _replay
+        # tracks (the full-map/monotone state machine), so
+        # state(ckpt_{n-1} + tail) == state(full walk) — asserted by
+        # the checkpoint-equivalence tests.
+        state = self._replay(version)
         meta = {
             "version": version,
             "schema": state["schema"],
@@ -715,29 +747,46 @@ class TransactionLog:
         extras = (
             t.column("extra").to_pylist()
             if "extra" in t.column_names
-            else [None] * t.num_rows
+            else None
         )
+        # BATCH-parse the per-row JSON cells: one json.loads over a
+        # stitched array instead of 10^6 small calls — at the
+        # million-add checkpoints the replay bench pins, per-row loads
+        # dominate the cold-snapshot path (a Python-loop cost the
+        # columnar checkpoint exists to avoid)
+        pvs = json.loads(
+            "[" + ",".join(t.column("partition_values").to_pylist()) + "]"
+        ) if t.num_rows else []
+        stats = json.loads(
+            "[" + ",".join(t.column("stats").to_pylist()) + "]"
+        ) if t.num_rows else []
+        if extras is not None and t.num_rows:
+            ex = json.loads(
+                "[" + ",".join(x if x else "{}" for x in extras) + "]"
+            )
+        else:
+            ex = [None] * t.num_rows
         out: list[tuple[str, dict]] = []
-        for path, size, rows, base, pv, stats, extra in zip(
+        for path, size, rows, base, pv, st, extra in zip(
             t.column("path").to_pylist(),
             t.column("size").to_pylist(),
             t.column("rows").to_pylist(),
             t.column("base").to_pylist(),
-            t.column("partition_values").to_pylist(),
-            t.column("stats").to_pylist(),
-            extras,
+            pvs,
+            stats,
+            ex,
         ):
             e: dict = {
                 "path": path,
                 "size": size,
                 "rows": rows,
-                "partition_values": json.loads(pv),
-                "stats": json.loads(stats),
+                "partition_values": pv,
+                "stats": st,
             }
             if base is not None:
                 e["base"] = base
             if extra:
-                e.update(json.loads(extra))
+                e.update(extra)
             out.append((path, e))
         return out
 
@@ -2365,6 +2414,54 @@ class TransactionLog:
         hit = {r["_fn"] for r in hit_df.select("_fn").distinct().collect()}
         return [rel for rel in state["files"] if rel.rsplit("/", 1)[-1] in hit]
 
+    def _key_read_surface(
+        self, source: DataFrame, keys: list[str], state: dict
+    ) -> set[str] | None:
+        """MERGE read surface from the source's equi-key bounds
+        (VERDICT r7 item 4): a merge with no by-source clause reads the
+        target only through its join keys, so every file whose
+        key-column stats/partition values do NOT intersect the source's
+        ``[min, max]`` per key is provably outside the transaction's
+        read set.  Declaring that surface lets disjoint partition-
+        scoped merge pipelines commit concurrently via
+        :meth:`_commit_rmw`'s disjoint-rewrite rebase instead of
+        serializing — the same ``_prune_files`` skipping the merge's
+        remove set already relies on, so the surface is a sound
+        over-approximation by construction (missing stats ⇒ the file
+        stays in).
+
+        Returns basenames, or ``None`` when a key's bound type is not
+        expressible in the stats grammar (caller keeps table-wide
+        strict conflict detection).  An all-NULL key column means the
+        equi-join can match nothing: empty surface.  Cost: one min/max
+        aggregate over the source — O(keys) driver data, no target
+        scan.
+        """
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for k in keys:
+            aggs.append(F.min(F.col(k)).alias(f"_lo_{k}"))
+            aggs.append(F.max(F.col(k)).alias(f"_hi_{k}"))
+        row = source.agg(*aggs).first()
+        atoms = []
+        for k in keys:
+            lo, hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
+            if lo is None or hi is None:
+                # min/max skip NULLs: no source row carries this key
+                # column ⇒ the equi-join matches no target row at all
+                return set()
+            lo_lit = _render_bound_literal(lo)
+            hi_lit = _render_bound_literal(hi)
+            if lo_lit is None or hi_lit is None:
+                return None
+            atoms.append(f"{k} BETWEEN {lo_lit} AND {hi_lit}")
+        if not atoms:
+            return None
+        surface = _prune_files(
+            state["files"], " AND ".join(atoms), state["column_mapping"]
+        )
+        return {rel.rsplit("/", 1)[-1] for rel in surface}
 
     def merge_upsert(
         self, source: DataFrame, keys: list[str], evolve_schema: bool = False
@@ -2452,6 +2549,15 @@ class TransactionLog:
                 )
             source = source.select(*[f.name for f in existing.fields])
 
+        # equi-key read surface (skipped for schema evolution — that
+        # changes the table contract, where strict serialization is the
+        # honest answer; _commit_rmw's schema-equality gate would block
+        # the rebase anyway)
+        read_surface = (
+            None
+            if evolve_schema
+            else self._key_read_surface(source, keys, state)
+        )
         tbl = self._read_files(
             spark := source.sparkSession, state, with_file_info=True
         )
@@ -2537,7 +2643,9 @@ class TransactionLog:
                 r["identity"] = new_identity
             return r
 
-        return self._commit_rmw(read_v, rec, "merge")
+        return self._commit_rmw(
+            read_v, rec, "merge", read_files=read_surface
+        )
 
     def merge(
         self,
@@ -2686,6 +2794,14 @@ class TransactionLog:
 
         mapping = dict(state["column_mapping"])
         part_keys = state["partition_keys"]
+        # matched/not-matched decisions read the target ONLY through
+        # the equi-keys, so without by-source clauses (which inspect
+        # every target row by definition) the read surface narrows to
+        # the source's key bounds — disjoint-key merges then commit
+        # concurrently through _commit_rmw's disjoint-rewrite rebase
+        read_surface = (
+            None if wnmbs else self._key_read_surface(source, keys, state)
+        )
         tbl = self._read_files(spark, state, with_file_info=True)
         src_keys = F.broadcast(source.select(*keys).distinct())
         # matched-key detection (a key-pruned semi-join scan) is needed
@@ -2974,7 +3090,9 @@ class TransactionLog:
                 r["identity"] = new_identity
             return r
 
-        return self._commit_rmw(read_v, rec, "merge")
+        return self._commit_rmw(
+            read_v, rec, "merge", read_files=read_surface
+        )
 
     def update_where(
         self,

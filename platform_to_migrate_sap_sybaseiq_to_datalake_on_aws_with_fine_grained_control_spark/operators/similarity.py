@@ -48,6 +48,9 @@ __all__ = [
     "lsh_multiprobe_topk",
     "with_multiprobe_buckets",
     "kmeans_centroids",
+    "kmeans_centroids_grouped",
+    "md5_sample",
+    "semantic_dedup_two_level",
     "ivf_topk",
     "label_centroids",
     "embedding_neardup_pairs",
@@ -934,16 +937,7 @@ def semantic_dedup(
     if codebook is None:
         train = corpus
         if train_sample is not None:
-            train = (
-                corpus.select(
-                    id_col,
-                    vec_col,
-                    F.md5(F.col(id_col).cast("string")).alias("_seed"),
-                )
-                .orderBy(F.col("_seed").asc(), F.col(id_col).asc())
-                .limit(train_sample)
-                .drop("_seed")
-            )
+            train = md5_sample(corpus, id_col, vec_col, train_sample)
         codebook = kmeans_centroids(
             train, id_col, vec_col, k=k, iters=iters
         )
@@ -975,6 +969,15 @@ def semantic_dedup(
             F.round(F.col("_m.cos_c"), 6).alias("cent_cos"),
         )
     )
+    return _keep_outlier(assigned, id_col, tau)
+
+
+def _keep_outlier(assigned: DataFrame, id_col: str, tau: float) -> DataFrame:
+    """The SemDeDup keep-the-outlier decision over an ``assigned``
+    frame ``(_id, cid, _v, _vn, cent_cos)``: within each cluster
+    (equi-join on ``cid`` — never corpus-wide), drop every vector with
+    a 6-dp-rounded-cosine >= ``tau`` neighbor that is MORE central
+    (higher ``cent_cos``; ties break to the lowest id)."""
     a = assigned.select(
         F.col("_id").alias("id_a"),
         F.col("cid"),
@@ -1016,3 +1019,240 @@ def semantic_dedup(
             (~F.coalesce(F.col("_dup"), F.lit(False))).alias("kept"),
         )
     )
+
+
+def md5_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """The ``n`` corpus vectors with the smallest ``md5(id)`` —
+    deterministic, engine-independent train sample (selected via
+    ``orderBy().limit(n)`` = TakeOrderedAndProject, no global window)."""
+    return (
+        corpus.select(
+            id_col,
+            vec_col,
+            F.md5(F.col(id_col).cast("string")).alias("_seed"),
+        )
+        .orderBy(F.col("_seed").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_seed")
+    )
+
+
+def kmeans_centroids_grouped(
+    members: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 3,
+    decimals: int = 6,
+    fallback: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group deterministic Lloyd's k-means: an independent ``k``-
+    centroid codebook inside EVERY group, trained in one shared set of
+    jobs (the group key just rides along).  This is the fine level of
+    a hierarchical (IVF-style) quantizer: the coarse level splits the
+    corpus into cells, this trains ``k`` sub-centroids per cell, and
+    assignment probes coarse-then-fine — ``O(k1 + k2)`` centroid
+    scores per vector instead of ``O(k1 x k2)``.
+
+    Determinism levers are the grouped analogs of
+    :func:`kmeans_centroids`: seeds = the ``<=k`` members of each group
+    with the smallest ``md5(id)`` (``scid`` = that rank - 1);
+    assignment = nearest sub-centroid WITHIN the member's own group
+    (members never migrate between groups), lowest-``scid`` tiebreak,
+    computed as a map-side-combining ``max_by``; update = per-dim mean
+    rounded to ``decimals``; fixed iteration count; empty
+    ``(group, scid)`` slots keep their previous centroid.
+
+    ``fallback``: a ``(group_col, centroid)`` frame (e.g. the coarse
+    codebook) providing a single ``scid=0`` centroid for groups with
+    NO members — without it, corpus vectors coarse-assigned to a
+    member-less cell would silently vanish from the fine join.
+
+    Returns ``(group_col, scid, centroid)``.
+    """
+    base = members.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).withColumn("_vn", F.expr(norm_expr("_v")))
+    w_seed = Window.partitionBy("_g").orderBy(
+        F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc()
+    )
+    cents = (
+        base.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "_g",
+            (F.col("_rn") - 1).cast("int").alias("scid"),
+            F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("centroid"),
+        )
+    )
+    if fallback is not None:
+        orphan = (
+            fallback.select(
+                F.col(fallback.columns[0]).alias("_g"), "centroid"
+            )
+            .join(cents.select("_g").distinct(), "_g", "left_anti")
+            .select(
+                "_g",
+                F.lit(0).cast("int").alias("scid"),
+                F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias(
+                    "centroid"
+                ),
+            )
+        )
+        cents = cents.unionByName(orphan)
+    cents = cents.withColumn(
+        "_cn", F.expr(norm_expr("centroid"))
+    ).localCheckpoint()
+    for _ in range(iters):
+        scored = base.join(F.broadcast(cents), "_g").withColumn(
+            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
+        )
+        ord_ = F.struct(F.col("cos_c"), (-F.col("scid")).alias("_ns"))
+        assigned = (
+            scored.groupBy("_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("_g"), F.col("scid"), F.col("_v")), ord_
+                ).alias("_m")
+            )
+            .select(
+                F.col("_m._g").alias("_g"),
+                F.col("_m.scid").alias("scid"),
+                F.col("_m._v").alias("_v"),
+            )
+        )
+        new_cents = (
+            assigned.select("_g", "scid", F.posexplode("_v").alias("pos", "v"))
+            .groupBy("_g", "scid", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("c"))
+            .groupBy("_g", "scid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(new_cents, ["_g", "scid"], "left")
+            .select(
+                "_g", "scid", F.coalesce("_new", "centroid").alias("centroid")
+            )
+            .withColumn("_cn", F.expr(norm_expr("centroid")))
+            .localCheckpoint()
+        )
+    return cents.drop("_cn").withColumnRenamed("_g", group_col)
+
+
+def _argmax_centroid(
+    df: DataFrame,
+    cents: DataFrame,
+    cid_col: str,
+    join_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid argmax as a map-side-combining aggregation:
+    ``df (_id, _v, _vn, [join_col])`` x broadcast ``cents (cid_col,
+    centroid, _cn, [join_col])`` -> one row per vector with the
+    winning ``cid_col`` and its UNROUNDED ``cos_c``.  Tiebreak =
+    lowest ``cid_col``.  With ``join_col`` the scoring is an equi-join
+    (probe-pruned: only that cell's centroids are scored, and the
+    cell key rides through the payload); without it, a broadcast
+    cross join over the whole codebook."""
+    if join_col is not None:
+        scored = df.join(F.broadcast(cents), join_col)
+    else:
+        scored = df.crossJoin(F.broadcast(cents))
+    scored = scored.withColumn(
+        "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
+    )
+    extra = [join_col] if join_col is not None else []
+    ord_ = F.struct(F.col("cos_c"), (-F.col(cid_col)).alias("_nc"))
+    payload = F.struct(
+        F.col(cid_col), F.col("_v"), F.col("_vn"), F.col("cos_c"),
+        *[F.col(c) for c in extra],
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.max_by(payload, ord_).alias("_m"))
+        .select(
+            "_id",
+            F.col(f"_m.{cid_col}").alias(cid_col),
+            F.col("_m._v").alias("_v"),
+            F.col("_m._vn").alias("_vn"),
+            F.col("_m.cos_c").alias("cos_c"),
+            *[F.col(f"_m.{c}").alias(c) for c in extra],
+        )
+    )
+
+
+def semantic_dedup_two_level(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 3,
+    tau: float = 0.5,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """SemDeDup with a hierarchical (coarse -> fine) quantizer — the
+    100 TB form of :func:`semantic_dedup`.
+
+    Why two levels: SemDeDup's pair pass is linear in N only if the
+    cluster width stays FIXED as the corpus grows, which forces the
+    cluster count k to grow ~N — and then single-level nearest-
+    centroid assignment (N x k scores) is the new quadratic term.
+    Hierarchy splits k into k1 coarse cells x k2 sub-centroids each:
+    train is two capped-sample Lloyd's runs (coarse over the sample,
+    then per-cell fine via :func:`kmeans_centroids_grouped`), and
+    full-corpus assignment scores k1 + k2 centroids per vector
+    (coarse argmax, then fine argmax probe-pruned to the winning
+    cell) — every stage is O(N · (k1 + k2)) with k1 ≈ k2 ≈ √k, and the
+    pair pass stays O(N · cluster_width).  This is the IVF probe
+    topology of :func:`ivf_topk` applied to the quantizer itself.
+
+    Fully deterministic (md5 seeds, fixed iterations, 6-dp rounding,
+    lowest-id tiebreaks) so a DuckDB oracle reproduces the keep
+    decision bit-for-bit.  Output schema matches
+    :func:`semantic_dedup`: ``(id, cid, cent_cos, kept)`` with
+    ``cid = coarse_cid * k2 + sub_cid`` (bigint).
+    """
+    train = corpus
+    if train_sample is not None:
+        train = md5_sample(corpus, id_col, vec_col, train_sample)
+    coarse = kmeans_centroids(train, id_col, vec_col, k=k1, iters=iters)
+    coarse_b = F.broadcast(
+        coarse.withColumn("_cn", F.expr(norm_expr("centroid")))
+    )
+    tbase = train.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_vn", F.expr(norm_expr("_v")))
+    t_assigned = _argmax_centroid(tbase, coarse_b, "cid").select(
+        F.col("cid").alias("ccid"), F.col("_id"), F.col("_v")
+    )
+    fine = kmeans_centroids_grouped(
+        t_assigned, "ccid", "_id", "_v", k=k2, iters=iters,
+        fallback=coarse.select(F.col("cid").alias("ccid"), "centroid"),
+    )
+    fine_b = F.broadcast(fine.withColumn("_cn", F.expr(norm_expr("centroid"))))
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_vn", F.expr(norm_expr("_v")))
+    casg = _argmax_centroid(base, coarse_b, "cid").select(
+        "_id", "_v", "_vn", F.col("cid").alias("ccid")
+    )
+    fasg = _argmax_centroid(casg, fine_b, "scid", join_col="ccid")
+    assigned = fasg.select(
+        "_id",
+        (
+            F.col("ccid").cast("bigint") * F.lit(k2) + F.col("scid")
+        ).alias("cid"),
+        "_v",
+        "_vn",
+        F.round(F.col("cos_c"), 6).alias("cent_cos"),
+    )
+    return _keep_outlier(assigned, id_col, tau)

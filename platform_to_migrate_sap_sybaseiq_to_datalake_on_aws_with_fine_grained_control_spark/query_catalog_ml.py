@@ -772,6 +772,52 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_decode_jpeg_meta",
+    _values_oracle(
+        [(i, "jpeg", *synthetic_image_dims(i)) for i in range(8)],
+        [
+            ("asset_id", "BIGINT"),
+            ("format", "VARCHAR"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+        ],
+    ),
+    doc="JPEG-bytes-in-a-binary-column metadata decode (closes the "
+    "metadata half of the r7 JPEG gap): real baseline JPEGs are "
+    "encoded JVM-side (javax.imageio), loaded as a BINARY COLUMN via "
+    "the binaryFile source, and their dims parsed by the dependency-"
+    "free SOF marker walk (operators.multimodal.jpeg_parse_meta) "
+    "inside the same Arrow-batched mapInPandas kernel as the PNG "
+    "tier. Golden oracle = the generator SPEC dims, so the "
+    "encode→decode round trip is what's verified. Pixel decode stays "
+    "Pillow-gated (decode_jpeg_pixels; import probe 2026-08-15: "
+    "absent here).",
+)
+def mm_decode_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.multimodal import write_jpeg_fixtures
+
+    out_dir = tempfile.mkdtemp(prefix="mm-jpeg-")
+    write_jpeg_fixtures(spark, out_dir, n=8)
+    assets = (
+        spark.read.format("binaryFile")
+        .load(out_dir + "/*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"img-(\d+)\.jpg", 1)
+            .cast("bigint")
+            .alias("asset_id"),
+            F.lit("image").alias("media_type"),
+            F.col("content").alias("payload"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.col("path").alias("source_uri"),
+        )
+    )
+    meta = decode_image_meta(assets)
+    return meta.select("asset_id", "format", "width", "height")
+
+
 def _mm_features_golden() -> list[tuple]:
     # micro-scaled ints: feature values are exact-6dp doubles, so
     # round(v*1e6) is integral in both engines (no float formatting)
@@ -1527,39 +1573,61 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SFs (max true pair cosine is ~0.48 at sf0.001 / ~0.51 at sf0.01 on
 #: the current corpus); production corpora would run ~0.95+
 SEMDEDUP_TAU = 0.35
-#: corpus-adaptive cluster count k = max(8, floor(sqrt(N/8))): the
-#: within-cluster pairwise pass is quadratic in cluster size, so a
-#: FIXED k would be the classic fixed-domain blocking key (25k-wide
-#: clusters at 200k vectors -> 5G pairs); sqrt growth keeps both the
-#: train cost (N*k) and the pair cost (N²/k) sub-quadratic, floor
-#: spelled explicitly because DuckDB CAST(DOUBLE AS BIGINT) rounds
-SEMDEDUP_K_SQL = (
-    "(SELECT greatest(8, CAST(floor(sqrt(count(*) / 8.0)) AS BIGINT)) "
-    "FROM embeddings)"
-)
+#: FIXED target cluster width (VERDICT r7 item 1): the within-cluster
+#: pairwise pass costs N x width, so a bounded width makes it LINEAR
+#: in the corpus — the paper's own regime (it fixes k/N). The r7
+#: policy k = sqrt(N/8) let width grow as sqrt(8N) (pair pass ~N^1.5,
+#: measured 11.4x for 10x data at sf10); the cluster COUNT now grows
+#: as k = N/128 instead, and the new quadratic-in-waiting — single-
+#: level assignment scoring all k centroids per vector — is killed by
+#: a two-level quantizer: k1 = ceil(sqrt(k)) coarse cells x
+#: k2 = ceil(k/k1) sub-centroids, every stage O(N * (k1 + k2)).
+SEMDEDUP_TARGET_CLUSTER = 128
 #: codebook train-sample cap (the paper trains its quantizer on a
-#:  subset too): full corpus at the driver SFs (N <= 25600 there, so
+#: subset too): full corpus at the driver SFs (N <= 25600 there, so
 #: parity is over the exact same computation), clipped at scale where
-#: the N x k train cross-join would otherwise dominate
+#: the train cross-joins would otherwise dominate
 SEMDEDUP_TRAIN_SAMPLE = 25600
+#: (k, k1, k2) as DuckDB scalar expressions — MUST mirror
+#: ``_semdedup_split`` arithmetic exactly (128.0 divisor is a power of
+#: two, so N/128.0 is exact in binary FP; sqrt/ceil both double)
+SEMDEDUP_PK_CTE = """pk AS (
+  SELECT k, k1, CAST(ceil(CAST(k AS DOUBLE) / k1) AS BIGINT) AS k2
+  FROM (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1
+        FROM (SELECT greatest(8, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS k
+              FROM embeddings)))"""
 
 
-def _semdedup_k(n: int) -> int:
+def _semdedup_split(n: int) -> tuple[int, int]:
+    """(k1, k2) for corpus size ``n``: cluster count k = max(8,
+    ceil(n / SEMDEDUP_TARGET_CLUSTER)) split into k1 = ceil(sqrt(k))
+    coarse cells of k2 = ceil(k/k1) sub-centroids.  Bit-parity with
+    ``SEMDEDUP_PK_CTE``."""
     import math
 
-    return max(8, int(math.floor(math.sqrt(n / 8.0))))
+    k = max(8, math.ceil(n / float(SEMDEDUP_TARGET_CLUSTER)))
+    k1 = int(math.ceil(math.sqrt(float(k))))
+    k2 = int(math.ceil(k / k1))
+    return k1, k2
 
 
 def _duck_semdedup_sql(
     iters: int = KMEANS_ITERS, tau: float = SEMDEDUP_TAU
 ) -> str:
-    """SemDeDup oracle: the shared k-means CTE chain (corpus-adaptive
-    k, md5-sampled train corpus), nearest-centroid assignment over the
-    FULL corpus, then the within-cluster keep-the-outlier rule on
-    6-dp-rounded cosines (see ``operators.similarity.semantic_dedup``)."""
+    """Two-level SemDeDup oracle mirroring
+    ``operators.similarity.semantic_dedup_two_level`` decision for
+    decision: md5-sampled train corpus; coarse Lloyd's chain (k1 from
+    ``pk``); sample pinned to coarse cells; per-cell fine Lloyd's
+    (k2 md5-ordered seeds per cell, coarse-centroid fallback for
+    member-less cells, grouped 6-dp-rounded mean updates); full-corpus
+    coarse-then-fine argmax (cid = ccid*k2 + scid); keep-the-outlier
+    on 6-dp-rounded pair cosines."""
     cos_cent = _duck_cos("embedding", "centroid")
+    cos_se = _duck_cos("s.embedding", "c.centroid")
     cos_pair = _duck_cos("a.embedding", "b.embedding")
-    ctes, final = _duck_kmeans_ctes(SEMDEDUP_K_SQL, iters, source="samp")
+    ctes, coarse = _duck_kmeans_ctes(
+        "(SELECT k1 FROM pk)", iters, source="samp"
+    )
     ctes.insert(
         0,
         f"""samp AS (
@@ -1567,12 +1635,66 @@ def _duck_semdedup_sql(
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {SEMDEDUP_TRAIN_SAMPLE})""",
     )
+    ctes.insert(1, SEMDEDUP_PK_CTE)
+    # sample -> coarse cell (pinned for the whole fine train), then the
+    # per-cell fine Lloyd's chain: same unrolled shape as the coarse
+    # chain with (ccid, scid) as the compound key
     ctes.append(
-        f"""asg AS (
-  SELECT vec_id, embedding, cid, round(cos_c, 6) AS cent_cos
-  FROM (SELECT e.vec_id, e.embedding, c.cid, {cos_cent} AS cos_c,
+        f"""sasg AS (
+  SELECT vec_id, embedding, ccid
+  FROM (SELECT s.vec_id, s.embedding, c.cid AS ccid,
+          row_number() OVER (PARTITION BY s.vec_id ORDER BY {cos_se} DESC, c.cid) AS rn
+        FROM samp s CROSS JOIN {coarse} c)
+  WHERE rn = 1),
+fseed AS (
+  SELECT ccid,
+         CAST(row_number() OVER (PARTITION BY ccid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS scid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM sasg
+  QUALIFY row_number() OVER (PARTITION BY ccid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT k2 FROM pk)),
+fcent0 AS (
+  SELECT * FROM fseed
+  UNION ALL
+  SELECT cid AS ccid, CAST(0 AS INTEGER) AS scid, centroid
+  FROM {coarse}
+  WHERE cid NOT IN (SELECT DISTINCT ccid FROM fseed))"""
+    )
+    for t in range(1, iters + 1):
+        prev = f"fcent{t - 1}"
+        ctes.append(
+            f"""fasg{t} AS (
+  SELECT vec_id, embedding, ccid, scid
+  FROM (SELECT s.vec_id, s.embedding, s.ccid, c.scid,
+          row_number() OVER (PARTITION BY s.vec_id ORDER BY {cos_se} DESC, c.scid) AS rn
+        FROM sasg s JOIN {prev} c ON s.ccid = c.ccid)
+  WHERE rn = 1),
+fnew{t} AS (
+  SELECT ccid, scid, list(c ORDER BY pos) AS centroid
+  FROM (SELECT ccid, scid, pos, round(avg(v), 6) AS c
+        FROM (SELECT ccid, scid, unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+              FROM fasg{t})
+        GROUP BY ccid, scid, pos)
+  GROUP BY ccid, scid),
+fcent{t} AS (
+  SELECT p.ccid, p.scid, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN fnew{t} n USING (ccid, scid))"""
+        )
+    fine = f"fcent{iters}"
+    ctes.append(
+        f"""casg AS (
+  SELECT vec_id, embedding, ccid
+  FROM (SELECT e.vec_id, e.embedding, c.cid AS ccid,
           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_cent} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN {final} c)
+        FROM embeddings e CROSS JOIN {coarse} c)
+  WHERE rn = 1),
+asg AS (
+  SELECT vec_id, embedding,
+         (CAST(ccid AS BIGINT) * (SELECT k2 FROM pk) + scid) AS cid,
+         round(cos_c, 6) AS cent_cos
+  FROM (SELECT s.vec_id, s.embedding, s.ccid, c.scid, {cos_se} AS cos_c,
+          row_number() OVER (PARTITION BY s.vec_id ORDER BY {cos_se} DESC, c.scid) AS rn
+        FROM casg s JOIN {fine} c ON s.ccid = c.ccid)
   WHERE rn = 1),
 dropped AS (
   SELECT DISTINCT a.vec_id
@@ -1592,23 +1714,28 @@ FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 @register(
     "dedup_semdedup_embeddings",
     _duck_semdedup_sql(),
-    doc="SemDeDup (Abbas et al. 2023): k-means-cluster the embedding "
-    "space (corpus-adaptive k = max(8, floor(sqrt(N/8))), deterministic "
-    f"Lloyd's), then within each cluster drop every vector with a "
-    f"cosine>={SEMDEDUP_TAU} semantic duplicate that sits FURTHER from "
-    "the centroid (keep-the-outlier rule, lowest-id tiebreak). The "
-    "quadratic pass is confined within clusters (equi-join on cid — "
-    "the paper's own per-cluster design); k grows with the corpus so "
-    "cluster width shrinks relatively (N²/k pair cost). Oracle = the "
-    "identical k-means CTE chain + the same rounded-cosine decision.",
+    doc="SemDeDup (Abbas et al. 2023) with a two-level quantizer: "
+    "cluster count k = max(8, ceil(N/128)) holds cluster WIDTH fixed "
+    "(pair pass linear in N, the paper's own k∝N regime), split into "
+    "k1=ceil(sqrt(k)) coarse cells x k2=ceil(k/k1) fine sub-centroids "
+    "so assignment scores k1+k2 centroids per vector (coarse argmax, "
+    "then probe-pruned fine argmax — the ivf_topk topology applied to "
+    "the quantizer itself). Within each fine cluster drop every "
+    f"vector with a cosine>={SEMDEDUP_TAU} duplicate that sits FURTHER "
+    "from the centroid (keep-the-outlier, lowest-id tiebreak). N comes "
+    "from parquet footer metadata (no counting pass). Oracle = the "
+    "identical hierarchical Lloyd's unrolled into CTEs + the same "
+    "rounded-cosine decision.",
 )
 def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import semantic_dedup
+    from .operators.similarity import semantic_dedup_two_level
+    from .sources.registry import table_row_count
 
     df = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(
+    k1, k2 = _semdedup_split(table_row_count(sf_dir, "embeddings"))
+    return semantic_dedup_two_level(
         df, "vec_id", "embedding",
-        k=_semdedup_k(df.count()), iters=KMEANS_ITERS, tau=SEMDEDUP_TAU,
+        k1=k1, k2=k2, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU,
         train_sample=SEMDEDUP_TRAIN_SAMPLE,
     )
 

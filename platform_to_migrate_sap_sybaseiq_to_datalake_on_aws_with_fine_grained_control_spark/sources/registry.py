@@ -187,6 +187,25 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_parquet(spark, str(Path(sf_dir) / f"{table}.parquet"))
 
 
+def table_row_count(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTER metadata only — no Spark
+    job, no data scan.  Corpus-adaptive operators (e.g. SemDeDup's
+    cluster-count policy) need N before building their plan; a
+    ``df.count()`` there would add a full pass over the table (at
+    100 TB, a pass over the embeddings table just to pick a knob).
+    Footers are O(files) metadata reads — the same information a
+    lakehouse catalog would serve from stats."""
+    import pyarrow.parquet as pq
+
+    p = Path(sf_dir) / f"{table}.parquet"
+    if p.is_dir():
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in sorted(p.rglob("*.parquet"))
+        )
+    return pq.ParquetFile(str(p)).metadata.num_rows
+
+
 @dataclass
 class SourceRegistry:
     """Resolves plan coordinates → DataFrames/views.

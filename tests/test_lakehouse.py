@@ -173,6 +173,33 @@ def test_checkpoint_replay_equals_full_replay(spark, tbl):
     assert _ids(tbl.snapshot(spark, version=2)) == [0, 1]
 
 
+def test_chained_checkpoints_equal_full_replay_mixed_ops(spark, tbl):
+    """Checkpoint writes are INCREMENTAL (previous checkpoint + tail,
+    never a from-scratch log walk — the walk is O(commits²) over a
+    table's life).  Chaining is only sound if every state-machine
+    field survives the checkpoint round-trip, so drive a mixed op
+    sequence (appends, DV delete, constraint, merge, compact) across
+    several checkpoint boundaries at interval=3 and pin
+    checkpointed == full-walk state at the end."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+    tbl.add_check_constraint(spark, "id_pos", "id > 0")  # v2
+    tbl.append(_df(spark, [(3, "c", "2024")]))  # v3 -> ckpt
+    tbl.delete_where(spark, "id = 2", mode="dv")  # v4 (DV state)
+    tbl.merge_upsert(_df(spark, [(3, "C", "2024")]), ["id"])  # v5
+    tbl.append(_df(spark, [(4, "d", "2025")]))  # v6 -> chained ckpt
+    tbl.compact(spark)  # v7
+    v = tbl.append(_df(spark, [(5, "e", "2024")]))  # v8
+    assert v == 8
+    full = tbl._replay(8, use_checkpoint=False)
+    fast = tbl._replay(8, use_checkpoint=True)
+    # the fast path must start from the chained checkpoint, not v1
+    assert tbl._load_checkpoint_at_or_before(8)["version"] == 6
+    for key in full:
+        assert fast[key] == full[key], f"state field {key} diverged"
+    assert sorted(_ids(tbl.snapshot(spark))) == [1, 3, 4, 5]
+    assert {r.v for r in tbl.snapshot(spark).collect()} >= {"C", "e"}
+
+
 def test_vacuum_retention(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
     tbl.append(_df(spark, [(2, "b", "2024")]))
@@ -2750,11 +2777,57 @@ def test_rebased_commit_recomputes_dv_survival(spark, tbl):
     assert live_2025 and live_2025 <= covered  # winner's vector survived
 
 
-def test_merge_stays_conservative_vs_disjoint_rewrite(spark, tbl):
-    """MERGE reads every target row for clause matching (NOT MATCHED
-    BY SOURCE, key discovery), so it declares no read surface and any
-    concurrent rewrite still conflicts — even a disjoint-partition
-    delete, whose removed rows could flip a clause outcome."""
+def test_merge_rebases_over_disjoint_key_rewrite(spark, tbl):
+    """An equi-key MERGE reads the target only through its join keys,
+    so it declares a min/max-key read surface: a concurrent rewrite
+    whose removed files hold no key in the source's range (here a
+    delete of the 2025 partition vs a merge keyed id=1, which lives in
+    2024) is provably invisible to the merge's match decisions and the
+    merge rebases instead of raising — partition-scoped merge
+    pipelines stop serializing (VERDICT r7 item 4)."""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (3, "c", "2025")]), ["year"]
+    )
+    raced = _race_once(
+        tbl,
+        "merge",
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "year = '2025'"
+        ),
+    )
+    v = tbl.merge_upsert(_df(spark, [(1, "A", "2024")]), ["id"])
+    assert raced["done"] and v == 3
+    snap = tbl.snapshot(spark)
+    assert _ids(snap) == [1]  # delete landed
+    assert [r.v for r in snap.collect()] == ["A"]  # merge landed
+
+
+def test_merge_conflicts_on_overlapping_key_range(spark, tbl):
+    """The conflict case still raises: the concurrent delete removed
+    the very file holding the merge's key range, so the merge's read
+    surface intersects the winner's removes and its staged match
+    decisions are stale."""
+    tbl.append(
+        _df(spark, [(1, "a", "2024"), (2, "b", "2024")]).coalesce(1),
+        ["year"],
+    )
+    raced = _race_once(
+        tbl,
+        "merge",
+        lambda: TransactionLog(tbl.table_path).delete_where(
+            spark, "id = 2"
+        ),
+    )
+    with pytest.raises(ConcurrentCommitError, match="merge"):
+        tbl.merge_upsert(_df(spark, [(1, "A", "2024")]), ["id"])
+    assert raced["done"]
+
+
+def test_merge_by_source_clause_stays_strict(spark, tbl):
+    """WHEN NOT MATCHED BY SOURCE inspects EVERY target row (a row
+    acts because no source key matches it), so such a merge declares
+    no read surface and even a disjoint-partition rewrite still
+    conflicts — its removed rows could flip a by-source outcome."""
     tbl.append(
         _df(spark, [(1, "a", "2024"), (3, "c", "2025")]), ["year"]
     )
@@ -2766,7 +2839,12 @@ def test_merge_stays_conservative_vs_disjoint_rewrite(spark, tbl):
         ),
     )
     with pytest.raises(ConcurrentCommitError, match="merge"):
-        tbl.merge_upsert(_df(spark, [(1, "A", "2024")]), ["id"])
+        tbl.merge(
+            _df(spark, [(1, "A", "2024")]),
+            ["id"],
+            when_matched=[{"action": "update", "set": "*", "cond": None}],
+            when_not_matched_by_source=[{"action": "delete", "cond": None}],
+        )
     assert raced["done"]
 
 
@@ -2946,3 +3024,98 @@ spark.stop()
     t = TransactionLog(table)
     assert t.latest_version() == 3
     assert _ids(t.snapshot(spark)) == []  # both partitions deleted
+
+
+def test_cross_process_disjoint_key_merges_both_commit(spark, tmp_path):
+    """The MERGE read-surface narrowing proven across REAL driver
+    processes (VERDICT r7 item 4 'done' bar): two JVMs, synchronized
+    start, each merge_upserting keys that live in its OWN partition.
+    Each merge's min/max-key read surface misses the other's removes,
+    so both commit WITHOUT surfacing ConcurrentCommitError (the loser
+    rebases inside _commit_rmw); versions gapless; final state carries
+    both updates."""
+    import subprocess
+    import sys
+    import time
+
+    table = tmp_path / "xmerge"
+    seed = _df(
+        spark,
+        [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2025"), (4, "d", "2025")],
+    )
+    TransactionLog(table).append(seed, ["year"])
+    worker = tmp_path / "worker.py"
+    repo = str(tbl_repo_root())
+    worker.write_text(
+        f"""
+import json, sys, time
+from pathlib import Path
+
+sys.path.insert(0, {repo!r})
+tag, key, year = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+table, barrier = {str(table)!r}, {str(tmp_path / "go")!r}
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("xmerge-" + tag)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+    TransactionLog,
+)
+
+log = TransactionLog(table)
+src = spark.createDataFrame(
+    [(key, "UP-" + tag, year)], ["id", "v", "year"]
+)
+Path(barrier + "-ready-" + tag).write_text("")
+while not Path(barrier).exists():
+    time.sleep(0.02)
+try:
+    v = log.merge_upsert(src, ["id"])
+    out = {{"version": v}}
+except Exception as e:  # noqa: BLE001 — recorded for the assert
+    out = {{"error": type(e).__name__ + ": " + str(e)[:200]}}
+Path(table + "-" + tag + ".json").write_text(json.dumps(out))
+spark.stop()
+"""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), tag, key, year],
+            cwd=str(tmp_path),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for tag, key, year in (("a", "1", "2024"), ("b", "3", "2025"))
+    ]
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        (tmp_path / f"go-ready-{t}").exists() for t in ("a", "b")
+    ):
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.1)
+    (tmp_path / "go").write_text("")
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    import json as _json
+
+    results = {
+        t: _json.loads((tmp_path / f"xmerge-{t}.json").read_text())
+        for t in ("a", "b")
+    }
+    assert all("version" in r for r in results.values()), results
+    assert sorted(r["version"] for r in results.values()) == [2, 3], results
+    t = TransactionLog(table)
+    assert t.latest_version() == 3
+    rows = {
+        r.id: r.v for r in t.snapshot(spark).collect()
+    }
+    assert rows == {1: "UP-a", 2: "b", 3: "UP-b", 4: "d"}
