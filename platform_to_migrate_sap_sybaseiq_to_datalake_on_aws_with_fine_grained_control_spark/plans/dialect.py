@@ -281,3 +281,112 @@ def to_spark_sql(
     out = rewrite_tsql_idioms(out)
     out = rewrite_three_part_names(out, table_map, known_prefixes)
     return out
+
+
+#: engines whose SQL dialect is close-enough-ANSI that the T-SQL →
+#: ANSI rewrite below produces runnable text (double-quoted
+#: identifiers, FETCH FIRST, CAST, COALESCE, JDBC {fn} escapes)
+_ANSI_JDBC_ENGINES = frozenset({"derby", "postgres"})
+
+#: T-SQL DATEADD/DATEDIFF units → JDBC escape SQL_TSI_* interval names
+_TSI_UNITS = {
+    "year": "SQL_TSI_YEAR", "yy": "SQL_TSI_YEAR", "yyyy": "SQL_TSI_YEAR",
+    "quarter": "SQL_TSI_QUARTER", "qq": "SQL_TSI_QUARTER",
+    "month": "SQL_TSI_MONTH", "mm": "SQL_TSI_MONTH",
+    "week": "SQL_TSI_WEEK", "wk": "SQL_TSI_WEEK",
+    "day": "SQL_TSI_DAY", "dd": "SQL_TSI_DAY",
+    "hour": "SQL_TSI_HOUR", "hh": "SQL_TSI_HOUR",
+    "minute": "SQL_TSI_MINUTE", "mi": "SQL_TSI_MINUTE",
+    "second": "SQL_TSI_SECOND", "ss": "SQL_TSI_SECOND",
+}
+
+
+def _tsi(unit: str) -> str | None:
+    return _TSI_UNITS.get(unit.strip().lower())
+
+
+def _dateadd_to_fn_escape(args: list[str]) -> str | None:
+    if len(args) == 3 and _tsi(args[0]):
+        return f"{{fn TIMESTAMPADD({_tsi(args[0])}, {args[1]}, {args[2]})}}"
+    return None
+
+
+def _datediff_to_fn_escape(args: list[str]) -> str | None:
+    if len(args) == 3 and _tsi(args[0]):
+        return f"{{fn TIMESTAMPDIFF({_tsi(args[0])}, {args[1]}, {args[2]})}}"
+    return None
+
+
+def to_source_sql(sql: str, engine: str = "sybaseiq") -> str:
+    """Rewrite a Sybase/T-SQL plan ``Query`` into the SOURCE engine's
+    dialect for verbatim JDBC pushdown (S2).
+
+    The reference ships plan queries verbatim to Sybase IQ
+    (``sybaseiq_extractor.py:286,317``) — ``engine="sybaseiq"`` keeps
+    that contract exactly (no rewrite).  For the OTHER engines the S3
+    adapter registry supports (a migration off Sybase points the same
+    plans at Postgres/Derby), the T-SQL surface must land in the new
+    source's dialect before pushdown, rewritten OUTSIDE string
+    literals only (the same literal-aware machinery as
+    :func:`rewrite_tsql_idioms`):
+
+    * ``[bracket identifiers]``  →  ``"double-quoted"`` (ANSI)
+    * ``SELECT TOP n``           →  ``FETCH FIRST n ROWS ONLY``
+    * ``CONVERT(T, x)``          →  ``CAST(x AS T)``
+    * ``ISNULL(a, b)``           →  ``COALESCE(a, b)``
+    * ``LEN(s)``                 →  ``LENGTH(s)``
+    * ``CHARINDEX(x, s)``        →  ``LOCATE(x, s)``
+    * ``GETDATE()`` / ``NOW(*)`` →  ``CURRENT_TIMESTAMP``
+    * ``DATEADD/DATEDIFF(u,…)``  →  ``{fn TIMESTAMPADD/TIMESTAMPDIFF
+      (SQL_TSI_u, …)}`` — the JDBC escape form every compliant driver
+      expands engine-side (Derby has no INTERVAL literals; the escape
+      is the portable spelling)
+
+    Proven LIVE in ``tests/test_jdbc.py``: the rewritten corpus
+    (brackets, quoted/spaced identifiers, TOP/CONVERT/DATEADD nests)
+    executes through ``spark.read.format("jdbc")`` query-mode against
+    embedded Derby and returns the same rows Spark computes natively.
+    """
+    out = sql.strip()
+    while out.endswith(";"):
+        out = out[:-1].rstrip()
+    if engine not in _ANSI_JDBC_ENGINES:
+        return out  # sybaseiq (and unknowns): verbatim, reference parity
+
+    def repl(m: re.Match) -> str:
+        if m.group("str") is not None:
+            return m.group("str")
+        ident = m.group("ident").replace('"', '""')
+        return f'"{ident}"'
+
+    out = _STRING_OR_BRACKET.sub(repl, out)
+    parts = re.split(r"('(?:[^']|'')*')", out)
+    top_n: str | None = None
+    for i in range(0, len(parts), 2):
+        m = _TOP_RE.match(parts[i])
+        if m and top_n is None:
+            top_n = m.group(2)
+            parts[i] = _TOP_RE.sub(r"\1 ", parts[i], count=1)
+        parts[i] = re.sub(
+            r"\bGETDATE\s*\(\s*\)", "CURRENT_TIMESTAMP", parts[i],
+            flags=re.IGNORECASE,
+        )
+        parts[i] = re.sub(
+            r"\bNOW\s*\(\s*\*?\s*\)", "CURRENT_TIMESTAMP", parts[i],
+            flags=re.IGNORECASE,
+        )
+        parts[i] = re.sub(
+            r"\bISNULL\s*\(", "COALESCE(", parts[i], flags=re.IGNORECASE
+        )
+        parts[i] = re.sub(
+            r"\bLEN\s*\(", "LENGTH(", parts[i], flags=re.IGNORECASE
+        )
+        parts[i] = re.sub(
+            r"\bCHARINDEX\s*\(", "LOCATE(", parts[i], flags=re.IGNORECASE
+        )
+    out = _rewrite_calls("".join(parts), "CONVERT", _convert_to_cast)
+    out = _rewrite_calls(out, "DATEADD", _dateadd_to_fn_escape)
+    out = _rewrite_calls(out, "DATEDIFF", _datediff_to_fn_escape)
+    if top_n is not None:
+        out = f"{out.rstrip()} FETCH FIRST {top_n} ROWS ONLY"
+    return out

@@ -1644,3 +1644,113 @@ def acid_purge_dvs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snap string, n_orders bigint, total_price double",
     )
     return latest.unionByName(meta)
+
+
+@register(
+    "acid_plan_driven_orders",
+    """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS distinct_row_ids
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+""",
+    doc="The FULL plan-JSON surface wired to the ACID tier in one pass "
+    "(r7 VERDICT item 8): a reference-shaped extraction plan (inline "
+    "payload, the SFN-callback analog) dispatched through "
+    "Orchestrator.dispatch -> Engine.run_job with EngineConfig.acid=True, "
+    "landing in a PRE-CREATED transactional table whose contract "
+    "declares generated-column hidden partitioning (o_year from "
+    "o_orderdate), a GENERATED-ALWAYS identity column, and a CHECK "
+    "constraint — append applies the generated expr, allocates "
+    "identity, enforces the CHECK on staged bytes, and partitions by "
+    "the hidden key. Readout = per-year aggregate over "
+    "lakehouse.snapshot; distinct_row_ids == n_orders proves identity "
+    "uniqueness; the oracle states the same semantics straight against "
+    "the source table.",
+)
+def acid_plan_driven_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from .engine import Engine, EngineConfig
+    from .orchestrator import Orchestrator
+    from .plans.model import ExtractionPlan
+    from .sources.registry import SourceRegistry
+
+    tmp = Path(tempfile.mkdtemp(prefix="acid-plan-"))
+    plan = ExtractionPlan.from_dict(
+        {
+            "SourceName": "sybaseiq",
+            "SourceDatabase": "iqdemo",
+            "SourceSchema": "dba",
+            "SourceTable": "orders",
+            "Query": "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+            "o_orderdate FROM orders WHERE o_orderstatus = 'F'",
+            "MigrationPart": 1,
+            "ExpectedAmountOfRecords": " ",
+        }
+    )
+    # the table contract exists BEFORE its first writer runs: hidden
+    # partitioning via a generated column, identity, CHECK
+    table = TransactionLog(
+        tmp / "lake" / plan.jobs[0].target_path_suffix
+    )
+    table.create(
+        StructType(
+            [
+                StructField("row_id", LongType(), True),
+                StructField("o_orderkey", LongType(), True),
+                StructField("o_orderstatus", StringType(), True),
+                StructField("o_totalprice", DoubleType(), True),
+                StructField("o_orderdate", TimestampNTZType(), True),
+                StructField("o_year", IntegerType(), True),
+                StructField("migration_tp_utc", TimestampType(), True),
+                StructField("migration_ExecutionHashId", StringType(), True),
+            ]
+        ),
+        partition_keys=["o_year"],
+        constraints={"price_pos": "o_totalprice > 0"},
+        generated={"o_year": "CAST(year(o_orderdate) AS INT)"},
+        identity={"row_id": {"start": 1, "step": 1}},
+    )
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=sf_dir),
+        EngineConfig(
+            target_root=str(tmp / "lake"),
+            register_catalog=False,
+            acid=True,
+        ),
+        None,
+        None,
+    )
+    outcomes = Orchestrator(eng, tmp / "queue").dispatch({"plan": plan.raw})
+    if not (outcomes and outcomes[0].succeeded):
+        raise RuntimeError(f"plan-driven acid run failed: {outcomes}")
+    snap = table.snapshot(spark)
+    # hidden partitioning is live: the o_year predicate must prune to
+    # a strict subset of the live files without touching data
+    n_files = len(table._replay(table.latest_version())["files"])
+    matched = len(table.matching_files("o_year = 1995"))
+    if not (0 < matched < n_files):
+        raise RuntimeError(
+            f"hidden partition pruning inert: {matched}/{n_files} files"
+        )
+    return snap.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.countDistinct("row_id").cast("bigint").alias("distinct_row_ids"),
+    )

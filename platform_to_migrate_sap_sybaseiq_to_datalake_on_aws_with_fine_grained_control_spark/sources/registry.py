@@ -283,13 +283,26 @@ class SourceRegistry:
         upper_bound: str | None = None,
         num_partitions: int | None = None,
         engine: str | None = None,
+        source_dialect: str | None = None,
     ) -> dict[str, str]:
         """Build the option dict for Spark's JDBC reader.
 
         Partitioned: derived-table pushdown ``(query) q`` + range splits
         (``sybaseiq_extractor.py:283-293``).  Unpartitioned: single
         connection via the ``query`` option (``sybaseiq_extractor.py:314-320``).
+
+        ``source_dialect="tsql"``: the plan query is Sybase/T-SQL but
+        the target ``engine`` is one of the OTHER adapters — rewrite it
+        into the engine's dialect (``plans.dialect.to_source_sql``)
+        before it ships.  Default (None) keeps the reference's verbatim
+        contract.
         """
+        if source_dialect == "tsql":
+            from ..plans.dialect import to_source_sql
+
+            query = to_source_sql(query, engine=engine or "sybaseiq")
+        elif source_dialect is not None:
+            raise ValueError(f"unknown source_dialect {source_dialect!r}")
         opts: dict[str, str] = {"url": url, "user": user, "password": password}
         if engine and engine in JDBC_ADAPTERS:
             opts["driver"] = JDBC_ADAPTERS[engine]["DRIVER"]
