@@ -535,3 +535,36 @@ def test_scd2_apply_invariants(spark, batches):
         spans.sort()
         for (f1, t1), (f2, _t2) in zip(spans, spans[1:]):
             assert t1 <= f2, (k, spans)
+
+
+def test_semdedup_split_matches_duckdb_arithmetic():
+    """The (k, k1, k2) SemDeDup policy must be BIT-identical between
+    the Python side (`_semdedup_split`) and the oracle's scalar SQL
+    (`SEMDEDUP_PK_CTE`) — a one-off ceil/rounding divergence at some
+    corpus size would hash-mismatch the whole entry.  Sweep sizes from
+    the driver SFs to 10^8."""
+    import duckdb
+
+    # load the catalog package first (query_catalog_ml has import-time
+    # cross-module registration; importing it directly is circular)
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
+        query_catalog as _qc,  # noqa: F401
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_ml import (
+        _semdedup_split,
+    )
+
+    sizes = [1, 8, 500, 1024, 1025, 2000, 20_000, 25_600, 200_000,
+             1_000_000, 10_000_000, 100_000_000, 123_456_789]
+    con = duckdb.connect()
+    for n in sizes:
+        row = con.execute(
+            f"""
+            SELECT k, k1, CAST(ceil(CAST(k AS DOUBLE) / k1) AS BIGINT) AS k2
+            FROM (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1
+                  FROM (SELECT greatest(8, CAST(ceil({n} / 128.0) AS BIGINT)) AS k))
+            """
+        ).fetchone()
+        k1, k2 = _semdedup_split(n)
+        assert (row[1], row[2]) == (k1, k2), (n, row, k1, k2)
+        assert row[0] <= k1 * k2  # the split always covers k centroids
