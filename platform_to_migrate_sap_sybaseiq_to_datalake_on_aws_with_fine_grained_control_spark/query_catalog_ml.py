@@ -62,13 +62,16 @@ NEARDUP_COS_THRESHOLD = 0.95
 # bands (16 values) quadratic at sf1 (36 s), moved to 8-bit; r6 found
 # 8-bit bands (256 values) quadratic at sf10 (200k vectors put ~780
 # in every bucket → ~300M candidates; the run filled the disk with
-# shuffle spill and DIED).  The law: band width ≈ log2(corpus), recall
-# recovered with more bands.  16-bit bands (65 536 values) hold to
-# ~10M-vector corpora; recall at cos≥0.95 stays ≈0.91 via 12-band
-# OR-amplification (p_plane≈0.899 ⇒ 1-(1-0.899^16)^12) — the same
-# ≈0.9 target the 4×8 geometry hit, at 1/256 the bucket density.
-NEARDUP_BANDED_PLANES = 192
-NEARDUP_BANDS = 12
+# shuffle spill and DIED); r7 ran fixed 12×16-bit, which would have
+# saturated at the NEXT decade (~10M vectors).  r8 applies the law
+# CONTINUOUSLY instead of re-tuning per decade: a fixed 384-plane
+# sign pool, band width r = clamp(ceil(log2(N)), 16, 24) from parquet
+# footer counts, bands = floor(384/r) — see _banded_geometry for the
+# recall tiers and the "raise the pool linearly past 16M vectors"
+# knob.
+NEARDUP_TOTAL_PLANES = 384
+NEARDUP_MIN_BAND_BITS = 16
+NEARDUP_MAX_BAND_BITS = 24
 
 
 # ---- DuckDB snippet builders ----------------------------------------
@@ -468,16 +471,44 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_geometry(n: int) -> tuple[int, int]:
+    """Corpus-adaptive band geometry over a FIXED pool of
+    ``NEARDUP_TOTAL_PLANES`` sign bits: band width r =
+    clamp(ceil(log2(N)), 16, 24) — the "key domain scales with
+    log2(corpus)" law that three rounds of sf-decade offenders all
+    converged on, now applied continuously instead of re-tuned by
+    hand each decade — and bands = floor(total/r) (every unused bit
+    is recall left on the table).  Expected per-band bucket
+    population N/2^r stays ≤ ~1, so candidate volume ≈ bands·N²/2^r
+    tracks ~bands·N instead of growing quadratically between manual
+    retunes.  Recall at cos≥0.95 (p=0.8987 per plane):
+    r16×24 ≈ 0.992, r18×21 ≈ 0.964, r20×19 ≈ 0.91, r24×16 ≈ 0.72 —
+    past ~16M vectors raise NEARDUP_TOTAL_PLANES (linear signature
+    cost) to recover the top tiers.  Bit-parity with the scalar chain
+    in the oracle SQL."""
+    import math
+
+    r = min(
+        NEARDUP_MAX_BAND_BITS,
+        max(NEARDUP_MIN_BAND_BITS, math.ceil(math.log2(max(n, 2)))),
+    )
+    return r, NEARDUP_TOTAL_PLANES // r
+
+
 def _duck_emb_neardup_banded_sql() -> str:
     cos = _duck_cos("ea", "eb")
-    r = NEARDUP_BANDED_PLANES // NEARDUP_BANDS
-    band_rows = ", ".join(f"({b})" for b in range(NEARDUP_BANDS))
     return f"""
-WITH e AS (SELECT vec_id, embedding,
-           {_duck_bucket('embedding', NEARDUP_BANDED_PLANES)} AS sig FROM embeddings),
-banded AS (
-  SELECT vec_id, embedding, t.band, substr(sig, t.band * {r} + 1, {r}) AS key
-  FROM e, (VALUES {band_rows}) AS t(band)),
+WITH g AS (
+  SELECT r, CAST(floor({NEARDUP_TOTAL_PLANES}.0 / r) AS BIGINT) AS bands
+  FROM (SELECT least({NEARDUP_MAX_BAND_BITS}, greatest({NEARDUP_MIN_BAND_BITS},
+          CAST(ceil(log2(count(*))) AS BIGINT))) AS r FROM embeddings)),
+e AS MATERIALIZED (SELECT vec_id, embedding,
+           {_duck_bucket('embedding', NEARDUP_TOTAL_PLANES)} AS sig FROM embeddings),
+bt AS (SELECT unnest(generate_series(0, (SELECT bands FROM g) - 1)) AS band),
+banded AS MATERIALIZED (
+  SELECT vec_id, embedding, band,
+         substr(sig, band * (SELECT r FROM g) + 1, (SELECT r FROM g)) AS key
+  FROM e, bt),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          a.embedding AS ea, b.embedding AS eb
@@ -491,24 +522,30 @@ FROM cand WHERE {cos} >= {NEARDUP_COS_THRESHOLD}
 @register(
     "dedup_embedding_cosine_pairs_banded",
     _duck_emb_neardup_banded_sql(),
-    doc=f"Banded-LSH embedding near-dup ({NEARDUP_BANDED_PLANES} planes "
-    f"in {NEARDUP_BANDS} OR-ed 16-bit bands, recall ≈0.91 at the same "
-    "≈0.9 target as every prior geometry of this entry): band width "
-    "scales with log2(corpus) — 8-bit bands measured quadratic at sf10 "
-    "(disk-filling shuffle spill) — and the candidate stream carries "
-    "ONLY id pairs through its dedup shuffle (~16 B/row, not two "
-    "64-float vectors); vectors re-join once per surviving pair for "
-    "the exact-cosine verify.",
+    doc="Banded-LSH embedding near-dup with CORPUS-ADAPTIVE geometry "
+    f"(r8): a fixed {NEARDUP_TOTAL_PLANES}-plane sign pool split into "
+    "bands of r = clamp(ceil(log2(N)), 16, 24) bits, bands = "
+    "floor(total/r), N from parquet footers — the band-domain law "
+    "(8-bit bands went quadratic at sf1, 16-bit would at ~10M "
+    "vectors) applied continuously instead of re-tuned per decade; "
+    "recall 0.99 -> 0.91 across the tiers at cos>=0.95. The candidate "
+    "stream carries ONLY id pairs through its dedup shuffle (~16 B/"
+    "row, not two 64-float vectors); vectors re-join once per "
+    "surviving pair for the exact-cosine verify. Oracle computes the "
+    "same (r, bands) as SQL scalars over the same fixed plane pool.",
 )
 def dedup_embedding_cosine_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.registry import table_row_count
+
     df = load_table(spark, sf_dir, "embeddings")
+    r, bands = _banded_geometry(table_row_count(sf_dir, "embeddings"))
     return embedding_neardup_pairs_banded(
         df,
         "vec_id",
         "embedding",
         threshold=NEARDUP_COS_THRESHOLD,
-        planes=NEARDUP_BANDED_PLANES,
-        bands=NEARDUP_BANDS,
+        planes=r * bands,
+        bands=bands,
         dims=EMB_DIMS,
     )
 

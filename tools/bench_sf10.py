@@ -68,9 +68,10 @@ SUBSET = [
     "dedup_simhash_hamming_pairs",
     "dedup_edit_distance_pairs",
     "dedup_embedding_cosine_pairs_banded",
-    # heaviest slot (~240s at sf10): within-cluster pairwise cosine is
+    # heaviest slot (~134s at sf10): within-cluster pairwise cosine is
     # SemDeDup's irreducible compute (the paper runs it on GPUs); the
-    # adaptive-k + sampled-train design keeps the RATIO at ~7x
+    # r8 fixed-cluster-width + two-level-quantizer design holds the
+    # ratio at ~4x (was 11.4x under the sqrt-k policy)
     "dedup_semdedup_embeddings",
     "ann_cosine_topk",
     "ann_lsh_multiprobe_topk",
