@@ -599,15 +599,40 @@ class TransactionLog:
     # ---- log primitives ------------------------------------------------
 
     def latest_version(self) -> int:
-        """Current table version (0 = empty/uninitialized table)."""
+        """Current table version (0 = empty/uninitialized table).
+
+        Commit files are contiguous 1..latest and never deleted
+        (vacuum removes only data files), so from any version known to
+        exist the latest is reachable by probing FORWARD — O(tail)
+        stat calls from the ``_last_checkpoint`` pointer instead of an
+        O(commits) directory scan.  At the 10^5-commit logs the replay
+        bench pins, the full ``iterdir`` costs ~50k dirents per call
+        and this method runs on EVERY commit attempt — the scan made
+        the commit path itself quadratic over a table's life.  The
+        directory scan remains the fallback for logs without a
+        readable checkpoint pointer (small tables, legacy layouts)."""
         if not self.log_path.exists():
             return 0
-        best = 0
-        for p in self.log_path.iterdir():
-            stem = p.name.removesuffix(".json")
-            if p.suffix == ".json" and stem.isdigit():
-                best = max(best, int(stem))
-        return best
+        start = 0
+        ptr = self.log_path / _LAST_CKPT
+        if ptr.exists():
+            try:
+                v = int(json.loads(ptr.read_text())["version"])
+                if v > 0 and self._commit_file(v).exists():
+                    start = v
+            except (ValueError, KeyError, OSError):
+                start = 0
+        if start == 0:
+            best = 0
+            for p in self.log_path.iterdir():
+                stem = p.name.removesuffix(".json")
+                if p.suffix == ".json" and stem.isdigit():
+                    best = max(best, int(stem))
+            return best
+        v = start
+        while self._commit_file(v + 1).exists():
+            v += 1
+        return v
 
     def _commit_file(self, version: int) -> Path:
         return self.log_path / f"{_fmt_version(version)}.json"
