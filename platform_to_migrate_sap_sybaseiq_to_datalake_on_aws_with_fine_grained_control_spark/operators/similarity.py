@@ -51,6 +51,8 @@ __all__ = [
     "kmeans_centroids_grouped",
     "md5_sample",
     "semantic_dedup_two_level",
+    "semantic_dedup_incremental",
+    "two_level_codebook",
     "ivf_topk",
     "label_centroids",
     "embedding_neardup_pairs",
@@ -1221,9 +1223,31 @@ def semantic_dedup_two_level(
     :func:`semantic_dedup`: ``(id, cid, cent_cos, kept)`` with
     ``cid = coarse_cid * k2 + sub_cid`` (bigint).
     """
-    train = corpus
+    coarse, fine = two_level_codebook(
+        corpus, id_col, vec_col, k1=k1, k2=k2, iters=iters,
+        train_sample=train_sample,
+    )
+    assigned = _assign_two_level(corpus, id_col, vec_col, coarse, fine, k2)
+    return _keep_outlier(assigned, id_col, tau)
+
+
+def two_level_codebook(
+    train: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k1: int,
+    k2: int,
+    iters: int = 3,
+    train_sample: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the hierarchical quantizer: coarse Lloyd's over the
+    (md5-capped) train corpus, then per-cell fine Lloyd's with a
+    coarse-centroid fallback for member-less cells.  Returns
+    ``(coarse(cid, centroid), fine(ccid, scid, centroid))`` — persist
+    both to amortize training across runs (train-once / assign-many,
+    the same contract as :func:`kmeans_centroids` + :func:`ivf_topk`)."""
     if train_sample is not None:
-        train = md5_sample(corpus, id_col, vec_col, train_sample)
+        train = md5_sample(train, id_col, vec_col, train_sample)
     coarse = kmeans_centroids(train, id_col, vec_col, k=k1, iters=iters)
     coarse_b = F.broadcast(
         coarse.withColumn("_cn", F.expr(norm_expr("centroid")))
@@ -1238,6 +1262,24 @@ def semantic_dedup_two_level(
         t_assigned, "ccid", "_id", "_v", k=k2, iters=iters,
         fallback=coarse.select(F.col("cid").alias("ccid"), "centroid"),
     )
+    return coarse, fine
+
+
+def _assign_two_level(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse: DataFrame,
+    fine: DataFrame,
+    k2: int,
+) -> DataFrame:
+    """Coarse-then-fine probe-pruned assignment: k1 + k2 centroid
+    scores per vector, both levels broadcast.  Returns the SemDeDup
+    ``assigned`` frame ``(_id, cid, _v, _vn, cent_cos)`` with
+    ``cid = ccid * k2 + scid`` (bigint)."""
+    coarse_b = F.broadcast(
+        coarse.withColumn("_cn", F.expr(norm_expr("centroid")))
+    )
     fine_b = F.broadcast(fine.withColumn("_cn", F.expr(norm_expr("centroid"))))
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
@@ -1246,7 +1288,7 @@ def semantic_dedup_two_level(
         "_id", "_v", "_vn", F.col("cid").alias("ccid")
     )
     fasg = _argmax_centroid(casg, fine_b, "scid", join_col="ccid")
-    assigned = fasg.select(
+    return fasg.select(
         "_id",
         (
             F.col("ccid").cast("bigint") * F.lit(k2) + F.col("scid")
@@ -1255,4 +1297,96 @@ def semantic_dedup_two_level(
         "_vn",
         F.round(F.col("cos_c"), 6).alias("cent_cos"),
     )
-    return _keep_outlier(assigned, id_col, tau)
+
+
+def semantic_dedup_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 3,
+    tau: float = 0.5,
+    train_sample: int | None = None,
+    codebooks: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup — dedup a NEW batch against an EXISTING
+    corpus without re-clustering or re-judging it (the embedding-space
+    sibling of :func:`operators.dedup.incremental_minhash_pairs`).
+
+    A 100 TB corpus is never semantically re-deduped when a day's
+    embeddings land: the quantizer is trained on (a capped sample of)
+    the BASE corpus — or passed in as ``codebooks`` = the persisted
+    ``(coarse, fine)`` pair — base and batch are assigned
+    coarse-then-fine, and the keep decision is evaluated for BATCH
+    vectors only:
+
+    * drop ``v ∈ batch`` if a same-fine-cluster ``u ∈ base`` has
+      rounded cosine ≥ ``tau`` — the corpus already contains that
+      content (base rows were judged at their own ingestion);
+    * or if a same-cluster ``u ∈ batch`` has cosine ≥ ``tau`` and is
+      MORE outlier (lower ``cent_cos``; ties to the lower id) — the
+      standard keep-the-outlier rule among the new rows.
+
+    base × base pairs are never generated: the pair join probes the
+    cluster index with the batch side only, so the quadratic-confined
+    pass costs O(|batch| · cluster_width), not O(N · width).  Output
+    matches :func:`semantic_dedup_two_level` restricted to the batch:
+    ``(id, cid, cent_cos, kept)``.
+    """
+    if codebooks is None:
+        codebooks = two_level_codebook(
+            base, id_col, vec_col, k1=k1, k2=k2, iters=iters,
+            train_sample=train_sample,
+        )
+    coarse, fine = codebooks
+    a_base = _assign_two_level(base, id_col, vec_col, coarse, fine, k2)
+    a_batch = _assign_two_level(batch, id_col, vec_col, coarse, fine, k2)
+    a = a_batch.select(
+        F.col("_id").alias("id_a"),
+        F.col("cid"),
+        F.col("_v").alias("_va"),
+        F.col("_vn").alias("_na"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = (
+        a_base.withColumn("_isb", F.lit(True))
+        .unionByName(a_batch.withColumn("_isb", F.lit(False)))
+        .select(
+            F.col("_id").alias("id_b"),
+            F.col("cid"),
+            F.col("_v").alias("_vb"),
+            F.col("_vn").alias("_nb"),
+            F.col("cent_cos").alias("cc_b"),
+            "_isb",
+        )
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.round(
+                F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)"), 6
+            )
+            >= F.lit(tau)
+        )
+        .filter(
+            F.col("_isb")
+            | (F.col("cc_b") < F.col("cc_a"))
+            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("_id"))
+        .distinct()
+    )
+    return (
+        a_batch.join(
+            dropped.withColumn("_dup", F.lit(True)), "_id", "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cid",
+            "cent_cos",
+            (~F.coalesce(F.col("_dup"), F.lit(False))).alias("kept"),
+        )
+    )

@@ -1648,8 +1648,18 @@ def _semdedup_split(n: int) -> tuple[int, int]:
     return k1, k2
 
 
+#: vec_id analog of _DUCK_DOC_BUCKET (hash_bucket_256 on the id)
+_DUCK_VEC_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
 def _duck_semdedup_sql(
-    iters: int = KMEANS_ITERS, tau: float = SEMDEDUP_TAU
+    iters: int = KMEANS_ITERS,
+    tau: float = SEMDEDUP_TAU,
+    train_where: str | None = None,
+    incremental: bool = False,
 ) -> str:
     """Two-level SemDeDup oracle mirroring
     ``operators.similarity.semantic_dedup_two_level`` decision for
@@ -1665,11 +1675,12 @@ def _duck_semdedup_sql(
     ctes, coarse = _duck_kmeans_ctes(
         "(SELECT k1 FROM pk)", iters, source="samp"
     )
+    where = f"WHERE {train_where}\n  " if train_where else ""
     ctes.insert(
         0,
         f"""samp AS (
   SELECT vec_id, embedding FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  {where}ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {SEMDEDUP_TRAIN_SAMPLE})""",
     )
     ctes.insert(1, SEMDEDUP_PK_CTE)
@@ -1732,15 +1743,42 @@ asg AS (
   FROM (SELECT s.vec_id, s.embedding, s.ccid, c.scid, {cos_se} AS cos_c,
           row_number() OVER (PARTITION BY s.vec_id ORDER BY {cos_se} DESC, c.scid) AS rn
         FROM casg s JOIN {fine} c ON s.ccid = c.ccid)
-  WHERE rn = 1),
-dropped AS (
+  WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""dropped AS (
   SELECT DISTINCT a.vec_id
   FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
   WHERE round({cos_pair}, 6) >= {tau}
     AND (b.cent_cos < a.cent_cos
          OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))"""
+        if not incremental
+        # incremental: a must be a BATCH vector; a base-side duplicate
+        # drops it unconditionally (the corpus already holds that
+        # content), batch-side ones via the keep-the-outlier rule
+        else f"""member AS (
+  SELECT vec_id, {_DUCK_VEC_BUCKET} < {INCR_BATCH_BUCKETS} AS is_batch
+  FROM embeddings),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a
+  JOIN member ma ON ma.vec_id = a.vec_id AND ma.is_batch
+  JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN member mb ON mb.vec_id = b.vec_id
+  WHERE round({cos_pair}, 6) >= {tau}
+    AND (NOT mb.is_batch
+         OR b.cent_cos < a.cent_cos
+         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))"""
     )
     body = ",\n".join(ctes)
+    if incremental:
+        return f"""
+WITH {body}
+SELECT a.vec_id, a.cid, a.cent_cos, (d.vec_id IS NULL) AS kept
+FROM asg a
+JOIN member m ON m.vec_id = a.vec_id AND m.is_batch
+LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
     return f"""
 WITH {body}
 SELECT a.vec_id, a.cid, a.cent_cos, (d.vec_id IS NULL) AS kept
@@ -1772,6 +1810,43 @@ def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, k2 = _semdedup_split(table_row_count(sf_dir, "embeddings"))
     return semantic_dedup_two_level(
         df, "vec_id", "embedding",
+        k1=k1, k2=k2, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU,
+        train_sample=SEMDEDUP_TRAIN_SAMPLE,
+    )
+
+
+@register(
+    "dedup_semdedup_incremental",
+    _duck_semdedup_sql(
+        train_where=f"{_DUCK_VEC_BUCKET} >= {INCR_BATCH_BUCKETS}",
+        incremental=True,
+    ),
+    doc="Incremental SemDeDup: a new 25% embedding batch semantically "
+    "deduped against the 75% base corpus WITHOUT re-clustering or "
+    "re-judging it — the embedding-space sibling of "
+    "dedup_incremental_minhash. The two-level quantizer trains on the "
+    "BASE's md5 sample (the persisted codebook of the existing "
+    "corpus); base and batch assign coarse-then-fine; the keep "
+    f"decision runs for BATCH vectors only: a cosine>={SEMDEDUP_TAU} "
+    "base-side duplicate drops unconditionally (the corpus already "
+    "holds that content), batch-side ones via keep-the-outlier. "
+    "base x base pairs are never generated — the pair join probes the "
+    "cluster index with the batch side only, O(|batch| x width). "
+    "Oracle = the same hierarchical chain with base-trained sample "
+    "and membership-aware drop rule.",
+)
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import hash_bucket_256
+    from .operators.similarity import semantic_dedup_incremental
+    from .sources.registry import table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = hash_bucket_256(F.col("vec_id"))
+    k1, k2 = _semdedup_split(table_row_count(sf_dir, "embeddings"))
+    return semantic_dedup_incremental(
+        emb.filter(bucket >= INCR_BATCH_BUCKETS),
+        emb.filter(bucket < INCR_BATCH_BUCKETS),
+        "vec_id", "embedding",
         k1=k1, k2=k2, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU,
         train_sample=SEMDEDUP_TRAIN_SAMPLE,
     )
