@@ -974,6 +974,56 @@ def semantic_dedup(
     return _keep_outlier(assigned, id_col, tau)
 
 
+def dot_udf():
+    """Arrow-batched dot product of two array columns, BIT-IDENTICAL
+    to the SQL fold ``dot_expr`` emits — the same safety argument as
+    :func:`lsh_signature_udf`: numpy's own reductions (pairwise/BLAS
+    summation) reorder additions and would flip 6-dp-rounded cosines,
+    so the accumulation loops SEQUENTIALLY over the dimension axis,
+    vectorizing only across rows; each dot is the exact left-to-right
+    IEEE sum ``((0 + a1·b1) + a2·b2) + …``.  Elements widen
+    float32→float64 exactly (same as the fold's per-element CAST).
+
+    Why it exists: SemDeDup's within-cluster pair pass evaluates ~10^7
+    cosines at sf10 and the SQL fold interprets its lambda per element
+    (dims × pairs interpreted steps); this is the same ~40× vectorize
+    the signature path already took.  Null/ragged rows yield null.
+    ``test_dot_udf_matches_sql_fold`` holds the bit-equivalence.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _dot(a, b):
+        va, vb = a.to_numpy(), b.to_numpy()
+        n = len(va)
+        out = np.full(n, np.nan)
+        good = [
+            i
+            for i in range(n)
+            if va[i] is not None
+            and vb[i] is not None
+            and len(va[i]) == len(vb[i])
+        ]
+        if good:
+            A = np.stack([np.asarray(va[i], dtype=np.float64) for i in good])
+            B = np.stack([np.asarray(vb[i], dtype=np.float64) for i in good])
+            acc = np.zeros(A.shape[0])
+            for d in range(A.shape[1]):  # sequential over dims = fold order
+                acc += A[:, d] * B[:, d]
+            out[good] = acc
+        return pd.Series(out)
+
+    return pandas_udf(_dot, "double")
+
+
+def _pair_cos6(na: str, nb: str):
+    """6-dp-rounded pair cosine from the exact-fold dot UDF and the
+    precomputed norms — the shared verify expression of the SemDeDup
+    pair passes."""
+    return F.round(F.col("_dot") / (F.col(na) * F.col(nb)), 6)
+
+
 def _keep_outlier(assigned: DataFrame, id_col: str, tau: float) -> DataFrame:
     """The SemDeDup keep-the-outlier decision over an ``assigned``
     frame ``(_id, cid, _v, _vn, cent_cos)``: within each cluster
@@ -997,12 +1047,8 @@ def _keep_outlier(assigned: DataFrame, id_col: str, tau: float) -> DataFrame:
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(
-            F.round(
-                F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)"), 6
-            )
-            >= F.lit(tau)
-        )
+        .withColumn("_dot", dot_udf()(F.col("_va"), F.col("_vb")))
+        .filter(_pair_cos6("_na", "_nb") >= F.lit(tau))
         .filter(
             (F.col("cc_b") < F.col("cc_a"))
             | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
@@ -1365,12 +1411,8 @@ def semantic_dedup_incremental(
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(
-            F.round(
-                F.expr(f"({dot_expr('_va', '_vb')}) / (_na * _nb)"), 6
-            )
-            >= F.lit(tau)
-        )
+        .withColumn("_dot", dot_udf()(F.col("_va"), F.col("_vb")))
+        .filter(_pair_cos6("_na", "_nb") >= F.lit(tau))
         .filter(
             F.col("_isb")
             | (F.col("cc_b") < F.col("cc_a"))

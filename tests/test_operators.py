@@ -2870,6 +2870,36 @@ def test_edit_distance_midrange_tau_differential(spark):
         )
 
 
+def test_dot_udf_matches_sql_fold(spark):
+    """The vectorized pair-dot UDF must be BIT-identical to the SQL
+    fold dot_expr on real embedding PAIRS (the SemDeDup verify path):
+    sequential-dimension accumulation reproduces the fold's
+    left-to-right IEEE order, so 6-dp-rounded cosines cannot diverge.
+    Strict bit equality asserted on the raw doubles, not the rounding."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        dot_expr,
+        dot_udf,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, (F.col("ia") % 17) == (F.col("ib") % 17)).limit(20000)
+    both = pairs.select(
+        F.expr(f"({dot_expr('va', 'vb')})").alias("sql_dot"),
+        dot_udf()(F.col("va"), F.col("vb")).alias("udf_dot"),
+    )
+    bad = both.filter(
+        ~(F.col("sql_dot") == F.col("udf_dot"))
+    ).count()
+    assert bad == 0
+    nulls = spark.createDataFrame(
+        [(1, None, None)], "i int, va array<float>, vb array<float>"
+    ).select(dot_udf()(F.col("va"), F.col("vb")).alias("d"))
+    assert nulls.collect()[0]["d"] is None
+
+
 def test_lsh_signature_udf_matches_sql_fold(spark):
     """The vectorized signature UDF must be BIT-identical to the SQL
     fold bucket_expr on real embeddings — the sequential-dimension
