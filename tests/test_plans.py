@@ -29,6 +29,7 @@ BNLJ_OK = {
     "ann_ivf_kmeans_topk",
     # corpus x k-row broadcast codebook (linear assignment, same as IVF)
     "dedup_semdedup_embeddings",
+    "dedup_semdedup_incremental",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_pairs_banded",
     # 1-row corpus-count broadcast for integer idf weights — scalar join
