@@ -54,6 +54,7 @@ __all__ = [
     "semantic_dedup_incremental",
     "two_level_codebook",
     "ivf_topk",
+    "ivf_pq_adc_topk",
     "label_centroids",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_banded",
@@ -768,6 +769,63 @@ def kmeans_centroids(
     return cents.drop("_cn")
 
 
+def _nearest_lists(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep: int,
+) -> DataFrame:
+    """Assign each vector to its ``keep`` nearest inverted lists by
+    cosine (deterministic lowest-``list_label`` tiebreak).
+
+    ``cents`` is a broadcast-wrapped ``(list_label, centroid, _cn)``
+    codebook frame.  Shared by :func:`ivf_topk` (coarse assignment +
+    probing) and :func:`ivf_pq_adc_topk` (same topology feeding the
+    PQ encoder).
+    """
+    scored = (
+        df.withColumn("_vn", F.expr(norm_expr(vec_col)))
+        .crossJoin(cents)
+        .withColumn(
+            "cos_c",
+            F.expr(f"({dot_expr(vec_col, 'centroid')}) / (_vn * _cn)"),
+        )
+    )
+    if keep == 1:
+        # corpus-side argmax as an aggregation, not a window: the
+        # partial max_by combines map-side, so the shuffle carries
+        # one row per vector instead of one per (vector, centroid).
+        # Ties on cosine break to the LOWEST label: max_by needs a
+        # descending second key, so rank labels ascending via a
+        # dense per-centroid index (works for ANY label type — an
+        # arithmetic negation would crash ANSI-cast on strings).
+        lbl_rank = Window.orderBy(F.col("list_label").asc())
+        cents_ranked = cents.withColumn("_lrk", F.row_number().over(lbl_rank))
+        scored = scored.join(
+            F.broadcast(cents_ranked.select("list_label", "_lrk")),
+            "list_label",
+        )
+        ord_ = F.struct(F.col("cos_c"), (-F.col("_lrk")).alias("_nl"))
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("list_label"), F.col(vec_col)), ord_
+                ).alias("_m")
+            )
+            .select(id_col, F.col("_m.list_label"), F.col(f"_m.{vec_col}"))
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_c").desc(), F.col("list_label").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("cos_c", "centroid", "_rn", "_vn", "_cn")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -806,48 +864,7 @@ def ivf_topk(
     cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
-        scored = (
-            df.withColumn("_vn", F.expr(norm_expr(vec_col)))
-            .crossJoin(cents)
-            .withColumn(
-                "cos_c",
-                F.expr(f"({dot_expr(vec_col, 'centroid')}) / (_vn * _cn)"),
-            )
-        )
-        if keep == 1:
-            # corpus-side argmax as an aggregation, not a window: the
-            # partial max_by combines map-side, so the shuffle carries
-            # one row per vector instead of one per (vector, centroid).
-            # Ties on cosine break to the LOWEST label: max_by needs a
-            # descending second key, so rank labels ascending via a
-            # dense per-centroid index (works for ANY label type — an
-            # arithmetic negation would crash ANSI-cast on strings).
-            lbl_rank = Window.orderBy(F.col("list_label").asc())
-            cents_ranked = cents.withColumn(
-                "_lrk", F.row_number().over(lbl_rank)
-            )
-            scored = scored.join(
-                F.broadcast(cents_ranked.select("list_label", "_lrk")),
-                "list_label",
-            )
-            ord_ = F.struct(F.col("cos_c"), (-F.col("_lrk")).alias("_nl"))
-            return (
-                scored.groupBy(id_col)
-                .agg(
-                    F.max_by(
-                        F.struct(F.col("list_label"), F.col(vec_col)), ord_
-                    ).alias("_m")
-                )
-                .select(id_col, F.col("_m.list_label"), F.col(f"_m.{vec_col}"))
-            )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cos_c").desc(), F.col("list_label").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .drop("cos_c", "centroid", "_rn", "_vn", "_cn")
-        )
+        return _nearest_lists(df, cents, id_col, vec_col, keep)
 
     base = corpus.select(id_col, vec_col)
     # candidate re-rank reuses the same precomputed-norm identity:
@@ -892,6 +909,180 @@ def ivf_topk(
             "query_id",
             F.col(id_col),
             F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _pq_book_lit(book: list[list[float]]) -> str:
+    """One subspace codebook as a Spark SQL nested-array literal."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(x) + "D" for x in row) + ")"
+            for row in book
+        )
+        + ")"
+    )
+
+
+def _sq_l2_agg(sub: str, cent: str) -> str:
+    """Squared L2 between two small arrays as an in-order double fold
+    (``aggregate`` starts at 0D; DuckDB's ``list_reduce`` folds the
+    same element order, so both engines produce identical bits)."""
+    return (
+        f"aggregate(zip_with({sub}, {cent}, (p, q) -> (p - q) * (p - q)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_pq_adc_topk(
+    corpus: DataFrame,
+    pq_book: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    dims: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (ADC) — the faiss
+    ``IndexIVFPQ`` layout, the standard billion-vector search memory
+    hierarchy, on pure DataFrame ops.
+
+    Index build (one corpus pass, all codegen arithmetic):
+
+    * coarse-quantize each vector to its nearest inverted list
+      (:func:`label_centroids` codebook, cosine, lowest-label
+      tiebreak — the same topology as :func:`ivf_topk`);
+    * PQ-encode the RESIDUAL ``x − centroid`` (residual encoding is
+      what separates IVF-PQ from flat PQ: residuals are centered, so
+      a small codebook covers them far better than raw vectors):
+      each ``subdim``-wide slice is assigned to its nearest codebook
+      row (first-min tiebreak via ``array_position``/``array_min`` —
+      the parity-proven scheme from the ``embedding_pq_codes``
+      entry).  A vector stores only ``(list_label, codes)`` —
+      ``subspaces`` small ints instead of ``dims`` floats.
+
+    Search (asymmetric: query side exact, database side quantized):
+
+    * probe the query's ``nprobe`` nearest lists;
+    * per (query, probed list), build the ADC lookup table: LUT[s][c]
+      = ||qres_s − book[s][c]||² for all codebook rows — ``subspaces ×
+      centroids`` squared distances computed ONCE per probe, not per
+      candidate;
+    * per candidate, approx distance = Σ_s LUT[s][code_s] — a fixed
+      ``subspaces`` array lookups (``element_at``), no per-candidate
+      vector math.  The LUT frame is queries × nprobe rows —
+      broadcast; candidates stream through a hash join on
+      ``list_label`` touching only probed lists.
+
+    100 TB shape: codes are ~``subspaces`` bytes/vector (64× smaller
+    than float32 at the catalog geometry), the scan is
+    partition-parallel over probed lists only, and the per-candidate
+    cost is lookups, not flops.  Determinism: centroids are 6-dp
+    rounded, every fold is in-order double arithmetic, distances are
+    floor-scaled on output — the DuckDB oracle reproduces the result
+    bit-for-bit.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    subspaces = len(pq_book)
+    subdim = len(pq_book[0][0])
+
+    cents = label_centroids(corpus, vec_col, label_col, dims=dims).select(
+        F.col(label_col).alias("list_label"), "centroid"
+    )
+    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
+    cent_only = F.broadcast(cents.select("list_label", "centroid"))
+    base = corpus.select(id_col, vec_col)
+    residual = f"zip_with({vec_col}, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"
+
+    # ---- index build: coarse assign + PQ-encode the residual --------
+    enc = (
+        _nearest_lists(base, cents, id_col, vec_col, 1)
+        .join(cent_only, "list_label")
+        .withColumn("_res", F.expr(residual))
+    )
+    for s in range(subspaces):
+        sub = f"slice(_res, {s * subdim + 1}, {subdim})"
+        dists = (
+            f"transform({_pq_book_lit(pq_book[s])}, "
+            f"cent -> {_sq_l2_agg(sub, 'cent')})"
+        )
+        enc = enc.withColumn(
+            f"code{s}",
+            F.expr(
+                f"array_position(({dists}), array_min({dists}))"
+            ).cast("int"),
+        )
+    lists = enc.select(
+        id_col, "list_label", *[f"code{s}" for s in range(subspaces)]
+    )
+
+    # ---- search: probe lists, build per-probe ADC LUTs --------------
+    probes = (
+        _nearest_lists(
+            base.filter(F.col(id_col).isin(query_ids)),
+            cents,
+            id_col,
+            vec_col,
+            nprobe,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            "list_label",
+        )
+        .join(cent_only, "list_label")
+        .withColumn(
+            "_qres",
+            F.expr("zip_with(qvec, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"),
+        )
+    )
+    for s in range(subspaces):
+        sub = f"slice(_qres, {s * subdim + 1}, {subdim})"
+        probes = probes.withColumn(
+            f"_lut{s}",
+            F.expr(
+                f"transform({_pq_book_lit(pq_book[s])}, "
+                f"cent -> {_sq_l2_agg(sub, 'cent')})"
+            ),
+        )
+    probes = probes.select(
+        "query_id", "list_label", *[f"_lut{s}" for s in range(subspaces)]
+    )
+
+    scored = lists.join(F.broadcast(probes), "list_label").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = F.element_at(F.col("_lut0"), F.col("code0"))
+    for s in range(1, subspaces):
+        adc = adc + F.element_at(F.col(f"_lut{s}"), F.col(f"code{s}"))
+    scored = scored.withColumn("_adc", adc)
+
+    # two-phase top-k (ascending distance; see brute_force_topk)
+    scored = scored.withColumn(
+        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+    )
+    w_local = Window.partitionBy("query_id", "_grp").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    scored = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_grp", "_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            (F.floor(F.col("_adc") * 1e6) / 1e6).alias("adc_dist"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

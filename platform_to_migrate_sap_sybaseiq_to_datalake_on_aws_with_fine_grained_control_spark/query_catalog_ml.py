@@ -1606,6 +1606,133 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# IVF-PQ with asymmetric distance computation (faiss IndexIVFPQ shape)
+# =====================================================================
+
+
+def _duck_ivfpq_sql() -> str:
+    """IVF-PQ ADC oracle: the per-label centroid CTEs from
+    ``_duck_ivf_sql``, residual PQ encoding with the literal
+    ``pq_codebook`` (first-min tiebreak — the parity scheme proven by
+    ``embedding_pq_codes``), then per-candidate ADC = Σ_s
+    ||qres_s − book[s][code_s]||² with every fold in the same element
+    order as the Spark ``aggregate`` chain."""
+    from .query_catalog_mining import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+    )
+
+    cb = pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
+    lits = [
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in row) + "]" for row in cb[s]
+        )
+        + "]::DOUBLE[][]"
+        for s in range(PQ_SUBSPACES)
+    ]
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos_cent = _duck_cos("embedding", "centroid")
+    res = (
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> CAST(embedding[i] AS DOUBLE) - centroid[i])"
+    )
+    d_exprs = ", ".join(
+        f"list_transform({lits[s]}, cent -> list_reduce("
+        f"list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> (res[{s * PQ_SUBDIM} + i] - cent[i]) * "
+        f"(res[{s * PQ_SUBDIM} + i] - cent[i])), "
+        f"(acc, v) -> acc + v)) AS d{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    code_exprs = ", ".join(
+        f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) AS INT) "
+        f"AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    sel_cents = ", ".join(
+        f"({lits[s]})[l.code{s}] AS c{s}" for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> (qres[{s * PQ_SUBDIM} + i] - c{s}[i]) * "
+        f"(qres[{s * PQ_SUBDIM} + i] - c{s}[i])), (acc, v) -> acc + v)"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+WITH ex AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label AS list_label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY label, pos)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, embedding, list_label, centroid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cent} DESC, list_label) AS rn
+  FROM embeddings CROSS JOIN cent),
+listsr AS (
+  SELECT vec_id, list_label, {res} AS res
+  FROM assigned WHERE rn = 1),
+listsd AS (SELECT vec_id, list_label, {d_exprs} FROM listsr),
+lists AS (SELECT vec_id, list_label, {code_exprs} FROM listsd),
+probes AS (
+  SELECT vec_id AS query_id, list_label, {res} AS qres
+  FROM assigned WHERE vec_id IN ({ids}) AND rn <= {IVF_NPROBE}),
+scored0 AS (
+  SELECT p.query_id, l.vec_id, p.qres, {sel_cents}
+  FROM lists l JOIN probes p ON l.list_label = p.list_label
+  WHERE l.vec_id <> p.query_id),
+scored AS (SELECT query_id, vec_id, ({adc}) AS adc FROM scored0)
+SELECT query_id, vec_id, floor(adc * 1000000) / 1000000 AS adc_dist,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+@register(
+    "ann_ivf_pq_adc_topk",
+    _duck_ivfpq_sql(),
+    doc="IVF-PQ with asymmetric distance computation — the faiss "
+    "IndexIVFPQ memory hierarchy on DataFrame ops: coarse-quantize to "
+    "label-centroid inverted lists, PQ-encode the RESIDUAL x−centroid "
+    "(8 subspaces × 16 md5-literal centroids → 8 4-bit codes per "
+    "vector, 64× smaller than float32), probe 2 lists per query, "
+    "score candidates via a per-probe ADC lookup table (subspaces × "
+    "centroids squared distances computed once per probe; each "
+    "candidate costs 8 element_at lookups, zero vector math). The "
+    "billion-vector search layout: codes stream through a broadcast "
+    "hash join on list_label touching only probed lists. Oracle "
+    "reproduces centroids (6-dp rounded means), codes (first-min "
+    "tiebreak) and in-order double folds bit-for-bit.",
+)
+def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_adc_topk
+    from .query_catalog_mining import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_adc_topk(
+        df,
+        pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM),
+        "vec_id",
+        "embedding",
+        "label",
+        query_ids=ANN_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+
+
 #: low enough that the keep-decision path is exercised at the driver
 #: SFs (max true pair cosine is ~0.48 at sf0.001 / ~0.51 at sf0.01 on
 #: the current corpus); production corpora would run ~0.95+
