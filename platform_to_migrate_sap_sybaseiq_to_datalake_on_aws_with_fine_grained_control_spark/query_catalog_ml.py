@@ -1733,6 +1733,79 @@ def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# ANN recall measurement (approximate path vs exact ground truth)
+# =====================================================================
+
+
+def _duck_recall_sql() -> str:
+    """Recall@k oracle: the brute-force and IVF oracles as subqueries,
+    set-intersected per query."""
+    return f"""
+WITH exact AS (SELECT query_id, vec_id FROM ({_duck_ann_sql(bucketed=False)})),
+approx AS (SELECT query_id, vec_id FROM ({_duck_ivf_sql()})),
+perq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id)
+SELECT p.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.n_exact * 10000) / 10000
+    AS recall_at_k
+FROM perq p LEFT JOIN hits h ON p.query_id = h.query_id
+ORDER BY p.query_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _duck_recall_sql(),
+    doc="ANN quality measurement: recall@k of the IVF probe path "
+    "against the exact brute-force cosine top-k — the metric every "
+    "approximate index must report before replacing an exact scan "
+    "('measure, don't guess' applied to the index itself; faiss "
+    "benchmarks report exactly this). Per-query hit count and "
+    "floor-scaled recall via a set intersection of the two result "
+    "id-sets (both rankings bit-identical across engines, so the "
+    "intersection is too). Scale shape: both sides are the already-"
+    "linear topk plans; the intersection joins two (queries x k)-row "
+    "frames — negligible at any corpus size.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    df = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        df, "vec_id", "embedding", query_ids=ANN_QUERY_IDS, k=ANN_K
+    ).select("query_id", "vec_id")
+    approx = ivf_topk(
+        df, "vec_id", "embedding", "label",
+        query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
+    ).select("query_id", "vec_id")
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit_q = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        per_q.join(hit_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.floor(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_exact")
+                    * 1e4
+                )
+                / 1e4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 #: low enough that the keep-decision path is exercised at the driver
 #: SFs (max true pair cosine is ~0.48 at sf0.001 / ~0.51 at sf0.01 on
 #: the current corpus); production corpora would run ~0.95+

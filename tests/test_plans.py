@@ -27,6 +27,10 @@ BNLJ_OK = {
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    # corpus x k-row broadcast codebook assignment (linear, IVF family)
+    "ann_ivf_pq_adc_topk",
+    # composes brute_force_topk + ivf_topk (both broadcast shapes above)
+    "ann_recall_eval",
     # corpus x k-row broadcast codebook (linear assignment, same as IVF)
     "dedup_semdedup_embeddings",
     "dedup_semdedup_incremental",
