@@ -704,6 +704,94 @@ GROUP BY t.doc_id
 """
 
 
+# =====================================================================
+# CCNet-style bigram-LM perplexity bucketing (head / middle / tail)
+# =====================================================================
+
+#: add-k smoothing constant for the bigram conditional
+BIGRAM_ADD_K = 0.5
+
+
+def _bigram_ppl_spark_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, pair.w1, pair.big
+  FROM (SELECT doc_id,
+          explode(transform(sequence(1, size(t) - 1),
+            i -> struct(element_at(t, i) AS w1,
+                        concat(element_at(t, i), ' ', element_at(t, i + 1)) AS big))) AS pair
+        FROM docs WHERE size(t) >= 2)),
+cnt AS (SELECT big, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY big),
+ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cw FROM bg GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT explode(t) AS tok FROM docs)),
+scored AS (
+  SELECT b.doc_id,
+         -ln((c.c + {BIGRAM_ADD_K}) / (x.cw + {BIGRAM_ADD_K} * s.v)) AS nll
+  FROM bg b JOIN cnt c ON b.big = c.big
+  JOIN ctx x ON b.w1 = x.w1 CROSS JOIN voc s),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         floor(exp(avg(nll)) * 10000) / 10000 AS ppl
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, ppl,
+  CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ccnet_bucket
+FROM perdoc
+"""
+
+
+def _bigram_ppl_duck_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS big
+  FROM docs WHERE len(t) >= 2),
+cnt AS (SELECT big, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY big),
+ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cw FROM bg GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT unnest(t) AS tok FROM docs)),
+scored AS (
+  SELECT b.doc_id,
+         -ln((c.c + {BIGRAM_ADD_K}) / (x.cw + {BIGRAM_ADD_K} * s.v)) AS nll
+  FROM bg b JOIN cnt c ON b.big = c.big
+  JOIN ctx x ON b.w1 = x.w1 CROSS JOIN voc s),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         floor(exp(avg(nll)) * 10000) / 10000 AS ppl
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, ppl,
+  CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ccnet_bucket
+FROM perdoc
+"""
+
+
+sql_query(
+    "text_bigram_perplexity",
+    _bigram_ppl_spark_sql(),
+    _bigram_ppl_duck_sql(),
+    doc="CCNet-style perplexity bucketing: an add-k smoothed BIGRAM "
+    "LM trained on the corpus itself scores every document "
+    "(perplexity = exp of mean negative log conditional likelihood), "
+    "then documents split into head/middle/tail terciles — the "
+    "quality-stratification step of the CCNet pipeline (Wenzek et al. "
+    "2020), where 'head' (lowest perplexity) is the cleanest training "
+    "slice. Scale shape: bigram and context counts are two hash "
+    "aggregations over the token stream; scoring re-joins the stream "
+    "to both count tables on token keys (shuffled equi-joins, "
+    "Zipf-truncatable at 100 TB); vocab size is a 1-row scalar "
+    "broadcast. The tercile window ranks DOCUMENTS (corpus rows, not "
+    "tokens) on the floor-scaled ppl with doc_id tiebreak, so both "
+    "engines bucket identically; a production run would swap ntile "
+    "for approx-quantile thresholds.",
+)
+
+
 sql_query(
     "text_unigram_logprob",
     _unigram_sql("explode(split(text, ' '))"),

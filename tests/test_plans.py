@@ -55,6 +55,8 @@ BNLJ_OK = {
     "sample_weighted_by_quality",
     # token stream x single-row broadcast corpus token count — scalar join
     "text_unigram_logprob",
+    # bigram stream x single-row broadcast vocab size — scalar join
+    "text_bigram_perplexity",
     # brand-pair supports x single-row broadcast order total — scalar join
     "orders_market_basket",
     # corpus x single-row broadcast query vector — scalar join
