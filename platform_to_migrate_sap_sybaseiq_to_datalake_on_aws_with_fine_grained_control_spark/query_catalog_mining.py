@@ -1271,3 +1271,100 @@ sql_query(
     "rank order carries a (freq, token) tiebreak so both engines "
     "rank identically.",
 )
+
+
+# =====================================================================
+# HyperLogLog distinct sketch (m=256 registers, md5 hash, max-merge)
+# =====================================================================
+
+# Register sums use EXACT integer arithmetic: sum(1 << (49 - M_j)) is
+# a BIGINT (max 256 * 2^49 < 2^58), so the harmonic-mean denominator
+# is identical regardless of aggregation order — the float form
+# sum(2^-M) needs a 57-bit mantissa and would be order-sensitive.
+_HLL_TMPL = """
+WITH keys AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k
+              FROM orders),
+h AS (SELECT grp, {idx} AS idx,
+             substr(md5(CAST(k AS {str_t})), 3, 12) AS h12 FROM keys),
+r AS (SELECT grp, idx, length({re0}) AS lz,
+             substr(h12, length({re0}) + 1, 1) AS nib FROM h),
+rho AS (SELECT grp, idx,
+          CASE WHEN lz = 12 THEN 49
+               ELSE 4 * lz + CASE WHEN {nv} >= 8 THEN 1
+                                  WHEN {nv} >= 4 THEN 2
+                                  WHEN {nv} >= 2 THEN 3 ELSE 4 END
+          END AS rho
+        FROM r),
+regs AS (SELECT grp, idx, max(rho) AS m FROM rho GROUP BY grp, idx),
+allregs AS (SELECT grp, idx, m FROM regs
+            UNION ALL
+            SELECT 'ALL' AS grp, idx, max(m) AS m FROM regs GROUP BY idx),
+grps AS (SELECT DISTINCT grp FROM allregs),
+grid AS (SELECT g.grp, s.idx FROM grps g CROSS JOIN ({seq}) s),
+fullr AS (SELECT gr.grp, gr.idx, COALESCE(a.m, 0) AS m
+          FROM grid gr LEFT JOIN allregs a
+            ON gr.grp = a.grp AND gr.idx = a.idx),
+est AS (SELECT grp, sum({shl}) AS s,
+               sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+        FROM fullr GROUP BY grp),
+raw AS (SELECT grp, v,
+          (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+            * 562949953421312.0 / CAST(s AS DOUBLE) AS e
+        FROM est),
+corr AS (SELECT grp, v,
+           CASE WHEN e <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v)
+                ELSE e END AS e
+         FROM raw),
+exact AS (SELECT o_orderpriority AS grp,
+                 count(DISTINCT o_custkey) AS n
+          FROM orders GROUP BY o_orderpriority
+          UNION ALL
+          SELECT 'ALL' AS grp, count(DISTINCT o_custkey) AS n FROM orders)
+SELECT c.grp, CAST(x.n AS BIGINT) AS n_exact,
+       floor(c.e * 100) / 100 AS hll_est,
+       floor(abs(c.e - x.n) / x.n * 10000) / 10000 AS rel_err,
+       CAST(256 - c.v AS BIGINT) AS registers_set
+FROM corr c JOIN exact x ON c.grp = x.grp
+ORDER BY c.grp
+"""
+
+_HLL_SPARK = _HLL_TMPL.format(
+    idx="CAST(conv(substring(md5(CAST(k AS STRING)), 1, 2), 16, 10) AS INT)",
+    str_t="STRING",
+    re0="regexp_extract(h12, '^0*', 0)",
+    nv="(instr('0123456789abcdef', nib) - 1)",
+    seq="SELECT explode(sequence(0, 255)) AS idx",
+    shl="shiftleft(CAST(1 AS BIGINT), 49 - m)",
+)
+_HLL_DUCK = _HLL_TMPL.format(
+    idx=(
+        "((strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1))"
+    ),
+    str_t="VARCHAR",
+    re0="regexp_extract(h12, '^0*')",
+    nv="(strpos('0123456789abcdef', nib) - 1)",
+    seq="SELECT unnest(range(0, 256)) AS idx",
+    shl="(CAST(1 AS BIGINT) << (49 - m))",
+)
+
+sql_query(
+    "sketch_hll_distinct",
+    _HLL_SPARK,
+    _HLL_DUCK,
+    doc="HyperLogLog distinct-count sketch built from first "
+    "principles: md5 keys split into an 8-bit register index (m=256) "
+    "and a 48-bit suffix whose leading-zero run (computed from hex "
+    "nibbles — no float log2 near power-of-two boundaries) gives the "
+    "register rank; per-priority registers MERGE into a global 'ALL' "
+    "sketch via max — the property that makes HLL the 100 TB "
+    "cardinality primitive (registers combine across partitions, "
+    "files, or days with 256 bytes of state, unlike count(DISTINCT) "
+    "which must shuffle every key). Bias-corrected harmonic-mean "
+    "estimate with the small-range linear-counting correction; the "
+    "register sum is exact BIGINT arithmetic so both engines agree "
+    "bit-for-bit regardless of aggregation order. Emits exact vs "
+    "estimated cardinality and relative error per group — the "
+    "accuracy readout alongside the approx_count_distinct entry "
+    "(Spark's own HLL++, not oracle-reproducible).",
+)

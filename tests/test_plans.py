@@ -65,6 +65,8 @@ BNLJ_OK = {
     "curate_dsir_importance",
     # 1-row CMS estimate x 1-row exact count — scalar join
     "sketch_join_size_estimate",
+    # 6-group x 256-register literal grid — constant-size cross join
+    "sketch_hll_distinct",
     # three 1-row scalar readouts fused — scalar joins
     "pseudonymize_referential_integrity",
     # residuals x 1-row median/MAD scalars — scalar joins
