@@ -1225,3 +1225,89 @@ sql_query(
     "the single-table dq_checks_orders constraint suite with a "
     "referential (cross-table) rule.",
 )
+
+
+# =====================================================================
+# Bucketed-table co-located join (Exchange-free sort-merge join)
+# =====================================================================
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+#: bucket count for the demo layout (at 100 TB this would be sized so
+#: each bucket's file set fits an executor's scan budget, e.g. 4096)
+BUCKETED_JOIN_BUCKETS = 8
+
+
+@register(
+    "layout_bucketed_join_orders",
+    _BUCKETED_JOIN_ORACLE,
+    doc="Bucketed-table co-located join: orders and customer are "
+    "persisted as Spark bucketed tables (bucketBy on the join key, "
+    "one file per bucket via a pre-repartition), then joined with a "
+    "merge hint — the scans report 'Bucketed: true' and NEITHER join "
+    "side shuffles (no hashpartitioning exchange on o_custkey/"
+    "c_custkey; asserted by tests/test_plans.py). THE pre-pay "
+    "technique for 100 TB repeated joins: the shuffle happens once at "
+    "write time and every subsequent join/aggregation on the bucket "
+    "key is exchange-free, the DataFrame-native equivalent of the "
+    "lakehouse tier's clustered layouts. Value oracle is the plain "
+    "join, so the bucketed round-trip is also proven lossless.",
+)
+def layout_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    db = "bucket_demo"
+    root = "/tmp/spark_graft_bucket_demo"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{root}'")
+    ob, cb = f"{db}.orders_b_{tag}", f"{db}.customer_b_{tag}"
+    # the in-memory catalog forgets tables across sessions but their
+    # directories persist — drop both name and location before writing
+    for t in (ob, cb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sh.rmtree(f"{root}/{t.split('.')[1]}", ignore_errors=True)
+    n = BUCKETED_JOIN_BUCKETS
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .repartition(n, "o_custkey")
+        .write.bucketBy(n, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ob)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(n, "c_custkey")
+        .write.bucketBy(n, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(cb)
+    )
+    o, c = spark.table(ob), spark.table(cb)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            # decimal sum -> integer cents: EXACT in both engines, so
+            # the value is independent of double summation order
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )

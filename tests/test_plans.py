@@ -114,6 +114,22 @@ def test_q1_scan_pushdown_and_pruning(spark):
     assert read_schema.count(",") <= 7, f"q1 scan reads too many columns: {read_schema}"
 
 
+def test_bucketed_join_elides_join_exchanges(spark):
+    """layout_bucketed_join_orders: both scans read bucketed tables and
+    the sort-merge join consumes them WITHOUT re-shuffling on the join
+    key — the whole point of paying the bucket layout at write time."""
+    df = entry_mod.queries()["layout_bucketed_join_orders"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, "merge hint not honored"
+    assert plan.count("Bucketed: true") >= 2, "scans are not bucketed reads"
+    assert "hashpartitioning(o_custkey" not in plan, (
+        "orders side re-shuffled despite bucketing"
+    )
+    assert "hashpartitioning(c_custkey" not in plan, (
+        "customer side re-shuffled despite bucketing"
+    )
+
+
 def test_q3_broadcasts_dimensions(spark):
     plan = _plan(entry_mod.queries()["q3_shipping_priority"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
