@@ -55,6 +55,7 @@ __all__ = [
     "two_level_codebook",
     "ivf_topk",
     "ivf_pq_adc_topk",
+    "matryoshka_rerank_topk",
     "label_centroids",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_banded",
@@ -904,6 +905,85 @@ def ivf_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def matryoshka_rerank_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    prefix_dims: int = 16,
+    shortlist: int = 25,
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval (Kusupati et al. 2022): a coarse
+    pass scores only the first ``prefix_dims`` components of every
+    vector (MRL-trained embeddings front-load information, so the
+    prefix is a usable low-cost proxy), keeps a ``shortlist`` per
+    query, then re-ranks the shortlist with the FULL-dimension exact
+    cosine.
+
+    100 TB shape: the coarse pass is the expensive corpus scan and it
+    folds ``prefix_dims/dims`` of the arithmetic (4× less at the
+    catalog geometry — and with the prefix stored as its own column,
+    4× less I/O too); the re-rank touches ``queries × shortlist`` rows
+    only.  Both passes are the proven two-phase top-k plan (broadcast
+    queries, per-hash-group partial rank, bounded final window).
+    Exactness: the final ranking is true cosine on the shortlist; the
+    only approximation is shortlist recall, measurable with the
+    ``ann_recall_eval`` pattern.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    pre = f"slice({vec_col}, 1, {prefix_dims})"
+    queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
+        F.expr(f"slice({vec_col}, 1, {prefix_dims})").alias("qpre"),
+        F.expr(norm_expr(f"slice({vec_col}, 1, {prefix_dims})")).alias("_qpn"),
+    )
+    coarse = (
+        corpus.withColumn("_vpn", F.expr(norm_expr(pre)))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_pre",
+            F.expr(f"({dot_expr('qpre', pre)}) / (_qpn * _vpn)"),
+        )
+        .withColumn(
+            "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+        )
+    )
+    w_local = Window.partitionBy("query_id", "_grp").orderBy(
+        F.col("cos_pre").desc(), F.col(id_col).asc()
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), F.col(id_col).asc()
+    )
+    shortlisted = (
+        coarse.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= shortlist)
+        .withColumn("_sr", F.row_number().over(w_short))
+        .filter(F.col("_sr") <= shortlist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    return (
+        shortlisted.withColumn("_vn", F.expr(norm_expr(vec_col)))
+        .withColumn(
+            "cos_full",
+            F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)"),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

@@ -1734,6 +1734,63 @@ def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Matryoshka two-stage retrieval (prefix-dims coarse pass + re-rank)
+# =====================================================================
+
+MRL_PREFIX_DIMS = 16
+MRL_SHORTLIST = 25
+
+
+def _duck_matryoshka_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos_pre = _duck_cos("q.qpre", f"(c.embedding[1:{MRL_PREFIX_DIMS}])")
+    cos_full = _duck_cos("qvec", "embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         embedding[1:{MRL_PREFIX_DIMS}] AS qpre
+  FROM embeddings WHERE vec_id IN ({ids})),
+coarse AS (
+  SELECT q.query_id, c.vec_id, q.qvec, c.embedding,
+    row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {cos_pre} DESC, c.vec_id) AS sr
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+short AS (SELECT query_id, vec_id, qvec, embedding FROM coarse
+          WHERE sr <= {MRL_SHORTLIST})
+SELECT query_id, vec_id, round({cos_full}, 6) AS cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY {cos_full} DESC, vec_id) AS BIGINT) AS rank
+FROM short
+QUALIFY rank <= {ANN_K}
+"""
+
+
+@register(
+    "ann_matryoshka_rerank_topk",
+    _duck_matryoshka_sql(),
+    doc="Two-stage Matryoshka retrieval (Kusupati et al. 2022): the "
+    f"corpus scan scores only the first {MRL_PREFIX_DIMS} of 64 "
+    "embedding components (MRL-trained embeddings front-load "
+    f"information), keeps a {MRL_SHORTLIST}-candidate shortlist per "
+    "query, then re-ranks the shortlist with full-dimension exact "
+    "cosine. The coarse pass folds 1/4 of the arithmetic (and with "
+    "the prefix stored as its own column, 1/4 of the I/O); the exact "
+    "pass touches queries x shortlist rows only. Both passes use the "
+    "two-phase top-k plan; the final ranking is true cosine, so the "
+    "only approximation is shortlist recall.",
+)
+def ann_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import matryoshka_rerank_topk
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_rerank_topk(
+        df, "vec_id", "embedding",
+        query_ids=ANN_QUERY_IDS, k=ANN_K,
+        prefix_dims=MRL_PREFIX_DIMS, shortlist=MRL_SHORTLIST,
+    )
+
+
+# =====================================================================
 # ANN recall measurement (approximate path vs exact ground truth)
 # =====================================================================
 

@@ -29,6 +29,8 @@ BNLJ_OK = {
     "ann_ivf_kmeans_topk",
     # corpus x k-row broadcast codebook assignment (linear, IVF family)
     "ann_ivf_pq_adc_topk",
+    # corpus x 3-query broadcast coarse pass (linear, brute-force family)
+    "ann_matryoshka_rerank_topk",
     # composes brute_force_topk + ivf_topk (both broadcast shapes above)
     "ann_recall_eval",
     # corpus x k-row broadcast codebook (linear assignment, same as IVF)

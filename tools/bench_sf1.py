@@ -89,6 +89,15 @@ HEAVY = [
     "dedup_embedding_cosine_pairs_banded",
     "dedup_simhash_hamming_pairs",
     "dedup_edit_distance_pairs",
+    # round-8 late additions: residual-PQ ADC search + recall eval
+    # (both corpus-linear by construction), bigram-LM scoring (token
+    # stream re-joined to two count tables), HLL register build over
+    # 10x orders, bucketed write+join round trip
+    "ann_ivf_pq_adc_topk",
+    "ann_recall_eval",
+    "text_bigram_perplexity",
+    "sketch_hll_distinct",
+    "layout_bucketed_join_orders",
 ]
 
 

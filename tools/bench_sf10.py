@@ -82,6 +82,10 @@ SUBSET = [
     "text_tfidf_top_terms",
     "text_bm25_search",
     "search_hybrid_rrf",
+    # round-8 late additions (documents/embeddings only)
+    "ann_ivf_pq_adc_topk",
+    "ann_recall_eval",
+    "text_bigram_perplexity",
 ]
 
 #: sf1 times under this are noise-dominated; ratio uses the floor.
