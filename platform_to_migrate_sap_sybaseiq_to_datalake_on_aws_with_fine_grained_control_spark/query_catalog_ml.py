@@ -1374,6 +1374,95 @@ WHERE {quality} >= {QUALITY_MIN}
 """
 
 
+def _duck_contam_ids_sql() -> str:
+    """Contaminated doc_id list (overlap >= threshold vs the benchmark
+    shingle set) — the anti-join side shared by the clean-corpus and
+    CCNet-pipeline oracles."""
+    return f"""
+  SELECT t.doc_id FROM (
+    SELECT doc_id, CAST(len({duck_distinct_shingles('text', SHINGLE_N)}) AS BIGINT) AS n_total
+    FROM documents WHERE doc_id >= {CONTAM_BENCH_MAX_ID}) t
+  JOIN (
+    SELECT doc_id, count(*) AS n_hit FROM (
+      SELECT doc_id, unnest(sh) AS shingle FROM (
+        SELECT doc_id, {duck_distinct_shingles('text', SHINGLE_N)} AS sh
+        FROM documents WHERE doc_id >= {CONTAM_BENCH_MAX_ID}) x) corpus
+    WHERE shingle IN (
+      SELECT DISTINCT unnest({duck_distinct_shingles('text', SHINGLE_N)})
+      FROM documents WHERE doc_id < {CONTAM_BENCH_MAX_ID})
+    GROUP BY doc_id) h ON t.doc_id = h.doc_id
+  WHERE floor(h.n_hit::DOUBLE / t.n_total * 10000) / 10000 >= {CONTAM_MIN_OVERLAP}
+"""
+
+
+def _duck_ccnet_sql() -> str:
+    """CCNet-pipeline oracle: minhash losers + perplexity buckets +
+    contamination list, composed around the documents table."""
+    from .query_catalog_analytics import _bigram_ppl_duck_sql
+
+    return f"""
+WITH {_duck_minhash_pair_ctes()},
+losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+ppl AS ({_bigram_ppl_duck_sql()}),
+contam AS ({_duck_contam_ids_sql()})
+SELECT d.doc_id,
+  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) < 14
+       THEN 'train' ELSE 'holdout' END AS split,
+  d.lang, d.source, p.ppl, p.ccnet_bucket
+FROM documents d
+JOIN ppl p ON d.doc_id = p.doc_id
+ANTI JOIN losers l ON d.doc_id = l.doc_id
+ANTI JOIN contam c ON d.doc_id = c.doc_id
+WHERE p.ccnet_bucket <> 'tail'
+"""
+
+
+@register(
+    "curate_ccnet_corpus",
+    _duck_ccnet_sql(),
+    doc="The CCNet pipeline composed end-to-end (Wenzek et al. 2020): "
+    "MinHash-LSH near-dup removal (keep-lowest-id) -> bigram-LM "
+    "perplexity bucketing keeping head+middle (dropping the "
+    "worst-perplexity tercile, CCNet's quality gate) -> benchmark "
+    "decontamination (anti-join on the broadcast contaminated-id "
+    "list) -> deterministic md5 train/holdout split. Every stage is "
+    "an already-proven catalog operator; the composition is the "
+    "production shape — one pass per signal, all joins keyed on "
+    "doc_id.",
+)
+def curate_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import drop_near_duplicates
+    from .query_catalog import _sql
+    from .query_catalog_analytics import _bigram_ppl_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = drop_near_duplicates(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+    )
+    ppl = _sql(spark, sf_dir, _bigram_ppl_spark_sql()).select(
+        "doc_id", "ppl", "ccnet_bucket"
+    )
+    contaminated = text_contamination_overlap(spark, sf_dir).select("doc_id")
+    split = F.when(
+        F.expr(
+            "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
+        )
+        < 14,
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    return (
+        kept.join(ppl, "doc_id")
+        .filter(F.col("ccnet_bucket") != "tail")
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id", split.alias("split"), "lang", "source",
+            "ppl", "ccnet_bucket",
+        )
+    )
+
+
 def _duck_curate_clean_sql() -> str:
     """Full-pipeline oracle: curation result anti-joined against the
     benchmark-contamination list (nested WITHs are scoped per subquery)."""

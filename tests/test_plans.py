@@ -59,6 +59,8 @@ BNLJ_OK = {
     "text_unigram_logprob",
     # bigram stream x single-row broadcast vocab size — scalar join
     "text_bigram_perplexity",
+    # embeds the bigram-perplexity scalar-vocab join above
+    "curate_ccnet_corpus",
     # brand-pair supports x single-row broadcast order total — scalar join
     "orders_market_basket",
     # corpus x single-row broadcast query vector — scalar join

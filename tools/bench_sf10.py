@@ -85,6 +85,7 @@ SUBSET = [
     # round-8 late additions (documents/embeddings only)
     "ann_ivf_pq_adc_topk",
     "ann_recall_eval",
+    "ann_matryoshka_rerank_topk",
     "text_bigram_perplexity",
 ]
 
