@@ -56,6 +56,7 @@ __all__ = [
     "ivf_topk",
     "ivf_pq_adc_topk",
     "matryoshka_rerank_topk",
+    "hard_negative_mining",
     "label_centroids",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_banded",
@@ -988,6 +989,75 @@ def matryoshka_rerank_topk(
         .select(
             "query_id",
             F.col(id_col),
+            F.round("cos_full", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_ids: list[int] | None = None,
+    k_pos: int = 1,
+    k_neg: int = 5,
+) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each
+    anchor, the ``k_pos`` nearest SAME-label vectors (positives) and
+    the ``k_neg`` nearest DIFFERENT-label vectors (hard negatives —
+    the closest wrong-class items are exactly the pairs a contrastive
+    loss learns most from; Xiong et al. 2021 ANCE).
+
+    Output ``(query_id, vec_id, label, role, cos_sim, rank)`` with
+    ``role ∈ {{'pos', 'neg'}}`` and rank dense within (anchor, role).
+
+    Scale shape: one broadcast-anchor corpus scan (the exact-mining
+    baseline; a production ANCE loop would swap the scan for the IVF
+    probe path in :func:`ivf_topk` between training epochs), then the
+    proven two-phase top-k per (anchor, role) — the role just extends
+    the ranking key, so the partial windows stay partition-parallel.
+    """
+    query_ids = query_ids or [0, 1, 2]
+    anchors = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
+    )
+    scored = (
+        corpus.withColumn("_vn", F.expr(norm_expr(vec_col)))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_full", F.expr(f"({dot_expr('qvec', vec_col)}) / (_qn * _vn)")
+        )
+        .withColumn(
+            "role",
+            F.when(F.col(label_col) == F.col("qlabel"), "pos").otherwise("neg"),
+        )
+        .withColumn("_cap", F.when(F.col("role") == "pos", k_pos).otherwise(k_neg))
+        .withColumn(
+            "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(LOCAL_PRUNE_GROUPS))
+        )
+    )
+    w_local = Window.partitionBy("query_id", "role", "_grp").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("cos_full").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= F.col("_cap"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("_cap"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col(label_col),
+            "role",
             F.round("cos_full", 6).alias("cos_sim"),
             F.col("rank").cast("bigint").alias("rank"),
         )

@@ -1880,6 +1880,61 @@ def ann_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Hard-negative mining (contrastive training pairs)
+# =====================================================================
+
+HARDNEG_K_POS = 1
+HARDNEG_K_NEG = 5
+
+
+def _duck_hardneg_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = _duck_cos("qvec", "embedding")
+    return f"""
+WITH a AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+  FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT a.query_id, c.vec_id, c.label, a.qvec, c.embedding,
+    CASE WHEN c.label = a.qlabel THEN 'pos' ELSE 'neg' END AS role,
+    CASE WHEN c.label = a.qlabel THEN {HARDNEG_K_POS}
+         ELSE {HARDNEG_K_NEG} END AS cap,
+    {cos} AS cos_full
+  FROM embeddings c, a WHERE c.vec_id <> a.query_id),
+ranked AS (
+  SELECT query_id, vec_id, label, role, cap, cos_full,
+    row_number() OVER (PARTITION BY query_id, role
+                       ORDER BY cos_full DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, label, role, round(cos_full, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= cap
+"""
+
+
+@register(
+    "mine_hard_negatives",
+    _duck_hardneg_sql(),
+    doc="Contrastive-pair mining for embedding-model training: per "
+    f"anchor, the {HARDNEG_K_POS} nearest same-label vector "
+    f"(positive) and the {HARDNEG_K_NEG} nearest different-label "
+    "vectors (hard negatives — the closest wrong-class items a "
+    "contrastive loss learns most from; ANCE-style offline mining). "
+    "One broadcast-anchor corpus scan, then the two-phase top-k with "
+    "role extending the ranking key. A production mining loop between "
+    "epochs would swap the exact scan for the IVF probe path.",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hard_negative_mining
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        df, "vec_id", "embedding", "label",
+        query_ids=ANN_QUERY_IDS, k_pos=HARDNEG_K_POS, k_neg=HARDNEG_K_NEG,
+    )
+
+
+# =====================================================================
 # ANN recall measurement (approximate path vs exact ground truth)
 # =====================================================================
 

@@ -31,6 +31,8 @@ BNLJ_OK = {
     "ann_ivf_pq_adc_topk",
     # corpus x 3-query broadcast coarse pass (linear, brute-force family)
     "ann_matryoshka_rerank_topk",
+    # corpus x 3-anchor broadcast scan (linear, brute-force family)
+    "mine_hard_negatives",
     # composes brute_force_topk + ivf_topk (both broadcast shapes above)
     "ann_recall_eval",
     # corpus x k-row broadcast codebook (linear assignment, same as IVF)
