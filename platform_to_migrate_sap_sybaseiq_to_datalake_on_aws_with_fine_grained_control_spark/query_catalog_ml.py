@@ -315,6 +315,103 @@ def _duck_minhash_lsh_sql() -> str:
     return f"WITH {_duck_minhash_pair_ctes()}\nSELECT id_a, id_b, jaccard FROM pairs"
 
 
+def _duck_minhash_error_sql() -> str:
+    """MinHash estimate-vs-exact readout over ALL LSH candidates
+    (no threshold): reuses the shared sigs/cand/docs CTE chain."""
+    jac = (
+        "floor(len(list_intersect(da.sh, db.sh))::DOUBLE / "
+        "(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) "
+        "* 10000) / 10000"
+    )
+    est = (
+        f"floor(len(list_filter(list_transform(generate_series(1, "
+        f"{MINHASH_HASHES}), i -> sa.sig[i] = sb.sig[i]), x -> x))::DOUBLE "
+        f"/ {MINHASH_HASHES} * 10000) / 10000"
+    )
+    return f"""
+WITH {_duck_minhash_pair_ctes()},
+errs AS (
+  SELECT c.id_a, c.id_b, {est} AS est_jaccard, {jac} AS exact_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  JOIN docs da ON da.doc_id = c.id_a
+  JOIN docs db ON db.doc_id = c.id_b)
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+  floor(abs(est_jaccard - exact_jaccard) * 10000) / 10000 AS abs_err
+FROM errs
+"""
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    _duck_minhash_error_sql(),
+    doc="MinHash sketch-accuracy readout: for every LSH candidate "
+    "pair (no threshold), the signature-slot agreement fraction (the "
+    "unbiased MinHash Jaccard estimator) next to the exact "
+    "shingle-set Jaccard and their absolute error — the calibration "
+    "data that justifies a chosen (num_hashes, bands) geometry before "
+    "trusting the sketch at 100 TB ('measure, don't guess' applied to "
+    "the dedup index, the dedup-side sibling of ann_recall_eval). "
+    "Candidates come from the banded index (linear shuffle); the "
+    "verify join touches candidates only.",
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_feature_table, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = minhash_feature_table(
+        docs, "doc_id", "text", MINHASH_HASHES, SHINGLE_N
+    )
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", MINHASH_HASHES, MINHASH_BANDS, SHINGLE_N,
+        feat=feat,
+    )
+    fa = feat.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    fb = feat.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    exact = (
+        F.floor(
+            inter
+            / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+            * 10000
+        )
+        / 10000
+    )
+    est = (
+        F.floor(
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+            ).cast("double")
+            / MINHASH_HASHES
+            * 10000
+        )
+        / 10000
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a", "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err",
+            F.floor(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) * 10000)
+            / 10000,
+        )
+    )
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     _duck_minhash_lsh_sql(),
