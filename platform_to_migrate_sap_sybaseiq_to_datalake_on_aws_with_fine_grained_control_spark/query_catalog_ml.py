@@ -1529,8 +1529,7 @@ WHERE p.ccnet_bucket <> 'tail'
 )
 def curate_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import drop_near_duplicates
-    from .query_catalog import _sql
-    from .query_catalog_analytics import _bigram_ppl_spark_sql
+    from .query_catalog_analytics import bigram_perplexity_df
 
     docs = load_table(spark, sf_dir, "documents")
     kept = drop_near_duplicates(
@@ -1538,7 +1537,7 @@ def curate_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
         shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
     )
-    ppl = _sql(spark, sf_dir, _bigram_ppl_spark_sql()).select(
+    ppl = bigram_perplexity_df(spark, sf_dir).select(
         "doc_id", "ppl", "ccnet_bucket"
     )
     contaminated = text_contamination_overlap(spark, sf_dir).select("doc_id")
