@@ -705,6 +705,57 @@ GROUP BY t.doc_id
 
 
 # =====================================================================
+# Temperature-based language mix (alpha-sampling, XLM-R style)
+# =====================================================================
+
+MIX_TEMPERATURE_ALPHA = 0.3
+
+
+def _temp_mix_sql(fold: str) -> str:
+    """``fold`` is the dialect's ORDER-DETERMINISTIC sum of the
+    per-language weights (a left fold in lang order — a plain sum()
+    of non-integral doubles would depend on aggregation order)."""
+    a = MIX_TEMPERATURE_ALPHA
+    return f"""
+WITH langs AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS nn FROM langs),
+wt AS (SELECT lang, n, n / t.nn AS p, pow(n / t.nn, {a}) AS w
+       FROM langs, tot t),
+norm AS (SELECT {fold} AS tw FROM wt)
+SELECT wt.lang, CAST(wt.n AS BIGINT) AS n_docs,
+  floor(wt.p * 1000000) / 1000000 AS p_native,
+  floor(wt.w / nm.tw * 1000000) / 1000000 AS p_sampled,
+  floor((wt.w / nm.tw) / wt.p * 10000) / 10000 AS sample_rate,
+  CAST(floor(wt.w / nm.tw * t.nn) AS BIGINT) AS expected_docs
+FROM wt, norm nm, tot t
+ORDER BY wt.lang
+"""
+
+
+sql_query(
+    "corpus_temperature_mix",
+    _temp_mix_sql(
+        "aggregate(array_sort(collect_list(struct(lang, w))), "
+        "CAST(0 AS DOUBLE), (acc, s) -> acc + s.w)"
+    ),
+    _temp_mix_sql("list_reduce(list(w ORDER BY lang), (a, b) -> a + b)"),
+    doc="Temperature-based multilingual sampling (the XLM-R / mT5 "
+    f"alpha-mix, alpha={MIX_TEMPERATURE_ALPHA}): per-language "
+    "probability p^alpha renormalized — rare languages upsample, "
+    "dominant ones downsample, the standard knob between native "
+    "proportions (alpha=1) and uniform (alpha=0). Emits native vs "
+    "sampled shares, the per-language sampling rate, and expected "
+    "document allocation at corpus size. The weight normalizer is an "
+    "ORDER-DETERMINISTIC left fold in lang order (collect_list + "
+    "aggregate / list(ORDER BY) + list_reduce) — a plain sum() of "
+    "non-integral doubles would be aggregation-order-dependent and "
+    "break cross-engine bit parity. One groupBy(lang) scan; "
+    "everything after is a handful of rows.",
+)
+
+
+# =====================================================================
 # CCNet-style bigram-LM perplexity bucketing (head / middle / tail)
 # =====================================================================
 

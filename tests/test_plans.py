@@ -55,6 +55,8 @@ BNLJ_OK = {
     "text_tfidf_top_terms",
     # per-lang rows x single-row broadcast token budget — scalar join
     "corpus_token_budget_mix",
+    # per-lang rows x two 1-row scalars (corpus total, weight fold)
+    "corpus_temperature_mix",
     # docs x single-row broadcast length normalizer — scalar join
     "sample_weighted_by_quality",
     # token stream x single-row broadcast corpus token count — scalar join
