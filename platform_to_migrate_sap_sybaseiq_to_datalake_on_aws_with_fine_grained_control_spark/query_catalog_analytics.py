@@ -814,7 +814,13 @@ def bigram_perplexity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         (F.floor(F.exp(F.avg("nll")) * 10000) / 10000).alias("ppl"),
     )
-    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    # constant-value yet non-foldable partition key: the tercile needs
+    # a corpus-total order over DOC rows; pmod(hash, 1) keeps the
+    # single required partition without the global-window warning (the
+    # kmeans_centroids seed-window idiom)
+    w = Window.partitionBy(F.pmod(F.hash("doc_id"), F.lit(1))).orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc()
+    )
     bucket = F.ntile(3).over(w)
     return perdoc.select(
         "doc_id",
