@@ -1,0 +1,92 @@
+"""Mergeable-sketch column helpers (HyperLogLog).
+
+The register construction mirrors the ``sketch_hll_distinct`` oracle
+template in ``query_catalog_mining`` stage for stage (md5 → 8-bit
+register index + 48-bit suffix → nibble-wise leading-zero rank), so a
+register table built incrementally — per micro-batch, per partition,
+per day — MAX-merges into exactly the sketch the batch SQL computes.
+Everything is integer/string arithmetic: no float appears until the
+final estimate, and the harmonic-mean denominator is an exact BIGINT
+(``sum(1 << (49 - M))``), so results are independent of aggregation
+or merge order — the property that makes the sketch safe to maintain
+across retried/replayed micro-batches (duplicate register rows cannot
+move a max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["HLL_M", "hll_register_rows", "hll_estimate_row"]
+
+#: register count (8-bit index) — 256 bytes of max-rank state
+HLL_M = 256
+#: rank ceiling: 48-bit suffix of all zeros
+_RHO_MAX = 49
+#: bias correction for m=256
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_POW2_49 = float(1 << 49)
+
+
+def hll_register_rows(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-row ``(idx, rho)`` register observations for ``key_col``.
+
+    Same staging as the ``sketch_hll_distinct`` SQL template: the
+    register index is the first two md5 hex chars, the rank is the
+    leading-zero run of the next twelve (computed from hex nibbles —
+    no float log2 near power-of-two boundaries).  Feed the output to
+    ``groupBy("idx").agg(max("rho"))`` — the resulting table merges
+    with any other register table by the same max.
+    """
+    h12 = f"substr(md5(CAST({key_col} AS STRING)), 3, 12)"
+    return (
+        df.select(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 2), "
+                f"16, 10) AS INT)"
+            ).alias("idx"),
+            F.expr(h12).alias("h12"),
+        )
+        .withColumn("lz", F.expr("length(regexp_extract(h12, '^0*', 0))"))
+        .withColumn("nib", F.expr("substr(h12, lz + 1, 1)"))
+        .withColumn(
+            "rho",
+            F.expr(
+                f"CASE WHEN lz = 12 THEN {_RHO_MAX} "
+                "ELSE 4 * lz + CASE "
+                "WHEN (instr('0123456789abcdef', nib) - 1) >= 8 THEN 1 "
+                "WHEN (instr('0123456789abcdef', nib) - 1) >= 4 THEN 2 "
+                "WHEN (instr('0123456789abcdef', nib) - 1) >= 2 THEN 3 "
+                "ELSE 4 END END"
+            ),
+        )
+        .select("idx", "rho")
+    )
+
+
+def hll_estimate_row(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """One-row estimate frame from a (possibly sparse) ``(idx, m)``
+    register table: bias-corrected harmonic mean with the
+    linear-counting small-range branch — the same formulas (and the
+    same exact-BIGINT register sum) as the batch SQL oracle."""
+    grid = spark.range(HLL_M).select(F.col("id").cast("int").alias("idx"))
+    full = grid.join(regs, "idx", "left").select(
+        F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    agg = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - m)")).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_ALPHA) * HLL_M * HLL_M * F.lit(_POW2_49) / F.col("s").cast(
+        "double"
+    )
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(
+        corrected.alias("e"),
+        F.col("v").cast("bigint").alias("v"),
+        (F.lit(HLL_M) - F.col("v")).cast("bigint").alias("registers_set"),
+    )

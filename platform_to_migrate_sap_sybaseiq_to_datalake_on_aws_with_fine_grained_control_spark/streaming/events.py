@@ -761,3 +761,58 @@ def stateful_quota_admitter(events: DataFrame, quota_n: int = 5) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_streaming_hll(
+    spark,
+    src_dir: str,
+    key_col: str,
+    work_dir: str,
+) -> DataFrame:
+    """Maintain a HyperLogLog register table through a file-source
+    stream and return the merged ``(idx, m)`` registers.
+
+    Each micro-batch reduces its rows to per-register max ranks
+    (:func:`functions.sketches.hll_register_rows`) and APPENDS them to
+    a register log; the merged sketch is ``max(m) per idx`` over the
+    log.  Correctness under streaming failure semantics comes from two
+    independent layers: ``idempotent_foreach_batch`` markers skip
+    re-delivered batch ids, and even WITHOUT the marker a replayed
+    append cannot move the sketch — max-merge is idempotent under
+    duplicate register rows (the property test pins this).  That is
+    the point of sketch-based cardinality at 100 TB/day: per-partition
+    /per-batch/per-day register tables of 256 rows each merge by max
+    into the exact sketch a monolithic batch pass would build, with no
+    giant count-distinct shuffle and no replay hazard.
+    """
+    from ..functions.sketches import hll_register_rows
+
+    regs_dir = f"{work_dir}/regs"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_register_rows(batch_df, key_col)
+            .groupBy("idx")
+            .agg(F.max("rho").alias("m"))
+            .write.mode("append")
+            .parquet(regs_dir)
+        )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            idempotent_foreach_batch(apply, f"{work_dir}/markers")
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(regs_dir).groupBy("idx").agg(F.max("m").alias("m"))
+    )

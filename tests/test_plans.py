@@ -91,6 +91,8 @@ SKIP_HEAVY_BUILD = {
     # entries already sweep
     "acid_stream_feed_orders",
     "acid_stream_cdf_orders",
+    # frame construction runs an availableNow stream + register writes
+    "streaming_hll_users",
     "dedup_duplicate_clusters",
     "dedup_cluster_representatives",
     "ann_ivf_kmeans_topk",

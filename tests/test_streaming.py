@@ -1027,3 +1027,35 @@ def test_stream_into_constrained_table_via_foreach_batch(spark, tmp_path):
     assert tbl.snapshot(spark).count() == n1
     fresh(batch, 1)  # next batch lands
     assert tbl.snapshot(spark).count() == n1 + 1
+
+
+def test_streaming_hll_register_merge_is_replay_tolerant(spark, tmp_path):
+    """A re-delivered micro-batch appended WITHOUT the idempotence
+    marker must not move the sketch: max-merge over duplicate register
+    rows is a no-op — the second exactly-once layer of
+    run_streaming_hll."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.sketches import (
+        hll_estimate_row,
+        hll_register_rows,
+    )
+
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))
+    batch = (
+        hll_register_rows(keys, "k").groupBy("idx").agg(F.max("rho").alias("m"))
+    )
+    regs_dir = str(tmp_path / "regs")
+    batch.write.mode("append").parquet(regs_dir)
+    once = (
+        spark.read.parquet(regs_dir).groupBy("idx").agg(F.max("m").alias("m"))
+    )
+    est_once = hll_estimate_row(spark, once).collect()[0]
+    # replay: the SAME batch appends again (crash between sink write
+    # and checkpoint commit, marker lost)
+    batch.write.mode("append").parquet(regs_dir)
+    twice = (
+        spark.read.parquet(regs_dir).groupBy("idx").agg(F.max("m").alias("m"))
+    )
+    est_twice = hll_estimate_row(spark, twice).collect()[0]
+    assert est_once == est_twice
