@@ -3087,3 +3087,30 @@ def test_wav_codec_cross_validates_against_jvm_audiosystem(spark, tmp_path):
             fmt.isBigEndian(),
         ) == (8000.0, 16, 1, False)
         assert bytes(ais.readAllBytes()) == s.tobytes()
+
+
+def test_hll_register_rows_match_bit_arithmetic(spark):
+    """The nibble-wise SQL rank formula equals independent integer bit
+    arithmetic on the same md5 words: idx = first byte of the hash,
+    rho = leading zeros of the next 48 bits + 1 (49 when zero)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.sketches import (
+        hll_register_rows,
+    )
+
+    keys = list(range(1000))
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).select(
+        F.col("k").cast("long").alias("k")
+    )
+    reg = hll_register_rows(df, "k").collect()
+    expected = []
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        idx = int(h[:2], 16)
+        w = int(h[2:14], 16)
+        rho = 49 - w.bit_length() if w else 49
+        expected.append((idx, rho))
+    assert sorted((r["idx"], r["rho"]) for r in reg) == sorted(expected)
