@@ -102,6 +102,25 @@ BAND3 = [
 ]
 
 
+#: fourth recorded band (round 8, second window): the ANN memory
+#: hierarchy + sketch/curation tier added this window.  attempts=1:
+#: two entries write tables / run an availableNow stream, so best-of-N
+#: over rebuilt state measures the same thing N times.
+BAND4 = [
+    "ann_ivf_pq_adc_topk",
+    "ann_matryoshka_rerank_topk",
+    "ann_recall_eval",
+    "mine_hard_negatives",
+    "text_bigram_perplexity",
+    "curate_ccnet_corpus",
+    "dedup_minhash_estimate_error",
+    "sketch_hll_distinct",
+    "corpus_temperature_mix",
+    "layout_bucketed_join_orders",
+    "streaming_hll_users",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -175,6 +194,7 @@ def main() -> None:
     timings = run_band(HEADLINE, attempts=3)
     band2 = run_band(BAND2, attempts=2)
     band3 = run_band(BAND3, attempts=1)
+    band4 = run_band(BAND4, attempts=1)
 
     # Stage breakdown for the flagship composition (it chains the two
     # hottest operators): dedup alone vs the full dedup+quality+split.
@@ -231,6 +251,12 @@ def main() -> None:
                     "value": round(sum(band3.values()), 3),
                     "unit": "sec",
                     "queries": band3,
+                },
+                "band4": {
+                    "metric": "ann_sketch_curation_wall_clock",
+                    "value": round(sum(band4.values()), 3),
+                    "unit": "sec",
+                    "queries": band4,
                 },
                 "breakdown": breakdown,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
