@@ -55,6 +55,7 @@ __all__ = [
     "two_level_codebook",
     "ivf_topk",
     "ivf_pq_adc_topk",
+    "build_ivfpq_index",
     "matryoshka_rerank_topk",
     "hard_negative_mining",
     "label_centroids",
@@ -1086,6 +1087,60 @@ def _sq_l2_agg(sub: str, cent: str) -> str:
     )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame,
+    pq_book: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dims: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable halves of an IVF-PQ index:
+    ``(codebook, lists)`` — the coarse quantizer ``(list_label,
+    centroid)`` and the encoded corpus ``(id, list_label, code0..N)``.
+
+    Both frames are plain columnar tables: write them to parquet once
+    (train-once / search-many) and hand them back to
+    :func:`ivf_pq_adc_topk` via ``index=`` — the round trip is
+    bit-lossless (ints + 6-dp-rounded doubles; equivalence test
+    ``test_ivfpq_index_parquet_roundtrip``).  At 100 TB the lists
+    table is the ~subspaces-bytes-per-vector artifact that replaces
+    the raw float corpus for candidate scoring.
+    """
+    subspaces = len(pq_book)
+    subdim = len(pq_book[0][0])
+    cents = label_centroids(corpus, vec_col, label_col, dims=dims).select(
+        F.col(label_col).alias("list_label"), "centroid"
+    )
+    cents_n = F.broadcast(
+        cents.withColumn("_cn", F.expr(norm_expr("centroid")))
+    )
+    cent_only = F.broadcast(cents.select("list_label", "centroid"))
+    base = corpus.select(id_col, vec_col)
+    residual = f"zip_with({vec_col}, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"
+    enc = (
+        _nearest_lists(base, cents_n, id_col, vec_col, 1)
+        .join(cent_only, "list_label")
+        .withColumn("_res", F.expr(residual))
+    )
+    for s in range(subspaces):
+        sub = f"slice(_res, {s * subdim + 1}, {subdim})"
+        dists = (
+            f"transform({_pq_book_lit(pq_book[s])}, "
+            f"cent -> {_sq_l2_agg(sub, 'cent')})"
+        )
+        enc = enc.withColumn(
+            f"code{s}",
+            F.expr(
+                f"array_position(({dists}), array_min({dists}))"
+            ).cast("int"),
+        )
+    lists = enc.select(
+        id_col, "list_label", *[f"code{s}" for s in range(subspaces)]
+    )
+    return cents, lists
+
+
 def ivf_pq_adc_topk(
     corpus: DataFrame,
     pq_book: list[list[list[float]]],
@@ -1096,6 +1151,7 @@ def ivf_pq_adc_topk(
     k: int = 5,
     nprobe: int = 2,
     dims: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ with asymmetric distance computation (ADC) — the faiss
     ``IndexIVFPQ`` layout, the standard billion-vector search memory
@@ -1140,35 +1196,18 @@ def ivf_pq_adc_topk(
     subspaces = len(pq_book)
     subdim = len(pq_book[0][0])
 
-    cents = label_centroids(corpus, vec_col, label_col, dims=dims).select(
-        F.col(label_col).alias("list_label"), "centroid"
+    if index is None:
+        index = build_ivfpq_index(
+            corpus, pq_book, id_col, vec_col, label_col, dims=dims
+        )
+    codebook, lists = index
+    cents = F.broadcast(
+        codebook.select("list_label", "centroid").withColumn(
+            "_cn", F.expr(norm_expr("centroid"))
+        )
     )
-    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
-    cent_only = F.broadcast(cents.select("list_label", "centroid"))
+    cent_only = F.broadcast(codebook.select("list_label", "centroid"))
     base = corpus.select(id_col, vec_col)
-    residual = f"zip_with({vec_col}, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"
-
-    # ---- index build: coarse assign + PQ-encode the residual --------
-    enc = (
-        _nearest_lists(base, cents, id_col, vec_col, 1)
-        .join(cent_only, "list_label")
-        .withColumn("_res", F.expr(residual))
-    )
-    for s in range(subspaces):
-        sub = f"slice(_res, {s * subdim + 1}, {subdim})"
-        dists = (
-            f"transform({_pq_book_lit(pq_book[s])}, "
-            f"cent -> {_sq_l2_agg(sub, 'cent')})"
-        )
-        enc = enc.withColumn(
-            f"code{s}",
-            F.expr(
-                f"array_position(({dists}), array_min({dists}))"
-            ).cast("int"),
-        )
-    lists = enc.select(
-        id_col, "list_label", *[f"code{s}" for s in range(subspaces)]
-    )
 
     # ---- search: probe lists, build per-probe ADC LUTs --------------
     probes = (

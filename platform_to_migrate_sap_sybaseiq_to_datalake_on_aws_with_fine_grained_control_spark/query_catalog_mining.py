@@ -31,9 +31,12 @@ from .sources.registry import load_table
 BASKET_TOP = 20  # market-basket pairs kept (under a total order)
 BPE_TOP = 30  # top adjacent-token pairs kept
 EWMA_ALPHA = 0.2  # smoothing factor (literal in both SQL texts)
-PQ_SUBSPACES = 8  # product quantization: 64 dims -> 8 subvectors
-PQ_SUBDIM = 8  # dims per subvector
-PQ_CENTROIDS = 16  # codebook size per subspace (4-bit codes)
+from .functions.pq import (  # noqa: F401  (re-export: shared, cycle-free home)
+    PQ_CENTROIDS,
+    PQ_SUBDIM,
+    PQ_SUBSPACES,
+    pq_codebook,
+)
 
 
 # =====================================================================
@@ -591,31 +594,6 @@ sql_query(
 # =====================================================================
 # Product quantization of embeddings (deterministic literal codebook)
 # =====================================================================
-
-
-def pq_codebook(subspaces: int, centroids: int, subdim: int) -> list[list[list[float]]]:
-    """Deterministic pseudo-random PQ codebook in [-0.5, 0.5).
-
-    Entry (s, c, d) derives from ``md5("pq{s}:{c}:{d}")``'s first 8 hex
-    chars — reproducible in any language/engine with no RNG state (the
-    same scheme as ``operators.similarity.hyperplanes``).  A trained
-    codebook (Lloyd's, as in ann_ivf_kmeans_topk) would minimize
-    distortion; a fixed one exercises the identical assign/reconstruct
-    plan shape, which is what the oracle can verify exactly.
-    """
-    out = []
-    for s in range(subspaces):
-        book = []
-        for c in range(centroids):
-            row = []
-            for d in range(subdim):
-                v = int(
-                    hashlib.md5(f"pq{s}:{c}:{d}".encode()).hexdigest()[:8], 16
-                )
-                row.append(round(v / 2**32 - 0.5, 8))
-            book.append(row)
-        out.append(book)
-    return out
 
 
 def _pq_spark_sql() -> str:

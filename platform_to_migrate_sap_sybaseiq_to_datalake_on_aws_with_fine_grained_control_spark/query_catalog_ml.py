@@ -1803,7 +1803,7 @@ def _duck_ivfpq_sql() -> str:
     ``embedding_pq_codes``), then per-candidate ADC = Σ_s
     ||qres_s − book[s][code_s]||² with every fold in the same element
     order as the Spark ``aggregate`` chain."""
-    from .query_catalog_mining import (
+    from .functions.pq import (
         PQ_CENTROIDS,
         PQ_SUBDIM,
         PQ_SUBSPACES,
@@ -1898,7 +1898,7 @@ QUALIFY rank <= {ANN_K}
 )
 def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_pq_adc_topk
-    from .query_catalog_mining import (
+    from .functions.pq import (
         PQ_CENTROIDS,
         PQ_SUBDIM,
         PQ_SUBSPACES,

@@ -1953,7 +1953,7 @@ def test_pq_codes_match_numpy(spark):
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
         _CATALOG,
     )
-    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_mining import (
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.pq import (
         PQ_CENTROIDS,
         PQ_SUBDIM,
         PQ_SUBSPACES,
@@ -3114,3 +3114,40 @@ def test_hll_register_rows_match_bit_arithmetic(spark):
         rho = 49 - w.bit_length() if w else 49
         expected.append((idx, rho))
     assert sorted((r["idx"], r["rho"]) for r in reg) == sorted(expected)
+
+
+def test_ivfpq_index_parquet_roundtrip(spark, tmp_path):
+    """Train-once / search-many: the IVF-PQ index halves (codebook +
+    encoded lists) survive a parquet round trip bit-losslessly — the
+    search over the re-read index equals the search over the freshly
+    built one."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_adc_topk,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.pq import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+
+    book = pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
+    df = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codebook, lists = build_ivfpq_index(df, book)
+    codebook.write.parquet(str(tmp_path / "codebook"))
+    lists.write.parquet(str(tmp_path / "lists"))
+    persisted = (
+        spark.read.parquet(str(tmp_path / "codebook")),
+        spark.read.parquet(str(tmp_path / "lists")),
+    )
+    direct = ivf_pq_adc_topk(df, book, query_ids=[0, 1, 2], k=5, nprobe=2)
+    reread = ivf_pq_adc_topk(
+        df, book, query_ids=[0, 1, 2], k=5, nprobe=2, index=persisted
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, reread.collect())
+    )
