@@ -1918,6 +1918,48 @@ def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_pq_persisted_topk",
+    _duck_ivfpq_sql(),
+    doc="IVF-PQ search over a PERSISTED index: build_ivfpq_index "
+    "writes the (codebook, lists) halves to parquet once, the search "
+    "reads them back and never touches the raw float corpus except "
+    "for the 3 query vectors — the train-once/search-many shape a "
+    "100 TB deployment actually runs (the lists table is ~subspaces "
+    "bytes/vector, 64x smaller than the embeddings). Same oracle as "
+    "ann_ivf_pq_adc_topk: the parquet round trip must be "
+    "bit-lossless for this entry to stay green.",
+)
+def ann_ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+
+    from .functions.pq import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+    )
+    from .operators.similarity import build_ivfpq_index, ivf_pq_adc_topk
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_ivfpq_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    book = pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
+    df = load_table(spark, sf_dir, "embeddings")
+    codebook, lists = build_ivfpq_index(df, book)
+    codebook.write.parquet(f"{base}/codebook")
+    lists.write.parquet(f"{base}/lists")
+    persisted = (
+        spark.read.parquet(f"{base}/codebook"),
+        spark.read.parquet(f"{base}/lists"),
+    )
+    return ivf_pq_adc_topk(
+        df, book, "vec_id", "embedding", "label",
+        query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
+        index=persisted,
+    )
+
+
 # =====================================================================
 # Matryoshka two-stage retrieval (prefix-dims coarse pass + re-rank)
 # =====================================================================

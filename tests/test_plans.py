@@ -29,6 +29,8 @@ BNLJ_OK = {
     "ann_ivf_kmeans_topk",
     # corpus x k-row broadcast codebook assignment (linear, IVF family)
     "ann_ivf_pq_adc_topk",
+    # same probe shape over the parquet-persisted index halves
+    "ann_ivf_pq_persisted_topk",
     # corpus x 3-query broadcast coarse pass (linear, brute-force family)
     "ann_matryoshka_rerank_topk",
     # corpus x 3-anchor broadcast scan (linear, brute-force family)
