@@ -98,6 +98,15 @@ HEAVY = [
     "text_bigram_perplexity",
     "sketch_hll_distinct",
     "layout_bucketed_join_orders",
+    # round-8 second-window tail: full CCNet composition, contrastive
+    # mining scan, sketch calibration, streamed register merge,
+    # persisted-index search, prefix+rerank ladder
+    "curate_ccnet_corpus",
+    "mine_hard_negatives",
+    "dedup_minhash_estimate_error",
+    "streaming_hll_users",
+    "ann_ivf_pq_persisted_topk",
+    "ann_matryoshka_rerank_topk",
 ]
 
 

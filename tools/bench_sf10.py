@@ -84,9 +84,13 @@ SUBSET = [
     "search_hybrid_rrf",
     # round-8 late additions (documents/embeddings only)
     "ann_ivf_pq_adc_topk",
+    "ann_ivf_pq_persisted_topk",
     "ann_recall_eval",
     "ann_matryoshka_rerank_topk",
+    "mine_hard_negatives",
     "text_bigram_perplexity",
+    "dedup_minhash_estimate_error",
+    "curate_ccnet_corpus",
 ]
 
 #: sf1 times under this are noise-dominated; ratio uses the floor.
