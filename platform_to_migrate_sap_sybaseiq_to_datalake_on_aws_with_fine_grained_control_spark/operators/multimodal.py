@@ -795,3 +795,86 @@ def real_decode_backend(*_args, **_kwargs):  # pragma: no cover
         "JPEG files decode JVM-side via read_images_jvm; MP3 / video "
         "need librosa/av (absent here per the 2026-08-15 import probe)"
     )
+
+
+def synthetic_perturbed_pixels(i: int) -> np.ndarray:
+    """Deterministic near-duplicate of image ``i``'s pixel spec: every
+    11th pixel (phase ``i % 11``) brightens by 60 — enough to flip a
+    few aHash cells (Hamming mostly 1-3 vs the original on the
+    catalog geometry, with a tail past the threshold so the near-dup
+    entry exercises both accept and reject branches)."""
+    px = synthetic_image_pixels(i).astype(np.int64)
+    h, w = px.shape
+    flat = px.reshape(-1).copy()
+    idx = np.arange(flat.size)
+    flat[idx % 11 == (i % 11)] += 60
+    return np.clip(flat.reshape(h, w), 0, 255).astype(np.uint8)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes via Manku
+    block banding — the multimodal twin of the text SimHash index
+    (``operators/dedup.py``).
+
+    The 64-bit aHash (16 hex chars) splits into 4 blocks of 16 bits;
+    by pigeonhole any pair within Hamming ≤ 3 agrees on at least one
+    whole block, so candidates come from 4 equi-self-joins on (block,
+    16-bit key) — linear shuffle of ids, never a pairwise image or
+    hash compare.  Verification is exact: per-block ``bit_count(a ^
+    b)`` on 16-bit ints (no 64-bit signed-overflow trap in ``conv``),
+    summed and filtered at ``max_hamming``.  Output ``(id_a, id_b,
+    hamming)``, id_a < id_b.
+    """
+    from pyspark.sql import functions as F
+
+    blocks = 4
+    banded = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.substring(hash_col, b * 4 + 1, 4).alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, F.col("bk.block"), F.col("bk.key"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("hash_a"),
+        "block",
+        "key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("hash_b"),
+        "block",
+        "key",
+    )
+    cand = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = None
+    for blk in range(blocks):
+        term = F.expr(
+            f"bit_count(CAST(conv(substring(hash_a, {blk * 4 + 1}, 4), 16, 10) AS INT) "
+            f"^ CAST(conv(substring(hash_b, {blk * 4 + 1}, 4), 16, 10) AS INT))"
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1405,3 +1405,98 @@ def layout_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "o_orderpriority")
     )
+
+
+# =====================================================================
+# Perceptual image NEAR-dup pairs (banded Hamming over aHash)
+# =====================================================================
+
+MM_NEARDUP_MAX_HAMMING = 3
+
+
+def _ahash_neardup_golden() -> list[tuple]:
+    """Golden near-dup pairs from the pixel SPEC: original images plus
+    their +1000-id perturbed variants, all-pairs Hamming over the
+    Python aHash — the banded distributed path must reproduce exactly
+    the pairs within the threshold (pigeonhole guarantees the banding
+    loses none of them)."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        resize_nearest,
+        synthetic_image_pixels,
+        synthetic_perturbed_pixels,
+    )
+
+    def ahash(px):
+        small = resize_nearest(px, 8, 8).astype(np.int64)
+        mean = int(small.sum()) // 64
+        v = 0
+        for bit in (small >= mean).flatten():
+            v = (v << 1) | int(bit)
+        return v
+
+    hashes = {}
+    for i in range(64):
+        if i % 3 != 0:
+            continue
+        hashes[i] = ahash(synthetic_image_pixels(i))
+        hashes[i + 1000] = ahash(synthetic_perturbed_pixels(i))
+    rows = []
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(hashes[ids[x]] ^ hashes[ids[y]]).count("1")
+            if d <= MM_NEARDUP_MAX_HAMMING:
+                rows.append((ids[x], ids[y], d))
+    rows.sort()
+    return rows
+
+
+def _ahash_neardup_oracle() -> str:
+    from .query_catalog_ml import _values_oracle
+
+    return _values_oracle(
+        _ahash_neardup_golden(),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
+    )
+
+
+@register(
+    "mm_image_neardup_pairs",
+    _ahash_neardup_oracle(),
+    doc="Perceptual image NEAR-dup pairs end-to-end: plant a "
+    "pixel-perturbed copy of every image (a few aHash bits flip — "
+    "some variants land past the threshold, exercising the reject "
+    "branch), PNG-decode + aHash via the Arrow kernel, then Manku "
+    "block banding — 4 x 16-bit blocks, pigeonhole-complete for "
+    "Hamming <= 3 — generates candidates through equi-self-joins "
+    "(linear shuffle, never pairwise images), verified by exact "
+    "per-block bit_count XOR. The multimodal twin of the text SimHash "
+    "index; oracle = all-pairs Hamming over the pre-encode pixel "
+    "spec, which the banded path must reproduce exactly.",
+)
+def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        ASSET_SCHEMA,
+        image_ahash,
+        image_neardup_pairs,
+        make_synthetic_assets,
+        png_encode_gray,
+        synthetic_perturbed_pixels,
+    )
+
+    assets = make_synthetic_assets(spark, 64)
+    planted_rows = []
+    for i in range(64):
+        if i % 3 != 0:
+            continue
+        payload = png_encode_gray(synthetic_perturbed_pixels(i))
+        planted_rows.append(
+            (i + 1000, "image", payload, len(payload), f"synth://near/{i}")
+        )
+    planted = spark.createDataFrame(planted_rows, ASSET_SCHEMA)
+    hashes = image_ahash(assets.unionByName(planted))
+    return image_neardup_pairs(
+        hashes, "asset_id", "ahash", max_hamming=MM_NEARDUP_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
