@@ -1500,3 +1500,149 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(
         hashes, "asset_id", "ahash", max_hamming=MM_NEARDUP_MAX_HAMMING
     ).orderBy("id_a", "id_b")
+
+
+# =====================================================================
+# Video NEAR-dup by frame containment (shared-frame equi-join)
+# =====================================================================
+
+MM_VIDEO_MIN_CONTAINMENT = 0.3
+
+
+def _video_variant_frames(i: int) -> list[bytes]:
+    """Deterministic near-duplicate of video ``i``: keep every 2nd
+    frame (a re-encode/trim survivor set) and append 3 brand-new
+    frames — containment vs the original stays high while the frame
+    lists differ."""
+    import hashlib as _hl
+
+    from .operators.multimodal import synthetic_video_frames
+
+    kept = synthetic_video_frames(i)[::2]
+    return kept + [
+        _hl.md5(f"newframe:{i}:{k}".encode()).digest() for k in range(3)
+    ]
+
+
+def _video_containment_golden() -> list[tuple]:
+    """All-pairs frame containment from the container SPEC (only
+    original<->variant pairs share frames — every other digest is
+    unique by construction), filtered at the entry threshold."""
+    import hashlib as _hl
+
+    from .operators.multimodal import synthetic_video_frames
+
+    frames = {}
+    for i in range(64):
+        if i % 3 != 2:
+            continue
+        frames[i] = {_hl.md5(f).hexdigest() for f in synthetic_video_frames(i)}
+        frames[i + 1000] = {
+            _hl.md5(f).hexdigest() for f in _video_variant_frames(i)
+        }
+    rows = []
+    ids = sorted(frames)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            shared = len(frames[ids[x]] & frames[ids[y]])
+            if not shared:
+                continue
+            cont = (
+                int(
+                    shared
+                    / min(len(frames[ids[x]]), len(frames[ids[y]]))
+                    * 10000
+                )
+                / 10000
+            )
+            if cont >= MM_VIDEO_MIN_CONTAINMENT:
+                rows.append((ids[x], ids[y], shared, cont))
+    rows.sort()
+    return rows
+
+
+def _video_containment_oracle() -> str:
+    from .query_catalog_ml import _values_oracle
+
+    return _values_oracle(
+        _video_containment_golden(),
+        [
+            ("id_a", "BIGINT"),
+            ("id_b", "BIGINT"),
+            ("n_shared", "BIGINT"),
+            ("containment", "DOUBLE"),
+        ],
+    )
+
+
+@register(
+    "mm_video_neardup_containment",
+    _video_containment_oracle(),
+    doc="Video near-dup by frame containment: plant a trimmed+extended "
+    "variant of every video (every 2nd frame kept, 3 new appended), "
+    "decode the FRAM containers to frame digests via the Arrow "
+    "sampler, then an equi-self-join on frame_md5 -> per-pair shared "
+    "count -> containment = shared/min(|A|,|B|) — the shot-level "
+    "video-dedup primitive (re-encodes, trims and re-edits share "
+    "frames; unrelated videos share none). Candidates come from the "
+    "digest join (linear shuffle keyed on frame hash, never pairwise "
+    "videos). Oracle = all-pairs containment over the container spec.",
+)
+def mm_video_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        ASSET_SCHEMA,
+        fram_encode,
+        make_synthetic_assets,
+        sample_frames,
+    )
+
+    assets = make_synthetic_assets(spark, 64)
+    planted_rows = []
+    for i in range(64):
+        if i % 3 != 2:
+            continue
+        payload = fram_encode(_video_variant_frames(i))
+        planted_rows.append(
+            (i + 1000, "video", payload, len(payload), f"synth://vnear/{i}")
+        )
+    planted = spark.createDataFrame(planted_rows, ASSET_SCHEMA)
+    digests = sample_frames(
+        assets.unionByName(planted), every_nth=1, max_frames=1 << 30
+    )
+    counts = digests.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    a = digests.select(
+        F.col("asset_id").alias("id_a"), F.col("frame_md5")
+    )
+    b = digests.select(
+        F.col("asset_id").alias("id_b"), F.col("frame_md5")
+    )
+    shared = (
+        a.join(b, "frame_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("asset_id").alias("id_a"), F.col("n_frames").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("asset_id").alias("id_b"), F.col("n_frames").alias("n_b")
+    )
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "containment",
+            F.floor(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b")
+                * 10000
+            )
+            / 10000,
+        )
+        .filter(F.col("containment") >= MM_VIDEO_MIN_CONTAINMENT)
+        .select("id_a", "id_b", "n_shared", "containment")
+        .orderBy("id_a", "id_b")
+    )
