@@ -878,3 +878,107 @@ def image_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_peak_shingles(
+    samples: np.ndarray, window: int = 256, shingle: int = 3
+) -> list[str]:
+    """Shazam-lite audio fingerprint: per non-overlapping ``window``
+    of PCM samples take the dominant-frequency bin (argmax of the
+    rFFT magnitude, DC excluded — argmax is amplitude-scale-invariant,
+    so re-leveled audio fingerprints identically), then md5 each run
+    of ``shingle`` consecutive peak bins.  The shingle token carries
+    no absolute timestamp, so appended/trimmed-by-whole-windows edits
+    keep most tokens (sample-level shifts do not — a production
+    fingerprint uses anchor-pair constellations for that).  Distinct
+    tokens per asset; deterministic: integer input, numpy rFFT, first
+    argmax."""
+    n = (len(samples) // window) * window
+    if n == 0:
+        return []
+    mat = samples[:n].astype(np.float64).reshape(-1, window)
+    mags = np.abs(np.fft.rfft(mat, axis=1))
+    peaks = np.argmax(mags[:, 1:], axis=1) + 1
+    out = set()
+    for i in range(len(peaks) - shingle + 1):
+        tok = ",".join(str(int(p)) for p in peaks[i : i + shingle])
+        out.add(hashlib.md5(tok.encode()).hexdigest())
+    return sorted(out)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("shingle_md5", StringType(), True),
+    ]
+)
+
+
+def audio_fingerprints(
+    df: DataFrame, window: int = 256, shingle: int = 3
+) -> DataFrame:
+    """Distinct peak-shingle fingerprints for every decodable WAV via
+    Arrow-batched ``mapInPandas`` — the audio analog of the document
+    shingle table: downstream near-dup detection is an equi-join on
+    the token hash (linear shuffle), never a pairwise waveform
+    compare."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, toks = [], []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "audio" or row["payload"] is None:
+                    continue
+                try:
+                    samples, _rate = wav_decode_pcm16(bytes(row["payload"]))
+                except ValueError:
+                    continue
+                for t in audio_peak_shingles(samples, window, shingle):
+                    ids.append(row["asset_id"])
+                    toks.append(t)
+            yield pd.DataFrame({"asset_id": ids, "shingle_md5": toks})
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def _chirp_freq(tag: str) -> int:
+    """md5-derived per-window dominant frequency (1..24) — collision-
+    free enough that unrelated clips share no 3-window shingle."""
+    return 1 + int(hashlib.md5(tag.encode()).hexdigest()[:4], 16) % 24
+
+
+def synthetic_chirp_samples(i: int, window: int = 64) -> np.ndarray:
+    """Deterministic 'chirp' clip for the audio-fingerprint entry: a
+    square wave whose dominant frequency changes every ``window``
+    samples (md5-scheduled), so each window contributes a distinct
+    rFFT peak and the peak-shingle fingerprint actually varies —
+    unlike :func:`synthetic_audio_samples`, whose single-period tone
+    collapses to one token."""
+    out = []
+    for w in range(10 + i % 5):
+        f = _chirp_freq(f"clip:{i}:{w}")
+        k = np.arange(window)
+        out.append(np.where((k * f) % window < window // 2, 8000, -8000))
+    return np.concatenate(out).astype(np.int16)
+
+
+def synthetic_chirp_variant(i: int, window: int = 64) -> np.ndarray:
+    """Near-duplicate of chirp ``i``: amplitude halved (argmax peaks
+    are scale-invariant, so every original window fingerprints
+    identically) plus 3 appended new windows at lower level — the
+    re-leveled + extended edit."""
+    base = (synthetic_chirp_samples(i, window).astype(np.int64) // 2).astype(
+        np.int16
+    )
+    ext = np.concatenate(
+        [
+            np.where(
+                (np.arange(window) * _chirp_freq(f"ext:{i}:{w}")) % window
+                < window // 2,
+                4000,
+                -4000,
+            )
+            for w in range(3)
+        ]
+    ).astype(np.int16)
+    return np.concatenate([base, ext])

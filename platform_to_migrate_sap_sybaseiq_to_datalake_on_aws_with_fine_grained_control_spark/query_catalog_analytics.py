@@ -1646,3 +1646,131 @@ def mm_video_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_shared", "containment")
         .orderBy("id_a", "id_b")
     )
+
+
+# =====================================================================
+# Audio NEAR-dup by fingerprint containment (Shazam-lite shingles)
+# =====================================================================
+
+MM_AUDIO_MIN_CONTAINMENT = 0.3
+MM_AUDIO_FP_WINDOW = 64
+
+
+def _audio_fp_golden() -> list[tuple]:
+    """All-pairs fingerprint containment from the sample SPEC: 21
+    chirp clips + their re-leveled/extended variants through the SAME
+    peak-shingle kernel the executors run."""
+    from .operators.multimodal import (
+        audio_peak_shingles,
+        synthetic_chirp_samples,
+        synthetic_chirp_variant,
+    )
+
+    fps = {}
+    for i in range(21):
+        fps[i] = set(
+            audio_peak_shingles(
+                synthetic_chirp_samples(i), window=MM_AUDIO_FP_WINDOW
+            )
+        )
+        fps[i + 1000] = set(
+            audio_peak_shingles(
+                synthetic_chirp_variant(i), window=MM_AUDIO_FP_WINDOW
+            )
+        )
+    rows = []
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            inter = len(fps[ids[x]] & fps[ids[y]])
+            if not inter:
+                continue
+            cont = (
+                int(inter / min(len(fps[ids[x]]), len(fps[ids[y]])) * 10000)
+                / 10000
+            )
+            if cont >= MM_AUDIO_MIN_CONTAINMENT:
+                rows.append((ids[x], ids[y], inter, cont))
+    rows.sort()
+    return rows
+
+
+def _audio_fp_oracle() -> str:
+    from .query_catalog_ml import _values_oracle
+
+    return _values_oracle(
+        _audio_fp_golden(),
+        [
+            ("id_a", "BIGINT"),
+            ("id_b", "BIGINT"),
+            ("n_shared", "BIGINT"),
+            ("containment", "DOUBLE"),
+        ],
+    )
+
+
+@register(
+    "mm_audio_neardup_containment",
+    _audio_fp_oracle(),
+    doc="Audio near-dup by fingerprint containment (Shazam-lite): "
+    "WAV-decode chirp clips, take the dominant rFFT bin per 64-sample "
+    "window (argmax is amplitude-scale-invariant, so re-leveled audio "
+    "fingerprints identically), md5 each 3-window peak shingle via "
+    "the Arrow kernel, then an equi-self-join on the token -> per-pair "
+    "containment — the re-level/extend edit detector. 21 planted "
+    "variant pairs all land at containment 1.0 with zero false "
+    "positives at the 0.3 threshold (md5-scheduled frequencies make "
+    "unrelated clips token-disjoint). Candidates from the token join, "
+    "never pairwise waveforms; oracle = all-pairs containment through "
+    "the same kernel over the sample spec.",
+)
+def mm_audio_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_fingerprints,
+        synthetic_chirp_samples,
+        synthetic_chirp_variant,
+        wav_encode_pcm16,
+    )
+
+    rows = []
+    for i in range(21):
+        orig = wav_encode_pcm16(synthetic_chirp_samples(i))
+        rows.append((i, "audio", orig, len(orig), f"synth://chirp/{i}"))
+        var = wav_encode_pcm16(synthetic_chirp_variant(i))
+        rows.append(
+            (i + 1000, "audio", var, len(var), f"synth://chirpvar/{i}")
+        )
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    fps = audio_fingerprints(assets, window=MM_AUDIO_FP_WINDOW, shingle=3)
+    counts = fps.groupBy("asset_id").agg(F.count("*").alias("n_tokens"))
+    a = fps.select(F.col("asset_id").alias("id_a"), "shingle_md5")
+    b = fps.select(F.col("asset_id").alias("id_b"), "shingle_md5")
+    shared = (
+        a.join(b, "shingle_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("asset_id").alias("id_a"), F.col("n_tokens").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("asset_id").alias("id_b"), F.col("n_tokens").alias("n_b")
+    )
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "containment",
+            F.floor(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b")
+                * 10000
+            )
+            / 10000,
+        )
+        .filter(F.col("containment") >= MM_AUDIO_MIN_CONTAINMENT)
+        .select("id_a", "id_b", "n_shared", "containment")
+        .orderBy("id_a", "id_b")
+    )
