@@ -118,6 +118,12 @@ BAND4 = [
     "corpus_temperature_mix",
     "layout_bucketed_join_orders",
     "streaming_hll_users",
+    "ann_ivf_pq_persisted_topk",
+    # modality near-dup triple (synthetic planted corpora — constant
+    # size by design; tracked for kernel/plan regressions, not scale)
+    "mm_image_neardup_pairs",
+    "mm_video_neardup_containment",
+    "mm_audio_neardup_containment",
 ]
 
 
