@@ -90,3 +90,65 @@ def hll_estimate_row(spark: SparkSession, regs: DataFrame) -> DataFrame:
         F.col("v").cast("bigint").alias("v"),
         (F.lit(HLL_M) - F.col("v")).cast("bigint").alias("registers_set"),
     )
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch (d x w counter grid, md5 rows, SUM-mergeable)
+# ---------------------------------------------------------------------
+
+#: mirror of the ``sketch_count_min_users`` oracle geometry
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+_CMS_BUCKET = (
+    "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', k)), 1, 2), "
+    "16, 10) AS INT)"
+)
+
+
+def cms_counter_rows(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-input ``(i, b, c)`` Count-Min counter deltas for
+    ``key_col`` — the same d×w md5 grid as the batch
+    ``sketch_count_min_users`` oracle.  Counters MERGE BY SUM, which
+    is associative across batches/partitions/days but — unlike the
+    HLL register max — NOT idempotent under replay: a re-delivered
+    batch inflates every cell it touches, so a streaming maintainer
+    MUST sit behind batch-id idempotence markers
+    (``idempotent_foreach_batch``).  The replay-contrast test pins
+    both facts."""
+    keys = df.groupBy(
+        F.col(key_col).cast("string").alias("k")
+    ).agg(F.count("*").alias("n"))
+    return (
+        keys.select(
+            "k", "n", F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("i")
+        )
+        .withColumn("b", F.expr(_CMS_BUCKET))
+        .groupBy("i", "b")
+        .agg(F.sum("n").alias("c"))
+    )
+
+
+def cms_estimates(
+    counters: DataFrame, keys: DataFrame, key_col: str = "k"
+) -> DataFrame:
+    """Point-frequency estimates from a (possibly merged) counter
+    table: per key, min over the d row counters at its buckets.
+    ``keys`` must carry ``(k string, exact_n)``; output
+    ``(k, exact_n, cms_est)``."""
+    buckets = (
+        keys.select(
+            "k",
+            "exact_n",
+            F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("i"),
+        )
+        .withColumn("b", F.expr(_CMS_BUCKET))
+    )
+    return (
+        buckets.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("k")
+        .agg(
+            F.min("exact_n").alias("exact_n"),
+            F.min("c").alias("cms_est"),
+        )
+    )

@@ -1437,3 +1437,58 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel_err"),
         "registers_set",
     )
+
+
+# =====================================================================
+# Streaming Count-Min maintenance (counter sum-merge, marker-guarded)
+# =====================================================================
+
+
+@register(
+    "streaming_cms_users",
+    _cms_sql(
+        f"unnest(range(1, {CMS_DEPTH + 1}))", _CMS_BUCKET_DUCK, "VARCHAR"
+    ),
+    doc="STREAMING Count-Min maintenance: the events table replays as "
+    "a 4-file availableNow stream; each micro-batch appends its d x w "
+    "counter deltas and the sketch is sum(c) per cell over the log. "
+    "The deliberate contrast with streaming_hll_users: CMS cells "
+    "merge by SUM — associative (stream == batch, which is exactly "
+    "what the batch oracle checks) but NOT replay-idempotent, so "
+    "exactly-once genuinely depends on the idempotent_foreach_batch "
+    "marker layer (the contrast test pins the double-count without "
+    "markers). Same d=4/w=256 md5 grid as sketch_count_min_users, so "
+    "the BATCH oracle text verifies the streamed counters verbatim.",
+)
+def streaming_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+
+    from .functions.sketches import CMS_WIDTH as _W
+    from .functions.sketches import cms_estimates
+    from .streaming.events import run_streaming_cms
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_stream_cms_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    src = f"{base}/src"
+    events.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    counters = run_streaming_cms(spark, src, "user_id", f"{base}/work")
+    keys = events.groupBy(
+        F.col("user_id").cast("string").alias("k")
+    ).agg(F.count("*").cast("bigint").alias("exact_n"))
+    est = cms_estimates(counters, keys)
+    total = events.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_n")).alias("lower_ok"),
+            (
+                (F.col("cms_est") - F.col("exact_n")).cast("double")
+                <= F.lit(2.718281828459045 / _W) * F.col("n_total")
+            ).alias("upper_ok"),
+        )
+    )

@@ -816,3 +816,53 @@ def run_streaming_hll(
     return (
         spark.read.parquet(regs_dir).groupBy("idx").agg(F.max("m").alias("m"))
     )
+
+
+def run_streaming_cms(
+    spark,
+    src_dir: str,
+    key_col: str,
+    work_dir: str,
+) -> DataFrame:
+    """Maintain a Count-Min counter grid through a file-source stream
+    and return the merged ``(i, b, c)`` counters.
+
+    Structurally :func:`run_streaming_hll` with one crucial
+    difference: CMS cells merge by SUM, which is associative but NOT
+    replay-idempotent — without the ``idempotent_foreach_batch``
+    marker a re-delivered micro-batch double-counts every key it
+    carried (the HLL's max-merge shrugs that off).  Exactly-once here
+    genuinely depends on the marker layer; the contrast test pins the
+    inflation WITHOUT markers and the equality WITH them.
+    """
+    from ..functions.sketches import cms_counter_rows
+
+    regs_dir = f"{work_dir}/counters"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_counter_rows(batch_df, key_col)
+            .write.mode("append")
+            .parquet(regs_dir)
+        )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            idempotent_foreach_batch(apply, f"{work_dir}/markers")
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(regs_dir)
+        .groupBy("i", "b")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -95,6 +95,7 @@ SKIP_HEAVY_BUILD = {
     "acid_stream_cdf_orders",
     # frame construction runs an availableNow stream + register writes
     "streaming_hll_users",
+    "streaming_cms_users",
     "dedup_duplicate_clusters",
     "dedup_cluster_representatives",
     "ann_ivf_kmeans_topk",

@@ -1059,3 +1059,44 @@ def test_streaming_hll_register_merge_is_replay_tolerant(spark, tmp_path):
     )
     est_twice = hll_estimate_row(spark, twice).collect()[0]
     assert est_once == est_twice
+
+
+def test_streaming_cms_requires_idempotence_markers(spark, tmp_path):
+    """The CMS contrast to the HLL replay test: counter SUM-merge is
+    NOT idempotent — replaying a batch's delta without the marker
+    inflates estimates; the marker layer is what makes the streamed
+    sketch exactly-once."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.sketches import (
+        cms_counter_rows,
+        cms_estimates,
+    )
+
+    keys = spark.range(0, 2000).select((F.col("id") % 500).alias("k"))
+    delta = cms_counter_rows(keys, "k")
+    regs = str(tmp_path / "counters")
+    delta.write.mode("append").parquet(regs)
+    exact = keys.groupBy(F.col("k").cast("string").alias("k")).agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+
+    def merged():
+        return (
+            spark.read.parquet(regs).groupBy("i", "b").agg(F.sum("c").alias("c"))
+        )
+
+    once = {
+        r["k"]: r["cms_est"] for r in cms_estimates(merged(), exact).collect()
+    }
+    # every estimate >= exact (CMS lower bound) with a single delivery
+    assert all(v >= 4 for v in once.values())
+    # replay WITHOUT a marker: the same delta appends again
+    delta.write.mode("append").parquet(regs)
+    twice = {
+        r["k"]: r["cms_est"] for r in cms_estimates(merged(), exact).collect()
+    }
+    assert all(twice[k] == 2 * once[k] for k in once), (
+        "sum-merge must double under unguarded replay — that it does is "
+        "exactly why the streaming maintainer needs the marker layer"
+    )
