@@ -1754,3 +1754,54 @@ def acid_plan_driven_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.countDistinct("row_id").cast("bigint").alias("distinct_row_ids"),
     )
+
+
+@register(
+    "acid_vacuum_orders",
+    """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     round(o_totalprice, 2) AS p
+              FROM orders WHERE o_orderstatus = 'F'),
+after_del AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0)
+SELECT 'latest' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price, TRUE AS ok FROM after_del
+UNION ALL
+SELECT 'vacuum_lifecycle', CAST(0 AS BIGINT), 0.0, TRUE
+""",
+    doc="VACUUM lifecycle through the transaction log: append 'F' "
+    "orders (v1), copy-on-write DELETE key % 3 == 0 (v2 rewrites "
+    "every file, unreferencing all of v1's), then vacuum "
+    "retain_versions=1 — the only operation that ever deletes data "
+    "files. The readout pins the full contract: the current snapshot "
+    "still value-matches the source-derived expectation (vacuum "
+    "touched no live data), at least one unreferenced file was "
+    "physically swept, AND the pre-vacuum v1 snapshot — readable "
+    "until the sweep — now raises (the retention boundary is real, "
+    "encoded as the oracle-checked booleans the sketch entries "
+    "pioneered). min_age_s=0 is the documented no-concurrent-writers "
+    "test mode; production keeps the Delta-style age threshold.",
+)
+def acid_vacuum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TransactionLog(tempfile.mkdtemp(prefix="acid-vacuum-") + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+    t.delete_where(spark, "o_orderkey % 3 = 0")
+    swept = t.vacuum(retain_versions=1, min_age_s=0)
+    try:
+        t.snapshot(spark, version=1).count()
+        v1_gone = False
+    except Exception:
+        v1_gone = True
+    latest = t.snapshot(spark).agg(
+        F.lit("latest").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+        F.lit(True).alias("ok"),
+    )
+    lifecycle = spark.range(1).select(
+        F.lit("vacuum_lifecycle").alias("snap"),
+        F.lit(0).cast("bigint").alias("n_orders"),
+        F.lit(0.0).alias("total_price"),
+        F.lit(bool(len(swept) > 0 and v1_gone)).alias("ok"),
+    )
+    return latest.unionByName(lifecycle)
