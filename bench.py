@@ -99,6 +99,8 @@ BAND3 = [
     # the staging/commit/replay/checkpoint lifecycle at a 100x file
     # count so commit-path regressions surface round-over-round
     "acid_commit_path_bloom_files",
+    # round-8 second window: the only data-file-deleting operation
+    "acid_vacuum_orders",
 ]
 
 
@@ -118,6 +120,7 @@ BAND4 = [
     "corpus_temperature_mix",
     "layout_bucketed_join_orders",
     "streaming_hll_users",
+    "streaming_cms_users",
     "ann_ivf_pq_persisted_topk",
     # modality near-dup triple (synthetic planted corpora — constant
     # size by design; tracked for kernel/plan regressions, not scale)
