@@ -29,19 +29,25 @@ _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _POW2_49 = float(1 << 49)
 
 
-def hll_register_rows(df: DataFrame, key_col: str) -> DataFrame:
-    """Per-row ``(idx, rho)`` register observations for ``key_col``.
+def hll_register_rows(
+    df: DataFrame, key_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-row ``(*carry, idx, rho)`` register observations for
+    ``key_col``.
 
     Same staging as the ``sketch_hll_distinct`` SQL template: the
     register index is the first two md5 hex chars, the rank is the
     leading-zero run of the next twelve (computed from hex nibbles —
     no float log2 near power-of-two boundaries).  Feed the output to
-    ``groupBy("idx").agg(max("rho"))`` — the resulting table merges
-    with any other register table by the same max.
+    ``groupBy(*carry, "idx").agg(max("rho"))`` — the resulting table
+    merges with any other register table by the same max.  ``carry``
+    columns (e.g. a time-window key) ride along untouched, giving
+    per-group sketches from the same kernel.
     """
     h12 = f"substr(md5(CAST({key_col} AS STRING)), 3, 12)"
     return (
         df.select(
+            *[F.col(c) for c in carry],
             F.expr(
                 f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 2), "
                 f"16, 10) AS INT)"
@@ -61,7 +67,7 @@ def hll_register_rows(df: DataFrame, key_col: str) -> DataFrame:
                 "ELSE 4 END END"
             ),
         )
-        .select("idx", "rho")
+        .select(*carry, "idx", "rho")
     )
 
 
@@ -151,4 +157,42 @@ def cms_estimates(
             F.min("exact_n").alias("exact_n"),
             F.min("c").alias("cms_est"),
         )
+    )
+
+
+def hll_estimate_by_group(regs: DataFrame, grp_col: str = "grp") -> DataFrame:
+    """Per-group estimates from a sparse ``(grp, idx, m)`` register
+    table: each group gets the full ``HLL_M``-register grid (empty
+    registers count as rank 0), then the same exact-BIGINT harmonic
+    estimate as :func:`hll_estimate_row`.  Output ``(grp, e, v,
+    registers_set)``."""
+    spark = regs.sparkSession
+    grid = (
+        regs.select(grp_col)
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(HLL_M).select(F.col("id").cast("int").alias("idx"))
+            )
+        )
+    )
+    full = grid.join(regs, [grp_col, "idx"], "left").select(
+        grp_col, F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    agg = full.groupBy(grp_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - m)")).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_ALPHA) * HLL_M * HLL_M * F.lit(_POW2_49) / F.col("s").cast(
+        "double"
+    )
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(
+        grp_col,
+        corrected.alias("e"),
+        F.col("v").cast("bigint").alias("v"),
+        (F.lit(HLL_M) - F.col("v")).cast("bigint").alias("registers_set"),
     )

@@ -1492,3 +1492,105 @@ def streaming_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("upper_ok"),
         )
     )
+
+
+# =====================================================================
+# Streaming windowed HLL (per-hour cardinality through the stream)
+# =====================================================================
+
+_HLL_HOURLY_DUCK = """
+WITH keys AS (SELECT DISTINCT CAST(date_trunc('hour', ts) AS VARCHAR) AS grp,
+                              user_id AS k
+              FROM events),
+h AS (SELECT grp, {idx} AS idx,
+             substr(md5(CAST(k AS VARCHAR)), 3, 12) AS h12 FROM keys),
+r AS (SELECT grp, idx, length({re0}) AS lz,
+             substr(h12, length({re0}) + 1, 1) AS nib FROM h),
+rho AS (SELECT grp, idx,
+          CASE WHEN lz = 12 THEN 49
+               ELSE 4 * lz + CASE WHEN {nv} >= 8 THEN 1
+                                  WHEN {nv} >= 4 THEN 2
+                                  WHEN {nv} >= 2 THEN 3 ELSE 4 END
+          END AS rho
+        FROM r),
+regs AS (SELECT grp, idx, max(rho) AS m FROM rho GROUP BY grp, idx),
+grid AS (SELECT g.grp, s.idx
+         FROM (SELECT DISTINCT grp FROM regs) g
+         CROSS JOIN (SELECT unnest(range(0, 256)) AS idx) s),
+fullr AS (SELECT gr.grp, gr.idx, COALESCE(a.m, 0) AS m
+          FROM grid gr LEFT JOIN regs a
+            ON gr.grp = a.grp AND gr.idx = a.idx),
+est AS (SELECT grp, sum((CAST(1 AS BIGINT) << (49 - m))) AS s,
+               sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+        FROM fullr GROUP BY grp),
+raw AS (SELECT grp, v, (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+                       * 562949953421312.0 / CAST(s AS DOUBLE) AS e
+        FROM est),
+corr AS (SELECT grp, v, CASE WHEN e <= 640.0 AND v > 0
+                             THEN 256.0 * ln(256.0 / v) ELSE e END AS e
+         FROM raw),
+exact AS (SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS grp,
+                 count(DISTINCT user_id) AS n
+          FROM events GROUP BY 1)
+SELECT c.grp AS win, CAST(x.n AS BIGINT) AS n_exact,
+  floor(c.e * 100) / 100 AS hll_est,
+  floor(abs(c.e - x.n) / x.n * 10000) / 10000 AS rel_err,
+  CAST(256 - c.v AS BIGINT) AS registers_set
+FROM corr c JOIN exact x ON c.grp = x.grp
+ORDER BY win
+""".format(
+    idx=(
+        "((strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1))"
+    ),
+    re0="regexp_extract(h12, '^0*')",
+    nv="(strpos('0123456789abcdef', nib) - 1)",
+)
+
+
+@register(
+    "streaming_hll_hourly_users",
+    _HLL_HOURLY_DUCK,
+    doc="STREAMING per-tumbling-hour cardinality: the events stream "
+    "maintains one 256-register HLL per hour window (max-merged "
+    "deltas per micro-batch), then every window's bias-corrected "
+    "estimate lands next to the exact per-hour distinct count — the "
+    "cardinality-dashboard pattern (distinct users per hour, forever, "
+    "at 256 rows of state per window: late data keeps merging with no "
+    "watermark-dropped accuracy and no count-distinct shuffle). "
+    "Oracle = the batch per-hour register chain over the same keys, "
+    "so stream == batch is value-checked per window.",
+)
+def streaming_hll_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+
+    from .functions.sketches import hll_estimate_by_group
+    from .streaming.events import run_streaming_hll_windows
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_stream_hllw_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = f"{base}/src"
+    events.repartition(4).write.parquet(src)
+    regs = run_streaming_hll_windows(spark, src, "user_id", "ts", f"{base}/work")
+    est = hll_estimate_by_group(regs, "win")
+    exact = events.groupBy(
+        F.expr("CAST(date_trunc('hour', ts) AS STRING)").alias("win")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    return (
+        est.join(exact, "win")
+        .select(
+            "win",
+            "n_exact",
+            (F.floor(F.col("e") * 100) / 100).alias("hll_est"),
+            (
+                F.floor(
+                    F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact") * 10000
+                )
+                / 10000
+            ).alias("rel_err"),
+            "registers_set",
+        )
+        .orderBy("win")
+    )

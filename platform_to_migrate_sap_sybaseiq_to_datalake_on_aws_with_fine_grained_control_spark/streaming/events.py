@@ -866,3 +866,60 @@ def run_streaming_cms(
         .groupBy("i", "b")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def run_streaming_hll_windows(
+    spark,
+    src_dir: str,
+    key_col: str,
+    ts_col: str,
+    work_dir: str,
+) -> DataFrame:
+    """Per-tumbling-hour HyperLogLog registers maintained through a
+    file-source stream: each micro-batch reduces to per-(window,
+    register) max ranks and appends them; the merged sketch set is
+    ``max(m) per (window, idx)`` over the log.  Late or re-delivered
+    data is harmless twice over (idempotence markers + max-merge), and
+    a window's registers keep absorbing stragglers forever at 256
+    rows of state per window — the cardinality-dashboard pattern
+    (distinct users per hour over an unbounded stream) without a
+    count-distinct shuffle or watermark-dropped accuracy."""
+    from ..functions.sketches import hll_register_rows
+
+    regs_dir = f"{work_dir}/regs"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(
+            F.expr(f"CAST(date_trunc('hour', {ts_col}) AS STRING)").alias(
+                "win"
+            ),
+            F.col(key_col).alias("k"),
+        )
+        (
+            hll_register_rows(keyed, "k", carry=("win",))
+            .groupBy("win", "idx")
+            .agg(F.max("rho").alias("m"))
+            .write.mode("append")
+            .parquet(regs_dir)
+        )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            idempotent_foreach_batch(apply, f"{work_dir}/markers")
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(regs_dir)
+        .groupBy("win", "idx")
+        .agg(F.max("m").alias("m"))
+    )

@@ -96,6 +96,7 @@ SKIP_HEAVY_BUILD = {
     # frame construction runs an availableNow stream + register writes
     "streaming_hll_users",
     "streaming_cms_users",
+    "streaming_hll_hourly_users",
     "dedup_duplicate_clusters",
     "dedup_cluster_representatives",
     "ann_ivf_kmeans_topk",
