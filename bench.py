@@ -121,6 +121,7 @@ BAND4 = [
     "layout_bucketed_join_orders",
     "streaming_hll_users",
     "streaming_cms_users",
+    "streaming_hll_hourly_users",
     "ann_ivf_pq_persisted_topk",
     # modality near-dup triple (synthetic planted corpora — constant
     # size by design; tracked for kernel/plan regressions, not scale)
