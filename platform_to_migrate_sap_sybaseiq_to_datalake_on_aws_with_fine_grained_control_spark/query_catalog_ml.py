@@ -2096,6 +2096,84 @@ ORDER BY p.query_id
 """
 
 
+def _duck_recall_pq_sql() -> str:
+    """Recall@k of the IVF-PQ ADC path vs exact ground truth — the
+    quantization-loss readout (ADC approximates DISTANCES, not just
+    candidate sets, so its recall differs from the probe-only IVF's)."""
+    return f"""
+WITH exact AS (SELECT query_id, vec_id FROM ({_duck_ann_sql(bucketed=False)})),
+approx AS (SELECT query_id, vec_id FROM ({_duck_ivfpq_sql()})),
+perq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id)
+SELECT p.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.n_exact * 10000) / 10000
+    AS recall_at_k
+FROM perq p LEFT JOIN hits h ON p.query_id = h.query_id
+ORDER BY p.query_id
+"""
+
+
+@register(
+    "ann_recall_pq_eval",
+    _duck_recall_pq_sql(),
+    doc="Recall@k of the IVF-PQ ADC path against the exact brute-force "
+    "top-k — the quantization-loss readout that complements "
+    "ann_recall_eval (probing loses candidates; PQ additionally "
+    "distorts DISTANCES, so re-ranked order inside probed lists can "
+    "differ too). Together the two entries decompose where an IVF-PQ "
+    "deployment loses accuracy: nprobe coverage vs code distortion — "
+    "the faiss tuning workflow as catalog queries.",
+)
+def ann_recall_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.pq import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+    )
+    from .operators.similarity import brute_force_topk, ivf_pq_adc_topk
+
+    df = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        df, "vec_id", "embedding", query_ids=ANN_QUERY_IDS, k=ANN_K
+    ).select("query_id", "vec_id")
+    approx = ivf_pq_adc_topk(
+        df,
+        pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM),
+        "vec_id",
+        "embedding",
+        "label",
+        query_ids=ANN_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    ).select("query_id", "vec_id")
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit_q = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        per_q.join(hit_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.floor(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_exact")
+                    * 1e4
+                )
+                / 1e4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "ann_recall_eval",
     _duck_recall_sql(),

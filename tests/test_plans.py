@@ -37,6 +37,8 @@ BNLJ_OK = {
     "mine_hard_negatives",
     # composes brute_force_topk + ivf_topk (both broadcast shapes above)
     "ann_recall_eval",
+    # composes brute_force_topk + ivf_pq_adc_topk (broadcast shapes)
+    "ann_recall_pq_eval",
     # corpus x k-row broadcast codebook (linear assignment, same as IVF)
     "dedup_semdedup_embeddings",
     "dedup_semdedup_incremental",
