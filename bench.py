@@ -112,6 +112,7 @@ BAND4 = [
     "ann_ivf_pq_adc_topk",
     "ann_matryoshka_rerank_topk",
     "ann_recall_eval",
+    "ann_recall_pq_eval",
     "mine_hard_negatives",
     "text_bigram_perplexity",
     "curate_ccnet_corpus",
