@@ -314,6 +314,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -322,8 +323,13 @@ def minhash_lsh_pairs(
     arrays back in (broadcast-friendly: candidates ≪ corpus) and
     computes exact Jaccard via ``array_intersect``.
     Output ``(id_a, id_b, jaccard)``.
+
+    ``feat`` lets a composition (e.g. the CCNet pipeline) pass a shared
+    :func:`minhash_feature_table` so the shingle tokenization is paid
+    once across every consumer instead of once per stage.
     """
-    feat = minhash_feature_table(df, id_col, text_col, num_hashes, shingle_n)
+    if feat is None:
+        feat = minhash_feature_table(df, id_col, text_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, feat=feat
     )
@@ -755,14 +761,17 @@ def drop_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy near-dup removal: keep the lowest-id member of every
     near-dup pair (a doc is dropped iff it appears as the HIGHER id of
     any verified pair — deterministic, one pass over the pair list,
     no iterative connected components needed for the keep-first
-    policy)."""
+    policy).  ``feat`` = optional shared feature table (see
+    :func:`minhash_lsh_pairs`)."""
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold,
+        feat=feat,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -1141,6 +1141,37 @@ CONTAM_BENCH_MAX_ID = 10
 CONTAM_MIN_OVERLAP = 0.2
 
 
+def _contamination_overlap_from_shingles(sh: DataFrame) -> DataFrame:
+    """Contamination overlap from a pre-tokenized ``(doc_id, sh)``
+    shingle table — the decontamination consumer of a shared
+    tokenization pass (VERDICT r8 item 4).  ``sh`` = array of distinct
+    word shingles per doc.  The benchmark side (docs below
+    ``CONTAM_BENCH_MAX_ID``) broadcasts; the corpus side is one
+    explode + semi-join + groupBy, linear in corpus shingles."""
+    bench = (
+        sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus_docs = sh.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    hits = (
+        corpus_docs.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = corpus_docs.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_total")
+    )
+    overlap = F.floor(F.col("n_hit").cast("double") / F.col("n_total") * 10000) / 10000
+    return (
+        totals.join(hits, "doc_id")
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= CONTAM_MIN_OVERLAP)
+        .select("doc_id", "n_hit", "n_total", "overlap")
+    )
+
+
 @register(
     "text_contamination_overlap",
     f"""
@@ -1170,31 +1201,10 @@ WHERE floor(h.n_hit::DOUBLE / t.n_total * 10000) / 10000 >= {CONTAM_MIN_OVERLAP}
 )
 def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bench = (
-        docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
-        .select(F.explode(distinct_shingles("text", SHINGLE_N)).alias("shingle"))
-        .distinct()
+    sh = docs.select(
+        "doc_id", distinct_shingles("text", SHINGLE_N).alias("sh")
     )
-    corpus_docs = docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
-    corpus = corpus_docs.select(
-        "doc_id", F.explode(distinct_shingles("text", SHINGLE_N)).alias("shingle")
-    )
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    totals = corpus_docs.select(
-        "doc_id",
-        F.size(distinct_shingles("text", SHINGLE_N)).cast("bigint").alias("n_total"),
-    )
-    overlap = F.floor(F.col("n_hit").cast("double") / F.col("n_total") * 10000) / 10000
-    return (
-        totals.join(hits, "doc_id")
-        .withColumn("overlap", overlap)
-        .filter(F.col("overlap") >= CONTAM_MIN_OVERLAP)
-        .select("doc_id", "n_hit", "n_total", "overlap")
-    )
+    return _contamination_overlap_from_shingles(sh)
 
 
 @register(
@@ -1528,19 +1538,30 @@ WHERE p.ccnet_bucket <> 'tail'
     "doc_id.",
 )
 def curate_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import drop_near_duplicates
+    from .operators.dedup import drop_near_duplicates, minhash_feature_table
     from .query_catalog_analytics import bigram_perplexity_df
 
     docs = load_table(spark, sf_dir, "documents")
+    # One tokenize, three consumers (VERDICT r8 item 4): the persisted
+    # (doc_id, sh, sig) feature table feeds MinHash banding, LSH pair
+    # verification, AND benchmark decontamination.  The shingle
+    # explode/md5 work is the pipeline's dominant cost; sharing the
+    # persisted table pays it exactly once instead of once per stage.
+    feat = minhash_feature_table(
+        docs, "doc_id", "text", MINHASH_HASHES, SHINGLE_N
+    )
     kept = drop_near_duplicates(
         docs, "doc_id", "text",
         num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
         shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        feat=feat,
     )
     ppl = bigram_perplexity_df(spark, sf_dir).select(
         "doc_id", "ppl", "ccnet_bucket"
     )
-    contaminated = text_contamination_overlap(spark, sf_dir).select("doc_id")
+    contaminated = _contamination_overlap_from_shingles(
+        feat.select("doc_id", "sh")
+    ).select("doc_id")
     split = F.when(
         F.expr(
             "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
