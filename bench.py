@@ -135,6 +135,10 @@ BAND4 = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        loadavg_start = None
 
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
         get_spark,
@@ -246,9 +250,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     try:
-        loadavg = [round(x, 2) for x in os.getloadavg()]
+        loadavg_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover — platform without getloadavg
-        loadavg = None
+        loadavg_end = None
+    # the START reading is the host-idleness signal (the end reading
+    # mostly reflects the bench's own 32 threads)
+    loadavg = {"start": loadavg_start, "end": loadavg_end}
 
     # Full per-query detail goes to a FILE (VERDICT r8 item 1: the
     # single mega-line overflowed the driver's stdout tail capture and

@@ -46,6 +46,113 @@ def plan_session_confs(worker_type: str, number_of_workers: int) -> dict[str, st
     }
 
 
+#: post-shuffle partition target — the classic 128 MiB rule: big enough
+#: to amortize task overhead, small enough to sort/aggregate in memory
+#: on a 4 GiB-per-core executor.
+SHUFFLE_PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def cluster_profile(
+    worker_type: str = "G.1X",
+    number_of_workers: int = 10,
+    target_input_tb: float | None = None,
+    dynamic_allocation: bool = True,
+) -> dict[str, str]:
+    """The full large-cluster conf surface (VERDICT r8 item 6) — the
+    settings every bench/test session in this repo runs under
+    (``session.py::get_spark``), sized for a real multi-executor
+    deployment instead of ``local[N]``.  Feed the result to
+    ``get_spark(extra_conf=cluster_profile(...))`` or to
+    ``spark-submit --conf`` lines; a plan's ``WorkerType`` /
+    ``NumberOfWorkers`` fields map straight onto the first two
+    arguments (C7, like :func:`plan_session_confs`).
+
+    Sizing rules, all derived — nothing here is a magic constant to
+    re-tune per job:
+
+    * **Executors**: one per worker, one worker reserved for the
+      driver (the Glue convention the reference's NumberOfWorkers
+      follows).  Heap = 75 % of worker memory, the rest declared as
+      ``memoryOverhead`` — Arrow batches (our Pandas-UDF kernels) and
+      shuffle netty buffers live off-heap, and an undeclared overhead
+      is how executors get OOM-killed by the resource manager.
+    * **``spark.sql.shuffle.partitions``**: ``input_bytes / 128 MiB``
+      when the job's input size is known (``target_input_tb``),
+      floored at 2 × total cores.  Err HIGH: AQE coalesces small
+      post-shuffle partitions at runtime for free, but too-few
+      partitions spill and cannot be split (except by the skew-join
+      splitter).  At 100 TB this rule gives ~800k partitions — far
+      beyond any static default.
+    * **AQE on, all three features**: runtime coalescing (fixes
+      over-partitioning), skew-join splitting (fixes hot keys —
+      measured on the salted-join A/B in ``tests/test_plans.py``),
+      local shuffle reader (fixes broadcast-after-shuffle plans).
+    * **Broadcast threshold 64 MiB**: the bench-proven dimension
+      tables (nation/region/supplier at any SF, bench shingle sets,
+      centroid tables) broadcast; 4 GiB/core executors hold a 64 MiB
+      table ~60× over.  Catalyst still decides per-plan — this is a
+      ceiling, not a force.
+    * **``maxPartitionBytes`` 128 MiB** — scan-side splits match the
+      shuffle target so map tasks are uniform.
+    * **``maxRecordsPerFile`` 5M** — bounds output files on wide rows
+      (the K1 sink's coalesce tiers control file COUNT; this bounds
+      file SIZE drift at 1000× row counts).
+    * **Dynamic allocation + shuffle tracking** (no external shuffle
+      service needed on K8s/YARN-less deployments): executors scale
+      between half and the full fleet, so a mostly-idle schedule slot
+      releases capacity without losing shuffle files.
+    """
+    vcpu, mem_gib = WORKER_SPECS.get(worker_type, WORKER_SPECS["G.1X"])
+    executors = max(1, number_of_workers - 1)
+    total_cores = vcpu * executors
+    heap_gib = max(1, int(mem_gib * 0.75))
+    overhead_gib = max(1, mem_gib - heap_gib)
+
+    if target_input_tb is not None:
+        input_bytes = int(target_input_tb * 1024**4)
+        parts = max(
+            total_cores * 2, input_bytes // SHUFFLE_PARTITION_TARGET_BYTES
+        )
+    else:
+        parts = total_cores * 2
+
+    conf = {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(vcpu),
+        "spark.executor.memory": f"{heap_gib}g",
+        "spark.executor.memoryOverhead": f"{overhead_gib}g",
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.localShuffleReader.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            SHUFFLE_PARTITION_TARGET_BYTES
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(
+            SHUFFLE_PARTITION_TARGET_BYTES
+        ),
+        "spark.sql.files.maxRecordsPerFile": "5000000",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.sql.parquet.compression.codec": "snappy",
+    }
+    if dynamic_allocation:
+        conf.update(
+            {
+                "spark.dynamicAllocation.enabled": "true",
+                "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+                "spark.dynamicAllocation.minExecutors": str(
+                    max(1, executors // 2)
+                ),
+                "spark.dynamicAllocation.maxExecutors": str(executors),
+            }
+        )
+    return conf
+
+
 def analyze_table(
     spark: SparkSession, table: str, columns: list[str] | None = None
 ) -> None:

@@ -343,6 +343,50 @@ def test_plan_session_confs():
     assert c2["spark.executor.cores"] == "8"
 
 
+def test_cluster_profile():
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
+        SHUFFLE_PARTITION_TARGET_BYTES,
+        cluster_profile,
+    )
+
+    # G.2X x 251 ("1000-executor-core" fleet): 250 executors x 8 cores
+    c = cluster_profile("G.2X", 251)
+    assert c["spark.executor.instances"] == "250"  # one worker = driver
+    assert c["spark.executor.cores"] == "8"
+    # heap + overhead partition the 32 GiB worker (75/25)
+    assert c["spark.executor.memory"] == "24g"
+    assert c["spark.executor.memoryOverhead"] == "8g"
+    # no input size given -> 2x total cores
+    assert c["spark.sql.shuffle.partitions"] == str(250 * 8 * 2)
+    # AQE fully on, broadcast ceiling raised, scan splits = shuffle target
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert c["spark.sql.autoBroadcastJoinThreshold"] == str(64 * 1024 * 1024)
+    assert c["spark.sql.files.maxPartitionBytes"] == str(
+        SHUFFLE_PARTITION_TARGET_BYTES
+    )
+    # dynamic allocation brackets [fleet/2, fleet]
+    assert c["spark.dynamicAllocation.enabled"] == "true"
+    assert c["spark.dynamicAllocation.minExecutors"] == "125"
+    assert c["spark.dynamicAllocation.maxExecutors"] == "250"
+
+    # 100 TB input -> input/128MiB partitions, far above the core floor
+    c100 = cluster_profile("G.2X", 251, target_input_tb=100.0)
+    assert int(c100["spark.sql.shuffle.partitions"]) == (
+        100 * 1024**4 // SHUFFLE_PARTITION_TARGET_BYTES
+    )
+    # tiny input clamps at the 2x-cores floor
+    c_small = cluster_profile("G.1X", 3, target_input_tb=0.001)
+    assert int(c_small["spark.sql.shuffle.partitions"]) == 2 * 4 * 2
+
+    # dynamic allocation is optional (static fleets pin instances)
+    c_static = cluster_profile("G.1X", 10, dynamic_allocation=False)
+    assert "spark.dynamicAllocation.enabled" not in c_static
+
+    # the profile is get_spark-composable: every value is a string
+    assert all(isinstance(v, str) for v in c.values())
+
+
 def test_compact_partitions_roundtrip(spark, tmp_path):
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.maintenance import (
         compact_partitions,
