@@ -1424,3 +1424,4 @@ from . import query_catalog_analytics  # noqa: E402,F401  (registration side eff
 from . import query_catalog_mining  # noqa: E402,F401  (registration side effect)
 from . import query_catalog_stats  # noqa: E402,F401  (registration side effect)
 from . import query_catalog_lakehouse  # noqa: E402,F401  (registration side effect)
+from . import query_catalog_corpus  # noqa: E402,F401  (registration side effect — keep after stats)

@@ -1,0 +1,728 @@
+"""Round-9 corpus-curation & retrieval catalog entries.
+
+Seven additions that round out the LLM-training-data surface:
+
+* ``filter_repeated_blocks_c4`` — C4/MassiveText-style repeated-span
+  filter at disjoint token-block granularity.
+* ``text_trigram_stupid_backoff`` — trigram LM with stupid backoff
+  (Brants et al., EMNLP 2007) trained on a held-out half, with
+  per-document backoff-rate telemetry.
+* ``corpus_unimax_budget_mix`` — UniMax (Chung et al. 2023) budget
+  allocation: per-language waterfilling under an epoch cap, in closed
+  form via window functions.
+* ``stats_ks_test_chars`` — two-sample Kolmogorov–Smirnov test between
+  document-length distributions.
+* ``dedup_minhash_containment_pairs`` — asymmetric shingle containment
+  (doc-inside-doc detection) over the shared MinHash candidate index.
+* ``quality_ensemble_vote`` — majority vote over three independent
+  quality signals (Gopher rules, composite quality score, CCNet
+  perplexity bucket).
+* ``ann_mmr_diversified_topk`` — maximal-marginal-relevance diversified
+  retrieval (Carbonell & Goldstein, SIGIR 1998): greedy re-ranking of a
+  cosine top-pool, k fixed so both engines run the identical unrolled
+  plan.
+
+Every entry keeps the repo's parity discipline: shared constants,
+floor-scaled doubles, deterministic tiebreaks, and a DuckDB oracle
+built from the same template wherever the dialects allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .query_catalog import register, sql_query
+from .query_catalog_ml import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_HASHES,
+    QUALITY_MIN,
+    SHINGLE_N,
+    _duck_minhash_pair_ctes,
+)
+from .sources.registry import load_table
+
+# ---- shared constants (Spark impl and oracle MUST agree) -------------
+
+#: C4 repeated-span filter: disjoint block width (tokens) and the
+#: document-frequency threshold above which a block is "boilerplate"
+#: (C4 removes any three-sentence span occurring more than once; the
+#: block analog keeps the same ">1 document" rule).
+C4_BLOCK_TOKENS = 8
+C4_BLOCK_MIN_DF = 2
+C4_MAX_COMMON_RATIO = 0.3
+
+#: stupid backoff discount (the fixed 0.4 from Brants et al. 2007)
+SB_ALPHA = 0.4
+#: unigram add-k floor for unseen words
+SB_ADD_K = 0.5
+
+#: UniMax epoch cap: no language repeats more than C epochs
+UNIMAX_EPOCH_CAP = 2
+#: total budget as a multiple of the corpus token count — 1.5 makes the
+#: testdata exercise BOTH branches (low-resource languages saturate at
+#: the cap, the high-resource tail waterfills; at budget=1.0 no lang
+#: with >10% share ever saturates under C=2)
+UNIMAX_BUDGET_FACTOR = 1.5
+
+#: MMR: relevance/diversity trade-off and pool/output sizes
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+MMR_QUERY_ID = 0
+
+#: containment threshold (asymmetric: |A∩B| / |A|)
+CONTAINMENT_MIN = 0.7
+
+
+# =====================================================================
+# C4-style repeated-block filter
+# =====================================================================
+
+
+def _c4_texts() -> tuple[str, str]:
+    """One template, two dialects: explode each document into disjoint
+    ``C4_BLOCK_TOKENS``-token blocks, count per-block document
+    frequency, and emit per-doc boilerplate ratios + keep decision."""
+
+    def build(
+        toks: str, size_fn: str, slice_join: str, unnest: str
+    ) -> str:
+        w = C4_BLOCK_TOKENS
+        return f"""
+WITH docs AS (SELECT doc_id, {toks} AS t FROM documents),
+blocks AS (
+  SELECT doc_id,
+    {unnest.format(expr=f"CAST(floor({size_fn}(t) / {w}) AS INT) - 1", body=slice_join)} AS block
+  FROM docs WHERE {size_fn}(t) >= {w}),
+common AS (
+  SELECT block FROM blocks GROUP BY block
+  HAVING count(DISTINCT doc_id) >= {C4_BLOCK_MIN_DF}),
+flagged AS (
+  SELECT b.doc_id,
+    CASE WHEN c.block IS NOT NULL THEN 1 ELSE 0 END AS is_common
+  FROM blocks b LEFT JOIN common c ON b.block = c.block)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(is_common) AS BIGINT) AS n_common,
+  floor(CAST(sum(is_common) AS DOUBLE) / count(*) * 10000) / 10000 AS common_ratio,
+  (floor(CAST(sum(is_common) AS DOUBLE) / count(*) * 10000) / 10000
+     <= {C4_MAX_COMMON_RATIO}) AS keep
+FROM flagged GROUP BY doc_id
+"""
+
+    w = C4_BLOCK_TOKENS
+    spark_text = build(
+        "split(text, ' ')",
+        "size",
+        f"array_join(slice(t, p * {w} + 1, {w}), ' ')",
+        "explode(transform(sequence(0, {expr}), p -> {body}))",
+    )
+    duck_text = build(
+        "string_split(text, ' ')",
+        "len",
+        f"array_to_string(t[p * {w} + 1 : p * {w} + {w}], ' ')",
+        "unnest(list_transform(generate_series(0, {expr}), p -> {body}))",
+    )
+    return spark_text, duck_text
+
+
+_C4_SPARK, _C4_DUCK = _c4_texts()
+
+sql_query(
+    "filter_repeated_blocks_c4",
+    _C4_SPARK,
+    _C4_DUCK,
+    doc="C4/MassiveText-style repeated-span filter at disjoint "
+    f"{C4_BLOCK_TOKENS}-token-block granularity: a block occurring in "
+    f">= {C4_BLOCK_MIN_DF} distinct documents is corpus boilerplate; "
+    "documents whose boilerplate ratio exceeds "
+    f"{C4_MAX_COMMON_RATIO} are dropped (C4 removes any repeated "
+    "three-sentence span; the block analog keeps the same more-than-"
+    "one-document rule). Scale shape: the block table is O(tokens/8) "
+    "rows shuffled once on the block string for the DF count, then "
+    "once on doc_id for the rollup — linear, no pairwise joins; at "
+    "100 TB the block key becomes xxhash64(block) to shrink the "
+    "shuffle (string kept here for oracle bit-parity).",
+)
+
+
+# =====================================================================
+# Trigram LM with stupid backoff (held-out scoring)
+# =====================================================================
+
+
+def _sb_score_case(
+    tc: str, cc: str, bc: str, u2: str, u3: str, n: str, v: str
+) -> str:
+    """Shared stupid-backoff score CASE (raw counts, fixed 0.4
+    discount, add-k unigram floor) — identical text in both dialects."""
+    a = SB_ALPHA
+    k = SB_ADD_K
+    return (
+        f"CASE WHEN {tc} IS NOT NULL THEN {tc} / {cc} "
+        f"WHEN {bc} IS NOT NULL THEN {a} * {bc} / {u2} "
+        f"ELSE {a} * {a} * (coalesce({u3}, CAST(0 AS DOUBLE)) + {k}) "
+        f"/ ({n} + {k} * {v}) END"
+    )
+
+
+@register(
+    "text_trigram_stupid_backoff",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+eval AS (SELECT * FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 3),
+tri AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM train WHERE len(t) >= 3),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM train WHERE len(t) >= 2),
+uni AS (SELECT unnest(t) AS g FROM train),
+c3 AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM tri GROUP BY g),
+c2 AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM big GROUP BY g),
+c1 AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY g),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(count(DISTINCT g) AS DOUBLE) AS v FROM uni),
+pos AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tri,
+    unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1])) AS ctx,
+    unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i + 1] || ' ' || t[i + 2])) AS bg,
+    unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i + 1])) AS w2,
+    unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i + 2])) AS w3
+  FROM eval),
+scored AS (
+  SELECT p.doc_id,
+    -ln({_sb_score_case('tc.c', 'cc.c', 'bc.c', 'u2.c', 'u3.c', 's.n', 's.v')}) AS nll,
+    CASE WHEN tc.c IS NULL AND bc.c IS NOT NULL THEN 1 ELSE 0 END AS bo_bi,
+    CASE WHEN tc.c IS NULL AND bc.c IS NULL THEN 1 ELSE 0 END AS bo_uni
+  FROM pos p
+  LEFT JOIN c3 tc ON p.tri = tc.g
+  LEFT JOIN c2 cc ON p.ctx = cc.g
+  LEFT JOIN c2 bc ON p.bg = bc.g
+  LEFT JOIN c1 u2 ON p.w2 = u2.g
+  LEFT JOIN c1 u3 ON p.w3 = u3.g
+  CROSS JOIN nv s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+  floor(exp(avg(nll)) * 10000) / 10000 AS ppl,
+  CAST(sum(bo_bi) AS BIGINT) AS n_backoff_bi,
+  CAST(sum(bo_uni) AS BIGINT) AS n_backoff_uni
+FROM scored GROUP BY doc_id
+""",
+    doc="Trigram LM with stupid backoff (Brants et al., EMNLP 2007: "
+    f"fixed {SB_ALPHA} discount, raw counts, no normalization): counts "
+    "train on the even-doc_id half so backoff GENUINELY fires on the "
+    "odd-half eval stream (training and scoring on the same corpus "
+    "would make every observed trigram a hit). Emits per-doc "
+    "perplexity plus backoff-level telemetry (how often the model "
+    "fell to bigram / unigram), the standard LM-data diagnostic. "
+    "Scale shape: the tokenized corpus is persisted once and every "
+    "count table and the eval stream read the cached arrays; scoring "
+    "is five hash equi-joins on gram strings — linear, and exactly "
+    "the shape of a parquet-materialized count-table LM at 100 TB "
+    "(the count tables write once, score many).",
+)
+def text_trigram_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    toks.persist()
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    eval_ = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("t") >= 3))
+
+    tri = train.filter(F.size("t") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> concat("
+                "element_at(t, i), ' ', element_at(t, i + 1), ' ', "
+                "element_at(t, i + 2)))"
+            )
+        ).alias("g")
+    )
+    big = train.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> concat("
+                "element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("g")
+    )
+    uni = train.select(F.explode("t").alias("g"))
+    c3 = tri.groupBy("g").agg(F.count("*").cast("double").alias("c"))
+    c2 = big.groupBy("g").agg(F.count("*").cast("double").alias("c"))
+    c1 = uni.groupBy("g").agg(F.count("*").cast("double").alias("c"))
+    nv = uni.agg(
+        F.count("*").cast("double").alias("n"),
+        F.count_distinct("g").cast("double").alias("v"),
+    )
+
+    pos = eval_.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> named_struct("
+                "'tri', concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)), "
+                "'ctx', concat(element_at(t, i), ' ', element_at(t, i + 1)), "
+                "'bg', concat(element_at(t, i + 1), ' ', element_at(t, i + 2)), "
+                "'w2', element_at(t, i + 1), "
+                "'w3', element_at(t, i + 2)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.tri", "p.ctx", "p.bg", "p.w2", "p.w3")
+
+    score = _sb_score_case("tc", "cc", "bc", "u2", "u3", "n", "v")
+    scored = (
+        pos.join(c3.select(F.col("g").alias("tri"), F.col("c").alias("tc")), "tri", "left")
+        .join(c2.select(F.col("g").alias("ctx"), F.col("c").alias("cc")), "ctx", "left")
+        .join(c2.select(F.col("g").alias("bg"), F.col("c").alias("bc")), "bg", "left")
+        .join(c1.select(F.col("g").alias("w2"), F.col("c").alias("u2")), "w2", "left")
+        .join(c1.select(F.col("g").alias("w3"), F.col("c").alias("u3")), "w3", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            (-F.log(F.expr(score))).alias("nll"),
+            F.expr(
+                "CASE WHEN tc IS NULL AND bc IS NOT NULL THEN 1 ELSE 0 END"
+            ).alias("bo_bi"),
+            F.expr(
+                "CASE WHEN tc IS NULL AND bc IS NULL THEN 1 ELSE 0 END"
+            ).alias("bo_uni"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        (F.floor(F.exp(F.avg("nll")) * 10000) / 10000).alias("ppl"),
+        F.sum("bo_bi").cast("bigint").alias("n_backoff_bi"),
+        F.sum("bo_uni").cast("bigint").alias("n_backoff_uni"),
+    )
+
+
+# =====================================================================
+# UniMax budget allocation (waterfilling under an epoch cap)
+# =====================================================================
+
+
+def _unimax_texts() -> tuple[str, str]:
+    """Closed-form waterfill: languages ascending by capacity
+    ``cap = C * n_tokens``; with caps ascending, the saturated set is a
+    prefix, so the first index j where ``cap_j > (B - cumcap_j) /
+    (L - j + 1)`` fixes the water level v = that fair share; languages
+    before j get their cap, everyone else gets v."""
+    c = UNIMAX_EPOCH_CAP
+
+    def build(toks_len: str, part: str) -> str:
+        return f"""
+WITH langs AS (
+  SELECT lang, CAST(sum({toks_len}) AS DOUBLE) AS n
+  FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) * {UNIMAX_BUDGET_FACTOR} AS b,
+               CAST(count(*) AS DOUBLE) AS l FROM langs),
+ranked AS (
+  SELECT lang, n, n * {c} AS cap,
+    CAST(row_number() OVER ({part}ORDER BY n * {c}, lang) AS DOUBLE) AS i,
+    coalesce(sum(n * {c}) OVER ({part}ORDER BY n * {c}, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE)) AS cumcap
+  FROM langs),
+fair AS (
+  SELECT r.*, (t.b - r.cumcap) / (t.l - r.i + 1) AS f, t.b AS b
+  FROM ranked r CROSS JOIN tot t),
+level AS (SELECT min(i) AS j FROM fair WHERE cap > f),
+water AS (SELECT max(CASE WHEN f2.i = lv.j THEN f2.f END) AS v
+          FROM fair f2 CROSS JOIN level lv)
+SELECT f.lang, CAST(f.n AS BIGINT) AS n_tokens, CAST(f.cap AS BIGINT) AS cap_tokens,
+  CAST(floor(CASE WHEN lv.j IS NOT NULL AND f.i >= lv.j THEN w.v ELSE f.cap END) AS BIGINT) AS alloc_tokens,
+  floor((CASE WHEN lv.j IS NOT NULL AND f.i >= lv.j THEN w.v ELSE f.cap END) / f.n * 10000) / 10000 AS epochs,
+  floor((CASE WHEN lv.j IS NOT NULL AND f.i >= lv.j THEN w.v ELSE f.cap END) / f.b * 1000000) / 1000000 AS budget_share
+FROM fair f CROSS JOIN level lv CROSS JOIN water w
+ORDER BY f.lang
+"""
+
+    spark_text = build("size(split(text, ' '))", "PARTITION BY pmod(hash(lang), 1) ")
+    duck_text = build("len(string_split(text, ' '))", "")
+    return spark_text, duck_text
+
+
+_UNIMAX_SPARK, _UNIMAX_DUCK = _unimax_texts()
+
+sql_query(
+    "corpus_unimax_budget_mix",
+    _UNIMAX_SPARK,
+    _UNIMAX_DUCK,
+    doc="UniMax budget allocation (Chung et al. 2023): distribute a "
+    f"total token budget B (= {UNIMAX_BUDGET_FACTOR} corpus worths) "
+    "across languages as uniformly as possible subject to a "
+    "per-language epoch cap "
+    f"(C = {UNIMAX_EPOCH_CAP}) — low-resource languages saturate at "
+    "C epochs, the remainder waterfills evenly over the rest. The "
+    "waterfill is CLOSED-FORM: with capacities ascending the "
+    "saturated set is a prefix, so one window pass (row_number + "
+    "prefix sum) plus two scalar reductions finds the water level — "
+    "no iteration, unlike the paper's greedy loop. One groupBy(lang) "
+    "corpus scan; everything downstream is O(languages) rows. The "
+    "Spark window partitions by pmod(hash(lang), 1) — constant-valued "
+    "but non-foldable, the repo's idiom for a deliberate "
+    "single-partition window over a tiny frame.",
+)
+
+
+# =====================================================================
+# Two-sample Kolmogorov–Smirnov test
+# =====================================================================
+
+
+def _ks_texts() -> tuple[str, str]:
+    def build(part: str) -> str:
+        return f"""
+WITH vals AS (
+  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+  FROM documents),
+tot AS (SELECT CAST(sum(g) AS DOUBLE) AS n1,
+               CAST(sum(1 - g) AS DOUBLE) AS n2 FROM vals),
+perval AS (
+  SELECT x, CAST(sum(g) AS DOUBLE) AS c1, CAST(sum(1 - g) AS DOUBLE) AS c2
+  FROM vals GROUP BY x),
+cdf AS (
+  SELECT x,
+    sum(c1) OVER ({part}ORDER BY x) AS f1,
+    sum(c2) OVER ({part}ORDER BY x) AS f2
+  FROM perval),
+d AS (SELECT max(abs(f1 / t.n1 - f2 / t.n2)) AS ks
+      FROM cdf CROSS JOIN tot t)
+SELECT CAST(t.n1 AS BIGINT) AS n_en, CAST(t.n2 AS BIGINT) AS n_other,
+  floor(d.ks * 1000000) / 1000000 AS ks_d,
+  floor(1.358 * sqrt((t.n1 + t.n2) / (t.n1 * t.n2)) * 1000000) / 1000000 AS crit_05,
+  (d.ks > 1.358 * sqrt((t.n1 + t.n2) / (t.n1 * t.n2))) AS reject_05
+FROM d CROSS JOIN tot t
+"""
+
+    return build("PARTITION BY pmod(hash(x), 1) "), build("")
+
+
+_KS_SPARK, _KS_DUCK = _ks_texts()
+
+sql_query(
+    "stats_ks_test_chars",
+    _KS_SPARK,
+    _KS_DUCK,
+    doc="Two-sample Kolmogorov–Smirnov test between the document-"
+    "length (n_chars) distributions of English vs non-English docs: "
+    "D = max |F1 - F2| over the pooled support, with the large-sample "
+    "alpha=0.05 critical value 1.358*sqrt((n1+n2)/(n1*n2)) and the "
+    "reject decision — the distribution-drift gate between corpus "
+    "slices. Scale shape: one groupBy(value) aggregation collapses "
+    "the corpus to its value support BEFORE the CDF window, so the "
+    "single-partition cumulative sum sees O(distinct lengths) rows, "
+    "not O(docs); counts are integer-exact, the division happens once "
+    "per support point.",
+)
+
+
+# =====================================================================
+# Asymmetric containment pairs (doc-inside-doc detection)
+# =====================================================================
+
+
+def _duck_containment_sql() -> str:
+    cts = _duck_minhash_pair_ctes()
+    # reuse sigs/banded/cand/docs from the shared chain; ignore its
+    # jaccard-thresholded `pairs` and apply the containment rule.
+    return f"""
+WITH {cts}
+SELECT id_a, id_b,
+  floor(len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh) * 10000) / 10000 AS cont_a_in_b,
+  floor(len(list_intersect(da.sh, db.sh))::DOUBLE / len(db.sh) * 10000) / 10000 AS cont_b_in_a
+FROM cand
+JOIN docs da ON da.doc_id = id_a
+JOIN docs db ON db.doc_id = id_b
+WHERE greatest(
+    floor(len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh) * 10000) / 10000,
+    floor(len(list_intersect(da.sh, db.sh))::DOUBLE / len(db.sh) * 10000) / 10000)
+  >= {CONTAINMENT_MIN}
+"""
+
+
+@register(
+    "dedup_minhash_containment_pairs",
+    _duck_containment_sql(),
+    doc="Asymmetric shingle CONTAINMENT pairs (Broder 1997's second "
+    "resemblance measure): |A∩B|/|A| and |A∩B|/|B| over the SAME "
+    "banded-MinHash candidate index as the Jaccard entry — the "
+    "doc-inside-doc detector (quotes, wrappers, concatenations) that "
+    "symmetric Jaccard under-scores. Candidate recall is inherited "
+    "from the Jaccard-tuned LSH bands, so very asymmetric pairs "
+    "(small doc inside huge doc) can be missed by the index — the "
+    "documented trade of reusing one index for both measures; the "
+    "verify step is exact on whatever the bands surface. Scale "
+    "shape: identical to dedup_minhash_lsh_pairs — persisted feature "
+    "table, banded equi-join, candidates ≪ corpus.",
+)
+def dedup_minhash_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import minhash_feature_table, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = minhash_feature_table(
+        docs, "doc_id", "text", MINHASH_HASHES, SHINGLE_N
+    )
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", MINHASH_HASHES, MINHASH_BANDS, SHINGLE_N,
+        feat=feat,
+    )
+    da = feat.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = feat.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont_a = F.floor(inter / F.size("sh_a") * 10000) / 10000
+    cont_b = F.floor(inter / F.size("sh_b") * 10000) / 10000
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("cont_a_in_b", cont_a)
+        .withColumn("cont_b_in_a", cont_b)
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= CONTAINMENT_MIN
+        )
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
+# =====================================================================
+# Quality ensemble vote
+# =====================================================================
+
+
+def _duck_ensemble_sql() -> str:
+    from .query_catalog_analytics import _bigram_ppl_duck_sql
+    from .query_catalog_ml import _duck_curate_sql  # noqa: F401 (doc xref)
+    from .query_catalog_stats import _GOPHER_DUCK
+
+    toks = "string_split(text, ' ')"
+    n_chars = "length(text)"
+    n_tokens = f"len({toks})"
+    punct = "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+    quality = (
+        f"floor((least(1.0, greatest(0.0, "
+        f"0.4 * least(1.0, CAST({n_tokens} AS DOUBLE) / 64) "
+        f"+ 0.4 * (CAST(len(list_distinct({toks})) AS DOUBLE) / {n_tokens}) "
+        f"+ 0.2 * (1.0 - CAST({punct} AS DOUBLE) / {n_chars})))) * 10000) / 10000"
+    )
+    return f"""
+WITH gopher AS ({_GOPHER_DUCK}),
+q AS (SELECT doc_id, {quality} >= {QUALITY_MIN} AS v_quality FROM documents),
+ppl AS ({_bigram_ppl_duck_sql()})
+SELECT g.doc_id, g.keep AS v_gopher, q.v_quality,
+  (p.ccnet_bucket <> 'tail') AS v_ppl,
+  CAST((CASE WHEN g.keep THEN 1 ELSE 0 END
+      + CASE WHEN q.v_quality THEN 1 ELSE 0 END
+      + CASE WHEN p.ccnet_bucket <> 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS votes,
+  ((CASE WHEN g.keep THEN 1 ELSE 0 END
+      + CASE WHEN q.v_quality THEN 1 ELSE 0 END
+      + CASE WHEN p.ccnet_bucket <> 'tail' THEN 1 ELSE 0 END) >= 2) AS keep
+FROM gopher g JOIN q ON g.doc_id = q.doc_id JOIN ppl p ON g.doc_id = p.doc_id
+"""
+
+
+@register(
+    "quality_ensemble_vote",
+    _duck_ensemble_sql(),
+    doc="Majority vote over three INDEPENDENT quality signals — "
+    "Gopher rule set (structural), composite quality score "
+    "(lexical), CCNet perplexity bucket (distributional) — the "
+    "ensemble pattern production filters use because single signals "
+    "each have known blind spots (rules pass templated spam, "
+    "perplexity rejects rare-domain text). Emits each vote plus the "
+    ">= 2-of-3 keep decision so downstream can audit which signal "
+    "vetoed a document. Scale shape: the two rowwise signals fuse "
+    "into the document scan; the perplexity signal joins back on "
+    "doc_id — one shuffle over doc keys.",
+)
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_features
+    from .query_catalog import _CATALOG
+    from .query_catalog_analytics import bigram_perplexity_df
+
+    gopher = _CATALOG["text_gopher_quality_filter"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("v_gopher")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        (quality_features("text")["quality_score"] >= QUALITY_MIN).alias(
+            "v_quality"
+        ),
+    )
+    ppl = bigram_perplexity_df(spark, sf_dir).select(
+        "doc_id", (F.col("ccnet_bucket") != "tail").alias("v_ppl")
+    )
+    votes = (
+        F.when(F.col("v_gopher"), 1).otherwise(0)
+        + F.when(F.col("v_quality"), 1).otherwise(0)
+        + F.when(F.col("v_ppl"), 1).otherwise(0)
+    )
+    return (
+        gopher.join(q, "doc_id")
+        .join(ppl, "doc_id")
+        .withColumn("votes", votes.cast("bigint"))
+        .withColumn("keep", F.col("votes") >= 2)
+    )
+
+
+# =====================================================================
+# MMR diversified retrieval
+# =====================================================================
+
+
+def _duck_mmr_sql() -> str:
+    from .query_catalog_ml import _duck_cos
+
+    lam = MMR_LAMBDA
+    cos_q = _duck_cos("q.qv", "e.embedding")
+    cos_p = _duck_cos("a.emb", "b.emb")
+    ctes = [
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {MMR_QUERY_ID})",
+        f"""pool AS (
+  SELECT e.vec_id, e.embedding AS emb, {cos_q} AS rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {MMR_QUERY_ID}
+  ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL})""",
+        f"""sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos_p} AS s
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)""",
+        f"""sel1 AS (
+  SELECT vec_id, rel AS score FROM pool
+  ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    prev_sel = "sel1"
+    prev_union = "SELECT vec_id FROM sel1"
+    for k in range(2, MMR_K + 1):
+        ctes.append(
+            f"""sel{k} AS (
+  SELECT vec_id, {lam} * rel - {1 - lam} * msim AS score FROM (
+    SELECT p.vec_id, p.rel, max(m.s) AS msim
+    FROM pool p JOIN sims m ON m.ia = p.vec_id
+    WHERE m.ib IN ({prev_union})
+      AND p.vec_id NOT IN ({prev_union})
+    GROUP BY p.vec_id, p.rel) t
+  ORDER BY score DESC, vec_id LIMIT 1)"""
+        )
+        prev_union = prev_union + f" UNION ALL SELECT vec_id FROM sel{k}"
+        prev_sel = f"sel{k}"
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS rank, vec_id, score FROM sel{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, "
+        f"floor(score * 1000000) / 1000000 AS score FROM ({finals}) u "
+        "ORDER BY rank"
+    )
+
+
+@register(
+    "ann_mmr_diversified_topk",
+    _duck_mmr_sql(),
+    doc="Maximal-marginal-relevance diversified retrieval (Carbonell "
+    f"& Goldstein, SIGIR 1998): take the cosine top-{MMR_POOL} pool "
+    f"for one query, then greedily select {MMR_K} results maximizing "
+    f"lambda*relevance - (1-lambda)*max-similarity-to-selected "
+    f"(lambda={MMR_LAMBDA}), ties by vec_id — the standard redundancy "
+    "killer for RAG context assembly. The greedy loop runs as "
+    f"{MMR_K - 1} chained DataFrame steps over the PERSISTED "
+    f"{MMR_POOL}-row pool and its {MMR_POOL}x{MMR_POOL} similarity "
+    "table — selection is O(pool^2) work on a broadcast-tiny frame, "
+    "entirely plan-side (no collect); the corpus-scale work is only "
+    "the initial top-pool scan, identical to ann_cosine_topk's "
+    "two-phase pruned ranking. Oracle: the same greedy unrolled as "
+    f"{MMR_K} chained CTEs (k is a fixed constant, so the plan is "
+    "finite and engine-portable).",
+)
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import dot_expr, norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    rel = F.expr(f"({dot_expr('qv', 'embedding')}) / (_qn * _vn)")
+    pool = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_vn", F.expr(norm_expr("embedding")))
+        .withColumn("_qn", F.expr(norm_expr("qv")))
+        .withColumn("rel", rel)
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .select("vec_id", F.col("embedding").alias("emb"), "rel")
+    )
+    pool.persist()
+    a = pool.select(
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("ea"),
+        F.expr(norm_expr("emb")).alias("_na"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("eb"),
+        F.expr(norm_expr("emb")).alias("_nb"),
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.expr(f"({dot_expr('ea', 'eb')}) / (_na * _nb)").alias("s"),
+        )
+    )
+    sims.persist()
+
+    steps = [
+        pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id", F.col("rel").alias("score"))
+    ]
+    selected = steps[0].select("vec_id")
+    for _k in range(2, MMR_K + 1):
+        cand = pool.join(selected, "vec_id", "left_anti")
+        msim = (
+            sims.join(selected.select(F.col("vec_id").alias("ib")), "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("msim"))
+        )
+        step = (
+            cand.join(msim, cand["vec_id"] == msim["ia"])
+            .withColumn(
+                "score",
+                MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("msim"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", "score")
+        )
+        steps.append(step)
+        selected = selected.union(step.select("vec_id"))
+
+    ranked = steps[0].select(
+        F.lit(1).cast("bigint").alias("rank"), "vec_id", "score"
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        ranked = ranked.union(
+            step.select(
+                F.lit(k).cast("bigint").alias("rank"), "vec_id", "score"
+            )
+        )
+    return ranked.select(
+        "rank",
+        "vec_id",
+        (F.floor(F.col("score") * 1000000) / 1000000).alias("score"),
+    ).orderBy("rank")

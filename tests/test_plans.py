@@ -83,6 +83,17 @@ BNLJ_OK = {
     "pseudonymize_referential_integrity",
     # residuals x 1-row median/MAD scalars — scalar joins
     "events_anomaly_seasonal_mad",
+    # eval gram stream x single-row broadcast (N, V) train totals
+    "text_trigram_stupid_backoff",
+    # per-lang rows x three 1-row scalars (budget, water level j, v)
+    "corpus_unimax_budget_mix",
+    # support-point CDF x 1-row (n1, n2) totals — scalar joins
+    "stats_ks_test_chars",
+    # embeds the bigram-perplexity scalar-vocab join (see above)
+    "quality_ensemble_vote",
+    # 20-row persisted pool self-product + 1-row query vector — both
+    # broadcast-tiny by construction (pool is LIMIT-bounded)
+    "ann_mmr_diversified_topk",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
