@@ -568,3 +568,100 @@ def test_semdedup_split_matches_duckdb_arithmetic():
         k1, k2 = _semdedup_split(n)
         assert (row[1], row[2]) == (k1, k2), (n, row, k1, k2)
         assert row[0] <= k1 * k2  # the split always covers k centroids
+
+
+# ---------------------------------------------------------------------
+# UniMax closed-form waterfill == iterative greedy reference
+# ---------------------------------------------------------------------
+
+
+def _waterfill_reference(caps: list[float], budget: float) -> list[float]:
+    """The paper's greedy loop: repeatedly give every unsaturated
+    language an equal share of the remaining budget, saturating any
+    language whose cap is below its share."""
+    n = len(caps)
+    alloc = [0.0] * n
+    active = list(range(n))
+    remaining = budget
+    while active:
+        fair = remaining / len(active)
+        sat = [i for i in active if caps[i] <= fair]
+        if not sat:
+            for i in active:
+                alloc[i] = fair
+            return alloc
+        for i in sat:
+            alloc[i] = caps[i]
+            remaining -= caps[i]
+        active = [i for i in active if i not in sat]
+    return alloc
+
+
+@given(
+    st.lists(st.integers(10, 3000), min_size=2, max_size=8),
+    st.integers(1, 4),
+    st.floats(0.3, 3.0),
+)
+@settings(max_examples=25, deadline=None)
+def test_unimax_closed_form_matches_greedy_reference(ns, cap_epochs, factor):
+    """The catalog's closed-form waterfill (ascending caps => the
+    saturated set is a prefix => one window pass finds the water
+    level) must allocate exactly what the iterative greedy does, for
+    any language distribution, epoch cap and budget factor."""
+    import duckdb
+
+    caps = [float(n * cap_epochs) for n in ns]
+    budget = sum(ns) * factor
+
+    # closed form, same algebra as query_catalog_corpus._unimax_texts
+    order = sorted(range(len(ns)), key=lambda i: (caps[i], i))
+    L = len(ns)
+    cum = 0.0
+    j, v = None, None
+    for rank, i in enumerate(order, start=1):
+        fair = (budget - cum) / (L - rank + 1)
+        if caps[i] > fair:
+            j, v = rank, fair
+            break
+        cum += caps[i]
+    closed = [0.0] * L
+    for rank, i in enumerate(order, start=1):
+        closed[i] = caps[i] if (j is None or rank < j) else v
+
+    ref = _waterfill_reference(caps, budget)
+    assert all(abs(a - b) < 1e-6 * max(1.0, b) for a, b in zip(closed, ref))
+    # invariants: caps respected, budget exhausted unless all saturate
+    assert all(a <= c + 1e-6 for a, c in zip(closed, caps))
+    total = sum(closed)
+    assert abs(total - min(budget, sum(caps))) < 1e-4 * max(1.0, budget)
+
+    # and the SHIPPED SQL text (DuckDB dialect) agrees with the
+    # reference on a relational rendering of the same distribution
+    con = duckdb.connect()
+    rows = ", ".join(f"('l{i}', {n})" for i, n in enumerate(ns))
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT lang, repeat('w ', n - 1) || 'w' AS text "
+        f"FROM (VALUES {rows}) v(lang, n)"
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
+        query_catalog_corpus as qcc,
+    )
+
+    # rebuild the duck text with THIS test's cap/budget constants
+    saved = (qcc.UNIMAX_EPOCH_CAP, qcc.UNIMAX_BUDGET_FACTOR)
+    try:
+        qcc.UNIMAX_EPOCH_CAP, qcc.UNIMAX_BUDGET_FACTOR = cap_epochs, factor
+        _, duck_text = qcc._unimax_texts()
+    finally:
+        qcc.UNIMAX_EPOCH_CAP, qcc.UNIMAX_BUDGET_FACTOR = saved
+    got = {
+        r[0]: r[3]
+        for r in con.execute(duck_text).fetchall()
+    }
+    for i, n in enumerate(ns):
+        import math
+
+        assert abs(got[f"l{i}"] - math.floor(ref[i])) <= 1, (
+            f"lang l{i}: sql={got[f'l{i}']} ref={ref[i]}"
+        )
