@@ -726,3 +726,83 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.floor(F.col("score") * 1000000) / 1000000).alias("score"),
     ).orderBy("rank")
+
+
+# =====================================================================
+# Streaming PSI drift monitor
+# =====================================================================
+
+
+def _streaming_psi_oracle() -> str:
+    from .query_catalog_analytics import _PSI_SQL
+
+    return _PSI_SQL
+
+
+@register(
+    "streaming_psi_drift",
+    _streaming_psi_oracle(),
+    doc="STREAMING Population Stability Index: the events table "
+    "replays as a 4-file availableNow stream; each micro-batch "
+    "reduces to per-(event_type, bin) base/current count deltas "
+    "(O(groups x bins) rows) and the drift readout computes PSI from "
+    "the sum-merged counts — bit-identical arithmetic to the batch "
+    "events_psi_drift entry, whose text IS the value oracle, so "
+    "stream == batch is verified end-to-end. Sum-merged counts are "
+    "associative but not replay-idempotent, so exactly-once rides on "
+    "the idempotent_foreach_batch marker layer (the streaming_cms "
+    "contrast test pins that dependency for this merge class). At "
+    "100 TB/day this is distribution monitoring with bins-not-values "
+    "state and one binning map pass per batch.",
+)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil as _sh
+
+    from .query_catalog_analytics import (
+        PSI_BIN_WIDTH,
+        PSI_BINS,
+        PSI_SPLIT_DATE,
+    )
+    from .streaming.events import run_streaming_bin_counts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_stream_psi_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    src = f"{base}/src"
+    events.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    counts = run_streaming_bin_counts(
+        spark,
+        src,
+        f"{base}/work",
+        bin_expr=(
+            f"LEAST(CAST(floor(value / {PSI_BIN_WIDTH}) AS INT), {PSI_BINS - 1})"
+        ),
+        period_expr=(
+            f"CASE WHEN CAST(ts AS DATE) < DATE '{PSI_SPLIT_DATE}' "
+            "THEN 'base' ELSE 'cur' END"
+        ),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    term = (
+        (
+            (F.col("nb") + 1.0) / (F.col("tb") + float(PSI_BINS))
+            - (F.col("nc") + 1.0) / (F.col("tc") + float(PSI_BINS))
+        )
+        * F.log(
+            ((F.col("nb") + 1.0) / (F.col("tb") + float(PSI_BINS)))
+            / ((F.col("nc") + 1.0) / (F.col("tc") + float(PSI_BINS)))
+        )
+    )
+    return (
+        counts.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+        .orderBy("event_type")
+    )

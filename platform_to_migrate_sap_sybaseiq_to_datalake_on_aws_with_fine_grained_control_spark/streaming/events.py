@@ -868,6 +868,68 @@ def run_streaming_cms(
     )
 
 
+def run_streaming_bin_counts(
+    spark,
+    src_dir: str,
+    work_dir: str,
+    bin_expr: str,
+    period_expr: str,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Maintain per-(group, bin) base/current counts through a
+    file-source stream and return the merged count table — the
+    streaming substrate of a PSI drift monitor.
+
+    Each micro-batch reduces its rows to ``(group, bin, nb, nc)``
+    count deltas (``nb`` = rows in the base period, ``nc`` = current)
+    and APPENDS them; the merged table is ``sum()`` per (group, bin)
+    over the log.  Sum-merge is associative but NOT replay-idempotent,
+    so exactly-once rides on the ``idempotent_foreach_batch`` marker
+    layer exactly like :func:`run_streaming_cms`.  At 100 TB/day this
+    is distribution monitoring with O(groups × bins) state per batch
+    and no raw-value retention — the only full-width pass is the
+    per-batch binning map.
+    """
+    counts_dir = f"{work_dir}/bincounts"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(group_col),
+                F.expr(bin_expr).alias("bin"),
+                F.expr(period_expr).alias("period"),
+            )
+            .groupBy(group_col, "bin")
+            .agg(
+                F.count(F.when(F.col("period") == "base", 1)).alias("nb"),
+                F.count(F.when(F.col("period") == "cur", 1)).alias("nc"),
+            )
+            .write.mode("append")
+            .parquet(counts_dir)
+        )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            idempotent_foreach_batch(apply, f"{work_dir}/markers")
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(counts_dir)
+        .groupBy(group_col, "bin")
+        .agg(F.sum("nb").alias("nb"), F.sum("nc").alias("nc"))
+    )
+
+
 def run_streaming_hll_windows(
     spark,
     src_dir: str,

@@ -110,6 +110,7 @@ SKIP_HEAVY_BUILD = {
     "streaming_hll_users",
     "streaming_cms_users",
     "streaming_hll_hourly_users",
+    "streaming_psi_drift",
     "dedup_duplicate_clusters",
     "dedup_cluster_representatives",
     "ann_ivf_kmeans_topk",
