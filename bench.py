@@ -162,7 +162,13 @@ def main() -> None:
     # a multi-second stall that best-of-N cannot remove (observed:
     # text_quality_scores 6.0 s on BOTH attempts when cold vs 0.35 s
     # warmed — Janino + C2 compile of its regex-heavy stage).
-    for wname in HEADLINE + BAND2:
+    # band4 warms too (round 9): its ANN/sketch/curation codegen is the
+    # heaviest to JIT, and with attempts=1 a cold first run lands the
+    # compile stall inside the measured window.  Warm runs at sf0.001
+    # rebuild their own tiny /tmp state (md5(sf_dir)-tagged), so the
+    # measured sf0.1 state is untouched.  Band3 stays deliberately
+    # unwarmed — its entries measure the commit path end-to-end.
+    for wname in HEADLINE + BAND2 + BAND4:
         wfn = queries.get(wname)
         if wfn is not None:
             wfn(spark, warm_sf).write.format("noop").mode("overwrite").save()
