@@ -597,23 +597,31 @@ sql_query(
 
 
 def _pq_spark_sql() -> str:
+    # Straight-line arithmetic instead of HOF lambdas (round-9 perf
+    # fix): transform/zip_with/aggregate over array literals run as
+    # INTERPRETED per-element lambdas with boxing (~36 µs/vector
+    # measured — 7.9 s for 200k vectors at sf10), while the unrolled
+    # `(x_i - c)·(x_i - c) + ...` sums are primitive doubles inside
+    # whole-stage codegen.  The component projection happens once in a
+    # subquery; each distance is the SAME left-to-right 8-term sum the
+    # fold produced, so every value (and the DuckDB oracle) is
+    # bit-identical.
     cb = pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
+    comps = ", ".join(
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) AS x{i}"
+        for i in range(PQ_SUBSPACES * PQ_SUBDIM)
+    )
     dist_cols = []
     for s in range(PQ_SUBSPACES):
-        book_lit = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(repr(x) + "D" for x in row) + ")"
-                for row in cb[s]
+        cents = []
+        for row in cb[s]:
+            terms = " + ".join(
+                f"(x{s * PQ_SUBDIM + d} - {row[d]!r}D) * "
+                f"(x{s * PQ_SUBDIM + d} - {row[d]!r}D)"
+                for d in range(PQ_SUBDIM)
             )
-            + ")"
-        )
-        sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
-        dist_cols.append(
-            f"transform({book_lit}, cent -> aggregate(zip_with({sub}, cent, "
-            f"(p, q) -> (CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), "
-            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS d{s}"
-        )
+            cents.append(f"({terms})")
+        dist_cols.append("array(" + ", ".join(cents) + f") AS d{s}")
     codes = ", ".join(
         f"CAST(array_position(d{s}, array_min(d{s})) AS STRING)"
         for s in range(PQ_SUBSPACES)
@@ -622,7 +630,8 @@ def _pq_spark_sql() -> str:
     return (
         "SELECT vec_id, concat_ws(',', " + codes + ") AS codes, "
         f"floor(({err}) / {PQ_SUBSPACES * PQ_SUBDIM} * 10000) / 10000 AS mse "
-        "FROM (SELECT vec_id, " + ", ".join(dist_cols) + " FROM embeddings)"
+        "FROM (SELECT vec_id, " + ", ".join(dist_cols)
+        + f" FROM (SELECT vec_id, {comps} FROM embeddings))"
     )
 
 
