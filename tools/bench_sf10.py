@@ -91,6 +91,14 @@ SUBSET = [
     "text_bigram_perplexity",
     "dedup_minhash_estimate_error",
     "curate_ccnet_corpus",
+    # round-9 additions (documents/embeddings only)
+    "filter_repeated_blocks_c4",
+    "text_trigram_stupid_backoff",
+    "corpus_unimax_budget_mix",
+    "stats_ks_test_chars",
+    "dedup_minhash_containment_pairs",
+    "quality_ensemble_vote",
+    "ann_mmr_diversified_topk",
 ]
 
 #: sf1 times under this are noise-dominated; ratio uses the floor.
@@ -223,13 +231,24 @@ def main() -> int:
             print(f"# {label} {name}: {out[name]}s", file=sys.stderr)
         return out
 
+    def _load() -> list[float] | None:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover
+            return None
+
+    loadavg_start = _load()
     sf1 = run_at(bench_sf1.OUT_DIR, "sf1")
+    loadavg_mid = _load()
     sf10 = run_at(OUT_DIR, "sf10")
+    loadavg_end = _load()
 
     offenders = []
+    ratios: dict[str, float] = {}
     for name, t10 in sf10.items():
         t1 = max(sf1.get(name, 0.0), SMALL_FLOOR_S)
         ratio = round(t10 / t1, 1)
+        ratios[name] = ratio
         flag = " **SUPER-LINEAR**" if ratio > args.ratio_limit else ""
         print(f"# ratio {name}: {ratio}x{flag}", file=sys.stderr)
         if ratio > args.ratio_limit:
@@ -241,11 +260,20 @@ def main() -> int:
         "unit": "sec",
         "queries": sf10,
         "sf1_queries": sf1,
+        "ratios": ratios,
         "sf": 10.0,
         "n_docs": 5000 * REPLICAS,
         "n_embeddings": 2000 * REPLICAS,
         "ratio_limit": args.ratio_limit,
         "offenders": offenders,
+        # host-load annotation (VERDICT r8 item 3): the start reading is
+        # the idleness signal; mid = between the sf1 and sf10 passes
+        # (reflects the bench's own threads by then)
+        "loadavg": {
+            "start": loadavg_start,
+            "mid": loadavg_mid,
+            "end": loadavg_end,
+        },
     }
     print(json.dumps(out))
     (Path(REPO_ROOT) / "BENCH_sf10.json").write_text(
