@@ -107,6 +107,17 @@ HEAVY = [
     "streaming_hll_users",
     "ann_ivf_pq_persisted_topk",
     "ann_matryoshka_rerank_topk",
+    # round 9: block-table C4 filter, 5-join trigram LM scoring,
+    # waterfill mix, KS CDF, containment over the banded index,
+    # 3-signal ensemble, MMR pool re-rank, streamed PSI bin counts
+    "filter_repeated_blocks_c4",
+    "text_trigram_stupid_backoff",
+    "corpus_unimax_budget_mix",
+    "stats_ks_test_chars",
+    "dedup_minhash_containment_pairs",
+    "quality_ensemble_vote",
+    "ann_mmr_diversified_topk",
+    "streaming_psi_drift",
 ]
 
 
@@ -253,18 +264,36 @@ def main() -> None:
     # time every heavy query at BOTH scales in the same JVM, so the
     # sf1/sf0.1 ratio (the super-linearity signal tools/scale_check.py
     # gates on) exists for all 30 entries, not only the band overlap.
+    def _load() -> list[float] | None:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover
+            return None
+
+    loadavg_start = _load()
     sf01 = run_at(SRC_SF, "sf0.1")
+    loadavg_mid = _load()
     timings = run_at(OUT_DIR, "sf1")
 
+    ratios = {
+        name: round(t / max(sf01.get(name, 0.0), 0.3), 1)
+        for name, t in timings.items()
+    }
     out = {
         "metric": "sf1_heavy_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf01_queries": sf01,
+        "ratios": ratios,
         "sf": 1.0,
         "n_docs": 5000 * REPLICAS,
         "n_embeddings": 2000 * REPLICAS,
+        "loadavg": {
+            "start": loadavg_start,
+            "mid": loadavg_mid,
+            "end": _load(),
+        },
     }
     print(json.dumps(out))
     (Path(REPO_ROOT) / "BENCH_sf1.json").write_text(json.dumps(out, indent=2) + "\n")
