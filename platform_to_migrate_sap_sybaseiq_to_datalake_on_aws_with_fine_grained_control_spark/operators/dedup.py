@@ -782,6 +782,7 @@ def shared_ngram_spans(
     id_col: str,
     text_col: str,
     n: int = 8,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Cross-document exact n-gram span dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — the
@@ -810,9 +811,19 @@ def shared_ngram_spans(
     millions of docs) concentrate a partition, but carry only a
     per-doc count each — no quadratic candidate set, no doc self-join.
     At 100 TB you would group on ``xxhash64(gram)`` (collision odds
-    ~N²/2⁶⁴) to shrink the shuffle/sort key; the string key is kept
-    here so the DuckDB oracle can reproduce the result bit-for-bit.
+    ~N²/2⁶⁴) to shrink the shuffle/sort key; the string key is the
+    default so the DuckDB oracle can reproduce the result bit-for-bit,
+    and ``hash_grams=True`` IS that scale path — the 8-byte hash is
+    computed inside the transform so the gram string never leaves the
+    projection, the shuffle moves fixed-width BIGINTs instead of
+    ~40-char strings, and the output is identical whenever no 64-bit
+    collision occurs (expected collisions at N grams ≈ N²/2⁶⁵ — ~10⁻⁶
+    at a billion grams; the hashed entry's value oracle is therefore
+    the SAME string-keyed SQL).
     """
+    gram_expr = f"array_join(slice(_t, i, {n}), ' ')"
+    if hash_grams:
+        gram_expr = f"xxhash64({gram_expr})"
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
     ).filter(F.size("_t") >= n)
@@ -821,7 +832,7 @@ def shared_ngram_spans(
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(_t) - {n - 1}),"
-                f" i -> array_join(slice(_t, i, {n}), ' '))"
+                f" i -> {gram_expr})"
             )
         ).alias("gram"),
     )

@@ -806,3 +806,42 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+# =====================================================================
+# Hashed-key exact n-gram span dedup (the documented 100 TB path)
+# =====================================================================
+
+
+def _spans_hashed_oracle() -> str:
+    from .query_catalog_analytics import _SHARED_NGRAM_ORACLE
+
+    return _SHARED_NGRAM_ORACLE
+
+
+@register(
+    "dedup_shared_ngram_spans_hashed",
+    _spans_hashed_oracle(),
+    doc="dedup_shared_ngram_spans with xxhash64 gram keys — the scale "
+    "path its sibling's docstring prescribes for 100 TB, now measured "
+    "instead of promised: the 8-byte hash is computed inside the "
+    "transform so the gram STRING never leaves the projection, and "
+    "the single gram shuffle moves fixed-width BIGINTs instead of "
+    "~40-char strings (the string entry's dominant shuffle cost). "
+    "Results are identical whenever no 64-bit collision occurs "
+    "(expected collisions ~N^2/2^65 — about 10^-6 at a billion "
+    "grams), so the value oracle is the SAME string-keyed SQL as the "
+    "sibling entry; a hash collision would surface as a hash-gate "
+    "mismatch, which is exactly the right failure mode for a "
+    "correctness harness.",
+)
+def dedup_shared_ngram_spans_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import shared_ngram_spans
+    from .query_catalog_analytics import SHARED_NGRAM_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_ngram_spans(
+        docs, "doc_id", "text", n=SHARED_NGRAM_N, hash_grams=True
+    )

@@ -62,6 +62,7 @@ HEAVY = [
     # round-5 heavy additions: token-level gram table (shared spans),
     # full-corpus tokenize + rank (tf-idf), postings + scoring (bm25)
     "dedup_shared_ngram_spans",
+    "dedup_shared_ngram_spans_hashed",
     "text_tfidf_top_terms",
     "text_bm25_search",
     # round-4 third pass: codegen-only PQ over 10x vectors, CMS counter

@@ -65,6 +65,7 @@ SUBSET = [
     "dedup_ngram_jaccard_pairs",
     "dedup_duplicate_clusters",
     "dedup_shared_ngram_spans",
+    "dedup_shared_ngram_spans_hashed",
     "dedup_simhash_hamming_pairs",
     "dedup_edit_distance_pairs",
     "dedup_embedding_cosine_pairs_banded",
