@@ -845,3 +845,169 @@ def dedup_shared_ngram_spans_hashed(
     return shared_ngram_spans(
         docs, "doc_id", "text", n=SHARED_NGRAM_N, hash_grams=True
     )
+
+
+# =====================================================================
+# HLL set algebra (union by register merge, intersection by
+# inclusion-exclusion)
+# =====================================================================
+
+
+def _duck_hll_chain(name: str, where: str) -> str:
+    """Register-table CTE chain for one key set — the same md5/nibble
+    register math as the sketch_hll_distinct oracle, parametrized by a
+    WHERE clause."""
+    idx = (
+        "((strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1))"
+    )
+    return f"""
+keys_{name} AS (SELECT DISTINCT user_id AS k FROM events WHERE {where}),
+h_{name} AS (SELECT {idx} AS idx,
+             substr(md5(CAST(k AS VARCHAR)), 3, 12) AS h12 FROM keys_{name}),
+r_{name} AS (SELECT idx, length(regexp_extract(h12, '^0*')) AS lz,
+             substr(h12, length(regexp_extract(h12, '^0*')) + 1, 1) AS nib
+             FROM h_{name}),
+rho_{name} AS (SELECT idx,
+          CASE WHEN lz = 12 THEN 49
+               ELSE 4 * lz + CASE WHEN (strpos('0123456789abcdef', nib) - 1) >= 8 THEN 1
+                                  WHEN (strpos('0123456789abcdef', nib) - 1) >= 4 THEN 2
+                                  WHEN (strpos('0123456789abcdef', nib) - 1) >= 2 THEN 3 ELSE 4 END
+          END AS rho
+        FROM r_{name}),
+regs_{name} AS (SELECT idx, max(rho) AS m FROM rho_{name} GROUP BY idx)"""
+
+
+def _duck_hll_estimate(name: str, regs: str) -> str:
+    return f"""
+fullr_{name} AS (SELECT s.idx, COALESCE(a.m, 0) AS m
+          FROM (SELECT unnest(range(0, 256)) AS idx) s
+          LEFT JOIN {regs} a ON s.idx = a.idx),
+est_{name} AS (SELECT sum((CAST(1 AS BIGINT) << (49 - m))) AS s,
+               sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+        FROM fullr_{name}),
+e_{name} AS (SELECT CASE WHEN e <= 640.0 AND v > 0
+                        THEN 256.0 * ln(256.0 / v) ELSE e END AS e
+         FROM (SELECT v, (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+                  * 562949953421312.0 / CAST(s AS DOUBLE) AS e
+               FROM est_{name}) raw_{name})"""
+
+
+def _duck_hll_algebra_sql() -> str:
+    return f"""
+WITH {_duck_hll_chain('a', "event_type = 'click' AND value >= 120")},
+{_duck_hll_chain('b', "event_type = 'view' AND value >= 120")},
+regs_u AS (SELECT idx, max(m) AS m FROM
+           (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b) z GROUP BY idx),
+{_duck_hll_estimate('a2', 'regs_a')},
+{_duck_hll_estimate('b2', 'regs_b')},
+{_duck_hll_estimate('u', 'regs_u')},
+flags AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'click' AND value >= 120 THEN 1 ELSE 0 END) AS fa,
+    max(CASE WHEN event_type = 'view' AND value >= 120 THEN 1 ELSE 0 END) AS fb
+  FROM events WHERE event_type IN ('click', 'view') AND value >= 120
+  GROUP BY user_id),
+exact AS (
+  SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+         CAST(sum(fb) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+         CAST(count(*) AS BIGINT) AS n_union
+  FROM flags)
+SELECT x.n_a AS n_a_exact, x.n_b AS n_b_exact,
+  x.n_union AS n_union_exact, x.n_inter AS n_inter_exact,
+  floor(a.e * 100) / 100 AS hll_a,
+  floor(b.e * 100) / 100 AS hll_b,
+  floor(u.e * 100) / 100 AS hll_union,
+  floor(greatest(CAST(0 AS DOUBLE), a.e + b.e - u.e) * 100) / 100 AS hll_inter,
+  CASE WHEN x.n_inter > 0 THEN
+    floor(abs(greatest(CAST(0 AS DOUBLE), a.e + b.e - u.e) - x.n_inter)
+          / x.n_inter * 10000) / 10000 END AS rel_err_inter
+FROM e_a2 a CROSS JOIN e_b2 b CROSS JOIN e_u u CROSS JOIN exact x
+"""
+
+
+@register(
+    "sketch_hll_set_algebra",
+    _duck_hll_algebra_sql(),
+    doc="HyperLogLog SET ALGEBRA: per-segment user sketches ('click' "
+    "vs 'view', each gated to high-value events so the segments "
+    "genuinely partially overlap), the union estimated from a REGISTER MERGE (max per "
+    "register — the mergeability property, so segment sketches "
+    "computed independently compose without touching raw keys), and "
+    "the intersection by inclusion-exclusion (est_A + est_B - est_U, "
+    "clamped at 0) with its relative error against the exact overlap "
+    "— the audience-overlap readout every analytics stack builds on "
+    "sketches because the exact distinct-intersection needs a full "
+    "key shuffle. One flag-pivoted pass computes all four exact "
+    "readouts for calibration. Register math is the proven "
+    "sketch_hll_distinct kernel (md5 index, nibble-wise ranks, "
+    "exact-BIGINT register sums).",
+)
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sketches import hll_estimate_row, hll_register_rows
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & (F.col("value") >= 120)
+    )
+    a_keys = events.filter(F.col("event_type") == "click").select("user_id")
+    b_keys = events.filter(F.col("event_type") == "view").select("user_id")
+    regs_a = (
+        hll_register_rows(a_keys, "user_id")
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs_b = (
+        hll_register_rows(b_keys, "user_id")
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs_u = (
+        regs_a.unionAll(regs_b).groupBy("idx").agg(F.max("m").alias("m"))
+    )
+    ea = hll_estimate_row(spark, regs_a).select(F.col("e").alias("e_a"))
+    eb = hll_estimate_row(spark, regs_b).select(F.col("e").alias("e_b"))
+    eu = hll_estimate_row(spark, regs_u).select(F.col("e").alias("e_u"))
+
+    flags = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("fa"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("fb"),
+        # high-value segments: the >=120 gate (applied at load) makes
+        # the two segments genuinely partial-overlap on the uniform
+        # testdata instead of every user qualifying for both
+    )
+    exact = flags.agg(
+        F.sum("fa").cast("bigint").alias("n_a"),
+        F.sum("fb").cast("bigint").alias("n_b"),
+        F.sum(F.expr("CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_inter"),
+        F.count("*").cast("bigint").alias("n_union"),
+    )
+    inter_est = F.greatest(
+        F.lit(0.0), F.col("e_a") + F.col("e_b") - F.col("e_u")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_a").alias("n_a_exact"),
+            F.col("n_b").alias("n_b_exact"),
+            F.col("n_union").alias("n_union_exact"),
+            F.col("n_inter").alias("n_inter_exact"),
+            (F.floor(F.col("e_a") * 100) / 100).alias("hll_a"),
+            (F.floor(F.col("e_b") * 100) / 100).alias("hll_b"),
+            (F.floor(F.col("e_u") * 100) / 100).alias("hll_union"),
+            (F.floor(inter_est * 100) / 100).alias("hll_inter"),
+            F.when(
+                F.col("n_inter") > 0,
+                F.floor(
+                    F.abs(inter_est - F.col("n_inter"))
+                    / F.col("n_inter")
+                    * 10000
+                )
+                / 10000,
+            ).alias("rel_err_inter"),
+        )
+    )

@@ -94,6 +94,8 @@ BNLJ_OK = {
     # 20-row persisted pool self-product + 1-row query vector — both
     # broadcast-tiny by construction (pool is LIMIT-bounded)
     "ann_mmr_diversified_topk",
+    # three 1-row sketch estimates x 1-row exact readout — scalar joins
+    "sketch_hll_set_algebra",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
