@@ -1011,3 +1011,105 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_inter"),
         )
     )
+
+
+# =====================================================================
+# Poisson bootstrap confidence interval (single-pass, md5-deterministic)
+# =====================================================================
+
+BOOTSTRAP_REPLICAS = 32
+#: cumulative Poisson(1) CDF — shared literals so both engines bucket
+#: the SAME uniform into the SAME weight
+_POIS_CDF = [
+    (0, "0.36787944117144233"),
+    (1, "0.7357588823428847"),
+    (2, "0.9196986029286058"),
+    (3, "0.9810118431238462"),
+    (4, "0.9963401531726563"),
+    (5, "0.9994058151824183"),
+    (6, "0.9999167588507119"),
+]
+
+
+def _bootstrap_texts() -> tuple[str, str]:
+    """Poisson bootstrap (the single-pass bootstrap used at scale —
+    each replica draws a Poisson(1) multiplicity per row instead of
+    resampling n-of-n, so one scan serves every replica): B=32
+    md5-seeded replicas of mean(o_totalprice), 95% CI from the replica
+    distribution.  Sums are exact DECIMAL cents (the repo's money-sum
+    rule), so replica means are aggregation-order-proof."""
+    b = BOOTSTRAP_REPLICAS
+    case = (
+        "CASE "
+        + " ".join(f"WHEN u < {t} THEN {k}" for k, t in _POIS_CDF)
+        + f" ELSE {len(_POIS_CDF)} END"
+    )
+
+    def build(explode_b: str, u_expr: str, pct: str) -> str:
+        return f"""
+WITH drawn AS (
+  SELECT b, o_totalprice, u FROM (
+    SELECT o_orderkey, o_totalprice, {explode_b} AS b FROM orders) t,
+    LATERAL (SELECT {u_expr} AS u)),
+weighted AS (SELECT b, o_totalprice, {case} AS wt FROM drawn),
+reps AS (
+  SELECT b,
+    CAST(sum(wt * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      / sum(wt) AS mean_b
+  FROM weighted GROUP BY b),
+full_mean AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      / count(*) AS m, CAST(count(*) AS BIGINT) AS n FROM orders),
+ci AS (
+  SELECT {pct.format(p="0.025")} AS lo, {pct.format(p="0.975")} AS hi,
+         CAST(count(*) AS BIGINT) AS n_replicas
+  FROM reps)
+SELECT f.n AS n_rows, c.n_replicas,
+  floor(f.m * 10000) / 10000 AS mean,
+  floor(c.lo * 10000) / 10000 AS ci_lo,
+  floor(c.hi * 10000) / 10000 AS ci_hi,
+  floor((c.hi - c.lo) / f.m * 1000000) / 1000000 AS rel_width
+FROM full_mean f CROSS JOIN ci c
+"""
+
+    key = "concat(CAST(b AS STRING), ':', CAST(o_orderkey AS STRING))"
+    spark_text = build(
+        "explode(sequence(0, %d))" % (b - 1),
+        f"CAST(conv(substring(md5({key}), 1, 4), 16, 10) AS INT) / 65536.0",
+        "percentile(mean_b, {p})",
+    )
+    dkey = "CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)"
+    nib = (
+        "(strpos('0123456789abcdef', substr(md5(" + dkey + "), {i}, 1)) - 1)"
+    )
+    duck_u = (
+        f"({nib.format(i=1)} * 4096 + {nib.format(i=2)} * 256 + "
+        f"{nib.format(i=3)} * 16 + {nib.format(i=4)}) / 65536.0"
+    )
+    duck_text = build(
+        "unnest(generate_series(0, %d))" % (b - 1),
+        duck_u,
+        "quantile_cont(mean_b, {p})",
+    )
+    return spark_text, duck_text
+
+
+_BOOTSTRAP_SPARK, _BOOTSTRAP_DUCK = _bootstrap_texts()
+
+sql_query(
+    "stats_poisson_bootstrap_ci",
+    _BOOTSTRAP_SPARK,
+    _BOOTSTRAP_DUCK,
+    doc="Poisson bootstrap 95% CI for mean(o_totalprice) — the "
+    "bootstrap that actually runs at scale (Chamandy et al., Google "
+    "2012): instead of resampling n-of-n per replica (impossible "
+    "without global coordination), each row draws a Poisson(1) "
+    f"multiplicity per replica from an md5-seeded uniform, so ONE "
+    f"scan serves all {BOOTSTRAP_REPLICAS} replicas and the shuffle "
+    "is B skinny (replica, sum, count) partials. Replica sums use "
+    "exact DECIMAL cents (aggregation-order-proof); the CI is the "
+    "2.5/97.5 interpolated percentile of the replica means. "
+    "Deterministic end-to-end — the md5 seeding makes the 'random' "
+    "resample oracle-reproducible, which is exactly how a production "
+    "pipeline makes bootstrap CIs replayable across retries.",
+)

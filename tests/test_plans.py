@@ -96,6 +96,8 @@ BNLJ_OK = {
     "ann_mmr_diversified_topk",
     # three 1-row sketch estimates x 1-row exact readout — scalar joins
     "sketch_hll_set_algebra",
+    # 1-row CI percentile frame x 1-row full-mean scalar — scalar join
+    "stats_poisson_bootstrap_ci",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
