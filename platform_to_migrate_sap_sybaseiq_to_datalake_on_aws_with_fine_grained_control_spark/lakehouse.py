@@ -1556,6 +1556,108 @@ class TransactionLog:
         )
         return 1
 
+    def publish_from(
+        self, staging: "TransactionLog", since_version: int = 1
+    ) -> int:
+        """WRITE-AUDIT-PUBLISH promotion (the Iceberg WAP / Delta
+        cherry-pick pattern): atomically promote the data files a
+        STAGING table added after ``since_version`` — normally the
+        clone commit that created it — into THIS table as ONE
+        metadata-only commit that references the staged parquet files
+        in place (zero bytes copied, O(staged files) metadata).
+
+        The WAP loop this enables: ``main.clone_to(staging)`` (zero-
+        copy branch) → write the incoming batch into staging → run
+        audits against the staged snapshot → on pass,
+        ``main.publish_from(staging_log)``; on fail, abandon the
+        staging dir — main's history never saw the bad batch.
+
+        Publish is strictly ADDITIVE: if staging deleted/restated any
+        of the cloned base files or carries deletion vectors, this
+        raises — restatements must go through a real merge/delete on
+        the main table where OCC can see their read surface.  The
+        staged schema and partition spec must match main's (publish
+        never evolves either).  Commit-wise this is a blind append
+        (the staged file footprint is disjoint from main's by
+        construction), so it retries past concurrent writers like any
+        append.
+        """
+        head = staging.latest_version()
+        if head < since_version or head == 0:
+            raise ValueError(
+                f"staging {staging.table_path} has nothing after "
+                f"v{since_version}"
+            )
+        base_state = staging._replay(since_version)
+        stg_state = staging._replay(head)
+        base_paths = set(base_state["files"])
+        missing = base_paths - set(stg_state["files"])
+        if missing or stg_state["dvs"]:
+            raise ValueError(
+                "staging mutated the cloned base (removed files or "
+                "deletion vectors) — not publishable as an additive "
+                "batch; run the restatement on the main table"
+            )
+        staged = [
+            e
+            for p, e in sorted(stg_state["files"].items())
+            if p not in base_paths
+        ]
+        if not staged:
+            raise ValueError(f"no staged files after v{since_version}")
+
+        my_state = self._replay(self.latest_version())
+        mine = StructType.fromJson(my_state["schema"])
+        theirs = StructType.fromJson(stg_state["schema"])
+        if sorted(f.name.lower() for f in mine.fields) != sorted(
+            f.name.lower() for f in theirs.fields
+        ):
+            raise ValueError(
+                "staged schema drift — publish never evolves schema: "
+                f"{theirs.simpleString()} vs {mine.simpleString()}"
+            )
+        if stg_state["partition_keys"] != my_state["partition_keys"]:
+            raise ValueError(
+                f"staged partition spec {stg_state['partition_keys']} != "
+                f"main's {my_state['partition_keys']}"
+            )
+
+        stg_base = str(staging.table_path.resolve())
+
+        def absolutize(entry: dict) -> dict:
+            e = dict(entry)
+            b = e.get("base") or stg_base
+            e["path"] = str(Path(b) / e["path"])  # passthrough if absolute
+            e["base"] = b
+            return e
+
+        adds = [absolutize(e) for e in staged]
+
+        def rec(v: int) -> dict:
+            return {
+                "version": v,
+                "op": "publish",
+                "dataChange": True,
+                "ts": _utc_now_iso(),
+                "txn": uuid.uuid4().hex,
+                "schema": my_state["schema"],
+                "partition_keys": my_state["partition_keys"],
+                "add": adds,
+                "remove": [],
+                "column_mapping": my_state["column_mapping"],
+                "retired_physical": my_state["retired_physical"],
+                "publish_of": {
+                    "table": stg_base,
+                    "from_version": since_version,
+                    "to_version": head,
+                },
+                "reader_features": sorted(
+                    my_state["reader_features"] | {"externalFiles"}
+                ),
+            }
+
+        return self._commit_with_retry(rec, read_version=None)
+
     @staticmethod
     def _assign_physical(
         merged: StructType,

@@ -1805,3 +1805,94 @@ def acid_vacuum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(len(swept) > 0 and v1_gone)).alias("ok"),
     )
     return latest.unionByName(lifecycle)
+
+
+@register(
+    "acid_write_audit_publish_orders",
+    """
+WITH f AS (SELECT round(o_totalprice, 2) AS p FROM orders
+           WHERE o_orderstatus = 'F'),
+fo AS (SELECT round(o_totalprice, 2) AS p FROM orders
+       WHERE o_orderstatus IN ('F', 'O'))
+SELECT 'v1' AS snap, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p), 2) AS total_price FROM f
+UNION ALL
+SELECT 'latest', count(*), round(sum(p), 2) FROM fo
+UNION ALL
+SELECT 'p_leaked', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+""",
+    doc="WRITE-AUDIT-PUBLISH through the transaction log (the Iceberg "
+    "WAP / Delta cherry-pick pattern, via clone + publish_from): "
+    "main v1 = 'F' orders; the GOOD batch ('O' orders) is written "
+    "into a zero-copy staging clone, audited against the STAGED "
+    "snapshot (null keys, negative prices), and on pass promoted by "
+    "publish_from — ONE metadata-only commit referencing the staged "
+    "parquet files in place; the BAD batch ('P' orders with poisoned "
+    "negative prices) is staged into a second clone, FAILS the same "
+    "audit, and its staging dir is abandoned — main's history never "
+    "contains it. Readout: v1 time travel (F only), latest (F+O — "
+    "the published batch visible), and p_leaked (count of poisoned "
+    "rows in main = 0). The audit gates on two scalar aggregates; "
+    "publish itself moves zero data bytes.",
+)
+def acid_write_audit_publish_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="acid-wap-")
+    t = TransactionLog(root + "/orders")
+    base = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    t.append(base, ["o_orderpriority"])
+
+    def audit_ok(staged_slice: DataFrame) -> bool:
+        row = staged_slice.agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderkey").isNull() | (F.col("p") < 0), 1
+                ).otherwise(0)
+            ).alias("bad"),
+            F.count("*").alias("n"),
+        ).first()
+        return row["n"] > 0 and row["bad"] == 0
+
+    # good batch: stage -> audit (passes) -> publish (metadata-only)
+    good = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "O")
+    stg1 = TransactionLog(root + "/staging_good")
+    t.clone_to(stg1.table_path)
+    clone_v = stg1.latest_version()
+    stg1.append(good)
+    staged_slice = stg1.snapshot(spark).filter(F.col("o_orderstatus") == "O")
+    assert audit_ok(staged_slice)
+    t.publish_from(stg1, since_version=clone_v)
+
+    # bad batch: stage -> audit (fails) -> abandon; main never sees it
+    bad = (
+        _orders_cols(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "P")
+        .withColumn("p", -F.col("p"))
+    )
+    stg2 = TransactionLog(root + "/staging_bad")
+    t.clone_to(stg2.table_path)
+    stg2.append(bad)
+    bad_slice = stg2.snapshot(spark).filter(F.col("o_orderstatus") == "P")
+    assert not audit_ok(bad_slice)
+    # abandoned: no publish_from call for stg2
+
+    latest = t.snapshot(spark)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+
+    leaked = latest.filter(F.col("o_orderstatus") == "P").agg(
+        F.lit("p_leaked").alias("snap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.coalesce(F.round(F.sum("p"), 2), F.lit(0.0)).alias("total_price"),
+    )
+    return (
+        agg(t.snapshot(spark, version=1), "v1")
+        .unionByName(agg(latest, "latest"))
+        .unionByName(leaked)
+    )

@@ -3119,3 +3119,82 @@ spark.stop()
         r.id: r.v for r in t.snapshot(spark).collect()
     }
     assert rows == {1: "UP-a", 2: "b", 3: "UP-b", 4: "d"}
+
+
+def test_publish_from_wap_loop(spark, tbl, tmp_path):
+    """WRITE-AUDIT-PUBLISH: staged batch promotes as ONE metadata-only
+    commit referencing staged files in place; an abandoned staging
+    never touches main's history."""
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2025")]), ["year"])
+
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(_df(spark, [(3, "c", "2024"), (4, "d", "2026")]))
+    v = tbl.publish_from(stg, since_version=1)
+    assert v == 2
+    assert _ids(tbl.snapshot(spark)) == [1, 2, 3, 4]
+    # zero-copy: publish wrote no parquet under main; the published
+    # entries reference the staging dir
+    rec = json.loads(
+        (tbl.table_path / "_txn_log" / "00000000000000000002.json").read_text()
+    ) if (tbl.table_path / "_txn_log").exists() else None
+    if rec is None:  # log layout differs — assert via replay instead
+        state = tbl._replay(2)
+        pub = [p for p in state["files"] if str(stg.table_path) in p]
+        assert len(pub) >= 1
+    else:
+        assert rec["op"] == "publish"
+        assert all(str(stg.table_path.resolve()) in a["path"] for a in rec["add"])
+    # partition values still derive correctly through the staging base
+    assert {r.year for r in tbl.snapshot(spark).collect()} == {
+        "2024", "2025", "2026",
+    }
+    # time travel: v1 never saw the published batch
+    assert _ids(tbl.snapshot(spark, version=1)) == [1, 2]
+
+    # abandoned staging (audit failure path): main history unchanged
+    stg_bad = TransactionLog(tmp_path / "stg_bad")
+    tbl.clone_to(stg_bad.table_path)
+    stg_bad.append(_df(spark, [(99, "poison", "2024")]))
+    assert _ids(tbl.snapshot(spark)) == [1, 2, 3, 4]
+
+
+def test_publish_from_refuses_base_mutation_and_drift(spark, tbl, tmp_path):
+    """Publish is strictly additive: a staging that restated or
+    deleted cloned base data, carries DVs, has nothing staged, or
+    evolved the schema is refused."""
+    import pytest as _pytest
+
+    tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
+
+    # nothing staged
+    stg0 = TransactionLog(tmp_path / "s0")
+    tbl.clone_to(stg0.table_path)
+    with _pytest.raises(ValueError, match="nothing|no staged"):
+        tbl.publish_from(stg0, since_version=1)
+
+    # base restated via copy-on-write delete
+    stg1 = TransactionLog(tmp_path / "s1")
+    tbl.clone_to(stg1.table_path)
+    stg1.append(_df(spark, [(3, "c", "2024")]))
+    stg1.delete_where(spark, "id = 1")
+    with _pytest.raises(ValueError, match="mutated the cloned base"):
+        tbl.publish_from(stg1, since_version=1)
+
+    # deletion vectors against the base
+    stg2 = TransactionLog(tmp_path / "s2")
+    tbl.clone_to(stg2.table_path)
+    stg2.append(_df(spark, [(4, "d", "2024")]))
+    stg2.delete_where(spark, "id = 2", mode="dv")
+    with _pytest.raises(ValueError, match="mutated the cloned base"):
+        tbl.publish_from(stg2, since_version=1)
+
+    # schema drift in the staged batch
+    stg3 = TransactionLog(tmp_path / "s3")
+    tbl.clone_to(stg3.table_path)
+    stg3.append(
+        spark.createDataFrame([(5, "e", "2024", "x")], ["id", "v", "year", "extra"]),
+        evolve_schema=True,
+    )
+    with _pytest.raises(ValueError, match="schema drift"):
+        tbl.publish_from(stg3, since_version=1)
