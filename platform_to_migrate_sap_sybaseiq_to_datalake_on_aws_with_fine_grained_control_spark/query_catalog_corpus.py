@@ -686,21 +686,31 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims.persist()
 
-    steps = [
+    # Each greedy argmax is a SCALAR readout (one (vec_id, score) row
+    # from the 20-row pool), so it lands as a plan literal for the next
+    # step — the same allowed class as the repo's scalar-aggregate
+    # readouts.  Keeping the selections as chained DataFrames instead
+    # duplicates every earlier TakeOrdered subtree ~2^k times (each
+    # step references the selected set twice) and was measured as a
+    # flat ~4.5 s of pure job scheduling at ANY scale; the corpus-scale
+    # work — the top-pool scan — stays fully distributed either way.
+    first = (
         pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(1)
         .select("vec_id", F.col("rel").alias("score"))
-    ]
-    selected = steps[0].select("vec_id")
+        .first()
+    )
+    picked: list[tuple[int, float]] = [(first["vec_id"], first["score"])]
     for _k in range(2, MMR_K + 1):
-        cand = pool.join(selected, "vec_id", "left_anti")
-        msim = (
-            sims.join(selected.select(F.col("vec_id").alias("ib")), "ib")
-            .groupBy("ia")
-            .agg(F.max("s").alias("msim"))
-        )
+        sel_ids = [p[0] for p in picked]
         step = (
-            cand.join(msim, cand["vec_id"] == msim["ia"])
+            pool.filter(~F.col("vec_id").isin(sel_ids))
+            .join(
+                sims.filter(F.col("ib").isin(sel_ids))
+                .groupBy("ia")
+                .agg(F.max("s").alias("msim")),
+                pool["vec_id"] == F.col("ia"),
+            )
             .withColumn(
                 "score",
                 MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("msim"),
@@ -708,23 +718,19 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), F.col("vec_id").asc())
             .limit(1)
             .select("vec_id", "score")
+            .first()
         )
-        steps.append(step)
-        selected = selected.union(step.select("vec_id"))
+        picked.append((step["vec_id"], step["score"]))
 
-    ranked = steps[0].select(
-        F.lit(1).cast("bigint").alias("rank"), "vec_id", "score"
-    )
-    for k, step in enumerate(steps[1:], start=2):
-        ranked = ranked.union(
-            step.select(
-                F.lit(k).cast("bigint").alias("rank"), "vec_id", "score"
-            )
-        )
-    return ranked.select(
-        "rank",
-        "vec_id",
-        (F.floor(F.col("score") * 1000000) / 1000000).alias("score"),
+    spark = pool.sparkSession
+    import math
+
+    return spark.createDataFrame(
+        [
+            (k, vid, math.floor(score * 1000000) / 1000000)
+            for k, (vid, score) in enumerate(picked, start=1)
+        ],
+        "rank bigint, vec_id bigint, score double",
     ).orderBy("rank")
 
 
