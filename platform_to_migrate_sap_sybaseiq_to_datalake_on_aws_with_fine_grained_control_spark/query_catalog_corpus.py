@@ -1119,3 +1119,175 @@ sql_query(
     "resample oracle-reproducible, which is exactly how a production "
     "pipeline makes bootstrap CIs replayable across retries.",
 )
+
+
+# =====================================================================
+# Dedup threshold sensitivity sweep (one candidate pass, N readouts)
+# =====================================================================
+
+DEDUP_SWEEP_THRESHOLDS = [0.9, 0.95, 0.98]
+
+
+def _duck_threshold_sweep_sql() -> str:
+    cts = _duck_minhash_pair_ctes()
+    th = ", ".join(str(t) for t in DEDUP_SWEEP_THRESHOLDS)
+    jac = (
+        "floor(len(list_intersect(da.sh, db.sh))::DOUBLE / "
+        "(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) "
+        "* 10000) / 10000"
+    )
+    return f"""
+WITH {cts},
+jc AS (
+  SELECT id_a, id_b, {jac} AS j
+  FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b),
+th AS (SELECT unnest([{th}]) AS threshold),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT t.threshold,
+  CAST(count(j.j) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT j.id_b) AS BIGINT) AS n_docs_dropped,
+  floor((d.n - count(DISTINCT j.id_b)) / d.n * 1000000) / 1000000 AS survival
+FROM th t LEFT JOIN jc j ON j.j >= t.threshold CROSS JOIN nd d
+GROUP BY t.threshold, d.n ORDER BY t.threshold
+"""
+
+
+@register(
+    "dedup_minhash_threshold_sweep",
+    _duck_threshold_sweep_sql(),
+    doc="Dedup threshold-sensitivity curve: exact Jaccard is computed "
+    "ONCE per LSH candidate, then every threshold in "
+    f"{DEDUP_SWEEP_THRESHOLDS} reads pair volume, docs-dropped (the "
+    "keep-lowest-id policy's loser count) and corpus survival off the "
+    "same verified set — the tuning readout that tells you what a "
+    "threshold change would do to the corpus BEFORE committing to the "
+    "full dedup run. Candidate recall is the banded index's (pairs "
+    "below its sensitivity curve are absent at every threshold "
+    "alike). One feature-table pass + one candidate verify; the sweep "
+    "itself is O(thresholds x verified pairs) on a tiny frame.",
+)
+def dedup_minhash_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import minhash_feature_table, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = minhash_feature_table(
+        docs, "doc_id", "text", MINHASH_HASHES, SHINGLE_N
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", MINHASH_HASHES, MINHASH_BANDS, SHINGLE_N,
+        threshold=0.0, feat=feat,
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_THRESHOLDS], "threshold double"
+    )
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    per = (
+        th.join(pairs, pairs["jaccard"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("jaccard").cast("bigint").alias("n_pairs"),
+            F.count_distinct("id_b").cast("bigint").alias("n_docs_dropped"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(nd))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_dropped",
+            (
+                F.floor(
+                    (F.col("n") - F.col("n_docs_dropped")) / F.col("n") * 1000000
+                )
+                / 1000000
+            ).alias("survival"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# =====================================================================
+# Matryoshka dimension sweep (recall@k vs prefix width)
+# =====================================================================
+
+MRL_SWEEP_DIMS = [8, 16, 32, 64]
+
+
+def _matryoshka_sweep_texts() -> tuple[str, str]:
+    from .operators.similarity import cosine_expr
+    from .query_catalog_ml import ANN_K, ANN_QUERY_IDS, _duck_cos
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+    def build(cos_for_dim, k: int) -> str:
+        tops = []
+        finals = []
+        for d in MRL_SWEEP_DIMS:
+            tops.append(
+                f"""top_{d} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {cos_for_dim(d)} DESC, c.vec_id) AS r
+    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id) s_{d}
+  WHERE r <= {k})"""
+            )
+            finals.append(
+                f"""SELECT CAST({d} AS BIGINT) AS dims, e.query_id,
+  CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+  floor(count(t.vec_id) / CAST({k} AS DOUBLE) * 10000) / 10000 AS recall_at_k
+FROM exact e LEFT JOIN top_{d} t
+  ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+GROUP BY e.query_id"""
+            )
+        exact = f"""exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {cos_for_dim(None)} DESC, c.vec_id) AS r
+    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id) sx
+  WHERE r <= {k})"""
+        return (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qvec "
+            f"FROM embeddings WHERE vec_id IN ({ids})),\n"
+            + exact
+            + ",\n"
+            + ",\n".join(tops)
+            + "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(finals)
+            + "\n) u ORDER BY dims, query_id"
+        )
+
+    def spark_cos(d):
+        if d is None:
+            return cosine_expr("c.embedding", "q.qvec")
+        return cosine_expr(
+            f"slice(c.embedding, 1, {d})", f"slice(q.qvec, 1, {d})"
+        )
+
+    def duck_cos(d):
+        if d is None:
+            return _duck_cos("c.embedding", "q.qvec")
+        return _duck_cos(f"(c.embedding[1:{d}])", f"(q.qvec[1:{d}])")
+
+    return build(spark_cos, ANN_K), build(duck_cos, ANN_K)
+
+
+_MRL_SWEEP_SPARK, _MRL_SWEEP_DUCK = _matryoshka_sweep_texts()
+
+sql_query(
+    "ann_matryoshka_dim_sweep",
+    _MRL_SWEEP_SPARK,
+    _MRL_SWEEP_DUCK,
+    doc="Matryoshka accuracy-vs-cost curve: recall@k of prefix-"
+    f"dimension cosine ranking ({MRL_SWEEP_DIMS} of 64 components) "
+    "against the full-dimension exact top-k, per query — the measured "
+    "tradeoff behind choosing the coarse-pass width in "
+    "ann_matryoshka_rerank_topk (64 dims is the sanity anchor: recall "
+    "1.0 by construction). Each width is one corpus-linear scoring "
+    "pass folding only its prefix (at 100 TB each pass reads a stored "
+    "prefix column, so cost really is proportional to width); the "
+    "recall join touches queries x k rows.",
+)

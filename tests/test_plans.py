@@ -98,6 +98,12 @@ BNLJ_OK = {
     "sketch_hll_set_algebra",
     # 1-row CI percentile frame x 1-row full-mean scalar — scalar join
     "stats_poisson_bootstrap_ci",
+    # verified-pair frame x 3-row broadcast threshold list (non-equi
+    # j >= t join on a tiny side) + 1-row corpus-count scalar
+    "dedup_minhash_threshold_sweep",
+    # corpus x 3-query broadcast scan per prefix width (brute-force
+    # family, same shape as ann_cosine_topk)
+    "ann_matryoshka_dim_sweep",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
