@@ -1291,3 +1291,70 @@ sql_query(
     "prefix column, so cost really is proportional to width); the "
     "recall join touches queries x k rows.",
 )
+
+
+# =====================================================================
+# Dedup loss attribution by source
+# =====================================================================
+
+
+def _duck_dedup_by_source_sql() -> str:
+    cts = _duck_minhash_pair_ctes()
+    return f"""
+WITH {cts},
+losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(l.doc_id) AS BIGINT) AS n_dropped,
+  floor(CAST(count(l.doc_id) AS DOUBLE) / count(*) * 10000) / 10000
+    AS drop_rate
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    _duck_dedup_by_source_sql(),
+    doc="Dedup-loss ATTRIBUTION: the MinHash keep-lowest-id loser set "
+    "joined back to document provenance, per-source doc counts / "
+    "drops / drop rate — the observability readout that catches a "
+    "crawler or connector flooding the corpus with near-duplicates "
+    "(a spiking per-source drop rate) before it skews the training "
+    "mix. Reuses the persisted feature table and banded candidate "
+    "index; attribution itself is one broadcast-small anti-ish left "
+    "join + a groupBy(source).",
+)
+def corpus_dedup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import minhash_feature_table, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = minhash_feature_table(
+        docs, "doc_id", "text", MINHASH_HASHES, SHINGLE_N
+    )
+    losers = (
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", MINHASH_HASHES, MINHASH_BANDS,
+            SHINGLE_N, JACCARD_THRESHOLD, feat=feat,
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("dropped").cast("bigint").alias("n_dropped"),
+            (
+                F.floor(
+                    F.count("dropped").cast("double") / F.count("*") * 10000
+                )
+                / 10000
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
