@@ -3198,3 +3198,39 @@ def test_publish_from_refuses_base_mutation_and_drift(spark, tbl, tmp_path):
     )
     with _pytest.raises(ValueError, match="schema drift"):
         tbl.publish_from(stg3, since_version=1)
+
+
+def test_publish_from_concurrent_publishes_both_commit(spark, tbl, tmp_path):
+    """Two WAP publishes racing on the same main table: publish is a
+    blind append (disjoint staged footprints), so OCC retries past the
+    loser's version collision and BOTH batches land, gaplessly."""
+    import threading
+
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    stgs = []
+    for i, rows in enumerate(
+        [[(10, "x", "2025")], [(20, "y", "2026"), (21, "z", "2026")]]
+    ):
+        stg = TransactionLog(tmp_path / f"stg{i}")
+        tbl.clone_to(stg.table_path)
+        stg.append(_df(spark, rows))
+        stgs.append(stg)
+
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def run(stg):
+        try:
+            barrier.wait()
+            tbl.publish_from(stg, since_version=1)
+        except Exception as e:  # pragma: no cover - failure readout
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(s,)) for s in stgs]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert tbl.latest_version() == 3  # v1 append + two publishes, gapless
+    assert _ids(tbl.snapshot(spark)) == [1, 10, 20, 21]
