@@ -1304,9 +1304,13 @@ class TransactionLog:
         adds: list[dict],
         state: dict,
         constraints: dict[str, str] | None = None,
+        sweep: bool = True,
     ) -> None:
         """Validate freshly-staged (still invisible) files against the
         table's CHECK constraints; on violation sweep them and raise.
+        ``sweep=False`` skips the unlink — for callers whose staged
+        bytes live in ANOTHER table's directory (``publish_from``
+        validates staging-owned files this table must never delete).
 
         Runs on the staged bytes, not the input frame, so the input
         lineage is never recomputed for enforcement (the staged read
@@ -1328,8 +1332,9 @@ class TransactionLog:
         ).collect()[0]
         violated = {n: counts[n] for n in cons if (counts[n] or 0) > 0}
         if violated:
-            for a in adds:
-                (self.table_path / a["path"]).unlink(missing_ok=True)
+            if sweep:
+                for a in adds:
+                    (self.table_path / a["path"]).unlink(missing_ok=True)
             detail = ", ".join(
                 f"{n} [{cons[n]}]: {c} rows" for n, c in sorted(violated.items())
             )
@@ -1557,7 +1562,11 @@ class TransactionLog:
         return 1
 
     def publish_from(
-        self, staging: "TransactionLog", since_version: int = 1
+        self,
+        staging: "TransactionLog",
+        since_version: int = 1,
+        spark: SparkSession | None = None,
+        audit=None,
     ) -> int:
         """WRITE-AUDIT-PUBLISH promotion (the Iceberg WAP / Delta
         cherry-pick pattern): atomically promote the data files a
@@ -1572,15 +1581,40 @@ class TransactionLog:
         ``main.publish_from(staging_log)``; on fail, abandon the
         staging dir — main's history never saw the bad batch.
 
+        ``audit`` makes the "A" an API instead of caller discipline:
+        a callable receiving the staged-batch DataFrame (exactly the
+        rows being promoted, read under main's schema).  It may raise,
+        or return ``False`` to refuse the publish (``None``/truthy =
+        pass — side-effect asserts inside are fine).  Requires
+        ``spark``.  Mirrors the reference's reconcile-before-notify
+        gate (postprocess ``lambda_function.py:74-118``): validate the
+        landed batch BEFORE it becomes visible downstream.
+
         Publish is strictly ADDITIVE: if staging deleted/restated any
         of the cloned base files or carries deletion vectors, this
         raises — restatements must go through a real merge/delete on
         the main table where OCC can see their read surface.  The
-        staged schema and partition spec must match main's (publish
-        never evolves either).  Commit-wise this is a blind append
-        (the staged file footprint is disjoint from main's by
-        construction), so it retries past concurrent writers like any
-        append.
+        staged schema (full type-level JSON, not just names), column
+        mapping, and partition spec must match main's (publish never
+        evolves any of them).  Main's CURRENT CHECK constraints and
+        generated-column invariants are enforced over the staged bytes
+        (staging only enforced the set it saw at clone time — a
+        constraint added to main afterwards must still gate the
+        batch); this needs ``spark`` whenever main has constraints.
+        A generated/identity declaration main holds that staging
+        lacked is refused outright: the staged rows never computed /
+        allocated it.  Identity watermarks reconcile: if BOTH sides
+        allocated past the clone point the ranges overlap and publish
+        raises; otherwise main's watermark advances to cover staging's
+        allocations so main's next append cannot reissue them.
+
+        Commit-wise this is a blind append (the staged file footprint
+        is disjoint from main's by construction) and it reconciles
+        interleaved metadata exactly like ``append`` does: a
+        concurrent widening append merges schemas; a concurrent
+        rename/drop/declaration/spec change raises
+        ``ConcurrentCommitError`` for a caller-level re-run instead of
+        silently reverting it.
         """
         head = staging.latest_version()
         if head < since_version or head == 0:
@@ -1606,21 +1640,71 @@ class TransactionLog:
         if not staged:
             raise ValueError(f"no staged files after v{since_version}")
 
-        my_state = self._replay(self.latest_version())
+        read_v0 = self.latest_version()
+        my_state = self._replay(read_v0)
         mine = StructType.fromJson(my_state["schema"])
         theirs = StructType.fromJson(stg_state["schema"])
-        if sorted(f.name.lower() for f in mine.fields) != sorted(
-            f.name.lower() for f in theirs.fields
-        ):
+        # full type-level equality, not just the name set: a staging
+        # that widened a column (int->long under evolve_schema, names
+        # unchanged) must not publish under main's narrower schema —
+        # the staged long parquet would be unreadable/corrupt with no
+        # error at publish time
+        if stg_state["schema"] != my_state["schema"]:
             raise ValueError(
                 "staged schema drift — publish never evolves schema: "
                 f"{theirs.simpleString()} vs {mine.simpleString()}"
+            )
+        if stg_state["column_mapping"] != my_state["column_mapping"]:
+            raise ValueError(
+                "staged column-mapping drift — publish never rebinds "
+                f"physical names: {stg_state['column_mapping']} vs "
+                f"{my_state['column_mapping']}"
             )
         if stg_state["partition_keys"] != my_state["partition_keys"]:
             raise ValueError(
                 f"staged partition spec {stg_state['partition_keys']} != "
                 f"main's {my_state['partition_keys']}"
             )
+        # declarations main holds that staging never enforced: the
+        # staged rows were written without computing the generated
+        # column / allocating the identity — not publishable
+        lacking = [
+            g for g in my_state["generated"] if g not in stg_state["generated"]
+        ] + [
+            c for c in my_state["identity"] if c not in stg_state["identity"]
+        ]
+        if lacking:
+            raise ValueError(
+                f"main declares generated/identity columns {sorted(lacking)} "
+                "that staging never enforced — staged rows never computed/"
+                "allocated them; re-stage from a fresh clone"
+            )
+        # identity watermark reconciliation: staging allocated from the
+        # clone-time watermark; so would main — overlapping ranges if
+        # both advanced.  On the clean path main's watermark advances
+        # to cover staging's allocations.
+        pub_identity: dict[str, dict] | None = None
+        if my_state["identity"]:
+            pub_identity = {}
+            for col, spec in my_state["identity"].items():
+                base_spec = base_state["identity"].get(col)
+                stg_high = stg_state["identity"][col].get("high")
+                my_high = spec.get("high")
+                if base_spec is None or base_spec.get("high") is None:
+                    raise ValueError(
+                        f"cannot prove identity allocations for {col!r} are "
+                        "disjoint — staging's base snapshot carries no "
+                        "watermark (stage from a clone of this table)"
+                    )
+                base_high = base_spec["high"]
+                if stg_high != base_high and my_high != base_high:
+                    raise ValueError(
+                        f"identity column {col!r} was allocated on BOTH main "
+                        f"(high {base_high}->{my_high}) and staging (high "
+                        f"{base_high}->{stg_high}) since the clone — the id "
+                        "ranges overlap; re-stage from a fresh clone"
+                    )
+                pub_identity[col] = dict(spec, high=max(my_high, stg_high))
 
         stg_base = str(staging.table_path.resolve())
 
@@ -1633,19 +1717,68 @@ class TransactionLog:
 
         adds = [absolutize(e) for e in staged]
 
+        # enforce main's CURRENT constraint set (plus generated-column
+        # invariants) over the staged bytes — staging enforced only
+        # the clone-time set, and an arbitrary non-clone staging log
+        # enforced none of main's
+        cons = {
+            **my_state["constraints"],
+            **self._generated_constraints(my_state["generated"]),
+        }
+        needs_spark = bool(cons) or audit is not None
+        if needs_spark and spark is None:
+            raise ValueError(
+                "publish_from needs spark= to enforce main's CHECK/"
+                "generated constraints or run the audit over the staged "
+                "batch"
+            )
+        staged_read_state = dict(
+            my_state,
+            files={a["path"]: a for a in adds},
+            dvs=[],
+            reader_features=my_state["reader_features"] | {"externalFiles"},
+        )
+        if cons:
+            self._enforce_constraints(
+                spark,
+                adds,
+                dict(staged_read_state, constraints=cons),
+                sweep=False,  # the bytes belong to STAGING — never unlink
+            )
+        if audit is not None:
+            if audit(self._read_files(spark, staged_read_state)) is False:
+                raise ValueError(
+                    f"publish audit refused the staged batch from "
+                    f"{stg_base} (v{since_version}..v{head}) — staging "
+                    "abandoned, main's history unchanged"
+                )
+
         def rec(v: int) -> dict:
-            return {
+            # blind retry: a concurrent widening append must not be
+            # reverted by re-stating read-time metadata; a rename/drop/
+            # declaration/spec race raises — same rules as append()
+            sch, cmap, ret, pkeys = self._reconcile_append_meta(
+                read_v0,
+                v,
+                my_state["schema"],
+                my_state["column_mapping"],
+                my_state["retired_physical"],
+                my_state["partition_keys"],
+                generated=my_state["generated"],
+                identity=my_state["identity"],
+            )
+            r = {
                 "version": v,
                 "op": "publish",
                 "dataChange": True,
                 "ts": _utc_now_iso(),
                 "txn": uuid.uuid4().hex,
-                "schema": my_state["schema"],
-                "partition_keys": my_state["partition_keys"],
+                "schema": sch,
+                "partition_keys": pkeys,
                 "add": adds,
                 "remove": [],
-                "column_mapping": my_state["column_mapping"],
-                "retired_physical": my_state["retired_physical"],
+                "column_mapping": cmap,
+                "retired_physical": ret,
                 "publish_of": {
                     "table": stg_base,
                     "from_version": since_version,
@@ -1655,6 +1788,17 @@ class TransactionLog:
                     my_state["reader_features"] | {"externalFiles"}
                 ),
             }
+            if pub_identity is not None:
+                # watermark advance derived from the READ-time state: a
+                # racing commit that also advanced it would reissue ids
+                for i in range(read_v0 + 1, v):
+                    if self._read_commit(i).get("identity"):
+                        raise ConcurrentCommitError(
+                            f"publish to {self.table_path} raced an "
+                            f"identity allocation at v{i}; re-run"
+                        )
+                r["identity"] = pub_identity
+            return r
 
         return self._commit_with_retry(rec, read_version=None)
 

@@ -1854,17 +1854,18 @@ def acid_write_audit_publish_orders(
         ).first()
         return row["n"] > 0 and row["bad"] == 0
 
-    # good batch: stage -> audit (passes) -> publish (metadata-only)
+    # good batch: stage -> publish with the audit hook (the "A" of WAP
+    # runs INSIDE publish_from over exactly the staged slice)
     good = _orders_cols(spark, sf_dir).filter(F.col("o_orderstatus") == "O")
     stg1 = TransactionLog(root + "/staging_good")
     t.clone_to(stg1.table_path)
     clone_v = stg1.latest_version()
     stg1.append(good)
-    staged_slice = stg1.snapshot(spark).filter(F.col("o_orderstatus") == "O")
-    assert audit_ok(staged_slice)
-    t.publish_from(stg1, since_version=clone_v)
+    t.publish_from(stg1, since_version=clone_v, spark=spark, audit=audit_ok)
 
-    # bad batch: stage -> audit (fails) -> abandon; main never sees it
+    # bad batch: stage -> the same audit FAILS inside publish_from ->
+    # publish raises, staging abandoned; main never sees it.  Explicit
+    # raise (not assert): the gate must fire under ``python -O`` too.
     bad = (
         _orders_cols(spark, sf_dir)
         .filter(F.col("o_orderstatus") == "P")
@@ -1873,9 +1874,14 @@ def acid_write_audit_publish_orders(
     stg2 = TransactionLog(root + "/staging_bad")
     t.clone_to(stg2.table_path)
     stg2.append(bad)
-    bad_slice = stg2.snapshot(spark).filter(F.col("o_orderstatus") == "P")
-    assert not audit_ok(bad_slice)
-    # abandoned: no publish_from call for stg2
+    try:
+        t.publish_from(stg2, since_version=1, spark=spark, audit=audit_ok)
+    except ValueError:
+        pass  # audit refused the poisoned batch — staging abandoned
+    else:
+        raise ValueError(
+            "WAP audit gate failed to refuse the poisoned 'P' batch"
+        )
 
     latest = t.snapshot(spark)
 

@@ -923,6 +923,22 @@ def run_streaming_bin_counts(
         .start()
     )
     q.awaitTermination()
+    from pathlib import Path
+
+    if not Path(counts_dir).exists():
+        # zero micro-batches (nothing new under src_dir): no delta
+        # parquet was ever written — return an empty count table typed
+        # exactly as the per-batch reduction would have produced it,
+        # not PATH_NOT_FOUND
+        return (
+            spark.createDataFrame([], schema)
+            .select(F.col(group_col), F.expr(bin_expr).alias("bin"))
+            .groupBy(group_col, "bin")
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.count(F.lit(1)).alias("nc"),
+            )
+        )
     return (
         spark.read.parquet(counts_dir)
         .groupBy(group_col, "bin")

@@ -3234,3 +3234,193 @@ def test_publish_from_concurrent_publishes_both_commit(spark, tbl, tmp_path):
     assert not errs, errs
     assert tbl.latest_version() == 3  # v1 append + two publishes, gapless
     assert _ids(tbl.snapshot(spark)) == [1, 10, 20, 21]
+
+
+def test_publish_from_refuses_widened_type_drift(spark, tbl, tmp_path):
+    """Name sets match but staging widened a column type (int->long
+    under evolve_schema) — publishing under main's narrower schema
+    would leave long parquet unreadable; the type-level gate refuses."""
+    ints = spark.createDataFrame(
+        [(1, 10, "2024")], "id int, v int, year string"
+    )
+    tbl.append(ints, ["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(
+        spark.createDataFrame(
+            [(2, 1 << 40, "2024")], "id int, v long, year string"
+        ),
+        evolve_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        tbl.publish_from(stg, since_version=1)
+    assert tbl.latest_version() == 1  # main untouched
+
+
+def test_wap_audit_gate_blocks_publish(spark, tbl, tmp_path):
+    """The 'A' of WAP as an API: publish_from(audit=...) runs the
+    audit over exactly the staged slice; False refuses the publish
+    and main's history never moves."""
+    tbl.append(_df(spark, [(1, "ok", "2024")]), ["year"])
+
+    def audit(df):
+        return df.filter(df.v == "poison").count() == 0
+
+    stg_bad = TransactionLog(tmp_path / "stg_bad")
+    tbl.clone_to(stg_bad.table_path)
+    stg_bad.append(_df(spark, [(2, "poison", "2024")]))
+    with pytest.raises(ValueError, match="audit refused"):
+        tbl.publish_from(stg_bad, since_version=1, spark=spark, audit=audit)
+    assert tbl.latest_version() == 1
+    assert _ids(tbl.snapshot(spark)) == [1]
+
+    # pass path: the audit sees ONLY the staged batch, not the base
+    seen = {}
+
+    def audit_spy(df):
+        seen["ids"] = _ids(df)  # None return = pass
+
+    stg_good = TransactionLog(tmp_path / "stg_good")
+    tbl.clone_to(stg_good.table_path)
+    stg_good.append(_df(spark, [(3, "good", "2025")]))
+    tbl.publish_from(stg_good, since_version=1, spark=spark, audit=audit_spy)
+    assert seen["ids"] == [3]
+    assert _ids(tbl.snapshot(spark)) == [1, 3]
+
+    # an audit needs a session to run on
+    stg3 = TransactionLog(tmp_path / "stg3")
+    tbl.clone_to(stg3.table_path)
+    stg3.append(_df(spark, [(4, "d", "2024")]))
+    with pytest.raises(ValueError, match="needs spark"):
+        tbl.publish_from(stg3, since_version=1, audit=audit)
+
+
+def test_publish_enforces_mains_current_constraints(spark, tbl, tmp_path):
+    """A CHECK constraint added to main AFTER the clone still gates
+    the publish (staging only enforced the clone-time set); refusal
+    never sweeps staging-owned bytes."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    tbl.add_check_constraint(spark, "id_pos", "id > 0")  # post-clone
+    stg.append(_df(spark, [(-5, "bad", "2024")]))  # staging never saw it
+    with pytest.raises(ConstraintViolationError, match="id_pos"):
+        tbl.publish_from(stg, since_version=1, spark=spark)
+    # staging's table still reads intact — its files were NOT unlinked
+    assert _ids(stg.snapshot(spark)) == [-5, 1]
+    # enforcement needs a session once main has constraints
+    with pytest.raises(ValueError, match="needs spark"):
+        tbl.publish_from(stg, since_version=1)
+    # a compliant batch publishes through the same gate
+    stg2 = TransactionLog(tmp_path / "stg2")
+    tbl.clone_to(stg2.table_path)
+    stg2.append(_df(spark, [(5, "good", "2024")]))
+    tbl.publish_from(stg2, since_version=1, spark=spark)
+    assert _ids(tbl.snapshot(spark)) == [1, 5]
+
+
+def test_publish_racing_widen_commits_widened_schema(spark, tbl, tmp_path):
+    """A publish that loses the version race to a concurrent int->long
+    widening append must commit the WIDENED schema (its narrower
+    staged files read fine under it) — re-stating the read-time
+    schema would leave the widened files unreadable."""
+    ints = spark.createDataFrame(
+        [(1, 10, "2024")], "id int, v int, year string"
+    )
+    tbl.append(ints, ["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(
+        spark.createDataFrame([(2, 20, "2024")], "id int, v int, year string")
+    )
+    wide = spark.createDataFrame(
+        [(3, 1 << 40, "2025")], "id long, v long, year string"
+    )
+    raced = _race_once(
+        tbl,
+        "publish",
+        lambda: TransactionLog(tbl.table_path).append(
+            wide, evolve_schema=True
+        ),
+    )
+    v = tbl.publish_from(stg, since_version=1)
+    assert raced["done"] and v == 3
+    st = tbl._replay(v)
+    assert (
+        StructTypeFromJson(st["schema"])["v"].dataType.simpleString()
+        == "bigint"
+    )
+    out = sorted((r.id, r.v) for r in tbl.snapshot(spark).collect())
+    assert out == [(1, 10), (2, 20), (3, 1 << 40)]
+
+
+def test_publish_racing_rename_raises(spark, tbl, tmp_path):
+    """A rename interleaving between publish's state read and its
+    winning version is a real conflict: the staged files carry the
+    old physical layout — raise, never silently revert the rename."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(_df(spark, [(2, "b", "2024")]))
+    raced = _race_once(
+        tbl,
+        "publish",
+        lambda: TransactionLog(tbl.table_path).rename_column("v", "w"),
+    )
+    with pytest.raises(ConcurrentCommitError, match="raced"):
+        tbl.publish_from(stg, since_version=1)
+    assert raced["done"]
+
+
+def test_publish_identity_watermark_reconciles_and_refuses_overlap(
+    spark, tbl, tmp_path
+):
+    """Identity across WAP: publishing staged allocations advances
+    main's watermark so the next main append cannot reissue them;
+    allocations on BOTH sides since the clone overlap and refuse."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("rid", "long").add("name", "string")
+    tbl.create(schema, identity={"rid": {"start": 1, "step": 1}})
+    tbl.append(spark.createDataFrame([("seed",)], ["name"]))
+
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(spark.createDataFrame([("s1",), ("s2",)], ["name"]))
+    tbl.publish_from(stg, since_version=1)
+    rids = [r.rid for r in tbl.snapshot(spark).collect()]
+    assert len(set(rids)) == 3
+    tbl.append(spark.createDataFrame([("m2",)], ["name"]))
+    rids = [r.rid for r in tbl.snapshot(spark).collect()]
+    assert len(set(rids)) == 4, f"watermark not advanced: {sorted(rids)}"
+
+    # both sides allocated since the clone -> ranges overlap -> refuse
+    stg2 = TransactionLog(tmp_path / "stg2")
+    tbl.clone_to(stg2.table_path)
+    stg2.append(spark.createDataFrame([("x",)], ["name"]))
+    tbl.append(spark.createDataFrame([("y",)], ["name"]))
+    with pytest.raises(ValueError, match="overlap"):
+        tbl.publish_from(stg2, since_version=1)
+
+
+def test_publish_refuses_declarations_staging_lacked(spark, tbl, tmp_path):
+    """A generated-column declaration added to main after the clone
+    means the staged rows never computed it — publish refuses."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType().add("id", "long").add("v", "string").add("year", "string")
+    )
+    tbl.create(schema, partition_keys=["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    # staging writes under the clone-time contract (no declaration)
+    stg.append(_df(spark, [(2, "2025-02-02", "wrong")]))
+    # main (still empty) declares the generated column post-clone
+    tbl.add_generated_column("year", "substring(v, 1, 4)")
+    with pytest.raises(ValueError, match="never enforced"):
+        tbl.publish_from(stg, since_version=1, spark=spark)

@@ -1100,3 +1100,35 @@ def test_streaming_cms_requires_idempotence_markers(spark, tmp_path):
         "sum-merge must double under unguarded replay — that it does is "
         "exactly why the streaming maintainer needs the marker layer"
     )
+
+
+def test_streaming_bin_counts_zero_new_batches_returns_empty(spark, tmp_path):
+    """A run where the source yields ZERO micro-batches (checkpoint
+    already covers every file) and no count delta was ever written
+    must return an empty typed count table, not PATH_NOT_FOUND."""
+    import shutil
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
+        run_streaming_bin_counts,
+    )
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    spark.createDataFrame(
+        [("a", 1, "base"), ("a", 2, "cur")], ["event_type", "v", "period"]
+    ).write.parquet(src)
+    first = run_streaming_bin_counts(
+        spark, src, work, "CAST(v AS STRING)", "period"
+    )
+    assert first.count() == 2
+    # wipe the delta log; the checkpoint still marks the file done, so
+    # the second run sees zero new batches and writes nothing
+    shutil.rmtree(tmp_path / "work" / "bincounts")
+    again = run_streaming_bin_counts(
+        spark, src, work, "CAST(v AS STRING)", "period"
+    )
+    assert again.count() == 0
+    assert [f.name for f in again.schema.fields] == [
+        "event_type", "bin", "nb", "nc",
+    ]
+    assert again.schema["nb"].dataType.simpleString() == "bigint"
