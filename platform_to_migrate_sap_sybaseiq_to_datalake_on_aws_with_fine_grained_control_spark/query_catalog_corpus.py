@@ -628,25 +628,38 @@ def _duck_mmr_sql() -> str:
     )
 
 
-@register(
-    "ann_mmr_diversified_topk",
-    _duck_mmr_sql(),
-    doc="Maximal-marginal-relevance diversified retrieval (Carbonell "
-    f"& Goldstein, SIGIR 1998): take the cosine top-{MMR_POOL} pool "
-    f"for one query, then greedily select {MMR_K} results maximizing "
-    f"lambda*relevance - (1-lambda)*max-similarity-to-selected "
-    f"(lambda={MMR_LAMBDA}), ties by vec_id — the standard redundancy "
-    "killer for RAG context assembly. The greedy loop runs as "
-    f"{MMR_K - 1} chained DataFrame steps over the PERSISTED "
-    f"{MMR_POOL}-row pool and its {MMR_POOL}x{MMR_POOL} similarity "
-    "table — selection is O(pool^2) work on a broadcast-tiny frame, "
-    "entirely plan-side (no collect); the corpus-scale work is only "
-    "the initial top-pool scan, identical to ann_cosine_topk's "
-    "two-phase pruned ranking. Oracle: the same greedy unrolled as "
-    f"{MMR_K} chained CTEs (k is a fixed constant, so the plan is "
-    "finite and engine-portable).",
-)
-def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mmr_step_frame(
+    pool: DataFrame, sims: DataFrame, sel_ids: list[int]
+) -> DataFrame:
+    """One greedy MMR selection as a 1-row frame over the PERSISTED
+    pool and similarity table — never the corpus.  Kept as a named
+    helper so the plan guard can assert the step reads the in-memory
+    pool (InMemoryTableScan), not the embeddings parquet."""
+    return (
+        pool.filter(~F.col("vec_id").isin(sel_ids))
+        .join(
+            sims.filter(F.col("ib").isin(sel_ids))
+            .groupBy("ia")
+            .agg(F.max("s").alias("msim")),
+            pool["vec_id"] == F.col("ia"),
+        )
+        .withColumn(
+            "score",
+            MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("msim"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id", "score")
+    )
+
+
+def _mmr_pool_and_sims(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-scale half of MMR: cosine top-pool scan (pruned
+    two-phase ranking) + the pool's pairwise similarity table, both
+    PERSISTED — every greedy step replans over these tiny cached
+    frames."""
     from .operators.similarity import dot_expr, norm_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -685,6 +698,31 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sims.persist()
+    return pool, sims
+
+
+@register(
+    "ann_mmr_diversified_topk",
+    _duck_mmr_sql(),
+    doc="Maximal-marginal-relevance diversified retrieval (Carbonell "
+    f"& Goldstein, SIGIR 1998): take the cosine top-{MMR_POOL} pool "
+    f"for one query, then greedily select {MMR_K} results maximizing "
+    f"lambda*relevance - (1-lambda)*max-similarity-to-selected "
+    f"(lambda={MMR_LAMBDA}), ties by vec_id — the standard redundancy "
+    "killer for RAG context assembly. The greedy loop runs as "
+    f"{MMR_K - 1} chained DataFrame steps over the PERSISTED "
+    f"{MMR_POOL}-row pool and its {MMR_POOL}x{MMR_POOL} similarity "
+    "table — selection is O(pool^2) work on a broadcast-tiny frame, "
+    f"driven by {MMR_K} ONE-ROW scalar argmax readouts (.first() off "
+    f"the persisted {MMR_POOL}-row pool — the repo's allowed scalar-"
+    "readout class, NOT a data-plane collect); the corpus-scale work "
+    "is only the initial top-pool scan, identical to ann_cosine_topk's "
+    "two-phase pruned ranking. Oracle: the same greedy unrolled as "
+    f"{MMR_K} chained CTEs (k is a fixed constant, so the plan is "
+    "finite and engine-portable).",
+)
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool, sims = _mmr_pool_and_sims(spark, sf_dir)
 
     # Each greedy argmax is a SCALAR readout (one (vec_id, score) row
     # from the 20-row pool), so it lands as a plan literal for the next
@@ -702,24 +740,7 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked: list[tuple[int, float]] = [(first["vec_id"], first["score"])]
     for _k in range(2, MMR_K + 1):
-        sel_ids = [p[0] for p in picked]
-        step = (
-            pool.filter(~F.col("vec_id").isin(sel_ids))
-            .join(
-                sims.filter(F.col("ib").isin(sel_ids))
-                .groupBy("ia")
-                .agg(F.max("s").alias("msim")),
-                pool["vec_id"] == F.col("ia"),
-            )
-            .withColumn(
-                "score",
-                MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("msim"),
-            )
-            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .select("vec_id", "score")
-            .first()
-        )
+        step = _mmr_step_frame(pool, sims, [p[0] for p in picked]).first()
         picked.append((step["vec_id"], step["score"]))
 
     spark = pool.sparkSession
@@ -1322,8 +1343,10 @@ GROUP BY d.source ORDER BY d.source
     "crawler or connector flooding the corpus with near-duplicates "
     "(a spiking per-source drop rate) before it skews the training "
     "mix. Reuses the persisted feature table and banded candidate "
-    "index; attribution itself is one broadcast-small anti-ish left "
-    "join + a groupBy(source).",
+    "index; attribution itself is one UN-HINTED left join (the loser "
+    "set is 20-50% of a real web corpus — never force a broadcast of "
+    "it; AQE picks the strategy, matching drop_near_duplicates' "
+    "left_anti) + a groupBy(source).",
 )
 def corpus_dedup_rate_by_source(
     spark: SparkSession, sf_dir: str
@@ -1344,7 +1367,9 @@ def corpus_dedup_rate_by_source(
         .withColumn("dropped", F.lit(1))
     )
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left")
+        # no broadcast hint: the loser set is unbounded (a large share
+        # of every near-dup-heavy corpus) — let AQE pick the strategy
+        docs.join(losers, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

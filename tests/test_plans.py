@@ -318,3 +318,69 @@ def test_catalog_rotation_prioritizes_unverified_entries():
         )
     else:
         assert all(n not in verified for n in names[:50])
+
+
+def test_dedup_rate_by_source_loser_join_not_hint_forced(spark):
+    """The MinHash loser set is UNBOUNDED (20-50% of a near-dup-heavy
+    web corpus) — the attribution join must carry no broadcast HINT.
+    AQE may still pick broadcast at tiny SF from MEASURED size; what
+    this guards is the hint that would force the attempt (driver OOM)
+    regardless of size, matching drop_near_duplicates' un-hinted
+    left_anti."""
+    df = entry_mod.queries()["corpus_dedup_rate_by_source"](spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "corpus_dedup_rate_by_source forces a join strategy by hint on "
+        "an unbounded side:\n" + analyzed[:2000]
+    )
+
+
+def test_mmr_steps_read_persisted_pool_not_corpus(spark):
+    """Each greedy MMR step must replan over the PERSISTED 20-row pool
+    and similarity table (InMemoryTableScan), never rescan the
+    embeddings parquet — the corpus-scale work is only the initial
+    top-pool scan."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_corpus import (
+        _mmr_pool_and_sims,
+        _mmr_step_frame,
+    )
+
+    pool, sims = _mmr_pool_and_sims(spark, SF_ORACLE)
+    try:
+        assert pool.storageLevel.useMemory, "pool is not persisted"
+        assert sims.storageLevel.useMemory, "sims table is not persisted"
+        first = pool.orderBy(pool.rel.desc(), pool.vec_id.asc()).first()
+        step = _mmr_step_frame(pool, sims, [first["vec_id"]])
+        step.first()  # materialize so the cache is actually used
+        # the plan STRING echoes each InMemoryRelation's original
+        # build plan (which mentions parquet), so walk the live tree:
+        # every leaf must be an InMemoryTableScan, never a file scan
+        leaves: list[str] = []
+
+        def walk(node):
+            name = node.nodeName()
+            if "InMemoryTableScan" in name:
+                leaves.append("InMemoryTableScan")
+                return
+            kids = node.children()
+            if kids.size() == 0:
+                # AQE wrappers hide their subtree outside children()
+                for attr in ("executedPlan", "plan"):
+                    try:
+                        walk(getattr(node, attr)())
+                        return
+                    except Exception:
+                        pass
+                leaves.append(name)
+                return
+            for i in range(kids.size()):
+                walk(kids.apply(i))
+
+        walk(step._jdf.queryExecution().executedPlan())
+        assert leaves == ["InMemoryTableScan", "InMemoryTableScan"], (
+            f"MMR step must read ONLY the cached pool + sims, got "
+            f"leaves {leaves}"
+        )
+    finally:
+        pool.unpersist()
+        sims.unpersist()
