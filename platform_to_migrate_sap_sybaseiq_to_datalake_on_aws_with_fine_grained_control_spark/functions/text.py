@@ -269,3 +269,81 @@ def duck_lang_id(col: str) -> str:
         expr += f"WHEN {cond} THEN '{lang}' "
     expr += "ELSE 'und' END"
     return expr
+
+
+# ---- Gopher rule-based quality filter (Rae et al. 2021) ----------
+# Shared by query_catalog_stats (the filter entry) and
+# query_catalog_corpus (the ensemble-vote oracle) — lives here, in
+# the cycle-free functions/ tier, so either catalog module can be
+# imported directly without re-entering the other's registration.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.7
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_rule_texts() -> tuple[str, str]:
+    """Build the Spark and DuckDB texts of the Gopher rule set from one
+    template; the five rule flags and the composite keep decision are
+    integer-exact or single-division doubles, so the booleans need no
+    rounding."""
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+    def build(
+        toks: str,
+        size_fn: str,
+        filter_fn: str,
+        distinct_fn: str,
+        alpha_pred: str,
+        replace_fn: str,
+    ) -> str:
+        n_words = f"{size_fn}({toks})"
+        mean_len = f"(CAST(length(text) - ({n_words} - 1) AS DOUBLE) / {n_words})"
+        symbols = f"length({replace_fn})"
+        alpha = f"{size_fn}({filter_fn}({toks}, t -> {alpha_pred}))"
+        stops = (
+            f"{size_fn}({distinct_fn}({filter_fn}({toks}, "
+            f"t -> lower(t) IN ({stop_list}))))"
+        )
+        rules = {
+            "r_word_count": f"({n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+            "r_mean_word_len": (
+                f"({mean_len} >= {GOPHER_MIN_MEAN_LEN} "
+                f"AND {mean_len} <= {GOPHER_MAX_MEAN_LEN})"
+            ),
+            "r_symbol_ratio": (
+                f"(CAST({symbols} AS DOUBLE) / {n_words}) < {GOPHER_MAX_SYMBOL_RATIO}"
+            ),
+            "r_alpha_words": (
+                f"(CAST({alpha} AS DOUBLE) / {n_words}) >= {GOPHER_MIN_ALPHA_RATIO}"
+            ),
+            "r_stopwords": f"{stops} >= {GOPHER_MIN_DISTINCT_STOPWORDS}",
+        }
+        flags = ", ".join(f"{expr} AS {name}" for name, expr in rules.items())
+        keep = " AND ".join(f"({expr})" for expr in rules.values())
+        return f"SELECT doc_id, lang, {flags}, ({keep}) AS keep FROM documents"
+
+    spark_text = build(
+        "split(text, ' ')",
+        "size",
+        "filter",
+        "array_distinct",
+        "t RLIKE '[A-Za-z]'",
+        "regexp_replace(text, '[^#*]', '')",
+    )
+    duck_text = build(
+        "string_split(text, ' ')",
+        "len",
+        "list_filter",
+        "list_distinct",
+        "regexp_matches(t, '[A-Za-z]')",
+        "regexp_replace(text, '[^#*]', '', 'g')",
+    )
+    return spark_text, duck_text
+
+
+GOPHER_SPARK_SQL, GOPHER_DUCK_SQL = gopher_rule_texts()

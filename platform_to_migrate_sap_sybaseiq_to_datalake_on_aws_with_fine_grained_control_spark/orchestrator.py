@@ -63,29 +63,39 @@ class PlanOutcome:
 
 
 class Orchestrator:
-    """Queue-directory driven plan runner around an :class:`Engine`."""
+    """Queue-directory driven plan runner around an :class:`Engine`.
 
-    def __init__(self, engine: Engine, queue_root: str | Path):
+    ``max_concurrent_runs`` (C7 at the orchestrator level): the
+    reference's Glue job allows up to 50 concurrent extractions
+    (``template2.yaml:641`` MaxConcurrentRuns); here a queue scan
+    dispatches plan files over a bounded thread pool, each plan under
+    its own FAIR scheduler pool (``spark.scheduler.pool`` is an
+    inheritable thread-local, so every job a plan submits lands in its
+    pool; set ``spark.scheduler.mode=FAIR`` on the session for true
+    fair sharing — under default FIFO the property is inert but
+    harmless).  Safety under concurrency: the dedup gate is the
+    ledger's atomic :meth:`~..sinks.ledger.Ledger.claim_run`
+    (check+create in one critical section), ledger/notification
+    appends are lock-serialized, per-file lifecycle moves are
+    idempotent, and data-plane writes arbitrate at the lakehouse OCC
+    layer."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        queue_root: str | Path,
+        max_concurrent_runs: int = 1,
+    ):
         self.engine = engine
         self.queue_root = Path(queue_root)
+        self.max_concurrent_runs = max(1, int(max_concurrent_runs))
         for d in (QUEUE_RUN_NOW, QUEUE_SUCCEEDED, QUEUE_FAILED):
             (self.queue_root / d).mkdir(parents=True, exist_ok=True)
 
-    # ---- C2: dedup gate --------------------------------------------------
-
-    def _already_run(self, hash_id: str, source_table: str) -> bool:
-        """Skip when the ledger has the run in a non-retryable state:
-        reference skips on SUCCEEDED or a row whose status is unset
-        (still running); FAILED runs are retryable
-        (``routing/lambda_function.py:84-92``)."""
-        ledger = self.engine.ledger
-        if ledger is None:
-            return False
-        item = ledger.get(hash_id, source_table)
-        if item is None:
-            return False
-        status = item.get("GlueJobFinalStatus")
-        return status in (None, "", "SUCCEEDED")
+    # ---- C2: dedup gate — Ledger.claim_run (atomic check+create):
+    # skip on SUCCEEDED or a row whose status is unset (still
+    # running); FAILED runs are retryable
+    # (``routing/lambda_function.py:84-92``).
 
     # ---- C3/C4: plan execution ------------------------------------------
 
@@ -110,15 +120,12 @@ class Orchestrator:
             return outcome
         for job in plan.jobs:
             hash_id = job.execution_hash_id
-            if self._already_run(hash_id, job.source_table):
-                outcome.skipped.append(hash_id)
-                if self.engine.ledger:
-                    self.engine.ledger.record_skip(
-                        job.source_table, hash_id, {"Query": job.query}
-                    )
-                continue
-            if self.engine.ledger:
-                self.engine.ledger.create_run(
+            ledger = self.engine.ledger
+            if ledger:
+                # atomic check+create: under concurrent dispatch two
+                # copies of a plan must not both pass the gate (the
+                # separate _already_run + create_run pair has a window)
+                claimed = ledger.claim_run(
                     {
                         "ExecutionHashId": hash_id,
                         "SourceTable": job.source_table,
@@ -127,6 +134,12 @@ class Orchestrator:
                         "ExpectedAmountOfRecords": job.expected_amount_of_records,
                     }
                 )
+                if not claimed:
+                    outcome.skipped.append(hash_id)
+                    ledger.record_skip(
+                        job.source_table, hash_id, {"Query": job.query}
+                    )
+                    continue
             outcome.results.append(self.engine.run_job(job))
         return outcome
 
@@ -186,16 +199,36 @@ class Orchestrator:
 
     def _scan_queue(self, subdir: str) -> list[PlanOutcome]:
         """Scan a queue dir for pending ``.json`` plans, skipping names
-        containing ``done`` (reference ``routing:183-188``)."""
+        containing ``done`` (reference ``routing:183-188``).  With
+        ``max_concurrent_runs > 1`` the pending files dispatch over a
+        bounded thread pool (outcome order still follows file order);
+        each plan's Spark jobs run under a per-plan FAIR pool."""
         d = self.queue_root / subdir
         if not d.exists():
             return []
-        out = []
-        for p in sorted(d.glob("*.json")):
-            if "done" in p.name:
-                continue
-            out.append(self.run_plan_file(p))
-        return out
+        files = [
+            p for p in sorted(d.glob("*.json")) if "done" not in p.name
+        ]
+        if self.max_concurrent_runs <= 1 or len(files) <= 1:
+            return [self.run_plan_file(p) for p in files]
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.engine.spark.sparkContext
+
+        def run_one(p: Path) -> PlanOutcome:
+            # inheritable thread-local: every action this plan runs
+            # schedules in its own pool until cleared
+            sc.setLocalProperty("spark.scheduler.pool", f"plan-{p.stem}")
+            try:
+                return self.run_plan_file(p)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(
+            max_workers=self.max_concurrent_runs,
+            thread_name_prefix="plan-dispatch",
+        ) as ex:
+            return list(ex.map(run_one, files))
 
     def run_now(self) -> list[PlanOutcome]:
         return self._scan_queue(QUEUE_RUN_NOW)

@@ -48,8 +48,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class CatalogEntry:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None => rows-only check
+    #: DuckDB SQL; None => rows-only check.  A zero-arg CALLABLE defers
+    #: the text build to first access (catalog()/oracle_sql(), resolved
+    #: once and cached back) — for oracles that embed ANOTHER catalog
+    #: module's SQL: building those at registration time re-enters the
+    #: partially-initialized sibling whenever a catalog module is
+    #: imported directly (the SURVEY r8 import-cycle class).
+    oracle: str | None | Callable[[], str]
     doc: str = ""
+
+    def resolved_oracle(self) -> str | None:
+        if callable(self.oracle):
+            self.oracle = self.oracle()
+        return self.oracle
 
 
 _CATALOG: dict[str, CatalogEntry] = {}
@@ -103,7 +114,10 @@ def _ordered_names() -> list[str]:
 
 
 def catalog() -> dict[str, CatalogEntry]:
-    return {name: _CATALOG[name] for name in _ordered_names()}
+    out = {name: _CATALOG[name] for name in _ordered_names()}
+    for e in out.values():
+        e.resolved_oracle()  # lazy builders resolve once, post-import
+    return out
 
 
 def queries() -> dict[str, QueryFn]:
@@ -112,7 +126,7 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: _CATALOG[name].oracle
+        name: _CATALOG[name].resolved_oracle()
         for name in _ordered_names()
         if _CATALOG[name].oracle is not None
     }
@@ -129,7 +143,8 @@ def sql_query(name: str, spark_text: str, oracle_text: str | None = None, doc: s
     (often the identical string — both engines speak the ANSI core)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _sql(spark, sf_dir, spark_text)
+        text = spark_text() if callable(spark_text) else spark_text
+        return _sql(spark, sf_dir, text)
 
     fn.__name__ = f"q_{name}"
     fn.__doc__ = doc

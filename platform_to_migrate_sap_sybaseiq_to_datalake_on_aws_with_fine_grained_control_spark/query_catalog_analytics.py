@@ -21,6 +21,11 @@ from .functions.temporal import epoch_us
 from .operators.dedup import shared_ngram_spans
 from .operators.layout import zorder_key, zorder_key_sql
 from .query_catalog import register, sql_query
+from .query_oracle_shared import (
+    BIGRAM_ADD_K,
+    bigram_ppl_duck_sql as _bigram_ppl_duck_sql,
+    values_oracle as _values_oracle_shared,
+)
 from .sources.registry import load_table
 
 # ---- shared constants (Spark impl and oracle MUST agree) -------------
@@ -505,9 +510,7 @@ def _ahash_dup_golden() -> list[tuple]:
 
 
 def _ahash_dup_oracle() -> str:
-    from .query_catalog_ml import _values_oracle
-
-    return _values_oracle(
+    return _values_oracle_shared(
         _ahash_dup_golden(),
         [
             ("ahash", "VARCHAR"),
@@ -759,8 +762,6 @@ sql_query(
 # CCNet-style bigram-LM perplexity bucketing (head / middle / tail)
 # =====================================================================
 
-#: add-k smoothing constant for the bigram conditional
-BIGRAM_ADD_K = 0.5
 
 
 def bigram_perplexity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,33 +834,6 @@ def bigram_perplexity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bigram_ppl_duck_sql() -> str:
-    return f"""
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-bg AS (
-  SELECT doc_id,
-    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
-    unnest(list_transform(generate_series(1, len(t) - 1),
-           i -> t[i] || ' ' || t[i + 1])) AS big
-  FROM docs WHERE len(t) >= 2),
-cnt AS (SELECT big, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY big),
-ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cw FROM bg GROUP BY w1),
-voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
-        FROM (SELECT unnest(t) AS tok FROM docs)),
-scored AS (
-  SELECT b.doc_id,
-         -ln((c.c + {BIGRAM_ADD_K}) / (x.cw + {BIGRAM_ADD_K} * s.v)) AS nll
-  FROM bg b JOIN cnt c ON b.big = c.big
-  JOIN ctx x ON b.w1 = x.w1 CROSS JOIN voc s),
-perdoc AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         floor(exp(avg(nll)) * 10000) / 10000 AS ppl
-  FROM scored GROUP BY doc_id)
-SELECT doc_id, n_bigrams, ppl,
-  CASE ntile(3) OVER (ORDER BY ppl, doc_id)
-    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ccnet_bucket
-FROM perdoc
-"""
 
 
 @register(
@@ -1454,9 +1428,7 @@ def _ahash_neardup_golden() -> list[tuple]:
 
 
 def _ahash_neardup_oracle() -> str:
-    from .query_catalog_ml import _values_oracle
-
-    return _values_oracle(
+    return _values_oracle_shared(
         _ahash_neardup_golden(),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
     )
@@ -1562,9 +1534,7 @@ def _video_containment_golden() -> list[tuple]:
 
 
 def _video_containment_oracle() -> str:
-    from .query_catalog_ml import _values_oracle
-
-    return _values_oracle(
+    return _values_oracle_shared(
         _video_containment_golden(),
         [
             ("id_a", "BIGINT"),
@@ -1696,9 +1666,7 @@ def _audio_fp_golden() -> list[tuple]:
 
 
 def _audio_fp_oracle() -> str:
-    from .query_catalog_ml import _values_oracle
-
-    return _values_oracle(
+    return _values_oracle_shared(
         _audio_fp_golden(),
         [
             ("id_a", "BIGINT"),

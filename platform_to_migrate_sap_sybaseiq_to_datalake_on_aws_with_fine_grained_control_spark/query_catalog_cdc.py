@@ -286,7 +286,7 @@ def _mm_ahash_golden() -> list[tuple]:
 
 
 def _mm_ahash_oracle() -> str:
-    from .query_catalog_ml import _values_oracle
+    from .query_oracle_shared import values_oracle as _values_oracle
 
     return _values_oracle(
         _mm_ahash_golden(), [("asset_id", "BIGINT"), ("ahash", "VARCHAR")]

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .query_catalog import register, sql_query
-from .query_catalog_ml import (
+from .query_oracle_shared import (
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
     MINHASH_HASHES,
@@ -500,9 +500,9 @@ def dedup_minhash_containment_pairs(
 
 
 def _duck_ensemble_sql() -> str:
-    from .query_catalog_analytics import _bigram_ppl_duck_sql
+    from .query_oracle_shared import bigram_ppl_duck_sql as _bigram_ppl_duck_sql
     from .query_catalog_ml import _duck_curate_sql  # noqa: F401 (doc xref)
-    from .query_catalog_stats import _GOPHER_DUCK
+    from .functions.text import GOPHER_DUCK_SQL as _GOPHER_DUCK
 
     toks = "string_split(text, ' ')"
     n_chars = "length(text)"
@@ -532,7 +532,7 @@ FROM gopher g JOIN q ON g.doc_id = q.doc_id JOIN ppl p ON g.doc_id = p.doc_id
 
 @register(
     "quality_ensemble_vote",
-    _duck_ensemble_sql(),
+    _duck_ensemble_sql,  # lazy: embeds a sibling module's SQL
     doc="Majority vote over three INDEPENDENT quality signals — "
     "Gopher rule set (structural), composite quality score "
     "(lexical), CCNet perplexity bucket (distributional) — the "
@@ -703,7 +703,7 @@ def _mmr_pool_and_sims(
 
 @register(
     "ann_mmr_diversified_topk",
-    _duck_mmr_sql(),
+    _duck_mmr_sql,  # lazy: embeds a sibling module's SQL
     doc="Maximal-marginal-relevance diversified retrieval (Carbonell "
     f"& Goldstein, SIGIR 1998): take the cosine top-{MMR_POOL} pool "
     f"for one query, then greedily select {MMR_K} results maximizing "
@@ -768,7 +768,7 @@ def _streaming_psi_oracle() -> str:
 
 @register(
     "streaming_psi_drift",
-    _streaming_psi_oracle(),
+    _streaming_psi_oracle,  # lazy: embeds a sibling module's SQL
     doc="STREAMING Population Stability Index: the events table "
     "replays as a 4-file availableNow stream; each micro-batch "
     "reduces to per-(event_type, bin) base/current count deltas "
@@ -848,7 +848,7 @@ def _spans_hashed_oracle() -> str:
 
 @register(
     "dedup_shared_ngram_spans_hashed",
-    _spans_hashed_oracle(),
+    _spans_hashed_oracle,  # lazy: embeds a sibling module's SQL
     doc="dedup_shared_ngram_spans with xxhash64 gram keys — the scale "
     "path its sibling's docstring prescribes for 100 TB, now measured "
     "instead of promised: the 8-byte hash is computed inside the "
@@ -1296,12 +1296,10 @@ GROUP BY e.query_id"""
     return build(spark_cos, ANN_K), build(duck_cos, ANN_K)
 
 
-_MRL_SWEEP_SPARK, _MRL_SWEEP_DUCK = _matryoshka_sweep_texts()
-
 sql_query(
     "ann_matryoshka_dim_sweep",
-    _MRL_SWEEP_SPARK,
-    _MRL_SWEEP_DUCK,
+    lambda: _matryoshka_sweep_texts()[0],  # lazy: embeds ml's cosine
+    lambda: _matryoshka_sweep_texts()[1],
     doc="Matryoshka accuracy-vs-cost curve: recall@k of prefix-"
     f"dimension cosine ranking ({MRL_SWEEP_DIMS} of 64 components) "
     "against the full-dimension exact top-k, per query — the measured "

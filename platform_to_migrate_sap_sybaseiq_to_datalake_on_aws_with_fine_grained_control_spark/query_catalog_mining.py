@@ -738,7 +738,7 @@ def _hybrid_entry_sqls() -> tuple[str, str]:
 
 @register(
     "search_hybrid_rrf",
-    _hybrid_entry_sqls()[1],
+    lambda: _hybrid_entry_sqls()[1],  # lazy: embeds analytics' BM25
     doc="Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical "
     "ranking (text_bm25_search's scorer) and an embedding-cosine "
     "semantic ranking (query = one document's vector, scalar-broadcast) "

@@ -43,14 +43,20 @@ from .operators.similarity import (
     lsh_bucket_topk,
 )
 from .query_catalog import register, sql_query
+from .query_oracle_shared import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_HASHES,
+    QUALITY_MIN,
+    SHINGLE_N,
+    _duck_minhash_pair_ctes,
+    bigram_ppl_duck_sql,
+    values_oracle as _values_oracle,
+)
 from .sources.registry import load_table
 
 # ---- shared constants (Spark impl and oracle MUST agree) -------------
 
-SHINGLE_N = 3
-JACCARD_THRESHOLD = 0.8
-MINHASH_HASHES = 12
-MINHASH_BANDS = 4
 ANN_QUERY_IDS = [0, 1, 2]
 ANN_K = 5
 LSH_PLANES = 4
@@ -281,34 +287,6 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint").alias("n_b"),
         "jaccard",
     )
-
-
-def _duck_minhash_pair_ctes() -> str:
-    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
-    the pair entry and the recursive connected-components oracle."""
-    rows = MINHASH_HASHES // MINHASH_BANDS
-    sig = duck_minhash_signature("text", MINHASH_HASHES, SHINGLE_N)
-    sh = duck_distinct_shingles("text", SHINGLE_N)
-    return f"""
-sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
-banded AS (
-  SELECT doc_id, b.band,
-    md5(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], '|')) AS bucket
-  FROM sigs, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band) b),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-docs AS (SELECT doc_id, {sh} AS sh FROM documents),
-pairs AS (
-  SELECT id_a, id_b,
-    floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
-          (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 AS jaccard
-  FROM cand
-  JOIN docs da ON da.doc_id = id_a
-  JOIN docs db ON db.doc_id = id_b
-  WHERE floor(len(list_intersect(da.sh, db.sh))::DOUBLE /
-          (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 10000) / 10000 >= {JACCARD_THRESHOLD})"""
 
 
 def _duck_minhash_lsh_sql() -> str:
@@ -829,22 +807,7 @@ from .operators.multimodal import (  # noqa: E402
 _MM_N_ASSETS = 64
 
 
-def _values_oracle(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
-    """Golden-row oracle: ``SELECT ... FROM (VALUES ...)`` with every
-    column cast to a fixed type (DuckDB literal inference would
-    otherwise give int32 where Spark emits int64)."""
 
-    def lit(v) -> str:
-        if v is None:
-            return "NULL"
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return repr(v)  # int or float (repr round-trips doubles)
-
-    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
-    names = ", ".join(name for name, _ in cols)
-    casts = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
-    return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
 
 
 def _mm_meta_golden() -> list[tuple]:
@@ -1435,7 +1398,6 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship composition: training-corpus curation
 # =====================================================================
 
-QUALITY_MIN = 0.55
 
 
 def _duck_curate_sql() -> str:
@@ -1505,12 +1467,11 @@ def _duck_contam_ids_sql() -> str:
 def _duck_ccnet_sql() -> str:
     """CCNet-pipeline oracle: minhash losers + perplexity buckets +
     contamination list, composed around the documents table."""
-    from .query_catalog_analytics import _bigram_ppl_duck_sql
 
     return f"""
 WITH {_duck_minhash_pair_ctes()},
 losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
-ppl AS ({_bigram_ppl_duck_sql()}),
+ppl AS ({bigram_ppl_duck_sql()}),
 contam AS ({_duck_contam_ids_sql()})
 SELECT d.doc_id,
   CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) < 14

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.temporal import epoch_us
-from .functions.text import QUALITY_STOPWORDS
+from .functions.text import (
+    GOPHER_DUCK_SQL as _GOPHER_DUCK,
+    GOPHER_SPARK_SQL as _GOPHER_SPARK,
+    QUALITY_STOPWORDS,
+)
 from .operators.similarity import hyperplanes, plane_dot_expr
 from .operators.temporal import range_join_bucketed
 from .query_catalog import register, sql_query
@@ -45,13 +49,7 @@ ED_SEGMENTS = ED_THRESH + 1
 ED_BUCKET = 16  # n_chars blocking bucket width (>= ED_THRESH + 1, so
 #                 the +-1-bucket probe admits every |len diff| <= thresh)
 
-GOPHER_MIN_WORDS = 50
-GOPHER_MAX_WORDS = 100_000
-GOPHER_MIN_MEAN_LEN = 3.0
-GOPHER_MAX_MEAN_LEN = 10.0
-GOPHER_MAX_SYMBOL_RATIO = 0.1
-GOPHER_MIN_ALPHA_RATIO = 0.7
-GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
 
 
 # =====================================================================
@@ -371,67 +369,10 @@ dedup_edit_distance_pairs_tau12 = register(
 # =====================================================================
 
 
-def _gopher_texts() -> tuple[str, str]:
-    """Build the Spark and DuckDB texts of the Gopher rule set from one
-    template; the five rule flags and the composite keep decision are
-    integer-exact or single-division doubles, so the booleans need no
-    rounding."""
-    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+# moved to functions/text.py (cycle-free shared home): importing
+# this module directly must never re-enter query_catalog_corpus's
+# registration-time oracle build (SURVEY r8 import-cycle class)
 
-    def build(
-        toks: str,
-        size_fn: str,
-        filter_fn: str,
-        distinct_fn: str,
-        alpha_pred: str,
-        replace_fn: str,
-    ) -> str:
-        n_words = f"{size_fn}({toks})"
-        mean_len = f"(CAST(length(text) - ({n_words} - 1) AS DOUBLE) / {n_words})"
-        symbols = f"length({replace_fn})"
-        alpha = f"{size_fn}({filter_fn}({toks}, t -> {alpha_pred}))"
-        stops = (
-            f"{size_fn}({distinct_fn}({filter_fn}({toks}, "
-            f"t -> lower(t) IN ({stop_list}))))"
-        )
-        rules = {
-            "r_word_count": f"({n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
-            "r_mean_word_len": (
-                f"({mean_len} >= {GOPHER_MIN_MEAN_LEN} "
-                f"AND {mean_len} <= {GOPHER_MAX_MEAN_LEN})"
-            ),
-            "r_symbol_ratio": (
-                f"(CAST({symbols} AS DOUBLE) / {n_words}) < {GOPHER_MAX_SYMBOL_RATIO}"
-            ),
-            "r_alpha_words": (
-                f"(CAST({alpha} AS DOUBLE) / {n_words}) >= {GOPHER_MIN_ALPHA_RATIO}"
-            ),
-            "r_stopwords": f"{stops} >= {GOPHER_MIN_DISTINCT_STOPWORDS}",
-        }
-        flags = ", ".join(f"{expr} AS {name}" for name, expr in rules.items())
-        keep = " AND ".join(f"({expr})" for expr in rules.values())
-        return f"SELECT doc_id, lang, {flags}, ({keep}) AS keep FROM documents"
-
-    spark_text = build(
-        "split(text, ' ')",
-        "size",
-        "filter",
-        "array_distinct",
-        "t RLIKE '[A-Za-z]'",
-        "regexp_replace(text, '[^#*]', '')",
-    )
-    duck_text = build(
-        "string_split(text, ' ')",
-        "len",
-        "list_filter",
-        "list_distinct",
-        "regexp_matches(t, '[A-Za-z]')",
-        "regexp_replace(text, '[^#*]', '', 'g')",
-    )
-    return spark_text, duck_text
-
-
-_GOPHER_SPARK, _GOPHER_DUCK = _gopher_texts()
 
 # =====================================================================
 # Event-path mining (trigram sequences per user)

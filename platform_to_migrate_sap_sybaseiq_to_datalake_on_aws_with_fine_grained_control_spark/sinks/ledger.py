@@ -56,7 +56,9 @@ class Ledger:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._lock = threading.Lock()
+        # re-entrant: claim_run folds state and appends under ONE
+        # critical section, and the append path re-acquires
+        self._lock = threading.RLock()
 
     def _append(self, event: dict[str, Any]) -> None:
         event = dict(event)
@@ -119,6 +121,34 @@ class Ledger:
                 "GlueJobFinalStatus": "SUCCEEDED" if converged else "FAILED",
             }
         )
+
+    def claim_run(self, job_meta: dict[str, Any]) -> bool:
+        """Atomic dedup-gate + :meth:`create_run` — the reference's
+        DynamoDB conditional-put analog (``routing/lambda_function.py:
+        78-147`` checks then writes; DynamoDB's single-writer key makes
+        that safe, so a concurrent dispatcher here needs the check and
+        the create under ONE lock or two threads both pass the gate).
+
+        Returns ``True`` and writes the initial row iff the
+        ``(ExecutionHashId, SourceTable)`` key is absent or in a
+        retryable state; ``False`` when a prior run is still running
+        (status unset) or SUCCEEDED — same skip rule as the gate.
+        The lock is in-process: the queue/ledger tier is one
+        orchestrator process by design (one routing Lambda per plan in
+        the reference); cross-process data-plane writers arbitrate at
+        the lakehouse OCC layer instead."""
+        hash_id = job_meta["ExecutionHashId"]
+        table = job_meta["SourceTable"]
+        with self._lock:
+            item = self.get(hash_id, table)
+            if item is not None and item.get("GlueJobFinalStatus") in (
+                None,
+                "",
+                "SUCCEEDED",
+            ):
+                return False
+            self.create_run(job_meta)
+            return True
 
     def record_skip(self, source_table: str, hash_id: str, job: dict[str, Any]) -> None:
         """Dedup-gate marker row

@@ -384,3 +384,38 @@ def test_mmr_steps_read_persisted_pool_not_corpus(spark):
     finally:
         pool.unpersist()
         sims.unpersist()
+
+
+@pytest.mark.parametrize(
+    "mod",
+    [
+        "query_catalog",
+        "query_catalog_analytics",
+        "query_catalog_mining",
+        "query_catalog_stats",
+        "query_catalog_lakehouse",
+        "query_catalog_corpus",
+        "query_catalog_ml",
+        "query_catalog_cdc",
+        "query_oracle_shared",
+    ],
+)
+def test_catalog_modules_import_standalone(mod):
+    """Every catalog module must import DIRECTLY in a fresh
+    interpreter (the SURVEY r8 import-cycle class: registration-time
+    oracles that embed a sibling's SQL used to re-enter the partially
+    initialized sibling — fine via __spark_entry__, ImportError
+    standalone).  Cross-module oracle builders now live in
+    query_oracle_shared / functions.text, or defer via callable
+    oracles resolved at catalog() access."""
+    import subprocess
+    import sys
+
+    pkg = "platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark"
+    r = subprocess.run(
+        [sys.executable, "-c", f"import {pkg}.{mod}"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, f"{mod} fails standalone:\n{r.stderr[-2000:]}"

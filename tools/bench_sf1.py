@@ -60,8 +60,12 @@ HEAVY = [
     "cdc_apply_order_changes",
     "scd2_customer_balance_history",
     # round-5 heavy additions: token-level gram table (shared spans),
-    # full-corpus tokenize + rank (tf-idf), postings + scoring (bm25)
-    "dedup_shared_ngram_spans",
+    # full-corpus tokenize + rank (tf-idf), postings + scoring (bm25).
+    # The HASHED gram-key variant is the scale-primary span-dedup slot
+    # (fixed-width BIGINT shuffle keys; r9 A/B: sf10 14.0s string vs
+    # 8.6s hashed on identical data+oracle); the string-keyed entry
+    # stays in the catalog as the sf0.001/sf0.01 collision-free parity
+    # anchor, driver-verified there every rotation.
     "dedup_shared_ngram_spans_hashed",
     "text_tfidf_top_terms",
     "text_bm25_search",

@@ -64,7 +64,9 @@ SUBSET = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_duplicate_clusters",
-    "dedup_shared_ngram_spans",
+    # hashed gram keys are the scale-primary span-dedup slot (see
+    # bench_sf1.SUBSET note); the string-keyed sibling anchors parity
+    # at the driver SFs only
     "dedup_shared_ngram_spans_hashed",
     "dedup_simhash_hamming_pairs",
     "dedup_edit_distance_pairs",
