@@ -101,3 +101,114 @@ def zorder_layout(df: DataFrame, zkey_col: str, num_partitions: int) -> DataFram
     key ranges per output file → tight min/max stats on both interleaved
     dimensions) and sort within partitions so row groups stay clustered."""
     return df.repartitionByRange(num_partitions, zkey_col).sortWithinPartitions(zkey_col)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global 1-based row number under a TOTAL order — without
+    the single-task funnel of an unpartitioned window.
+
+    ``Window.orderBy(...)`` with no partition moves the whole input
+    through ONE task (Spark itself warns 'No Partition Defined'); at
+    100 TB that is fatal.  This is the distributed equivalent:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+       key (the same machinery as a global ORDER BY — parallel);
+    2. per-partition row numbers via a window PARTITIONED BY
+       ``spark_partition_id()`` (parallel, one pass, no extra
+       shuffle — data is already range-clustered);
+    3. per-partition counts -> cumulative offsets: an O(partitions)
+       aggregate whose own running-sum window is bounded by
+       construction; broadcast-joined back.
+
+    ``order_cols`` must be a total order (append a unique tiebreaker);
+    range partitioning never splits equal keys across a boundary, so
+    the result is bit-identical to the single-task window.  The input
+    is persisted for the two passes (counts + join) and unpersisted by
+    the caller's action being done — callers that reuse the frame can
+    persist around this call instead.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sdf = (
+        df.repartitionByRange(parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # persist: the offsets pass and the main pass must see the SAME
+    # physical partitioning (range bounds come from sampling)
+    sdf.persist()
+    offsets = (
+        sdf.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    # O(partitions) rows — aggregate-bounded by
+                    # construction, the allowed global-window class
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*order_cols)
+    )
+    return (
+        sdf.withColumn("_local_rn", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("int"))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    out: str = "bucket",
+) -> DataFrame:
+    """SQL-standard ``NTILE(n) OVER (ORDER BY ...)`` — exact, but
+    distributed via :func:`global_row_number` instead of the
+    single-task unpartitioned window.
+
+    Standard NTILE semantics (what Spark and DuckDB both implement):
+    with ``N`` rows, the first ``N % n`` buckets hold ``N // n + 1``
+    rows, the rest ``N // n``.  Derived arithmetically from the exact
+    global row number and the total count (one scalar aggregate) —
+    bit-identical to the window form under a total order.
+    """
+    from pyspark.sql import functions as F
+
+    rn = global_row_number(df, order_cols, out="_rn")
+    total = rn.sparkSession.createDataFrame(
+        [(rn.count(),)], "_n bigint"
+    )  # scalar readout off the persisted frame; one 1-row broadcast
+    big = F.col("_n") % n_buckets  # buckets holding floor(N/n)+1 rows
+    size_big = (F.col("_n") / n_buckets).cast("bigint") + 1
+    size_small = (F.col("_n") / n_buckets).cast("bigint")
+    cut = big * size_big  # rows covered by the larger buckets
+    bucket = F.when(
+        F.col("_rn") <= cut,
+        ((F.col("_rn") - 1) / size_big).cast("bigint") + 1,
+    ).otherwise(
+        big + ((F.col("_rn") - 1 - cut) / size_small).cast("bigint") + 1
+    )
+    return (
+        rn.join(F.broadcast(total))
+        .withColumn(out, bucket.cast("int"))
+        .drop("_rn", "_n")
+    )

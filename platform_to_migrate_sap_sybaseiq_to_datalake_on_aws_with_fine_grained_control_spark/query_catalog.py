@@ -74,8 +74,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def _driver_verified_names() -> set[str]:
-    """Names that already hold a green row in any past driver CORRECTNESS file.
+def _driver_verified_rounds() -> dict[str, int]:
+    """name -> LATEST round whose driver CORRECTNESS file holds a green
+    row for it (absent = never driver-verified).
 
     The driver verifies only the first 50 ``queries()`` entries per round, so
     the catalog self-rotates: entries without a green row yet sort first (see
@@ -83,34 +84,45 @@ def _driver_verified_names() -> set[str]:
     the repo root they drop behind the still-unverified tail automatically.
     """
     root = Path(__file__).resolve().parent.parent
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
+            rnd = int(p.stem.split("_r")[-1])
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("err") is None and row.get("rows_match"):
-                seen.add(name)
-    return seen
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_verified_names() -> set[str]:
+    return set(_driver_verified_rounds())
 
 
 def _ordered_names() -> list[str]:
-    """Catalog names with never-driver-verified, oracle-backed entries first.
+    """Catalog names with never-driver-verified, oracle-backed entries
+    first, then STALEST-green entries (age-based re-verification).
 
     Sort groups (stable within each, preserving registration order):
       0. has an oracle, no green driver row yet  — needs a CORRECTNESS row;
       1. rows-only (no oracle), no green row     — driver records a weaker check;
-      2. already driver-verified                 — r{N} rows stand as evidence.
+      2. already driver-verified, ordered by the round of their LATEST
+         green row ASCENDING — once every entry holds at least one
+         green row (closed as of r9), the 50-draw continuously
+         re-verifies the entries whose evidence is oldest, so a
+         regression in an early-round entry cannot hide behind an r1
+         green forever.
     """
-    verified = _driver_verified_names()
+    rounds = _driver_verified_rounds()
 
-    def group(e: CatalogEntry) -> int:
-        if e.name in verified:
-            return 2
-        return 0 if e.oracle is not None else 1
+    def key(e: CatalogEntry) -> tuple[int, int]:
+        if e.name in rounds:
+            return (2, rounds[e.name])
+        return (0 if e.oracle is not None else 1, 0)
 
-    return [e.name for e in sorted(_CATALOG.values(), key=group)]
+    return [e.name for e in sorted(_CATALOG.values(), key=key)]
 
 
 def catalog() -> dict[str, CatalogEntry]:

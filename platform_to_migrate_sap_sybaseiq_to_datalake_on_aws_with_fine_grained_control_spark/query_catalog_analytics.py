@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .functions.temporal import epoch_us
 from .operators.dedup import shared_ngram_spans
-from .operators.layout import zorder_key, zorder_key_sql
+from .operators.layout import exact_ntile, zorder_key, zorder_key_sql
 from .query_catalog import register, sql_query
 from .query_oracle_shared import (
     BIGRAM_ADD_K,
@@ -307,8 +307,10 @@ FROM bucketed GROUP BY bucket ORDER BY bucket
     "file-level stats a z-ordered write produces, which let the scan "
     "prune on either column.  The write path is "
     "``operators.layout.zorder_layout`` (repartitionByRange + "
-    "sortWithinPartitions on the key); the ntile here is only the "
-    "oracle-checkable stand-in for file assignment.",
+    "sortWithinPartitions on the key); file assignment here is "
+    "``exact_ntile`` — bit-identical to the oracle's NTILE but "
+    "distributed (range partitions + per-partition windows + "
+    "O(partitions) offsets), never the single-task global window.",
 )
 def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -324,9 +326,8 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ZORDER_BITS,
         ).alias("zkey"),
     )
-    w = Window.orderBy("zkey", "event_id")
     return (
-        keyed.withColumn("bucket", F.ntile(ZORDER_BUCKETS).over(w))
+        exact_ntile(keyed, ["zkey", "event_id"], ZORDER_BUCKETS, out="bucket")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
@@ -387,16 +388,35 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n,
 FROM b GROUP BY bucket ORDER BY bucket
 """
 
-sql_query(
+@register(
     "quantile_binning_prices",
     _NTILE_BIN_SQL,
     doc="Equal-frequency decile binning of order totals (feature "
-    "bucketing for ML preprocessing) — exact ntile readout under a "
-    "total order for the oracle.  At 100 TB the same result shape "
-    "comes from broadcast approx_percentile boundaries + width_bucket "
-    "(no global sort); the exact form is kept because the oracle "
-    "checks values.",
+    "bucketing for ML preprocessing) — exact NTILE semantics under a "
+    "total order, computed by operators.layout.exact_ntile: range "
+    "partitions + per-partition windows + O(partitions) offsets, "
+    "bit-identical to the oracle's global-window NTILE without its "
+    "single-task funnel.  (approx_percentile + width_bucket is the "
+    "cheaper inexact alternative; exact_ntile keeps the oracle-"
+    "checkable values AND scales.)",
 )
+def quantile_binning_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    binned = exact_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        out="bucket",
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
 
 
 # =====================================================================

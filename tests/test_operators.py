@@ -3195,3 +3195,41 @@ def test_ivfpq_index_parquet_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, reread.collect())
     )
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """exact_ntile / global_row_number (the distributed replacements
+    for the single-task unpartitioned window) are bit-identical to the
+    window forms under a total order — including the uneven-bucket
+    edge (first N%n buckets one row larger) and N < n."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        exact_ntile,
+        global_row_number,
+    )
+
+    for n_rows, k in [(97, 10), (100, 10), (5, 8), (1, 3), (1000, 7)]:
+        df = (
+            spark.range(n_rows)
+            .withColumn("key", F.expr("xxhash64(id)"))
+            .withColumn("pad", F.lit("x"))
+        )
+        w = Window.orderBy("key", "id")
+        expected = {
+            (r.id): (r.rn, r.bucket)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(k).over(w).alias("bucket"),
+            ).collect()
+        }
+        rn = global_row_number(df, ["key", "id"], out="rn", num_partitions=6)
+        nt = exact_ntile(df, ["key", "id"], k, out="bucket")
+        got_rn = {r.id: r.rn for r in rn.collect()}
+        got_nt = {r.id: r.bucket for r in nt.collect()}
+        for i in expected:
+            assert got_rn[i] == expected[i][0], (n_rows, k, i)
+            assert got_nt[i] == expected[i][1], (n_rows, k, i)
+        spark.catalog.clearCache()

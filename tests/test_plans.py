@@ -101,6 +101,9 @@ BNLJ_OK = {
     # verified-pair frame x 3-row broadcast threshold list (non-equi
     # j >= t join on a tiny side) + 1-row corpus-count scalar
     "dedup_minhash_threshold_sweep",
+    # exact_ntile: rows x 1-row broadcast total-count scalar join
+    "layout_zorder_events",
+    "quantile_binning_prices",
     # corpus x 3-query broadcast scan per prefix width (brute-force
     # family, same shape as ann_cosine_topk)
     "ann_matryoshka_dim_sweep",
@@ -128,6 +131,57 @@ SKIP_HEAVY_BUILD = {
 }
 
 
+def _unbounded_global_windows(df) -> list[str]:
+    """Descriptions of Window nodes with an EMPTY partition spec whose
+    input subtree shows no bounding node.  An unpartitioned window
+    funnels the whole input through ONE task — fatal at 100 TB unless
+    the input is already tiny by construction.  Bounding nodes:
+    GlobalLimit / TakeOrderedAndProject / CollectLimit (LIMIT-bounded)
+    and final aggregates (group-domain-bounded — every documented site
+    windows over a per-group aggregate with a small fixed domain).
+    InMemoryTableScan counts as bounded: the repo's cached pools are
+    LIMIT-bounded at build time (asserted by their own tests)."""
+    BOUNDING = ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit",
+                "InMemoryTableScan")
+
+    def subtree_bounded(node) -> bool:
+        name = node.nodeName()
+        if any(b in name for b in BOUNDING) or "Aggregate" in name:
+            return True
+        kids = node.children()
+        n = kids.size()
+        if n == 0:
+            return False
+        # bounded iff EVERY input branch is bounded (a join of a
+        # bounded and an unbounded side is unbounded)
+        return all(subtree_bounded(kids.apply(i)) for i in range(n))
+
+    bad: list[str] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if "Window" in name:
+            try:
+                unpartitioned = node.partitionSpec().isEmpty()
+            except Exception:
+                unpartitioned = False
+            if unpartitioned and not subtree_bounded(node):
+                bad.append(node.simpleStringWithNodeId())
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        if kids.size() == 0:
+            for attr in ("executedPlan", "plan"):  # AQE wrappers
+                try:
+                    walk(getattr(node, attr)())
+                    return
+                except Exception:
+                    pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return bad
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_no_cartesian_product_anywhere(name, spark):
     if name in SKIP_HEAVY_BUILD:
@@ -139,6 +193,14 @@ def test_no_cartesian_product_anywhere(name, spark):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join (non-equi or missing join key?)"
         )
+    # the r9 bench tail was full of 'WindowExec: No Partition Defined'
+    # warnings — each known site windows over a LIMIT/aggregate-bounded
+    # input; this makes that claim regression-proof catalog-wide
+    bad = _unbounded_global_windows(df)
+    assert not bad, (
+        f"{name} runs an unpartitioned window over an UNBOUNDED input "
+        f"(single-task funnel at scale): {bad}"
+    )
 
 
 def test_q1_scan_pushdown_and_pruning(spark):
@@ -419,3 +481,31 @@ def test_catalog_modules_import_standalone(mod):
         timeout=120,
     )
     assert r.returncode == 0, f"{mod} fails standalone:\n{r.stderr[-2000:]}"
+
+
+def test_rotation_fronts_new_then_stalest_green():
+    """Driver-sample rotation: never-verified oracle entries first,
+    then verified entries ordered by the round of their latest green
+    row ASCENDING — with coverage closed (every entry green at least
+    once, r9), the 50-draw re-verifies the stalest evidence first."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog import (
+        _driver_verified_rounds,
+        _ordered_names,
+    )
+
+    rounds = _driver_verified_rounds()
+    names = _ordered_names()
+    seen_verified = False
+    last_round = 0
+    for n in names:
+        if n in rounds:
+            seen_verified = True
+            assert rounds[n] >= last_round, (
+                f"{n} (r{rounds[n]}) ordered after a fresher green "
+                f"(r{last_round}) — stalest must come first"
+            )
+            last_round = rounds[n]
+        else:
+            assert not seen_verified, (
+                f"never-verified entry {n} sorted behind verified ones"
+            )
