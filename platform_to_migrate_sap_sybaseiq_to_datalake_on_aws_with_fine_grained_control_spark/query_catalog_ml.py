@@ -3132,3 +3132,105 @@ def parameterized_sql_status_slice(spark: SparkSession, sf_dir: str) -> DataFram
         """,
         args={"status": "P", "floor": 1000.0},
     )
+
+
+# =====================================================================
+# Ranking-quality evaluation: nDCG@k + MRR of the IVF path
+# =====================================================================
+
+
+def _duck_ndcg_sql() -> str:
+    """nDCG@k / MRR oracle: binary relevance = membership in the exact
+    brute-force top-k; both folds run in a FIXED (rank) order so the
+    non-integral double sums are bit-identical across engines."""
+    return f"""
+WITH exact AS (SELECT query_id, vec_id FROM ({_duck_ann_sql(bucketed=False)})),
+approx AS (SELECT query_id, vec_id, rank FROM ({_duck_ivf_sql()})),
+gains AS (
+  SELECT a.query_id, a.rank,
+         CASE WHEN e.vec_id IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) / log2(a.rank + 1) END AS gain,
+         CASE WHEN e.vec_id IS NULL THEN NULL ELSE a.rank END AS hit_rank
+  FROM approx a LEFT JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id),
+perq AS (
+  SELECT query_id,
+         list_reduce(list(gain ORDER BY rank), (x, y) -> x + y) AS dcg,
+         min(hit_rank) AS first_hit
+  FROM gains GROUP BY query_id),
+ideal AS (
+  SELECT list_reduce(
+           list(CAST(1 AS DOUBLE) / log2(i + 1) ORDER BY i),
+           (x, y) -> x + y) AS idcg
+  FROM (SELECT unnest(generate_series(1, {ANN_K})) AS i))
+SELECT p.query_id,
+  floor(p.dcg / i.idcg * 10000) / 10000 AS ndcg_at_k,
+  floor(COALESCE(CAST(1 AS DOUBLE) / p.first_hit, CAST(0 AS DOUBLE))
+        * 10000) / 10000 AS mrr
+FROM perq p CROSS JOIN ideal i
+ORDER BY p.query_id
+"""
+
+
+@register(
+    "ann_ndcg_mrr_eval",
+    _duck_ndcg_sql(),
+    doc="Ranking-quality evaluation of the IVF probe path: nDCG@k "
+    "(binary relevance = membership in the exact brute-force top-k, "
+    "log2 position discounts) and MRR (reciprocal rank of the first "
+    "true hit) per query — the position-aware complement to "
+    "ann_recall_eval (recall treats rank k like rank 1; a RAG "
+    "retriever cares WHERE the relevant chunk lands because context "
+    "is assembled in rank order). Both DCG folds run left-associated "
+    "in fixed rank order (the order-deterministic-sum rule for "
+    "non-integral doubles). Scale shape: the two already-linear topk "
+    "plans + a (queries x k)-row join — negligible at any corpus "
+    "size.",
+)
+def ann_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    df = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        df, "vec_id", "embedding", query_ids=ANN_QUERY_IDS, k=ANN_K
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    approx = ivf_topk(
+        df, "vec_id", "embedding", "label",
+        query_ids=ANN_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE,
+    ).select("query_id", "vec_id", "rank")
+    gains = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "rank",
+        F.when(
+            F.col("hit").isNotNull(),
+            F.expr("CAST(1 AS DOUBLE) / log2(rank + 1)"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gain"),
+        F.when(F.col("hit").isNotNull(), F.col("rank")).alias("hit_rank"),
+    )
+    perq = gains.groupBy("query_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(rank, gain))), "
+            "CAST(0 AS DOUBLE), (acc, s) -> acc + s.gain)"
+        ).alias("dcg"),
+        F.min("hit_rank").alias("first_hit"),
+    )
+    idcg = F.expr(
+        f"aggregate(transform(sequence(1, {ANN_K}), "
+        "i -> CAST(1 AS DOUBLE) / log2(i + 1)), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    return perq.select(
+        "query_id",
+        (F.floor(F.col("dcg") / idcg * 1e4) / 1e4).alias("ndcg_at_k"),
+        (
+            F.floor(
+                F.coalesce(
+                    F.expr("CAST(1 AS DOUBLE) / first_hit"), F.lit(0.0)
+                )
+                * 1e4
+            )
+            / 1e4
+        ).alias("mrr"),
+    ).orderBy("query_id")

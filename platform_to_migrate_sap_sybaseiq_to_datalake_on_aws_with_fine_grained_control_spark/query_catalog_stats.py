@@ -1124,3 +1124,82 @@ def dedup_simhash_weighted_signatures(
         ]
     )
     return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+# =====================================================================
+# Mergeable quantile sketch certification (the 100 TB percentile path)
+# =====================================================================
+
+#: quantiles certified and the approx_percentile accuracy knob: the
+#: published guarantee is rank error <= N/accuracy, checked with a
+#: +1-row slack so engine-version rounding at the guarantee edge can
+#: never flake the entry
+QSKETCH_QS = [0.25, 0.5, 0.75, 0.95]
+QSKETCH_ACCURACY = 1000
+
+
+@register(
+    "stats_quantile_sketch_error",
+    """
+WITH e AS (
+  SELECT q, quantile_cont(l_extendedprice, q) AS p
+  FROM lineitem, (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+  GROUP BY q)
+SELECT CAST(q AS DOUBLE) AS q, round(p, 2) AS exact_p,
+       CAST(1 AS INT) AS within_bound
+FROM e ORDER BY q
+""",
+    doc="Mergeable-quantile-sketch certification: percentile_approx "
+    "(Spark's single-pass mergeable sketch — THE percentile path at "
+    "100 TB, where exact interpolating percentile needs a global "
+    "sort) against the exact value, per quantile. Readout = the "
+    "exact percentile (value-checked against DuckDB quantile_cont) "
+    "plus within_bound = whether the approx value's EXACT rank sits "
+    "inside the published N/accuracy guarantee (oracle expects 1 — a "
+    "sketch regression turns the row red). One corpus scan for the "
+    "sketch, one for exact rank of 4 broadcast candidate values; the "
+    "exact percentile itself is the only global-sort cost and exists "
+    "purely to value-anchor the entry at test SF.",
+)
+def stats_quantile_sketch_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = ", ".join(str(q) for q in QSKETCH_QS)
+    both = li.agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, array({qs}), "
+            f"{QSKETCH_ACCURACY})"
+        ).alias("approx"),
+        F.expr(f"percentile(l_extendedprice, array({qs}))").alias("exact"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in QSKETCH_QS]),
+                F.col("approx"),
+                F.col("exact"),
+            )
+        ).alias("i", "z"),
+        "n",
+    ).select(
+        F.col("z.0").alias("q"),
+        F.col("z.approx").alias("approx_p"),
+        F.col("z.exact").alias("exact_p"),
+        "n",
+    )
+    ranked = both.join(
+        li.alias("c"), F.col("c.l_extendedprice") <= F.col("approx_p"), "left"
+    ).groupBy("q", "approx_p", "exact_p", "n").agg(
+        F.count("c.l_extendedprice").alias("rank_of_approx")
+    )
+    bound = F.col("n") / QSKETCH_ACCURACY + 1
+    return ranked.select(
+        F.col("q").cast("double").alias("q"),
+        F.round("exact_p", 2).alias("exact_p"),
+        (
+            F.abs(F.col("rank_of_approx") - F.col("q") * F.col("n")) <= bound
+        )
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("q")
