@@ -1142,9 +1142,13 @@ QSKETCH_ACCURACY = 1000
     "stats_quantile_sketch_error",
     """
 WITH e AS (
-  SELECT q, quantile_cont(l_extendedprice, q) AS p
-  FROM lineitem, (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
-  GROUP BY q)
+  SELECT 0.25 AS q, quantile_cont(l_extendedprice, 0.25) AS p FROM lineitem
+  UNION ALL
+  SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+  UNION ALL
+  SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+  UNION ALL
+  SELECT 0.95, quantile_cont(l_extendedprice, 0.95) FROM lineitem)
 SELECT CAST(q AS DOUBLE) AS q, round(p, 2) AS exact_p,
        CAST(1 AS INT) AS within_bound
 FROM e ORDER BY q

@@ -104,6 +104,10 @@ BNLJ_OK = {
     # exact_ntile: rows x 1-row broadcast total-count scalar join
     "layout_zorder_events",
     "quantile_binning_prices",
+    # composes brute_force_topk + ivf_topk (both broadcast shapes above)
+    "ann_ndcg_mrr_eval",
+    # corpus x 4-row broadcast candidate values, non-equi <= rank scan
+    "stats_quantile_sketch_error",
     # corpus x 3-query broadcast scan per prefix width (brute-force
     # family, same shape as ann_cosine_topk)
     "ann_matryoshka_dim_sweep",
