@@ -1551,6 +1551,10 @@ class TransactionLog:
                 # values exactly like a write to the source would
                 "generated": state["generated"],
                 "identity": state["identity"],
+                # the bloom declaration travels for the same reason —
+                # files written into the clone (and later WAP-published
+                # back) must carry bloom sidecars or they never skip
+                "bloom_index": state["bloom_index"],
                 # the clone's files live OUTSIDE its table dir — a
                 # reader unaware of external references would vacuum/
                 # resolve them wrong

@@ -3424,3 +3424,26 @@ def test_publish_refuses_declarations_staging_lacked(spark, tbl, tmp_path):
     tbl.add_generated_column("year", "substring(v, 1, 4)")
     with pytest.raises(ValueError, match="never enforced"):
         tbl.publish_from(stg, since_version=1, spark=spark)
+
+
+def test_clone_carries_bloom_index_declaration(spark, tbl, tmp_path):
+    """The bloom-index declaration travels with a clone like
+    generated/identity do: writes into the clone build bloom sidecars,
+    so files WAP-published back into main can point-skip."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    tbl.add_bloom_index("id")
+    c = TransactionLog(tmp_path / "c")
+    tbl.clone_to(c.table_path)
+    st = c._replay(1)
+    assert "id" in st["bloom_index"], "clone lost the bloom declaration"
+
+    c.append(_df(spark, [(2, "b", "2024")]))
+    # clone-local files carry no "base" (cloned entries point at main)
+    new_adds = [
+        a
+        for a in c._replay(c.latest_version())["files"].values()
+        if not a.get("base")
+    ]
+    assert new_adds and all("bloom" in a for a in new_adds), (
+        "write into the clone did not build bloom sidecars"
+    )

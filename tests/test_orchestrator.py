@@ -467,3 +467,48 @@ def test_claim_run_atomic_under_thread_hammer(tmp_path):
     assert led.claim_run(
         {"ExecutionHashId": "h1", "SourceTable": "t", "Query": "q"}
     )
+
+
+def test_concurrent_plans_same_acid_table_occ(spark, tmp_path):
+    """Three plans targeting the SAME ACID table dispatched over a
+    3-thread pool: the lakehouse OCC layer serializes the blind
+    appends (version races retry), the ledger stays gapless, and the
+    final snapshot holds every plan's rows — the full concurrency
+    story end-to-end through the orchestrator."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        TransactionLog,
+    )
+
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=SF_SMALL),
+        EngineConfig(
+            target_root=str(tmp_path / "lake"),
+            register_catalog=False,
+            acid=True,
+        ),
+        Ledger(tmp_path / "ledger.jsonl"),
+        NotificationLog(tmp_path / "notify.jsonl"),
+    )
+    orch = Orchestrator(eng, tmp_path / "queue", max_concurrent_runs=3)
+    qdir = orch.queue_root / "run_now"
+    preds = [
+        "r_regionkey < 2",
+        "r_regionkey IN (2, 3)",
+        "r_regionkey = 4",
+    ]
+    for i, pred in enumerate(preds):
+        (qdir / f"p{i}.json").write_text(
+            json.dumps(
+                _plan_dict(query=f"SELECT * FROM region WHERE {pred}")
+            )
+        )
+
+    outcomes = orch.dispatch({})
+    assert all(o.succeeded for o in outcomes), [
+        (o.plan_file, o.parse_error) for o in outcomes
+    ]
+    t = TransactionLog(tmp_path / "lake" / "sybaseiq" / "dba" / "region")
+    ops = [c.op for c in t.history()]
+    assert ops.count("append") == 3, ops  # all three landed, gapless
+    assert t.snapshot(spark).count() == 5  # 2 + 2 + 1 regions
