@@ -266,11 +266,15 @@ def main() -> None:
         with open(os.path.join(REPO_ROOT, "BENCH_idle.json")) as fh:
             idle = json.load(fh)
         if idle.get("sf") == sf_val:
+
+            def band_ref(v):  # idle bands are {"value": N, ...} dicts
+                return v.get("value") if isinstance(v, dict) else v
+
             pairs = {
-                "headline_vs_idle": (total, idle.get("value")),
-                "band2_vs_idle": (sum(band2.values()), idle.get("band2")),
-                "band3_vs_idle": (sum(band3.values()), idle.get("band3")),
-                "band4_vs_idle": (sum(band4.values()), idle.get("band4")),
+                "headline_vs_idle": (total, band_ref(idle.get("value"))),
+                "band2_vs_idle": (sum(band2.values()), band_ref(idle.get("band2"))),
+                "band3_vs_idle": (sum(band3.values()), band_ref(idle.get("band3"))),
+                "band4_vs_idle": (sum(band4.values()), band_ref(idle.get("band4"))),
             }
             for k, (mine, ref) in pairs.items():
                 if ref:
