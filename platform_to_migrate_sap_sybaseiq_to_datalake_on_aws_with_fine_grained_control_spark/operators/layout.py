@@ -103,38 +103,54 @@ def zorder_layout(df: DataFrame, zkey_col: str, num_partitions: int) -> DataFram
     return df.repartitionByRange(num_partitions, zkey_col).sortWithinPartitions(zkey_col)
 
 
-def global_row_number(
+def global_ordered_scan(
     df: DataFrame,
-    order_cols: list[str],
-    out: str = "rn",
+    order_cols: list,
+    rn_out: str | None = None,
+    cumsum: dict[str, str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """EXACT global 1-based row number under a TOTAL order — without
-    the single-task funnel of an unpartitioned window.
+    """Distributed ORDER-dependent scan primitives — exact global row
+    numbers (``rn_out``) and/or running sums (``cumsum`` maps output
+    column -> value column) under a TOTAL order, without the
+    single-task funnel of an unpartitioned window.
 
     ``Window.orderBy(...)`` with no partition moves the whole input
     through ONE task (Spark itself warns 'No Partition Defined'); at
     100 TB that is fatal.  This is the distributed equivalent:
 
     1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
-       key (the same machinery as a global ORDER BY — parallel);
-    2. per-partition row numbers via a window PARTITIONED BY
-       ``spark_partition_id()`` (parallel, one pass, no extra
-       shuffle — data is already range-clustered);
-    3. per-partition counts -> cumulative offsets: an O(partitions)
-       aggregate whose own running-sum window is bounded by
-       construction; broadcast-joined back.
+       key (the same machinery as a global ORDER BY — parallel;
+       ``order_cols`` may be Column sort expressions, e.g.
+       ``F.col("rev").desc()``);
+    2. per-partition row numbers / running sums via windows
+       PARTITIONED BY ``spark_partition_id()`` (parallel, one pass,
+       no extra shuffle — data is already range-clustered);
+    3. per-partition counts/totals -> cumulative offsets: an
+       O(partitions) aggregate whose own running-sum window is
+       bounded by construction; broadcast-joined back.
 
     ``order_cols`` must be a total order (append a unique tiebreaker);
     range partitioning never splits equal keys across a boundary, so
-    the result is bit-identical to the single-task window.  The input
-    is persisted for the two passes (counts + join) and unpersisted by
-    the caller's action being done — callers that reuse the frame can
-    persist around this call instead.
+    row numbers are bit-identical to the single-task window.  Running
+    sums of NON-INTEGRAL doubles differ from the sequential window in
+    summation order (partition totals first) — last-ulp noise, fine
+    for floor-scaled readouts, not for exact-decimal accounting (use
+    DECIMAL inputs there).
+
+    The range-partitioned input is PERSISTED (the offsets pass and the
+    main pass must see the same sampled range bounds) and the cache
+    entry outlives the returned frame — Spark keeps it until an
+    explicit ``spark.catalog.clearCache()`` / plan GC.  Long-lived
+    sessions calling this repeatedly should clear between calls (the
+    bench harness already does).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    cumsum = cumsum or {}
+    if not rn_out and not cumsum:
+        raise ValueError("global_ordered_scan: nothing to compute")
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -146,32 +162,67 @@ def global_row_number(
     # persist: the offsets pass and the main pass must see the SAME
     # physical partitioning (range bounds come from sampling)
     sdf.persist()
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(v).alias(f"_t_{o}") for o, v in cumsum.items()
+    ]
+    w_off = Window.orderBy("_pid").rowsBetween(
+        # O(partitions) rows — grouped by spark_partition_id, bounded
+        # by construction: the allowed global-window class
+        Window.unboundedPreceding,
+        -1,
+    )
     offsets = (
         sdf.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    # O(partitions) rows — aggregate-bounded by
-                    # construction, the allowed global-window class
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
+        .agg(*aggs)
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off_rn"),
+            *[
+                F.coalesce(F.sum(f"_t_{o}").over(w_off), F.lit(0)).alias(
+                    f"_off_{o}"
+                )
+                for o in cumsum
+            ],
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    res = sdf
+    drop = ["_pid"]
+    if rn_out:
+        res = res.withColumn("_lrn", F.row_number().over(w_local))
+        drop.append("_lrn")
+    for o, v in cumsum.items():
+        res = res.withColumn(
+            f"_lc_{o}",
+            F.sum(v).over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .select("_pid", "_offset")
-    )
-    local = F.row_number().over(
-        Window.partitionBy("_pid").orderBy(*order_cols)
-    )
-    return (
-        sdf.withColumn("_local_rn", local)
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("int"))
-        .drop("_pid", "_local_rn", "_offset")
+        drop.append(f"_lc_{o}")
+    res = res.join(F.broadcast(offsets), "_pid")
+    drop.append("_off_rn")
+    if rn_out:
+        # bigint, never int: >2^31 rows is exactly the regime this
+        # helper exists for (int cast would wrap silently)
+        res = res.withColumn(
+            rn_out, (F.col("_off_rn") + F.col("_lrn")).cast("bigint")
+        )
+    for o in cumsum:
+        res = res.withColumn(o, F.col(f"_off_{o}") + F.col(f"_lc_{o}"))
+        drop.append(f"_off_{o}")
+    return res.drop(*drop)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global 1-based row number under a TOTAL order — see
+    :func:`global_ordered_scan` (this is its ``rn_out``-only form)."""
+    return global_ordered_scan(
+        df, order_cols, rn_out=out, num_partitions=num_partitions
     )
 
 

@@ -835,20 +835,18 @@ def bigram_perplexity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         (F.floor(F.exp(F.avg("nll")) * 10000) / 10000).alias("ppl"),
     )
-    # constant-value yet non-foldable partition key: the tercile needs
-    # a corpus-total order over DOC rows; pmod(hash, 1) keeps the
-    # single required partition without the global-window warning (the
-    # kmeans_centroids seed-window idiom)
-    w = Window.partitionBy(F.pmod(F.hash("doc_id"), F.lit(1))).orderBy(
-        F.col("ppl").asc(), F.col("doc_id").asc()
-    )
-    bucket = F.ntile(3).over(w)
-    return perdoc.select(
+    # the tercile needs a corpus-total order over DOC rows — that used
+    # to be a degenerate 1-partition window (pmod(hash,1): silenced
+    # the warning, kept the single-task funnel); exact_ntile is the
+    # distributed bit-identical form (range partitions +
+    # per-partition windows + O(partitions) offsets)
+    binned = exact_ntile(perdoc, ["ppl", "doc_id"], 3, out="_bucket")
+    return binned.select(
         "doc_id",
         "n_bigrams",
         "ppl",
-        F.when(bucket == 1, "head")
-        .when(bucket == 2, "middle")
+        F.when(F.col("_bucket") == 1, "head")
+        .when(F.col("_bucket") == 2, "middle")
         .otherwise("tail")
         .alias("ccnet_bucket"),
     )
@@ -871,10 +869,10 @@ def bigram_perplexity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs); counts are two hash aggregations over it; scoring "
     "re-joins it to both count tables on token keys (shuffled "
     "equi-joins, Zipf-truncatable); vocab size is a 1-row scalar "
-    "broadcast. The tercile window ranks DOCUMENTS (corpus rows, not "
-    "tokens) on the floor-scaled ppl with doc_id tiebreak, so both "
-    "engines bucket identically; a production run would swap ntile "
-    "for approx-quantile thresholds.",
+    "broadcast. The tercile ranks DOCUMENTS on the floor-scaled ppl "
+    "with doc_id tiebreak via exact_ntile (distributed, bit-identical "
+    "to the oracle's NTILE — no single-task funnel over the corpus-"
+    "cardinality per-doc frame).",
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity_df(spark, sf_dir)
@@ -1094,10 +1092,7 @@ sql_query(
 # Pareto / cumulative contribution analysis
 # =====================================================================
 
-sql_query(
-    "orders_pareto_customers",
-    # identical ANSI text: per-customer revenue, cumulative share
-    # under a (revenue DESC, custkey) total order, 80/20 readout.
+_PARETO_ORACLE = (
     "WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev "
     "FROM orders GROUP BY o_custkey), "
     "r AS (SELECT o_custkey, rev, "
@@ -1111,17 +1106,60 @@ sql_query(
     "floor(min(CASE WHEN cum_rev >= 0.8 * tot THEN rnk END) "
     "/ CAST(count(*) AS DOUBLE) * 10000) / 10000 AS pareto_ratio, "
     "floor(max(rev) / max(tot) * 10000) / 10000 AS top1_share "
-    "FROM r",
+    "FROM r"
+)
+
+
+@register(
+    "orders_pareto_customers",
+    _PARETO_ORACLE,
     doc="Pareto (80/20) contribution analysis: cumulative revenue "
     "share per customer under a unique (revenue DESC, custkey) total "
     "order; emits how many customers cover 80% of revenue, that count "
-    "as a fraction of all customers, and the top-1 share. The scale "
-    "shape: revenue aggregates per key first (map-side combined), the "
-    "global sort touches only |customers| aggregate rows, and per-key "
-    "revenue is round()ed before ranking so the order — and therefore "
-    "the rank readout — is engine-stable. The concentration readout "
-    "behind skew decisions and account prioritization.",
+    "as a fraction of all customers, and the top-1 share. Revenue "
+    "aggregates per key first (map-side combined); the global rank "
+    "AND running sum come from operators.layout.global_ordered_scan "
+    "(range partitions + per-partition windows + O(partitions) "
+    "offsets) — no single-task window over the |customers|-"
+    "cardinality frame. Per-key revenue is round()ed before ranking "
+    "so the order — and the rank readout — is engine-stable. The "
+    "concentration readout behind skew decisions and account "
+    "prioritization.",
 )
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import global_ordered_scan
+
+    cr = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    r = global_ordered_scan(
+        cr,
+        [F.col("rev").desc(), F.col("o_custkey")],
+        rn_out="rnk",
+        cumsum={"cum_rev": "rev"},
+    )
+    tot = r.agg(F.sum("rev").alias("tot"))
+    hit = F.when(
+        F.col("cum_rev") >= 0.8 * F.col("tot"), F.col("rnk")
+    )
+    return (
+        r.join(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min(hit).cast("bigint").alias("customers_to_80pct"),
+            (
+                F.floor(
+                    F.min(hit) / F.count(F.lit(1)).cast("double") * 1e4
+                )
+                / 1e4
+            ).alias("pareto_ratio"),
+            (F.floor(F.max("rev") / F.max("tot") * 1e4) / 1e4).alias(
+                "top1_share"
+            ),
+        )
+    )
 
 
 # =====================================================================

@@ -1876,8 +1876,9 @@ def acid_write_audit_publish_orders(
     stg2.append(bad)
     try:
         t.publish_from(stg2, since_version=1, spark=spark, audit=audit_ok)
-    except ValueError:
-        pass  # audit refused the poisoned batch — staging abandoned
+    except ValueError as e:
+        if "audit refused" not in str(e):
+            raise  # anything else = the gate broke, not the batch
     else:
         raise ValueError(
             "WAP audit gate failed to refuse the poisoned 'P' batch"

@@ -967,10 +967,7 @@ sql_query(
 # Gini coefficient / Lorenz concentration readout
 # =====================================================================
 
-sql_query(
-    "orders_gini_concentration",
-    # identical ANSI text: rank-weighted Gini over per-customer
-    # revenue, with Lorenz tail shares riding along.
+_GINI_ORACLE = (
     "WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev "
     "FROM orders GROUP BY o_custkey), "
     "r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) "
@@ -982,16 +979,78 @@ sql_query(
     "/ max(tot) * 10000) / 10000 AS bottom_half_share, "
     "floor(sum(CASE WHEN i > 0.9 * n THEN rev ELSE 0 END) "
     "/ max(tot) * 10000) / 10000 AS top_decile_share "
-    "FROM r",
+    "FROM r"
+)
+
+
+@register(
+    "orders_gini_concentration",
+    _GINI_ORACLE,
     doc="Gini coefficient of revenue concentration via the "
     "rank-weighted identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
     "over per-customer revenue ranked under a unique (rev, custkey) "
     "order, with Lorenz tail shares (bottom-half, top-decile) riding "
     "along — the inequality readout next to the Pareto 80/20 entry. "
-    "Revenue aggregates per key first (map-side combined), so the "
-    "ranking touches |customers| rows; per-key revenue is rounded "
-    "before ranking for an engine-stable order.",
+    "Revenue aggregates per key first (map-side combined); the rank "
+    "comes from operators.layout.global_row_number (range partitions "
+    "+ per-partition windows + O(partitions) offsets — bit-identical "
+    "to the oracle's global row_number with no single-task funnel "
+    "over the |customers|-cardinality frame); per-key revenue is "
+    "rounded before ranking for an engine-stable order.",
 )
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import global_row_number
+
+    cr = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    r = global_row_number(cr, ["rev", "o_custkey"], out="i")
+    tot = r.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
+    )
+    return (
+        r.join(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            (
+                F.floor(
+                    (
+                        2.0 * F.sum(F.col("i") * F.col("rev"))
+                        / (F.max("n") * F.max("tot"))
+                        - (F.max("n") + 1.0) / F.max("n")
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("gini"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("i") <= 0.5 * F.col("n"), F.col("rev")
+                        ).otherwise(0.0)
+                    )
+                    / F.max("tot")
+                    * 1e4
+                )
+                / 1e4
+            ).alias("bottom_half_share"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("i") > 0.9 * F.col("n"), F.col("rev")
+                        ).otherwise(0.0)
+                    )
+                    / F.max("tot")
+                    * 1e4
+                )
+                / 1e4
+            ).alias("top_decile_share"),
+        )
+    )
 
 
 # =====================================================================

@@ -19,6 +19,7 @@ format, so tests can assert on the exact strings.
 from __future__ import annotations
 
 import json
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from pathlib import Path
@@ -82,6 +83,10 @@ class NotificationLog:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        # concurrent plan dispatch publishes from N threads; a body
+        # larger than the stdio buffer would otherwise tear across
+        # interleaved write() calls and corrupt the JSONL log
+        self._lock = threading.Lock()
 
     def publish(self, notification: Notification) -> None:
         rec = {
@@ -89,7 +94,7 @@ class NotificationLog:
             "subject": notification.subject,
             "body": notification.body,
         }
-        with self.path.open("a", encoding="utf-8") as f:
+        with self._lock, self.path.open("a", encoding="utf-8") as f:
             f.write(json.dumps(rec, default=str) + "\n")
 
     def entries(self) -> list[dict[str, Any]]:

@@ -3233,3 +3233,41 @@ def test_exact_ntile_matches_window_ntile(spark):
             assert got_rn[i] == expected[i][0], (n_rows, k, i)
             assert got_nt[i] == expected[i][1], (n_rows, k, i)
         spark.catalog.clearCache()
+
+
+def test_global_ordered_scan_running_sum_matches_window(spark):
+    """global_ordered_scan's distributed running sum equals the
+    single-task window form (integer values: exact at any summation
+    order), including under a DESC sort expression."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        global_ordered_scan,
+    )
+
+    df = (
+        spark.range(500)
+        .withColumn("key", F.expr("xxhash64(id)"))
+        .withColumn("v", (F.col("id") % 97).cast("long"))
+    )
+    order = [F.col("key").desc(), F.col("id")]
+    w = Window.orderBy(F.col("key").desc(), F.col("id"))
+    expected = {
+        r.id: (r.rn, r.cum)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+    got = {
+        r.id: (r.rn, r.cum)
+        for r in global_ordered_scan(
+            df, order, rn_out="rn", cumsum={"cum": "v"}, num_partitions=7
+        ).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
