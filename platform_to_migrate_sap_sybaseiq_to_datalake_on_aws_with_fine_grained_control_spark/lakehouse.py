@@ -1695,6 +1695,10 @@ class TransactionLog:
                 stg_high = stg_state["identity"][col].get("high")
                 my_high = spec.get("high")
                 if base_spec is None or base_spec.get("high") is None:
+                    # unreachable via this repo's own logs: create()
+                    # commits high=start with the declaration and every
+                    # allocation path re-commits it — this guards
+                    # foreign/hand-built staging logs only
                     raise ValueError(
                         f"cannot prove identity allocations for {col!r} are "
                         "disjoint — staging's base snapshot carries no "
