@@ -1800,3 +1800,108 @@ def mm_audio_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_shared", "containment")
         .orderBy("id_a", "id_b")
     )
+
+
+# =====================================================================
+# Hilbert vs Z-order clustering quality (liquid-clustering readout)
+# =====================================================================
+
+HILBERT_BITS = 8  # 256x256 grid
+HILBERT_BUCKETS = 16
+
+
+def _hilbert_vs_zorder_oracle() -> str:
+    from .operators.layout import hilbert_cte_sql, zorder_key_sql
+
+    zkey = zorder_key_sql("gx", "gy", HILBERT_BITS)
+    ctes = hilbert_cte_sql(
+        "src", "gx", "gy", ["event_id", "gx", "gy", "zkey"], HILBERT_BITS
+    )
+    stats = (
+        "SELECT b, (max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1) "
+        "AS area FROM {side} GROUP BY b"
+    )
+    return f"""
+WITH src AS (
+  SELECT event_id, user_id & 255 AS gx,
+         CAST(floor(epoch_us(ts) / 60000000) AS BIGINT) & 255 AS gy,
+         {zkey} AS zkey
+  FROM events),
+{ctes},
+zb AS (SELECT gx, gy, ntile({HILBERT_BUCKETS})
+         OVER (ORDER BY zkey, event_id) AS b FROM hilb),
+hb AS (SELECT gx, gy, ntile({HILBERT_BUCKETS})
+         OVER (ORDER BY hkey, event_id) AS b FROM hilb),
+za AS ({stats.format(side='zb')}),
+ha AS ({stats.format(side='hb')})
+SELECT 'hilbert' AS curve, CAST({HILBERT_BUCKETS} AS BIGINT) AS n_buckets,
+  floor(avg(area) * 10000) / 10000 AS avg_box_area,
+  CAST(max(area) AS BIGINT) AS max_box_area FROM ha
+UNION ALL
+SELECT 'zorder', {HILBERT_BUCKETS}, floor(avg(area) * 10000) / 10000,
+  CAST(max(area) AS BIGINT) FROM za
+ORDER BY curve
+"""
+
+
+@register(
+    "layout_hilbert_vs_zorder_clustering",
+    _hilbert_vs_zorder_oracle,  # lazy: builds 8 fold-level CTEs
+    doc="Space-filling-curve bake-off for multi-dimensional "
+    "clustering (the analysis behind Delta liquid clustering's "
+    "Hilbert choice over classic ZORDER): key (user_id, epoch-minute) "
+    "grid cells by BOTH curves, split each curve order into "
+    f"{HILBERT_BUCKETS} contiguous range buckets (= files), and read "
+    "out the mean/max per-bucket bounding-box AREA — exactly the "
+    "min/max stats a scan prunes on, so smaller boxes = better "
+    "two-sided pruning. Hilbert's unit-step property (consecutive "
+    "positions always grid-adjacent — differential-tested) avoids "
+    "Z's diagonal jumps, so its buckets bound tighter. The Hilbert "
+    "key is 8 unrolled integer CASE fold levels (whole-stage "
+    "codegen, no UDF; engine-neutral SQL text shared with the "
+    "oracle); bucketing is exact_ntile (distributed, no global "
+    "window); the readout is two O(buckets) aggregates.",
+)
+def layout_hilbert_vs_zorder_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.layout import add_hilbert_key, exact_ntile
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("gx"),
+        F.floor(epoch_us(F.col("ts")) / 60_000_000)
+        .cast("long")
+        .bitwiseAND(F.lit(255))
+        .alias("gy"),
+    )
+    keyed = src.withColumn(
+        "zkey", zorder_key(F.col("gx"), F.col("gy"), HILBERT_BITS)
+    )
+    keyed = add_hilbert_key(keyed, "gx", "gy", HILBERT_BITS, out="hkey")
+
+    def curve_stats(key_col: str, label: str) -> DataFrame:
+        b = exact_ntile(
+            keyed.select("event_id", "gx", "gy", key_col),
+            [key_col, "event_id"],
+            HILBERT_BUCKETS,
+            out="b",
+        )
+        areas = b.groupBy("b").agg(
+            (
+                (F.max("gx") - F.min("gx") + 1)
+                * (F.max("gy") - F.min("gy") + 1)
+            ).alias("area")
+        )
+        return areas.agg(
+            F.lit(label).alias("curve"),
+            F.lit(HILBERT_BUCKETS).cast("bigint").alias("n_buckets"),
+            (F.floor(F.avg("area") * 1e4) / 1e4).alias("avg_box_area"),
+            F.max("area").cast("bigint").alias("max_box_area"),
+        )
+
+    return (
+        curve_stats("hkey", "hilbert")
+        .unionByName(curve_stats("zkey", "zorder"))
+        .orderBy("curve")
+    )

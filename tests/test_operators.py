@@ -3271,3 +3271,48 @@ def test_global_ordered_scan_running_sum_matches_window(spark):
     }
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    """add_hilbert_key equals the standard xy2d reference loop on the
+    full 32x32 grid, is a bijection onto [0, n^2), and consecutive
+    curve positions are always grid-adjacent (the locality property
+    z-order lacks — Z jumps; Hilbert never does)."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        add_hilbert_key,
+    )
+
+    bits, n = 5, 32
+
+    def ref(x: int, y: int) -> int:
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
+    )
+    got = {
+        (r.gx, r.gy): r.hkey
+        for r in add_hilbert_key(grid, "gx", "gy", bits).collect()
+    }
+    assert len(got) == n * n
+    for (x, y), d in got.items():
+        assert d == ref(x, y), (x, y, d, ref(x, y))
+    assert sorted(got.values()) == list(range(n * n))  # bijection
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (
+            f"curve jump at d={d}: {(x1, y1)} -> {(x2, y2)}"
+        )

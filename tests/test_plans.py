@@ -104,6 +104,8 @@ BNLJ_OK = {
     # exact_ntile: rows x 1-row broadcast total-count scalar join
     "layout_zorder_events",
     "quantile_binning_prices",
+    # two exact_ntile bucketings, each with the 1-row total scalar join
+    "layout_hilbert_vs_zorder_clustering",
     # composes brute_force_topk + ivf_topk (both broadcast shapes above)
     "ann_ndcg_mrr_eval",
     # corpus x 4-row broadcast candidate values, non-equi <= rank scan
