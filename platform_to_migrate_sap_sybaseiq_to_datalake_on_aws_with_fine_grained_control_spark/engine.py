@@ -107,6 +107,26 @@ class Engine:
         self.config = config
         self.ledger = ledger
         self.notifications = notifications
+        # per-target serialization for the NON-ACID sink: two threads
+        # appending the same parquet dir share one FileOutputCommitter
+        # _temporary/ staging dir — the first commit deletes it under
+        # the second job (silent row loss).  Held only around the
+        # write (reads/transforms stay parallel); ACID writes skip it
+        # — the transaction log's OCC is the arbitration.  Lives HERE,
+        # not in the orchestrator, so every direct run_job caller is
+        # protected too.
+        import threading as _threading
+
+        self._sink_locks: dict[str, _threading.Lock] = {}
+        self._sink_locks_guard = _threading.Lock()
+
+    def _sink_lock(self, path_suffix: str):
+        import threading as _threading
+
+        with self._sink_locks_guard:
+            return self._sink_locks.setdefault(
+                path_suffix, _threading.Lock()
+            )
 
     # ------------------------------------------------------------------
 
@@ -264,21 +284,22 @@ class Engine:
                 partition_keys=partition_keys,
                 mode=f"acid-{mode}@v{version}",
             )
-        return write_partitioned_parquet(
-            cleaned,
-            root=self.config.target_root,
-            path_suffix=job.target_path_suffix,
-            partition_keys=partition_keys,
-            target_database=self.config.target_database
-            if self.config.register_catalog
-            else None,
-            table_name=job.target_table_name
-            if self.config.register_catalog
-            else None,
-            mode=mode,
-            evolve_schema=self.config.evolve_schema,
-            max_records_per_file=max_records_per_file,
-        )
+        with self._sink_lock(job.target_path_suffix):
+            return write_partitioned_parquet(
+                cleaned,
+                root=self.config.target_root,
+                path_suffix=job.target_path_suffix,
+                partition_keys=partition_keys,
+                target_database=self.config.target_database
+                if self.config.register_catalog
+                else None,
+                table_name=job.target_table_name
+                if self.config.register_catalog
+                else None,
+                mode=mode,
+                evolve_schema=self.config.evolve_schema,
+                max_records_per_file=max_records_per_file,
+            )
 
     def run_job(self, job: ExtractionJob) -> RunResult:
         hash_id = job.execution_hash_id

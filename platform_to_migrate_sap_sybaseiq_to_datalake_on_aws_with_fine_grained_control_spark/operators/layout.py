@@ -337,6 +337,10 @@ def hilbert_cte_sql(
     """The same fold as :func:`add_hilbert_key`, as a chain of CTEs
     over ``src`` (engine-neutral SQL — used verbatim by the catalog
     oracle).  The final CTE is ``hilb`` with ``{carry}, hkey``."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"hilbert_cte_sql: bits in [1, 31], got {bits}")
+    if not carry:
+        raise ValueError("hilbert_cte_sql: carry columns required")
     cols = ", ".join(carry)
     parts = [
         f"h0 AS (SELECT {cols}, CAST({x_expr} AS BIGINT) AS _hx, "

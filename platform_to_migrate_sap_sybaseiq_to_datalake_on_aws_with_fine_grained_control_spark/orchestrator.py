@@ -32,7 +32,6 @@ collapses to plain Python around DataFrame actions (SURVEY.md §3,
 from __future__ import annotations
 
 import shutil
-import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
@@ -80,9 +79,10 @@ class Orchestrator:
     appends are lock-serialized, per-file lifecycle moves are
     idempotent, ACID-mode writes arbitrate at the lakehouse OCC
     layer, and non-ACID writes to the SAME target table serialize on
-    a per-table lock (concurrent Spark jobs appending one parquet dir
-    share a FileOutputCommitter staging dir — unsafe by construction;
-    different tables still run fully parallel)."""
+    the ENGINE's per-table sink lock (concurrent Spark jobs appending
+    one parquet dir share a FileOutputCommitter staging dir — unsafe
+    by construction; the lock wraps only the write, so reads and
+    transforms — and different tables — run fully parallel)."""
 
     def __init__(
         self,
@@ -93,22 +93,8 @@ class Orchestrator:
         self.engine = engine
         self.queue_root = Path(queue_root)
         self.max_concurrent_runs = max(1, int(max_concurrent_runs))
-        # per-target serialization for the NON-ACID sink: two plans for
-        # the same table (distinct queries -> distinct hash ids, so the
-        # dedup gate admits both) appending to one parquet dir share a
-        # FileOutputCommitter _temporary/ staging dir — the first
-        # commit deletes it under the second job (silent row loss).
-        # ACID-mode writes skip this lock: the transaction log's OCC is
-        # the arbitration (proven by the concurrent same-table test).
-        self._table_locks: dict[str, threading.Lock] = {}
-        self._table_locks_guard = threading.Lock()
         for d in (QUEUE_RUN_NOW, QUEUE_SUCCEEDED, QUEUE_FAILED):
             (self.queue_root / d).mkdir(parents=True, exist_ok=True)
-
-    def _target_lock(self, job):
-        key = job.target_path_suffix
-        with self._table_locks_guard:
-            return self._table_locks.setdefault(key, threading.Lock())
 
     # ---- C2: dedup gate — Ledger.claim_run (atomic check+create):
     # skip on SUCCEEDED or a row whose status is unset (still
@@ -158,12 +144,11 @@ class Orchestrator:
                         job.source_table, hash_id, {"Query": job.query}
                     )
                     continue
-            if self.engine.config.acid:
-                # lakehouse OCC arbitrates concurrent same-table writes
-                outcome.results.append(self.engine.run_job(job))
-            else:
-                with self._target_lock(job):
-                    outcome.results.append(self.engine.run_job(job))
+            # concurrent same-table safety lives in the ENGINE: ACID
+            # writes arbitrate at the lakehouse OCC layer; non-ACID
+            # writes serialize on Engine._sink_lock around the write
+            # only — so direct run_job callers are protected too
+            outcome.results.append(self.engine.run_job(job))
         return outcome
 
     # ---- K5: plan-file lifecycle ----------------------------------------

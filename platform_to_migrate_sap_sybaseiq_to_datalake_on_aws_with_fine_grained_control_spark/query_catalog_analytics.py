@@ -1092,18 +1092,26 @@ sql_query(
 # Pareto / cumulative contribution analysis
 # =====================================================================
 
+#: the 80%-crossing decision runs in EXACT integer cents (rev is
+#: already round(,2), so cents = round(rev*100) reproduces it exactly
+#: and 5*cum_cents >= 4*tot_cents is the same predicate with zero FP
+#: ambiguity) — a double cumulative sum's association order differs
+#: between the oracle's sequential window and the distributed scan,
+#: and an ulp at the crossing row would flip the integer rank readout
 _PARETO_ORACLE = (
     "WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev "
     "FROM orders GROUP BY o_custkey), "
+    "c2 AS (SELECT o_custkey, rev, "
+    "CAST(round(rev * 100) AS BIGINT) AS cents FROM cr), "
     "r AS (SELECT o_custkey, rev, "
-    "sum(rev) OVER (ORDER BY rev DESC, o_custkey "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev, "
-    "sum(rev) OVER () AS tot, "
-    "row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk FROM cr) "
+    "sum(cents) OVER (ORDER BY rev DESC, o_custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c, "
+    "sum(cents) OVER () AS tot_c, sum(rev) OVER () AS tot, "
+    "row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk FROM c2) "
     "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
-    "CAST(min(CASE WHEN cum_rev >= 0.8 * tot THEN rnk END) AS BIGINT) "
+    "CAST(min(CASE WHEN 5 * cum_c >= 4 * tot_c THEN rnk END) AS BIGINT) "
     "AS customers_to_80pct, "
-    "floor(min(CASE WHEN cum_rev >= 0.8 * tot THEN rnk END) "
+    "floor(min(CASE WHEN 5 * cum_c >= 4 * tot_c THEN rnk END) "
     "/ CAST(count(*) AS DOUBLE) * 10000) / 10000 AS pareto_ratio, "
     "floor(max(rev) / max(tot) * 10000) / 10000 AS top1_share "
     "FROM r"
@@ -1133,16 +1141,23 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        # EXACT integer cents for the cumulative threshold: bigint
+        # sums are association-order-free, so the distributed scan and
+        # the oracle's sequential window agree bit-for-bit at the
+        # 80%-crossing row (a double cumsum could flip an ulp there)
+        .withColumn("cents", F.round(F.col("rev") * 100).cast("bigint"))
     )
     r = global_ordered_scan(
         cr,
         [F.col("rev").desc(), F.col("o_custkey")],
         rn_out="rnk",
-        cumsum={"cum_rev": "rev"},
+        cumsum={"cum_c": "cents"},
     )
-    tot = r.agg(F.sum("rev").alias("tot"))
+    tot = r.agg(
+        F.sum("rev").alias("tot"), F.sum("cents").alias("tot_c")
+    )
     hit = F.when(
-        F.col("cum_rev") >= 0.8 * F.col("tot"), F.col("rnk")
+        5 * F.col("cum_c") >= 4 * F.col("tot_c"), F.col("rnk")
     )
     return (
         r.join(F.broadcast(tot))

@@ -197,13 +197,21 @@ def _unbounded_global_windows(df, allow_grouped_agg: bool = False) -> list[str]:
                 # grouped by spark_partition_id() -> O(partitions)
                 # rows (the global_ordered_scan offsets shape; the
                 # helper materializes it as the _pid column first, so
-                # match both the expression and its attribute name)
-                g = grouping.toString().upper()
-                if "SPARK_PARTITION_ID" in g or "_PID#" in g:
+                # match both the expression and EXACTLY that attribute
+                # name — "user_pid" etc. must not ride along)
+                import re as _re
+
+                g = grouping.toString()
+                if "SPARK_PARTITION_ID" in g.upper() or _re.search(
+                    r"(?<![A-Za-z0-9_])_pid#", g
+                ):
                     return True
             except Exception:
                 pass
-            return allow_grouped_agg
+            if allow_grouped_agg:
+                return True
+            # a grouped aggregate over an already-bounded input (e.g.
+            # LIMIT upstream) bounds too — keep recursing
         kids = node.children()
         n = kids.size()
         if n == 0:
