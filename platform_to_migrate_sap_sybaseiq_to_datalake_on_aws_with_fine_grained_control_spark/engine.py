@@ -121,12 +121,16 @@ class Engine:
         self._sink_locks_guard = _threading.Lock()
 
     def _sink_lock(self, path_suffix: str):
+        import posixpath
         import threading as _threading
 
+        # normalize before keying: 'a/b', 'a/b/' and './a/b' address
+        # the same physical directory and must share ONE lock — two
+        # differently-spelled suffixes with distinct locks would bypass
+        # the FileOutputCommitter serialization this exists to provide
+        key = posixpath.normpath(path_suffix.strip()) if path_suffix else ""
         with self._sink_locks_guard:
-            return self._sink_locks.setdefault(
-                path_suffix, _threading.Lock()
-            )
+            return self._sink_locks.setdefault(key, _threading.Lock())
 
     # ------------------------------------------------------------------
 

@@ -1774,6 +1774,8 @@ class TransactionLog:
                 my_state["partition_keys"],
                 generated=my_state["generated"],
                 identity=my_state["identity"],
+                constraints=my_state["constraints"],
+                strict_spec=True,
             )
             r = {
                 "version": v,
@@ -2419,6 +2421,7 @@ class TransactionLog:
                 keys,
                 generated=state["generated"],
                 identity=identity,
+                constraints=state["constraints"],
             )
             r = {
                 "version": v,
@@ -2473,6 +2476,8 @@ class TransactionLog:
         keys: list[str] | None = None,
         generated: dict | None = None,
         identity: dict | None = None,
+        constraints: dict | None = None,
+        strict_spec: bool = False,
     ) -> tuple[dict, dict, list[str], list[str]]:
         """(schema, column_mapping, retired_physical, partition_keys)
         a blind append should commit at ``commit_v`` after reading at
@@ -2485,6 +2490,26 @@ class TransactionLog:
         (they would read NULL, violating the declare-before-first-write
         invariant) or never allocated the identity — raise for a
         caller-level re-run that applies them.
+
+        ``constraints`` is the CHECK set the writer VALIDATED its rows
+        against at read time.  A constraint added (or redefined)
+        between read and commit is the same class of conflict: our
+        staged rows were never checked against it, and
+        ``add_check_constraint``'s own strict guard only covers commits
+        landing during ITS validation scan — so without this check a
+        racing append would land unvalidated rows and silently break
+        the "violating writes leave no trace" invariant (Delta's
+        conflict matrix likewise fails a txn on concurrent metadata
+        change).  A constraint DROPPED in the gap is harmless — our
+        rows passed a superset — so only new/changed entries raise.
+
+        ``strict_spec=True`` (the publish path) raises on an
+        interleaved ``set_partition_spec`` instead of adopting it:
+        publish validated spec equality against staging at read time,
+        so files must not land under a spec they were never checked
+        against.  Plain appends keep the documented "interleaved
+        set_partition_spec wins" adoption (mixed hive layouts read
+        fine).
 
         A commit carries the FULL schema/mapping, so a retried append
         that lost a version race to a concurrent WIDENING commit must
@@ -2519,8 +2544,29 @@ class TransactionLog:
                 f"v{commit_v - 1} — staged rows never computed them; "
                 "re-run"
             )
+        # interleaved CHECK constraints our staged rows were never
+        # validated against — new or redefined entries only (a drop
+        # leaves our rows valid under a superset)
+        new_cons = sorted(
+            n
+            for n, e in cur["constraints"].items()
+            if (constraints or {}).get(n) != e
+        )
+        if new_cons:
+            raise ConcurrentCommitError(
+                f"append to {self.table_path} raced CHECK constraints "
+                f"{new_cons} landing by v{commit_v - 1} — staged rows "
+                "were never validated against them; re-run"
+            )
         if cur["schema"] is None:
             return schema_json, mapping, retired, keys
+        if strict_spec and cur["partition_keys"] != keys:
+            raise ConcurrentCommitError(
+                f"publish to {self.table_path} raced a partition-spec "
+                f"change to {cur['partition_keys']} by v{commit_v - 1} — "
+                "staged files were validated against the old spec; "
+                "re-run"
+            )
         # an interleaved set_partition_spec wins: OUR staged files keep
         # their old hive layout (mixed specs read fine), but re-stating
         # the old spec would revert the table's layout authority

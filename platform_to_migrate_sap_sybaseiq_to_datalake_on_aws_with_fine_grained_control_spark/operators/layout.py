@@ -109,6 +109,7 @@ def global_ordered_scan(
     rn_out: str | None = None,
     cumsum: dict[str, str] | None = None,
     num_partitions: int | None = None,
+    cache: str = "checkpoint",
 ) -> DataFrame:
     """Distributed ORDER-dependent scan primitives — exact global row
     numbers (``rn_out``) and/or running sums (``cumsum`` maps output
@@ -138,12 +139,25 @@ def global_ordered_scan(
     for floor-scaled readouts, not for exact-decimal accounting (use
     DECIMAL inputs there).
 
-    The range-partitioned input is PERSISTED (the offsets pass and the
-    main pass must see the same sampled range bounds) and the cache
-    entry outlives the returned frame — Spark keeps it until an
-    explicit ``spark.catalog.clearCache()`` / plan GC.  Long-lived
-    sessions calling this repeatedly should clear between calls (the
-    bench harness already does).
+    The offsets pass and the main pass must see the SAME physical
+    partitioning (``repartitionByRange`` bounds come from sampling),
+    so the range-partitioned input is materialized once.  ``cache``
+    picks the lifecycle:
+
+    - ``"checkpoint"`` (default): eager ``localCheckpoint`` — the
+      blocks are owned by the returned frame's plan and are freed by
+      Spark's ContextCleaner when the frame is garbage-collected.  A
+      long-lived session (the ``Orchestrator(max_concurrent_runs=N)``
+      regime) accumulates nothing across calls; no
+      ``clearCache()`` discipline required.  Tradeoff: lineage is
+      truncated, so losing an executor's blocks fails the job instead
+      of recomputing (Spark's documented localCheckpoint contract) —
+      acceptable for interactive/orchestrated analytics, use
+      ``"persist"`` on preemptible clusters.
+    - ``"persist"``: the pre-r11 behavior — lineage-preserving
+      ``persist()`` whose entry outlives the returned frame; the
+      caller owns cleanup (``spark.catalog.clearCache()`` between
+      calls, as the bench harness does).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -151,6 +165,11 @@ def global_ordered_scan(
     cumsum = cumsum or {}
     if not rn_out and not cumsum:
         raise ValueError("global_ordered_scan: nothing to compute")
+    if cache not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"global_ordered_scan: cache must be 'checkpoint' or "
+            f"'persist', got {cache!r}"
+        )
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -159,9 +178,14 @@ def global_ordered_scan(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # persist: the offsets pass and the main pass must see the SAME
-    # physical partitioning (range bounds come from sampling)
-    sdf.persist()
+    if cache == "checkpoint":
+        # freeze the sampled range bounds structurally: both passes
+        # read the same materialized blocks, and the blocks die with
+        # the returned frame (ContextCleaner on GC) instead of living
+        # until a session-wide clearCache
+        sdf = sdf.localCheckpoint(eager=True)
+    else:
+        sdf.persist()
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(v).alias(f"_t_{o}") for o, v in cumsum.items()
     ]
@@ -218,11 +242,12 @@ def global_row_number(
     order_cols: list,
     out: str = "rn",
     num_partitions: int | None = None,
+    cache: str = "checkpoint",
 ) -> DataFrame:
     """EXACT global 1-based row number under a TOTAL order — see
     :func:`global_ordered_scan` (this is its ``rn_out``-only form)."""
     return global_ordered_scan(
-        df, order_cols, rn_out=out, num_partitions=num_partitions
+        df, order_cols, rn_out=out, num_partitions=num_partitions, cache=cache
     )
 
 
@@ -231,6 +256,7 @@ def exact_ntile(
     order_cols: list[str],
     n_buckets: int,
     out: str = "bucket",
+    cache: str = "checkpoint",
 ) -> DataFrame:
     """SQL-standard ``NTILE(n) OVER (ORDER BY ...)`` — exact, but
     distributed via :func:`global_row_number` instead of the
@@ -244,10 +270,10 @@ def exact_ntile(
     """
     from pyspark.sql import functions as F
 
-    rn = global_row_number(df, order_cols, out="_rn")
+    rn = global_row_number(df, order_cols, out="_rn", cache=cache)
     total = rn.sparkSession.createDataFrame(
         [(rn.count(),)], "_n bigint"
-    )  # scalar readout off the persisted frame; one 1-row broadcast
+    )  # scalar readout off the materialized frame; one 1-row broadcast
     big = F.col("_n") % n_buckets  # buckets holding floor(N/n)+1 rows
     size_big = (F.col("_n") / n_buckets).cast("bigint") + 1
     size_small = (F.col("_n") / n_buckets).cast("bigint")

@@ -2258,6 +2258,121 @@ def test_append_racing_generated_declaration_raises(spark, tbl, monkeypatch):
     assert row.twice == 20
 
 
+# ---- round-11 conflict regressions (ADVICE r10) ---------------------------
+
+
+def test_append_racing_check_constraint_raises(spark, tbl, monkeypatch):
+    """A blind append must not retry past a CHECK constraint that
+    landed between its read and its commit: the staged rows were never
+    validated against it (add_check_constraint's strict guard only
+    covers commits landing during ITS validation scan), so without the
+    reconcile-side check a violating batch would land unchecked —
+    breaking the 'violating writes leave no trace' invariant."""
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        ConstraintViolationError,
+    )
+
+    tbl.append(_df(spark, [(1, "a", "2024")]))
+    orig = TransactionLog._stage_files
+    raced = {"done": False}
+
+    def stage_then_constrain(self, *a, **k):
+        adds = orig(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).add_check_constraint(
+                spark, "pos", "id > 0"
+            )
+        return adds
+
+    monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_constrain)
+    with pytest.raises(ConcurrentCommitError, match="CHECK constraints"):
+        tbl.append(_df(spark, [(-5, "z", "2024")]))
+    monkeypatch.setattr(TransactionLog, "_stage_files", orig)
+    # loser left no trace; the re-run sees — and is gated by — the
+    # interleaved constraint
+    assert _ids(tbl.snapshot(spark)) == [1]
+    with pytest.raises(ConstraintViolationError):
+        tbl.append(_df(spark, [(-5, "z", "2024")]))
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+
+
+def test_append_racing_constraint_drop_adopts(spark, tbl, monkeypatch):
+    """The mirror case: a constraint DROPPED in the read→commit gap is
+    harmless (our rows passed a superset), so the append adopts it —
+    no spurious conflict, and the drop is not reverted."""
+    tbl.append(_df(spark, [(1, "a", "2024")]))
+    tbl.add_check_constraint(spark, "pos", "id > 0")
+    orig = TransactionLog._stage_files
+    raced = {"done": False}
+
+    def stage_then_drop(self, *a, **k):
+        adds = orig(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).drop_check_constraint("pos")
+        return adds
+
+    monkeypatch.setattr(TransactionLog, "_stage_files", stage_then_drop)
+    tbl.append(_df(spark, [(2, "b", "2024")]))
+    assert _ids(tbl.snapshot(spark)) == [1, 2]
+    assert tbl._replay(tbl.latest_version())["constraints"] == {}
+
+
+def test_publish_racing_check_constraint_raises(
+    spark, tbl, tmp_path, monkeypatch
+):
+    """publish_from is the same blind-append commit shape, so the same
+    race applies: a CHECK landing between publish's read and its
+    commit must raise, not land never-validated staged rows."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(_df(spark, [(-3, "c", "2024")]))
+    orig = TransactionLog._commit_with_retry
+    raced = {"done": False}
+
+    def race_then_commit(self, build_record, read_version, attempts=5):
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).add_check_constraint(
+                spark, "pos", "id > 0"
+            )
+        return orig(self, build_record, read_version, attempts)
+
+    monkeypatch.setattr(TransactionLog, "_commit_with_retry", race_then_commit)
+    with pytest.raises(ConcurrentCommitError, match="CHECK constraints"):
+        tbl.publish_from(stg, since_version=1, spark=spark)
+    assert _ids(tbl.snapshot(spark)) == [1]
+
+
+def test_publish_racing_partition_spec_change_raises(
+    spark, tbl, tmp_path, monkeypatch
+):
+    """publish validated spec equality against staging at read time,
+    so an interleaved set_partition_spec raises (strict_spec) instead
+    of the append path's silent adoption — files must not land under a
+    spec they were never checked against (docstring parity)."""
+    tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
+    stg = TransactionLog(tmp_path / "stg")
+    tbl.clone_to(stg.table_path)
+    stg.append(_df(spark, [(3, "c", "2025")]))
+    orig = TransactionLog._commit_with_retry
+    raced = {"done": False}
+
+    def race_then_commit(self, build_record, read_version, attempts=5):
+        if not raced["done"]:
+            raced["done"] = True
+            TransactionLog(self.table_path).set_partition_spec([])
+        return orig(self, build_record, read_version, attempts)
+
+    monkeypatch.setattr(TransactionLog, "_commit_with_retry", race_then_commit)
+    with pytest.raises(ConcurrentCommitError, match="partition-spec"):
+        tbl.publish_from(stg, since_version=1)
+    assert _ids(tbl.snapshot(spark)) == [1]
+
+
 def test_overwrite_rekeys_bloom_index(spark, tbl):
     """Overwrite resets column_mapping, so the bloom index (keyed by
     PHYSICAL names) must be re-keyed alongside: post-overwrite files

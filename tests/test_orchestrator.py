@@ -512,3 +512,19 @@ def test_concurrent_plans_same_acid_table_occ(spark, tmp_path):
     ops = [c.op for c in t.history()]
     assert ops.count("append") == 3, ops  # all three landed, gapless
     assert t.snapshot(spark).count() == 5  # 2 + 2 + 1 regions
+
+
+def test_sink_lock_key_normalized(spark, tmp_path):
+    """Differently-spelled suffixes addressing the same physical dir
+    ('a/b', 'a/b/', './a/b') must share ONE lock — distinct locks
+    would bypass the FileOutputCommitter serialization (ADVICE r10)."""
+    eng = Engine(
+        spark,
+        SourceRegistry(spark, parquet_root=SF_SMALL),
+        EngineConfig(target_root=str(tmp_path / "lake"), register_catalog=False),
+    )
+    base = eng._sink_lock("a/b")
+    assert eng._sink_lock("a/b/") is base
+    assert eng._sink_lock("./a/b") is base
+    assert eng._sink_lock("a/./b") is base
+    assert eng._sink_lock("a/c") is not base
