@@ -146,6 +146,26 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(app_name="bench")
+
+    # Silence the benign WindowExec warning wall (VERDICT r10 #4),
+    # SCOPED to bench runs: the plan-guard suite
+    # (tests/test_plans.py) proves every unpartitioned window in the
+    # catalog sits over a bounded (≤k-row / aggregated / LIMITed)
+    # input, so the per-task warning is pure noise that buries real
+    # signal in the driver's bench log tail.  Engine/library code
+    # never touches log levels.
+    try:
+        jvm = spark.sparkContext._jvm
+        _Configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        _Level = jvm.org.apache.logging.log4j.Level
+        for _cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+        ):
+            _Configurator.setLevel(_cls, _Level.ERROR)
+    except Exception as e:  # log cosmetics only — never fail the bench
+        print(f"# window-warning filter skipped: {e}", file=sys.stderr)
+
     queries = entry_mod.queries()
 
     # Warm the JVM (codegen, shuffle machinery, noop sink, AQE) with
@@ -261,24 +281,41 @@ def main() -> None:
     # visible in the artifact itself instead of costing a judge
     # round-trip (r8's band3 99.9s confusion).  >~1.5x with a high
     # start loadavg = co-tenancy, not a code regression.
+    # Ratios compare over the INTERSECTION of query names (ADVICE r10:
+    # catalog growth added entries to benched bands, so a totals-only
+    # ratio reads >1 from growth alone and mimics the co-tenancy
+    # signal this field exists to disambiguate).  vs_idle_basis
+    # records how many entries each ratio covers and which measured
+    # entries the idle record lacks.
     vs_idle: dict[str, float] = {}
+    vs_idle_basis: dict[str, dict] = {}
     try:
         with open(os.path.join(REPO_ROOT, "BENCH_idle.json")) as fh:
             idle = json.load(fh)
         if idle.get("sf") == sf_val:
 
-            def band_ref(v):  # idle bands are {"value": N, ...} dicts
-                return v.get("value") if isinstance(v, dict) else v
+            def idle_queries(v):  # idle bands are {"queries": {...}} dicts
+                if isinstance(v, dict):
+                    return v.get("queries") or {}
+                return {}
 
             pairs = {
-                "headline_vs_idle": (total, band_ref(idle.get("value"))),
-                "band2_vs_idle": (sum(band2.values()), band_ref(idle.get("band2"))),
-                "band3_vs_idle": (sum(band3.values()), band_ref(idle.get("band3"))),
-                "band4_vs_idle": (sum(band4.values()), band_ref(idle.get("band4"))),
+                "headline_vs_idle": (timings, idle.get("queries") or {}),
+                "band2_vs_idle": (band2, idle_queries(idle.get("band2"))),
+                "band3_vs_idle": (band3, idle_queries(idle.get("band3"))),
+                "band4_vs_idle": (band4, idle_queries(idle.get("band4"))),
             }
-            for k, (mine, ref) in pairs.items():
-                if ref:
-                    vs_idle[k] = round(mine / ref, 2)
+            for k, (mine_q, idle_q) in pairs.items():
+                common = sorted(set(mine_q) & set(idle_q))
+                ref = sum(idle_q[n] for n in common)
+                if common and ref:
+                    vs_idle[k] = round(
+                        sum(mine_q[n] for n in common) / ref, 2
+                    )
+                    vs_idle_basis[k] = {
+                        "n": len(common),
+                        "not_in_idle": sorted(set(mine_q) - set(idle_q)),
+                    }
     except (OSError, ValueError):  # no idle record — ratios just absent
         pass
     try:
@@ -321,6 +358,7 @@ def main() -> None:
         "sf": sf_val,
         "loadavg": loadavg,
         "vs_idle": vs_idle,
+        "vs_idle_basis": vs_idle_basis,
     }
     full_path = os.path.join(REPO_ROOT, "BENCH_full.json")
     try:

@@ -217,18 +217,32 @@ class Orchestrator:
         files = [
             p for p in sorted(d.glob("*.json")) if "done" not in p.name
         ]
-        if self.max_concurrent_runs <= 1 or len(files) <= 1:
-            return [self.run_plan_file(p) for p in files]
+        return self.run_pooled(
+            [(p.stem, lambda p=p: self.run_plan_file(p)) for p in files]
+        )
+
+    def run_pooled(self, tasks) -> list[PlanOutcome]:
+        """Dispatch ``(label, thunk)`` pairs over the bounded pool —
+        the ONE concurrency surface shared by every intake path (queue
+        scans, the streaming ``run_now`` watcher), so
+        ``max_concurrent_runs`` and the per-plan FAIR scheduler pool
+        apply uniformly.  Outcome order follows task order.  Safety is
+        the same stack as :meth:`run_plan` documents: ``claim_run``
+        dedup, lock-serialized ledger appends, engine sink locks /
+        lakehouse OCC."""
+        if self.max_concurrent_runs <= 1 or len(tasks) <= 1:
+            return [fn() for _, fn in tasks]
         from concurrent.futures import ThreadPoolExecutor
 
         sc = self.engine.spark.sparkContext
 
-        def run_one(p: Path) -> PlanOutcome:
+        def run_one(task) -> PlanOutcome:
+            label, fn = task
             # inheritable thread-local: every action this plan runs
             # schedules in its own pool until cleared
-            sc.setLocalProperty("spark.scheduler.pool", f"plan-{p.stem}")
+            sc.setLocalProperty("spark.scheduler.pool", f"plan-{label}")
             try:
-                return self.run_plan_file(p)
+                return fn()
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
 
@@ -236,7 +250,7 @@ class Orchestrator:
             max_workers=self.max_concurrent_runs,
             thread_name_prefix="plan-dispatch",
         ) as ex:
-            return list(ex.map(run_one, files))
+            return list(ex.map(run_one, tasks))
 
     def run_now(self) -> list[PlanOutcome]:
         return self._scan_queue(QUEUE_RUN_NOW)

@@ -216,6 +216,34 @@ def main() -> int:
 
     queries = entry_mod.queries()
 
+    # bench-scoped log filter (same as bench.py): the plan-guard suite
+    # proves every unpartitioned window sits over a bounded input, so
+    # the WindowExec warning wall is noise that buries the per-entry
+    # readout lines below.
+    try:
+        jvm = spark.sparkContext._jvm
+        for _cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                _cls, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass
+
+    def _load() -> list[float] | None:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover
+            return None
+
+    # per-entry 1-min loadavg at slot START (VERDICT r10 item 1: the
+    # decade run self-contaminates — loadavg rose 2.4→29 over r10's
+    # run and the tail slots inherited it; a per-slot reading lets
+    # each ratio self-adjudicate co-tenancy vs design)
+    entry_load: dict[str, dict[str, float]] = {"sf1": {}, "sf10": {}}
+
     def run_at(sf_dir: str, label: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in subset:
@@ -223,6 +251,14 @@ def main() -> int:
             if fn is None:
                 continue
             spark.catalog.clearCache()
+            # flatten the previous slot's GC debt (freed cache blocks,
+            # shuffle buffers) OUTSIDE the measured window, then give
+            # the 1-min loadavg a beat to decay before sampling it
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+            la = _load()
+            if la is not None:
+                entry_load[label][name] = la[0]
             best = None
             for _attempt in range(2):
                 t0 = time.perf_counter()
@@ -233,12 +269,6 @@ def main() -> int:
             out[name] = round(best, 3)
             print(f"# {label} {name}: {out[name]}s", file=sys.stderr)
         return out
-
-    def _load() -> list[float] | None:
-        try:
-            return [round(x, 2) for x in os.getloadavg()]
-        except OSError:  # pragma: no cover
-            return None
 
     loadavg_start = _load()
     sf1 = run_at(bench_sf1.OUT_DIR, "sf1")
@@ -277,6 +307,10 @@ def main() -> int:
             "mid": loadavg_mid,
             "end": loadavg_end,
         },
+        # 1-min loadavg sampled at each slot's start (post-GC, 1s
+        # settle) — a high reading on a high-ratio slot = co-tenancy,
+        # not design
+        "entry_loadavg": entry_load,
     }
     print(json.dumps(out))
     (Path(REPO_ROOT) / "BENCH_sf10.json").write_text(
