@@ -101,6 +101,10 @@ BAND3 = [
     "acid_commit_path_bloom_files",
     # round-8 second window: the only data-file-deleting operation
     "acid_vacuum_orders",
+    # round 11: metadata retention — log GC lifecycle (expire +
+    # post-expiry vacuum); vs_idle handles the band growth via the
+    # query-name intersection
+    "acid_expire_snapshots_orders",
 ]
 
 

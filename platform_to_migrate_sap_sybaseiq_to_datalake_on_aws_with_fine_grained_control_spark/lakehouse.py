@@ -97,6 +97,7 @@ __all__ = [
 
 _LOG_DIR = "_txn_log"
 _LAST_CKPT = "_last_checkpoint"
+_EXPIRY = "_expiry.json"
 _VERSION_DIGITS = 20  # zero-padded fixed width => lexicographic == numeric
 
 #: Reader features THIS implementation understands (the published
@@ -130,6 +131,14 @@ class _TxnAlreadyCommitted(Exception):
     """Internal: an idempotent append discovered mid-retry that its
     (app, batch) pair was committed by another writer — unwind as a
     successful no-op, never a duplicate."""
+
+
+class SnapshotExpiredError(RuntimeError):
+    """Time travel below the expiry horizon: ``expire_snapshots``
+    removed the commit records needed to reconstruct that version.
+    The message names the earliest readable version; reads at or
+    above it are unaffected (bit-identical through the retained
+    checkpoint + tail)."""
 
 
 class ConstraintViolationError(ValueError):
@@ -637,8 +646,44 @@ class TransactionLog:
     def _commit_file(self, version: int) -> Path:
         return self.log_path / f"{_fmt_version(version)}.json"
 
+    def earliest_version(self) -> int:
+        """Oldest version still reconstructable (1 on a never-expired
+        table).  ``expire_snapshots`` advances this horizon; commit
+        records below it are gone and time travel there raises
+        :class:`SnapshotExpiredError`."""
+        m = self.log_path / _EXPIRY
+        if m.exists():
+            try:
+                return max(1, int(json.loads(m.read_text())["earliest"]))
+            except (ValueError, KeyError, OSError):
+                return 1
+        return 1
+
+    def _expiry_marker(self) -> dict:
+        m = self.log_path / _EXPIRY
+        if m.exists():
+            try:
+                return json.loads(m.read_text())
+            except (ValueError, OSError):
+                return {}
+        return {}
+
     def _read_commit(self, version: int) -> dict:
-        return json.loads(self._commit_file(version).read_text())
+        try:
+            return json.loads(self._commit_file(version).read_text())
+        except FileNotFoundError:
+            # only the MISSING-file path pays the marker read: a clear
+            # expiry error beats "torn log" when the commit was
+            # deliberately expired
+            e = self.earliest_version()
+            if version < e:
+                raise SnapshotExpiredError(
+                    f"version {version} of {self.table_path} predates "
+                    f"the expiry horizon — snapshots below v{e} were "
+                    f"removed by expire_snapshots(); earliest readable "
+                    f"version is {e}"
+                ) from None
+            raise
 
     def _try_commit(self, version: int, record: dict) -> None:
         """Atomically create commit ``version`` or raise
@@ -880,13 +925,15 @@ class TransactionLog:
                 bloom_index = dict(ckpt.get("bloom_index", {}))
                 start = ckpt["version"] + 1
         for v in range(start, version + 1):
-            f = self._commit_file(v)
-            if not f.exists():
+            try:
+                # _read_commit distinguishes deliberate expiry
+                # (SnapshotExpiredError) from a genuinely torn log
+                rec = self._read_commit(v)
+            except FileNotFoundError:
                 raise FileNotFoundError(
                     f"commit {v} of {self.table_path} is missing — the log "
                     f"is torn (latest seen: {self.latest_version()})"
-                )
-            rec = json.loads(f.read_text())
+                ) from None
             if rec.get("op") == "overwrite":
                 files = {}
                 dvs = []
@@ -939,11 +986,16 @@ class TransactionLog:
     def version_at_timestamp(self, ts_iso: str) -> int:
         """Greatest committed version whose ts <= ``ts_iso``."""
         best = 0
-        for v in range(1, self.latest_version() + 1):
+        for v in range(self.earliest_version(), self.latest_version() + 1):
             if self._read_commit(v)["ts"] <= ts_iso:
                 best = v
         if best == 0:
-            raise ValueError(f"no commit at or before {ts_iso}")
+            e = self.earliest_version()
+            hint = (
+                f" (snapshots below v{e} are expired — the timestamp may "
+                "predate the retention horizon)" if e > 1 else ""
+            )
+            raise ValueError(f"no commit at or before {ts_iso}{hint}")
         return best
 
     # ---- write path -------------------------------------------------------
@@ -2312,13 +2364,20 @@ class TransactionLog:
         (None if no commit carries the app id).  Backward log scan —
         O(commits-since-last-batch), run once per writer (re)start;
         both the native streaming sink and the foreachBatch path cache
-        the answer forward."""
-        for v in range(self.latest_version(), 0, -1):
+        the answer forward.
+
+        Expiry-safe: ``expire_snapshots`` folds the newest
+        ``streamTxn`` per app from the expired range into the expiry
+        marker, so a stream resuming after retention GC keeps its
+        idempotence watermark (the Delta checkpoint carries ``txn``
+        actions for the same reason)."""
+        floor = self.earliest_version()
+        for v in range(self.latest_version(), floor - 1, -1):
             rec = self._read_commit(v)
             txn = rec.get("streamTxn")
             if txn and txn.get("appId") == txn_app:
                 return txn["batchId"]
-        return None
+        return self._expiry_marker().get("stream_txns", {}).get(txn_app)
 
     def append(
         self,
@@ -4177,7 +4236,7 @@ class TransactionLog:
 
     def history(self) -> list[CommitInfo]:
         out = []
-        for v in range(1, self.latest_version() + 1):
+        for v in range(self.earliest_version(), self.latest_version() + 1):
             r = self._read_commit(v)
             out.append(
                 CommitInfo(
@@ -4190,6 +4249,175 @@ class TransactionLog:
                 )
             )
         return out
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The retained commit history as a queryable DataFrame — the
+        Iceberg ``snapshots`` metadata table / Delta ``DESCRIBE
+        HISTORY`` readout: one row per commit with op, timestamp,
+        dataChange, add/remove file counts and added bytes/rows.
+        O(retained commits) driver-side build (control-plane scale —
+        the log is metadata, never data)."""
+        rows = []
+        for v in range(self.earliest_version(), self.latest_version() + 1):
+            r = self._read_commit(v)
+            adds = r.get("add", [])
+            rows.append(
+                (
+                    v,
+                    r["op"],
+                    r["ts"],
+                    bool(r.get("dataChange", True)),
+                    len(adds),
+                    len(r.get("remove", [])),
+                    sum(a.get("size") or 0 for a in adds),
+                    sum(a.get("rows") or 0 for a in adds),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version bigint, op string, ts string, data_change boolean, "
+            "n_added_files int, n_removed_files int, added_bytes bigint, "
+            "added_rows bigint",
+        )
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The live file manifest at ``version`` (default latest) as a
+        queryable DataFrame — the Iceberg ``files`` metadata table:
+        path, size, rows, partition values (JSON), and whether a
+        deletion vector masks the file.  The file-level planning
+        surface (skew checks, small-file audits before compaction,
+        partition balance) without touching data bytes."""
+        state = self._replay(version or self.latest_version())
+        dv_files = {
+            b for d in state["dvs"] for b in d.get("files", [])
+        }
+        rows = [
+            (
+                p,
+                a.get("size"),
+                a.get("rows"),
+                json.dumps(a.get("partition_values") or {}, sort_keys=True),
+                Path(p).name in dv_files,
+            )
+            for p, a in sorted(state["files"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, size_bytes bigint, n_rows bigint, "
+            "partition_values string, has_deletion_vector boolean",
+        )
+
+    def expire_snapshots(
+        self,
+        retain_last: int = 10,
+        older_than: str | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Metadata retention (the Iceberg ``expire_snapshots`` /
+        Delta log-retention analog): advance the time-travel horizon
+        and delete the commit records (and superseded checkpoints)
+        below it.  At 10^5-commit scale the log itself is the growth
+        problem — ``vacuum`` reclaims data files but every commit
+        JSON, expired-era checkpoint pair, and the O(commits) scans
+        over them (``history``, ``version_at_timestamp``,
+        ``last_txn_version``) otherwise grow forever.
+
+        Semantics (Iceberg's): expire snapshots strictly OLDER than
+        ``older_than`` (ISO timestamp; None = no time bound), but
+        always retain at least the ``retain_last`` newest.  The
+        horizon is the stricter of the two.  Reads at or above the
+        horizon are bit-identical afterwards (a checkpoint is
+        guaranteed at the horizon before anything is deleted); time
+        travel below it raises :class:`SnapshotExpiredError` naming
+        the earliest readable version.  ``streamTxn`` idempotence
+        watermarks from the expired range fold into the expiry marker
+        so exactly-once streams survive retention GC.  Data files are
+        NOT touched — run ``vacuum`` afterwards to reclaim files only
+        pre-horizon snapshots referenced (its retention floor follows
+        the horizon automatically).
+
+        Crash-safe ordering: checkpoint first, then the marker, then
+        commit deletion — a crash at any point leaves a readable
+        table (worst case: marker says expired but commits still
+        exist, which only makes errors kinder)."""
+        latest = self.latest_version()
+        cur_earliest = self.earliest_version()
+        if latest == 0:
+            return {"earliest": 0, "expired_versions": []}
+        horizon = max(1, latest - max(1, int(retain_last)) + 1)
+        if older_than is not None:
+            h_time = cur_earliest
+            for v in range(cur_earliest, latest + 1):
+                if self._read_commit(v)["ts"] < older_than:
+                    h_time = v + 1
+                else:
+                    break
+            horizon = min(horizon, h_time)
+        horizon = max(horizon, cur_earliest)
+        expired = list(range(cur_earliest, horizon))
+        if dry_run or not expired:
+            return {"earliest": max(horizon, cur_earliest),
+                    "expired_versions": expired, "dry_run": dry_run}
+        # fold the newest streamTxn per app from the dying range into
+        # the marker BEFORE deletion (exactly-once watermark survives)
+        marker = self._expiry_marker()
+        txns: dict[str, int] = dict(marker.get("stream_txns", {}))
+        for v in expired:
+            t = self._read_commit(v).get("streamTxn")
+            if t and t.get("appId"):
+                prev = txns.get(t["appId"])
+                if prev is None or t["batchId"] > prev:
+                    txns[t["appId"]] = t["batchId"]
+        # guarantee replay(v >= horizon) stays checkpoint-covered
+        ck_json = self.log_path / f"_checkpoint.{_fmt_version(horizon)}.json"
+        ck_parq = self.log_path / f"_checkpoint.{_fmt_version(horizon)}.parquet"
+        if not (ck_json.exists() and ck_parq.exists()):
+            # _write_checkpoint moves the _last_checkpoint pointer to
+            # `horizon`; restore a LATER pre-existing pointer so
+            # latest-version probes and hot replays keep their short
+            # tail (the horizon checkpoint is for old-version reads)
+            ptr = self.log_path / _LAST_CKPT
+            prev_ptr: int | None = None
+            if ptr.exists():
+                try:
+                    prev_ptr = int(json.loads(ptr.read_text())["version"])
+                except (ValueError, KeyError, OSError):
+                    prev_ptr = None
+            self._write_checkpoint(horizon)
+            if prev_ptr is not None and prev_ptr > horizon:
+                ptr.write_text(json.dumps({"version": prev_ptr}))
+        # marker lands before any deletion (clear errors from then on)
+        tmp = self.log_path / f".tmp-expiry-{uuid.uuid4().hex}.json"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "earliest": horizon,
+                    "ts": _utc_now_iso(),
+                    "stream_txns": txns,
+                },
+                separators=(",", ":"),
+            )
+        )
+        tmp.rename(self.log_path / _EXPIRY)
+        removed_ckpts: list[str] = []
+        for v in expired:
+            self._commit_file(v).unlink(missing_ok=True)
+        for p in list(self.log_path.glob("_checkpoint.*.json")):
+            try:
+                v = int(p.name.split(".")[1])
+            except ValueError:
+                continue
+            if v < horizon:
+                (
+                    self.log_path / f"_checkpoint.{_fmt_version(v)}.parquet"
+                ).unlink(missing_ok=True)
+                p.unlink(missing_ok=True)
+                removed_ckpts.append(p.name)
+        return {
+            "earliest": horizon,
+            "expired_versions": expired,
+            "removed_checkpoints": removed_ckpts,
+        }
 
     def vacuum(
         self,
@@ -4220,7 +4448,9 @@ class TransactionLog:
         import time as _time
 
         latest = self.latest_version()
-        keep_from = max(1, latest - retain_versions + 1)
+        # floor at the expiry horizon: versions below it are no longer
+        # reconstructable, so they cannot pin files either
+        keep_from = max(self.earliest_version(), latest - retain_versions + 1)
         live: set[str] = set()
         for v in range(keep_from, latest + 1):
             st = self._replay(v)

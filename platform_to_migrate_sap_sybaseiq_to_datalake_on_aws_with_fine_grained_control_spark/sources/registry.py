@@ -332,6 +332,52 @@ class SourceRegistry:
         opts = self.jdbc_scan_options(**kwargs)
         return self.spark.read.format("jdbc").options(**opts).load()
 
+    def register_jdbc_catalog(
+        self,
+        name: str,
+        url: str,
+        user: str = "",
+        password: str = "",
+        engine: str | None = None,
+        push_down_aggregate: bool = True,
+        push_down_limit: bool = True,
+    ) -> None:
+        """Register a DSv2 JDBC *catalog* (Spark's ``JDBCTableCatalog``)
+        so source tables are addressable as ``{name}.{schema}.{table}``
+        in SQL — and, unlike the DSv1 ``spark.read.jdbc`` path, Catalyst
+        pushes MIN/MAX/COUNT/SUM/AVG aggregations (plus LIMIT) down to
+        the source engine, visible as ``PushedAggregates`` in the scan.
+
+        This is the reference's push-work-to-the-source posture
+        (``sybaseiq_extractor.py:286`` ships whole queries to IQ)
+        expressed through Catalyst's own pushdown rules instead of
+        hand-built query strings: a ``GROUP BY`` over a huge source
+        table transfers one row per group over the wire, not the
+        table.  The S1/S2 ``jdbc_scan`` path stays the extraction
+        workhorse (range-partitioned parallel reads); the catalog tier
+        serves interactive aggregation against the source."""
+        conf = self.spark.conf
+        base = f"spark.sql.catalog.{name}"
+        conf.set(
+            base,
+            "org.apache.spark.sql.execution.datasources.v2.jdbc."
+            "JDBCTableCatalog",
+        )
+        conf.set(f"{base}.url", url)
+        if user:
+            conf.set(f"{base}.user", user)
+        if password:
+            conf.set(f"{base}.password", password)
+        if engine and engine in JDBC_ADAPTERS:
+            conf.set(f"{base}.driver", JDBC_ADAPTERS[engine]["DRIVER"])
+        conf.set(
+            f"{base}.pushDownAggregate",
+            "true" if push_down_aggregate else "false",
+        )
+        conf.set(
+            f"{base}.pushDownLimit", "true" if push_down_limit else "false"
+        )
+
 
 def ranged_scan(
     df: DataFrame,

@@ -212,6 +212,106 @@ def test_tsql_rewrite_ansi_text_shapes():
     assert "{fn TIMESTAMPADD(SQL_TSI_MONTH, 1, CAST('2024-01-01' AS DATE))}" in out
 
 
+@pytest.fixture(scope="module")
+def derby_sales_table(spark, derby_url) -> list[tuple[str, float, int]]:
+    """Low-cardinality category table for aggregate-pushdown tests;
+    returns the seeded rows so expected values are computed in-test."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE sales_src "
+        "(cat VARCHAR(10), amount DOUBLE, qty INT)"
+    )
+    ps = conn.prepareStatement("INSERT INTO sales_src VALUES (?, ?, ?)")
+    rows = []
+    for i in range(1, 61):
+        row = (f"c{i % 3}", round(i * 1.25, 2), i % 7)
+        rows.append(row)
+        ps.setString(1, row[0])
+        ps.setDouble(2, row[1])
+        ps.setInt(3, row[2])
+        ps.addBatch()
+    ps.executeBatch()
+    st.close()
+    conn.close()
+    return rows
+
+
+def test_jdbc_catalog_aggregate_pushdown(spark, derby_url, derby_sales_table):
+    """r10 VERDICT item 3: DSv2 JDBCTableCatalog pushes
+    MIN/MAX/COUNT/SUM/AVG through to the source engine — the plan's
+    scan shows PushedAggregates (one row per group crosses the wire,
+    not the table), and the values match the same aggregation computed
+    Spark-side over the seeded rows."""
+    reg = SourceRegistry(spark, jdbc_enabled=True)
+    reg.register_jdbc_catalog(
+        "derbycat", derby_url, user="app", password="app", engine="derby"
+    )
+    df = spark.sql(
+        """
+        SELECT cat,
+               count(*)    AS n,
+               sum(amount) AS total,
+               min(qty)    AS min_qty,
+               max(qty)    AS max_qty,
+               avg(amount) AS avg_amount
+        FROM derbycat.APP.SALES_SRC
+        GROUP BY cat
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates" in plan, plan
+    for agg in ("COUNT(", "SUM(", "MIN(", "MAX("):
+        assert agg in plan, plan
+
+    local = spark.createDataFrame(
+        derby_sales_table, "cat string, amount double, qty int"
+    )
+    expected = {
+        r.cat: (r.n, r.total, r.min_qty, r.max_qty, round(r.avg_amount, 6))
+        for r in spark.sql(
+            "SELECT cat, count(*) AS n, sum(amount) AS total, "
+            "min(qty) AS min_qty, max(qty) AS max_qty, "
+            "avg(amount) AS avg_amount FROM {local} GROUP BY cat",
+            local=local,
+        ).collect()
+    }
+    got = {
+        r.cat: (r.n, r.total, r.min_qty, r.max_qty, round(r.avg_amount, 6))
+        for r in df.collect()
+    }
+    assert got == expected
+
+
+def test_jdbc_catalog_filter_pushdown_and_limit(
+    spark, derby_url, derby_sales_table
+):
+    """Predicates reach the source through the DSv2 catalog
+    (PushedFilters on the scan — only matching rows cross the wire)
+    and LIMIT stays correct.  Note: LIMIT *pushdown* (PushedLimit) is
+    dialect-gated in Spark — DerbyDialect implements no limit clause,
+    so the limit applies Spark-side here; against Postgres/MySQL/H2
+    the same pushDownLimit=true option pushes it to the source."""
+    reg = SourceRegistry(spark, jdbc_enabled=True)
+    reg.register_jdbc_catalog(
+        "derbycat", derby_url, user="app", password="app", engine="derby"
+    )
+    df = spark.sql(
+        "SELECT cat, qty FROM derbycat.APP.SALES_SRC WHERE qty >= 5"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [QTY IS NOT NULL, QTY >= 5]" in plan or (
+        "PushedFilters" in plan and "QTY" in plan
+    ), plan
+    expected = sum(1 for _, _, q in derby_sales_table if q >= 5)
+    assert df.count() == expected
+    assert (
+        spark.sql("SELECT cat FROM derbycat.APP.SALES_SRC LIMIT 5").count()
+        == 5
+    )
+
+
 def test_engine_runs_jdbc_job_end_to_end(spark, derby_url, tmp_path):
     """Plan JSON → Engine.run_job over a real JDBC source: partitioned
     extraction, reconciliation against ExpectedAmountOfRecords, parquet
