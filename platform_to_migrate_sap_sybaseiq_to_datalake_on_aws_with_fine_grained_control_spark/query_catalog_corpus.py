@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from .query_catalog import register, sql_query
 from .query_oracle_shared import (
+    BIGRAM_ADD_K,
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
     MINHASH_HASHES,
@@ -1378,6 +1379,204 @@ def corpus_dedup_rate_by_source(
                 )
                 / 10000
             ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# DoReMi-style domain reweighting (excess loss → exponentiated gradient)
+# =====================================================================
+
+#: EG step size and uniform-smoothing mass (DoReMi's eta / c)
+DOREMI_ETA = 1.0
+DOREMI_SMOOTH = 0.2
+#: fixed-point scale for order-independent NLL sums
+_NLL_MICRO = 1_000_000
+
+
+@register(
+    "corpus_doremi_proxy_weights",
+    f"""
+WITH docs AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+toks AS (SELECT source, unnest(t) AS w FROM docs),
+uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+ref AS (SELECT source,
+          sum(CAST(floor(-ln(u.c / tt.n) * {_NLL_MICRO}) AS BIGINT)) AS s_micro,
+          count(*) AS n_tok
+        FROM toks t JOIN uni u ON t.w = u.w CROSS JOIN tot tt
+        GROUP BY source),
+bg AS (SELECT source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS big
+       FROM docs WHERE len(t) >= 2),
+cnt AS (SELECT big, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY big),
+ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cw FROM bg GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+prox AS (SELECT source,
+           sum(CAST(floor(-ln((c.c + {BIGRAM_ADD_K}) /
+                 (x.cw + {BIGRAM_ADD_K} * s.v)) * {_NLL_MICRO}) AS BIGINT))
+             AS s_micro,
+           count(*) AS n_big
+         FROM bg b JOIN cnt c ON b.big = c.big
+         JOIN ctx x ON b.w1 = x.w1 CROSS JOIN voc s
+         GROUP BY source),
+dom AS (SELECT r.source,
+          CAST(r.s_micro AS DOUBLE) / r.n_tok / {_NLL_MICRO} AS ref_loss,
+          CAST(p.s_micro AS DOUBLE) / p.n_big / {_NLL_MICRO} AS proxy_loss,
+          r.n_tok
+        FROM ref r JOIN prox p ON r.source = p.source),
+ex AS (SELECT source, ref_loss, proxy_loss, n_tok,
+         greatest(0.0, proxy_loss - ref_loss) AS excess,
+         exp({DOREMI_ETA} * greatest(0.0, proxy_loss - ref_loss)) AS w
+       FROM dom),
+tw AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS sw,
+              CAST(count(*) AS DOUBLE) AS k FROM ex)
+SELECT source,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  floor(ref_loss * 10000) / 10000 AS ref_loss,
+  floor(proxy_loss * 10000) / 10000 AS proxy_loss,
+  floor(excess * 10000) / 10000 AS excess_loss,
+  floor(((1 - {DOREMI_SMOOTH}) * w / tw.sw + {DOREMI_SMOOTH} / tw.k)
+        * 10000) / 10000 AS alpha
+FROM ex CROSS JOIN tw
+ORDER BY source
+""",
+    doc="DoReMi-style domain reweighting (Xie et al. 2023), the "
+    "deterministic one-EG-step proxy: per-domain (source) EXCESS LOSS "
+    "= mean per-position bigram NLL (the stronger 'proxy' LM) minus "
+    "mean per-token unigram surprisal (the 'reference'), clamped at "
+    "0; one exponentiated-gradient step from uniform gives "
+    "w_d = exp(eta * excess_d), smoothed alpha_d = (1-c) * w_d / sum_w "
+    "+ c/k — the domain-mixture readout a DoReMi run feeds the big "
+    "training job (here: arithmetic over the corpus-trained LMs, not "
+    "the proxy-training loop — documented honestly). Cross-engine "
+    "determinism: every per-position NLL is floored to an exact "
+    "integer micro-nat and domain losses are INTEGER sums (order-"
+    "independent — a float avg over 10^5+ positions would flip floor "
+    "boundaries between Spark's parallel and DuckDB's sequential "
+    "association); sum_w over the k domains is an order-deterministic "
+    "sorted fold (the corpus_temperature_mix pattern). Scale shape: "
+    "tokenize once (persisted), two count tables + two scoring "
+    "equi-joins — the text_bigram_perplexity plan plus a unigram "
+    "pass; per-domain rollups are exact-integer map-side-combinable "
+    "aggregations; the k-domain EG step is a 1-row broadcast.",
+)
+def corpus_doremi_proxy_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("t")
+    )
+    docs.persist()
+    toks = docs.select("source", F.explode("t").alias("w"))
+    toks.persist()
+    uni = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    micro = F.lit(_NLL_MICRO)
+    ref = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(-F.log(F.col("c") / F.col("n")) * micro)
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nll_micro").alias("s_micro"),
+            F.count("*").alias("n_tok"),
+        )
+    )
+    bg = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "concat(element_at(t, i), ' ', element_at(t, i + 1))"
+                    " AS big))"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.w1", "p.big")
+    )
+    bg.persist()
+    cnt = bg.groupBy("big").agg(F.count("*").cast("double").alias("c"))
+    ctx = bg.groupBy("w1").agg(F.count("*").cast("double").alias("cw"))
+    voc = toks.agg(F.count_distinct("w").cast("double").alias("v"))
+    prox = (
+        bg.join(cnt, "big")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "source",
+            F.floor(
+                -F.log(
+                    (F.col("c") + BIGRAM_ADD_K)
+                    / (F.col("cw") + BIGRAM_ADD_K * F.col("v"))
+                )
+                * micro
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nll_micro").alias("s_micro"),
+            F.count("*").alias("n_big"),
+        )
+    )
+    dom = ref.alias("r").join(
+        prox.alias("p"), "source"
+    ).select(
+        "source",
+        (F.col("r.s_micro").cast("double") / F.col("r.n_tok") / micro).alias(
+            "ref_loss"
+        ),
+        (F.col("p.s_micro").cast("double") / F.col("p.n_big") / micro).alias(
+            "proxy_loss"
+        ),
+        F.col("r.n_tok").alias("n_tok"),
+    )
+    ex = dom.withColumn(
+        "excess", F.greatest(F.lit(0.0), F.col("proxy_loss") - F.col("ref_loss"))
+    ).withColumn("w", F.exp(F.lit(DOREMI_ETA) * F.col("excess")))
+    # order-deterministic k-domain fold (BNLJ_OK: 1-row scalar join)
+    tw = ex.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda a, s: a + s["w"],
+        ).alias("sw"),
+        F.count("*").cast("double").alias("k"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(tw))
+        .select(
+            "source",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            (F.floor(F.col("ref_loss") * 10000) / 10000).alias("ref_loss"),
+            (F.floor(F.col("proxy_loss") * 10000) / 10000).alias(
+                "proxy_loss"
+            ),
+            (F.floor(F.col("excess") * 10000) / 10000).alias("excess_loss"),
+            (
+                F.floor(
+                    (
+                        (1 - DOREMI_SMOOTH) * F.col("w") / F.col("sw")
+                        + DOREMI_SMOOTH / F.col("k")
+                    )
+                    * 10000
+                )
+                / 10000
+            ).alias("alpha"),
         )
         .orderBy("source")
     )

@@ -117,6 +117,9 @@ BNLJ_OK = {
     # corpus x 3-query broadcast scan per prefix width (brute-force
     # family, same shape as ann_cosine_topk)
     "ann_matryoshka_dim_sweep",
+    # token/bigram streams x 1-row scalars (corpus total, vocab) +
+    # k-domain rows x 1-row EG fold (sum_w, k) — all scalar joins
+    "corpus_doremi_proxy_weights",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means

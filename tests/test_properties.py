@@ -665,3 +665,59 @@ def test_unimax_closed_form_matches_greedy_reference(ns, cap_epochs, factor):
         assert abs(got[f"l{i}"] - math.floor(ref[i])) <= 1, (
             f"lang l{i}: sql={got[f'l{i}']} ref={ref[i]}"
         )
+
+
+@given(
+    st.lists(
+        st.sampled_from(["append", "overwrite"]), min_size=4, max_size=7
+    ).filter(lambda ops: ops[0] == "append"),
+    st.integers(1, 3),
+)
+@settings(max_examples=5, deadline=None)
+def test_expire_snapshots_invariants(spark, tmp_path_factory, ops, retain):
+    """Property: for ANY append/overwrite history and ANY retain_last,
+    expire_snapshots leaves every at-or-above-horizon snapshot
+    bit-identical, raises SnapshotExpiredError strictly below the
+    horizon, reports the horizon via earliest_version(), and keeps the
+    table writable."""
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        SnapshotExpiredError,
+        TransactionLog,
+    )
+
+    t = TransactionLog(
+        tmp_path_factory.mktemp("expire_prop") / "t", checkpoint_interval=3
+    )
+    next_id = [0]
+
+    def rows(n):
+        out = [(next_id[0] + i, f"r{next_id[0] + i}") for i in range(n)]
+        next_id[0] += n
+        return spark.createDataFrame(out, ["id", "v"])
+
+    for op in ops:
+        if op == "append":
+            t.append(rows(2))
+        else:
+            t.overwrite(rows(3))
+    latest = t.latest_version()
+    assert latest == len(ops)
+    pre = {
+        v: sorted(r.id for r in t.snapshot(spark, version=v).collect())
+        for v in range(1, latest + 1)
+    }
+    info = t.expire_snapshots(retain_last=retain)
+    horizon = max(1, latest - retain + 1)
+    assert info["earliest"] == horizon
+    assert t.earliest_version() == horizon
+    assert t.latest_version() == latest
+    for v in range(horizon, latest + 1):
+        got = sorted(r.id for r in t.snapshot(spark, version=v).collect())
+        assert got == pre[v], (ops, retain, v)
+    for v in range(1, horizon):
+        with _pytest.raises(SnapshotExpiredError):
+            t.snapshot(spark, version=v)
+    t.append(rows(1))
+    assert t.latest_version() == latest + 1
