@@ -3291,32 +3291,45 @@ def test_global_ordered_scan_cache_lifecycle(spark):
         global_ordered_scan,
     )
 
-    spark.catalog.clearCache()
     sc = spark.sparkContext
 
     def n_cached() -> int:
         return sc._jsc.getPersistentRDDs().size()
 
-    base = n_cached()
+    def drain(floor: int) -> int:
+        deadline = time.time() + 30
+        while time.time() < deadline and n_cached() > floor:
+            gc.collect()
+            sc._jvm.System.gc()
+            time.sleep(0.25)
+        return n_cached()
+
+    # settle the SHARED session first: earlier tests' GC-able blocks
+    # would otherwise inflate the baseline and then vanish mid-test
+    spark.catalog.clearCache()
+    base = drain(0)
     df = spark.range(2000).withColumn("v", (F.col("id") % 97).cast("long"))
     for _ in range(4):
         out = exact_ntile(df, ["v", "id"], 5)
         assert out.count() == 2000
         del out
     # drain: ContextCleaner unpersists on JVM GC of the dropped frames
-    deadline = time.time() + 30
-    while time.time() < deadline and n_cached() > base + 1:
-        gc.collect()
-        sc._jvm.System.gc()
-        time.sleep(0.25)
-    assert n_cached() <= base + 1, n_cached()
+    assert drain(base + 1) <= base + 1, n_cached()
 
-    # persist mode: entry outlives the frame until caller clears
+    # persist mode: the entry is pinned by the SQL CacheManager, so it
+    # SURVIVES GC after the frame is dropped (the documented caller-
+    # cleans contract) until an explicit clearCache
     out = global_ordered_scan(df, ["id"], rn_out="rn", cache="persist")
     out.count()
     del out
-    assert n_cached() >= base + 1
+    assert drain(base + 1) == base + 1
+    for _ in range(3):  # a few MORE GC cycles: the pinned entry stays
+        gc.collect()
+        sc._jvm.System.gc()
+        time.sleep(0.2)
+    assert n_cached() >= base + 1, "persist entry should survive GC"
     spark.catalog.clearCache()
+    assert drain(base) <= base
 
     import pytest as _pytest
 
