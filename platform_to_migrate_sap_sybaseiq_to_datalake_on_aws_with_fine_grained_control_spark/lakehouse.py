@@ -610,11 +610,13 @@ class TransactionLog:
     def latest_version(self) -> int:
         """Current table version (0 = empty/uninitialized table).
 
-        Commit files are contiguous 1..latest and never deleted
-        (vacuum removes only data files), so from any version known to
-        exist the latest is reachable by probing FORWARD — O(tail)
-        stat calls from the ``_last_checkpoint`` pointer instead of an
-        O(commits) directory scan.  At the 10^5-commit logs the replay
+        Commit files are contiguous earliest..latest (vacuum removes
+        only data files; ``expire_snapshots`` deletes only BELOW its
+        horizon and always leaves a checkpoint + pointer at/above it),
+        so from any version known to exist the latest is reachable by
+        probing FORWARD — O(tail) stat calls from the
+        ``_last_checkpoint`` pointer instead of an O(commits)
+        directory scan.  At the 10^5-commit logs the replay
         bench pins, the full ``iterdir`` costs ~50k dirents per call
         and this method runs on EVERY commit attempt — the scan made
         the commit path itself quadratic over a table's life.  The

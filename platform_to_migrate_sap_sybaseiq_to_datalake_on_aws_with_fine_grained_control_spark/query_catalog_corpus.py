@@ -1580,3 +1580,154 @@ def corpus_doremi_proxy_weights(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curate_rho_loss_selection",
+    f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS w FROM docs),
+uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+ref AS (SELECT doc_id,
+          sum(CAST(floor(-ln(u.c / tt.n) * {_NLL_MICRO}) AS BIGINT)) AS s,
+          count(*) AS n
+        FROM toks t JOIN uni u ON t.w = u.w CROSS JOIN tot tt
+        GROUP BY doc_id),
+bg AS (SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS big
+       FROM docs WHERE len(t) >= 2),
+cnt AS (SELECT big, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY big),
+ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cw FROM bg GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+prox AS (SELECT doc_id,
+           sum(CAST(floor(-ln((c.c + {BIGRAM_ADD_K}) /
+                 (x.cw + {BIGRAM_ADD_K} * s.v)) * {_NLL_MICRO}) AS BIGINT))
+             AS s,
+           count(*) AS n
+         FROM bg b JOIN cnt c ON b.big = c.big
+         JOIN ctx x ON b.w1 = x.w1 CROSS JOIN voc s
+         GROUP BY doc_id),
+dpd AS (SELECT r.doc_id,
+          CAST(floor(CAST(p.s AS DOUBLE) / p.n) AS BIGINT)
+            - CAST(floor(CAST(r.s AS DOUBLE) / r.n) AS BIGINT) AS red
+        FROM ref r JOIN prox p ON r.doc_id = p.doc_id),
+binned AS (SELECT doc_id, red,
+             ntile(4) OVER (ORDER BY red DESC, doc_id) AS bucket
+           FROM dpd)
+SELECT bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(red) AS BIGINT) AS sum_red_micro,
+  floor(CAST(sum(red) AS DOUBLE) / count(*) / 100) / 10000
+    AS avg_reducible,
+  bucket = 1 AS selected
+FROM binned GROUP BY bucket ORDER BY bucket
+""",
+    doc="RHO-loss learnability selection (Mindermann et al., ICML "
+    "2022), the deterministic corpus-LM proxy: per-document REDUCIBLE "
+    "loss = mean bigram-LM NLL (the training-model proxy) minus mean "
+    "unigram surprisal (the holdout/reference model); documents "
+    "quartiled on it (highest = most learnable-but-not-yet-learned) "
+    "and the top quartile marked selected — the doc-level companion "
+    "to corpus_doremi_proxy_weights' domain-level EG step (selection "
+    "vs reweighting, the two standard uses of excess loss in data "
+    "curation). Determinism: per-doc losses are exact integer "
+    "micro-nats (floored integer division of integer NLL sums), the "
+    "quartile key is a pure BIGINT (no float ordering hazard), and "
+    "the quartile itself is exact_ntile — distributed, bit-identical "
+    "to the oracle's NTILE, no single-task funnel over the per-doc "
+    "frame. Scale shape: the bigram-perplexity plan plus a unigram "
+    "pass (tokenize once, persisted; count tables hash-aggregate; "
+    "scoring equi-joins), then an O(docs) integer rollup.",
+)
+def curate_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import exact_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    docs.persist()
+    toks = docs.select("doc_id", F.explode("t").alias("w"))
+    toks.persist()
+    uni = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    micro = F.lit(_NLL_MICRO)
+    ref = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(-F.log(F.col("c") / F.col("n")) * micro)
+            .cast("bigint")
+            .alias("m"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("s"), F.count("*").alias("n"))
+    )
+    bg = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "concat(element_at(t, i), ' ', element_at(t, i + 1))"
+                    " AS big))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.big")
+    )
+    cnt = bg.groupBy("big").agg(F.count("*").cast("double").alias("c"))
+    ctx = bg.groupBy("w1").agg(F.count("*").cast("double").alias("cw"))
+    voc = toks.agg(F.count_distinct("w").cast("double").alias("v"))
+    prox = (
+        bg.join(cnt, "big")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log(
+                    (F.col("c") + BIGRAM_ADD_K)
+                    / (F.col("cw") + BIGRAM_ADD_K * F.col("v"))
+                )
+                * micro
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("s"), F.count("*").alias("n"))
+    )
+    dpd = ref.alias("r").join(prox.alias("p"), "doc_id").select(
+        "doc_id",
+        (
+            F.floor(F.col("p.s").cast("double") / F.col("p.n")).cast("bigint")
+            - F.floor(F.col("r.s").cast("double") / F.col("r.n")).cast(
+                "bigint"
+            )
+        ).alias("red"),
+    )
+    binned = exact_ntile(
+        dpd, [F.col("red").desc(), F.col("doc_id")], 4, out="bucket"
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("red").cast("bigint").alias("sum_red_micro"),
+            (
+                F.floor(
+                    F.sum("red").cast("double") / F.count("*") / 100
+                )
+                / 10000
+            ).alias("avg_reducible"),
+        )
+        .withColumn("selected", F.col("bucket") == 1)
+        .orderBy("bucket")
+    )

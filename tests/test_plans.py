@@ -120,6 +120,8 @@ BNLJ_OK = {
     # token/bigram streams x 1-row scalars (corpus total, vocab) +
     # k-domain rows x 1-row EG fold (sum_w, k) — all scalar joins
     "corpus_doremi_proxy_weights",
+    # same LM scalar joins + exact_ntile's 1-row total-count join
+    "curate_rho_loss_selection",
 }
 
 # iterative operators run jobs while BUILDING the frame (k-means
