@@ -4388,14 +4388,24 @@ class TransactionLog:
             self._write_checkpoint(horizon)
             if prev_ptr is not None and prev_ptr > horizon:
                 ptr.write_text(json.dumps({"version": prev_ptr}))
-        # marker lands before any deletion (clear errors from then on)
+        # marker lands before any deletion (clear errors from then on).
+        # MONOTONE: re-read and take max with any marker a concurrent
+        # expire committed meanwhile — a slower expire with an older
+        # horizon must never regress the recorded floor below commits
+        # the faster one already deleted
         tmp = self.log_path / f".tmp-expiry-{uuid.uuid4().hex}.json"
+        cur_marker = self._expiry_marker()
+        merged_txns = dict(cur_marker.get("stream_txns", {}))
+        for app, bid in txns.items():
+            prev = merged_txns.get(app)
+            if prev is None or bid > prev:
+                merged_txns[app] = bid
         tmp.write_text(
             json.dumps(
                 {
-                    "earliest": horizon,
+                    "earliest": max(horizon, cur_marker.get("earliest", 1)),
                     "ts": _utc_now_iso(),
-                    "stream_txns": txns,
+                    "stream_txns": merged_txns,
                 },
                 separators=(",", ":"),
             )

@@ -123,6 +123,10 @@ HEAVY = [
     "quality_ensemble_vote",
     "ann_mmr_diversified_topk",
     "streaming_psi_drift",
+    # round 11: excess-loss curation pair (exact-integer micro-nat LM
+    # sums; doc-level quartile via exact_ntile, domain-level EG fold)
+    "corpus_doremi_proxy_weights",
+    "curate_rho_loss_selection",
 ]
 
 

@@ -102,6 +102,9 @@ SUBSET = [
     "dedup_minhash_containment_pairs",
     "quality_ensemble_vote",
     "ann_mmr_diversified_topk",
+    # round 11: excess-loss curation pair (documents only)
+    "corpus_doremi_proxy_weights",
+    "curate_rho_loss_selection",
 ]
 
 #: sf1 times under this are noise-dominated; ratio uses the floor.
