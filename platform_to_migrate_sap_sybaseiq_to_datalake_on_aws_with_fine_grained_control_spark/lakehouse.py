@@ -80,6 +80,7 @@ __all__ = [
     "TransactionLog",
     "ConcurrentCommitError",
     "ConstraintViolationError",
+    "SnapshotExpiredError",
     "UnsupportedTableFeatureError",
     "SUPPORTED_READER_FEATURES",
     "foreach_batch_sink",
@@ -4345,27 +4346,69 @@ class TransactionLog:
         latest = self.latest_version()
         cur_earliest = self.earliest_version()
         if latest == 0:
-            return {"earliest": 0, "expired_versions": []}
+            return {
+                "earliest": cur_earliest,
+                "expired_versions": [],
+                "removed_checkpoints": [],
+                "dry_run": dry_run,
+            }
         horizon = max(1, latest - max(1, int(retain_last)) + 1)
         if older_than is not None:
             h_time = cur_earliest
             for v in range(cur_earliest, latest + 1):
-                if self._read_commit(v)["ts"] < older_than:
+                try:
+                    ts = self._read_commit(v)["ts"]
+                except SnapshotExpiredError:
+                    # a concurrent expire already removed v — it is
+                    # older than any horizon we could pick; keep going
+                    h_time = v + 1
+                    continue
+                if ts < older_than:
                     h_time = v + 1
                 else:
                     break
             horizon = min(horizon, h_time)
         horizon = max(horizon, cur_earliest)
         expired = list(range(cur_earliest, horizon))
-        if dry_run or not expired:
-            return {"earliest": max(horizon, cur_earliest),
-                    "expired_versions": expired, "dry_run": dry_run}
+        if dry_run:
+            return {
+                "earliest": max(horizon, cur_earliest),
+                "expired_versions": expired,
+                "removed_checkpoints": [],
+                "dry_run": True,
+            }
+        if not expired:
+            # self-heal even when nothing NEW expires: commits
+            # orphaned by a crash between a previous expire's marker
+            # rename and its unlink loop sit BELOW the marker (the
+            # marker-derived range never revisits them); the
+            # crash-safe ordering guarantees the marker's checkpoint
+            # already exists, so sweeping is always safe
+            swept = 0
+            for p in list(self.log_path.glob("*.json")):
+                stem = p.name.removesuffix(".json")
+                if stem.isdigit() and int(stem) < cur_earliest:
+                    p.unlink(missing_ok=True)
+                    swept += 1
+            return {
+                "earliest": cur_earliest,
+                "expired_versions": [],
+                "removed_checkpoints": [],
+                "dry_run": False,
+                "swept_orphans": swept,
+            }
         # fold the newest streamTxn per app from the dying range into
-        # the marker BEFORE deletion (exactly-once watermark survives)
+        # the marker BEFORE deletion (exactly-once watermark survives);
+        # a commit a concurrent expire already deleted contributed its
+        # watermark to THAT expire's marker — the merge below picks it
+        # up, so skipping it here loses nothing
         marker = self._expiry_marker()
         txns: dict[str, int] = dict(marker.get("stream_txns", {}))
         for v in expired:
-            t = self._read_commit(v).get("streamTxn")
+            try:
+                t = self._read_commit(v).get("streamTxn")
+            except SnapshotExpiredError:
+                continue
             if t and t.get("appId"):
                 prev = txns.get(t["appId"])
                 if prev is None or t["batchId"] > prev:
@@ -4385,7 +4428,19 @@ class TransactionLog:
                     prev_ptr = int(json.loads(ptr.read_text())["version"])
                 except (ValueError, KeyError, OSError):
                     prev_ptr = None
-            self._write_checkpoint(horizon)
+            try:
+                self._write_checkpoint(horizon)
+            except SnapshotExpiredError:
+                # a concurrent expire advanced the horizon past ours
+                # and deleted the commits our checkpoint needed — its
+                # marker already covers everything we would expire
+                return {
+                    "earliest": self.earliest_version(),
+                    "expired_versions": [],
+                    "removed_checkpoints": [],
+                    "dry_run": False,
+                    "superseded_by_concurrent_expire": True,
+                }
             if prev_ptr is not None and prev_ptr > horizon:
                 ptr.write_text(json.dumps({"version": prev_ptr}))
         # marker lands before any deletion (clear errors from then on).
@@ -4412,8 +4467,14 @@ class TransactionLog:
         )
         tmp.rename(self.log_path / _EXPIRY)
         removed_ckpts: list[str] = []
-        for v in expired:
-            self._commit_file(v).unlink(missing_ok=True)
+        # GLOB sweep (not just the computed range): self-heals commits
+        # orphaned by a crash between a previous expire's marker
+        # rename and its unlink loop — the marker-derived range would
+        # never revisit them (checkpoints below get the same sweep)
+        for p in list(self.log_path.glob("*.json")):
+            stem = p.name.removesuffix(".json")
+            if stem.isdigit() and int(stem) < horizon:
+                p.unlink(missing_ok=True)
         for p in list(self.log_path.glob("_checkpoint.*.json")):
             try:
                 v = int(p.name.split(".")[1])

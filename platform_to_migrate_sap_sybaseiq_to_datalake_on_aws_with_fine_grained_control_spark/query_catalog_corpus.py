@@ -1682,6 +1682,7 @@ def curate_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.big")
     )
+    bg.persist()  # cnt, ctx AND the scoring join read it — explode once
     cnt = bg.groupBy("big").agg(F.count("*").cast("double").alias("c"))
     ctx = bg.groupBy("w1").agg(F.count("*").cast("double").alias("cw"))
     voc = toks.agg(F.count_distinct("w").cast("double").alias("v"))

@@ -110,6 +110,12 @@ def stream_run_now(
         spark.readStream.format("text")
         .option("wholetext", "true")
         .option("pathGlobFilter", "*.json")
+        # cap intake so a legitimately large backlog SPLITS into
+        # bounded micro-batches instead of tripping the guard below
+        # (which would poison-pill the checkpoint: the replayed batch
+        # fails identically on every restart); the guard stays as the
+        # invariant backstop for source configs that ignore the cap
+        .option("maxFilesPerTrigger", str(max_plans_per_batch))
         .schema(PLAN_FILE_SCHEMA)
         .load(watch_dir)
         .selectExpr("value", "_metadata.file_path AS path")

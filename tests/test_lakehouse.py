@@ -2437,6 +2437,33 @@ def test_metadata_tables_snapshots_and_files(spark, tbl):
     ] == [2, 3]
 
 
+def test_expire_snapshots_self_heals_crash_orphans(spark, tbl):
+    """A crash between a previous expire's marker rename and its
+    unlink loop leaves below-marker commit files the marker-derived
+    range would never revisit — the next expire glob-sweeps them
+    (even when nothing NEW expires), so the log cannot grow forever
+    after one bad crash."""
+    for i in range(6):
+        tbl.append(_df(spark, [(i, "x", "2024")]))
+    tbl.expire_snapshots(retain_last=3)  # horizon = 4
+    # simulate the crash leftovers: commits 1 and 2 reappear on disk
+    for v in (1, 2):
+        (tbl.log_path / f"{v:020d}.json").write_text('{"orphan": true}')
+    info = tbl.expire_snapshots(retain_last=3)  # nothing new to expire
+    assert info["expired_versions"] == []
+    assert info["swept_orphans"] == 2
+    assert not (tbl.log_path / f"{1:020d}.json").exists()
+    assert not (tbl.log_path / f"{2:020d}.json").exists()
+    assert _ids(tbl.snapshot(spark)) == [0, 1, 2, 3, 4, 5]
+    # the expired-range path also sweeps below its horizon
+    for v in (1, 2):
+        (tbl.log_path / f"{v:020d}.json").write_text('{"orphan": true}')
+    tbl.append(_df(spark, [(9, "y", "2024")]))
+    tbl.expire_snapshots(retain_last=3)  # horizon = 5: real work + sweep
+    assert not (tbl.log_path / f"{1:020d}.json").exists()
+    assert tbl.earliest_version() == 5
+
+
 def test_expire_snapshots_older_than_and_dry_run(spark, tbl):
     """older_than horizons cap at retain_last; dry_run deletes
     nothing."""

@@ -119,9 +119,12 @@ def test_plan_stream_concurrent_intake_gapless(spark, tmp_path):
     assert finals.count("SUCCEEDED") == len(preds), finals
 
 
-def test_plan_stream_batch_limit_guard(spark, tmp_path):
-    """A watcher misconfigured onto a big directory must fail with an
-    explicit error, not drive-OOM through an unbounded collect()."""
+def test_plan_stream_batch_limit_splits_not_poisons(spark, tmp_path):
+    """A backlog larger than max_plans_per_batch must SPLIT into
+    bounded micro-batches (maxFilesPerTrigger) and drain fully — not
+    trip the collect() guard and poison-pill the checkpoint.  The
+    in-batch guard stays as the backstop invariant; with the source
+    cap set it can only fire on configs that ignore the cap."""
     eng = Engine(
         spark,
         SourceRegistry(spark, parquet_root=SF_SMALL),
@@ -134,20 +137,30 @@ def test_plan_stream_batch_limit_guard(spark, tmp_path):
         "SourceDatabase": "iqdemo",
         "SourceSchema": "dba",
         "SourceTable": "region",
-        "Query": "SELECT * FROM region",
         "MigrationPart": 1,
         "ExpectedAmountOfRecords": " ",
     }
     for i in range(3):
         (orch.queue_root / "run_now" / f"g{i}.json").write_text(
-            json.dumps(plan)
+            json.dumps(
+                dict(
+                    plan,
+                    Query=f"SELECT * FROM region WHERE r_regionkey = {i}",
+                    SourceTable=f"region_g{i}",
+                )
+            )
         )
     q = stream_run_now(
         orch, tmp_path / "ckpt", available_now=True, max_plans_per_batch=2
     )
-    with pytest.raises(Exception, match="max_plans_per_batch"):
-        q.awaitTermination(600)
-        q.processAllAvailable()
+    assert q.awaitTermination(600)
+    for i in range(3):
+        assert (orch.queue_root / "succeeded" / f"g{i}.json").exists(), i
+    finals = [
+        v.get("GlueJobFinalStatus")
+        for v in eng.ledger.current_state().values()
+    ]
+    assert finals.count("SUCCEEDED") == 3, finals
 
 
 @pytest.fixture(
