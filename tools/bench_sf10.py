@@ -247,36 +247,44 @@ def main() -> int:
     # each ratio self-adjudicate co-tenancy vs design)
     entry_load: dict[str, dict[str, float]] = {"sf1": {}, "sf10": {}}
 
-    def run_at(sf_dir: str, label: str) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in subset:
-            fn = queries.get(name)
-            if fn is None:
-                continue
-            spark.catalog.clearCache()
-            # flatten the previous slot's GC debt (freed cache blocks,
-            # shuffle buffers) OUTSIDE the measured window, then give
-            # the 1-min loadavg a beat to decay before sampling it
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(1.0)
-            la = _load()
-            if la is not None:
-                entry_load[label][name] = la[0]
-            best = None
-            for _attempt in range(2):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 3)
-            print(f"# {label} {name}: {out[name]}s", file=sys.stderr)
-        return out
+    def measure(name, fn, sf_dir: str, label: str) -> float:
+        spark.catalog.clearCache()
+        # flatten the previous slot's GC debt (freed cache blocks,
+        # shuffle buffers) OUTSIDE the measured window, then give
+        # the 1-min loadavg a beat to decay before sampling it
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        la = _load()
+        if la is not None:
+            entry_load[label][name] = la[0]
+        best = None
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"# {label} {name}: {round(best, 3)}s", file=sys.stderr)
+        return round(best, 3)
 
+    # INTERLEAVED per entry (r11): the sf1 denominator and sf10
+    # numerator of each ratio are measured ADJACENT in time, so both
+    # see the same host state — run-to-run the r10/r11 artifacts
+    # showed single slots swinging 4.1x↔7.1x purely because the two
+    # passes sampled different phases of the run's own load curve
     loadavg_start = _load()
-    sf1 = run_at(bench_sf1.OUT_DIR, "sf1")
-    loadavg_mid = _load()
-    sf10 = run_at(OUT_DIR, "sf10")
+    sf1: dict[str, float] = {}
+    sf10: dict[str, float] = {}
+    half = len(subset) // 2
+    loadavg_mid = None
+    for idx, name in enumerate(subset):
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        sf1[name] = measure(name, fn, bench_sf1.OUT_DIR, "sf1")
+        sf10[name] = measure(name, fn, OUT_DIR, "sf10")
+        if idx == half:
+            loadavg_mid = _load()
     loadavg_end = _load()
 
     offenders = []
