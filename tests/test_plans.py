@@ -170,6 +170,8 @@ WINDOW_OVER_GROUPED_AGG_OK = {
     "quality_score_auc",
     # grouped by integer lifetime-in-DAYS — observation-window-bounded
     "events_survival_km",
+    # grouped by epoch-HOUR — observation-window-bounded (~9k/yr)
+    "events_cusum_changepoint",
     # grouped by md5 bucket % 20 — fixed 20-group jackknife domain
     "stats_jackknife_ci",
 }
