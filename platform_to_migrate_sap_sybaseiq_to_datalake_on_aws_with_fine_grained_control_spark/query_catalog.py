@@ -66,8 +66,23 @@ class CatalogEntry:
 _CATALOG: dict[str, CatalogEntry] = {}
 
 
+def _guard_new_name(name: str) -> None:
+    """Refuse duplicate registrations.  A second ``register``/``sql_query``
+    with an existing name would silently SHADOW the first (last import
+    wins), so the served implementation would depend on module import
+    order — exactly how a new entry landed dead-on-arrival once (an
+    ``events_cusum_changepoint`` re-registration in a later-imported
+    module overwrote it).  Fail loudly at import time instead."""
+    if name in _CATALOG:
+        raise ValueError(
+            f"catalog entry {name!r} is already registered — duplicate "
+            "names silently shadow by import order; pick a new name"
+        )
+
+
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        _guard_new_name(name)
         _CATALOG[name] = CatalogEntry(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -160,6 +175,7 @@ def sql_query(name: str, spark_text: str, oracle_text: str | None = None, doc: s
 
     fn.__name__ = f"q_{name}"
     fn.__doc__ = doc
+    _guard_new_name(name)
     _CATALOG[name] = CatalogEntry(
         name=name, fn=fn, oracle=oracle_text if oracle_text is not None else spark_text, doc=doc
     )

@@ -934,58 +934,6 @@ sql_query(
 
 
 # =====================================================================
-# CUSUM change-point detection (integer-exact prefix-min identity)
-# =====================================================================
-
-def _cusum_sql(epoch_us_expr: str) -> str:
-    return f"""
-WITH hourly AS (
-  SELECT CAST(floor({epoch_us_expr} / 3600000000) AS BIGINT) AS h,
-         CAST(count(*) AS BIGINT) AS x
-  FROM events GROUP BY 1),
-tot AS (SELECT CAST(sum(x) AS BIGINT) AS total,
-               CAST(count(*) AS BIGINT) AS n FROM hourly),
-dev AS (SELECT h, x, n * x - total AS d, total FROM hourly CROSS JOIN tot),
-pre AS (SELECT h, x, total,
-          sum(d) OVER (ORDER BY h
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-        FROM dev),
-cus AS (SELECT h, x, total, p,
-          p - min(p) OVER (ORDER BY h
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-        FROM pre)
-SELECT h AS epoch_hour, x AS n_events,
-       CAST(s AS BIGINT) AS cusum_scaled,
-       s > 3 * total AS alarm
-FROM cus ORDER BY epoch_hour
-"""
-
-
-sql_query(
-    "events_cusum_changepoint",
-    _cusum_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
-    _cusum_sql("epoch_us(ts)"),
-    doc="CUSUM change-point detection (Page 1954) over the hourly "
-    "event rate — the classic sequential drift detector, joining the "
-    "EWMA / Holt / seasonal-MAD / KS family with the method built for "
-    "PERSISTENT small shifts (each hour adds its deviation from the "
-    "global mean; sustained elevation accumulates where a one-hour "
-    "spike decays).  The textbook recursion S_i = max(0, S_{i-1} + "
-    "(x_i - mu)) is sequential, but distributes exactly via the "
-    "prefix-min identity S_i = P_i - min_{j<=i} P_j (P = prefix sum "
-    "of deviations): two cumulative windows over the SAME hourly "
-    "ordering — one shuffle, one sort, reused.  Integer-exact by "
-    "construction: deviations are scaled to n*x - total (no float "
-    "mean), so prefix sums, running minima, and the 3x-total alarm "
-    "threshold are all BIGINT arithmetic — no cross-engine float "
-    "association hazard anywhere.  The unpartitioned windows run "
-    "over the hourly GROUPED aggregate: domain = hours in the "
-    "observation window, bounded by time not data (the "
-    "events_survival_km class), ~9k rows/year at any corpus scale.",
-)
-
-
-# =====================================================================
 # One-pass column profiling (Deequ-style)
 # =====================================================================
 

@@ -170,8 +170,6 @@ WINDOW_OVER_GROUPED_AGG_OK = {
     "quality_score_auc",
     # grouped by integer lifetime-in-DAYS — observation-window-bounded
     "events_survival_km",
-    # grouped by epoch-HOUR — observation-window-bounded (~9k/yr)
-    "events_cusum_changepoint",
     # grouped by md5 bucket % 20 — fixed 20-group jackknife domain
     "stats_jackknife_ci",
 }
@@ -453,6 +451,28 @@ def test_catalog_rotation_prioritizes_unverified_entries():
         )
     else:
         assert all(n not in verified for n in names[:50])
+
+
+def test_duplicate_registration_raises():
+    """register/sql_query must refuse an existing name: a duplicate
+    silently shadows by module import order (the last import wins), so
+    which implementation ``queries()`` serves would depend on the
+    import list in query_catalog.py — an r11 entry landed dead-on-
+    arrival exactly this way."""
+    import pytest as _pytest
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark import (
+        query_catalog as qc,
+    )
+
+    taken = next(iter(qc._CATALOG))
+    with _pytest.raises(ValueError, match="already registered"):
+        qc.register(taken, None)(lambda spark, sf: None)
+    with _pytest.raises(ValueError, match="already registered"):
+        qc.sql_query(taken, "SELECT 1")
+    # and the catalog has no pre-existing duplicates: every registered
+    # name maps to exactly one CatalogEntry constructed under the guard
+    assert len(qc._CATALOG) == len(set(qc._CATALOG))
 
 
 def test_dedup_rate_by_source_loser_join_not_hint_forced(spark):
