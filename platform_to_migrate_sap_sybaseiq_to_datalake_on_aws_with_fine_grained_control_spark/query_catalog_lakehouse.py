@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .lakehouse import TransactionLog
+from .operators.layout import exact_file_chunks
 from .query_catalog import register
 from .sources.registry import load_table
 
@@ -267,13 +268,17 @@ SELECT 'files_total', CAST(ceil(max(n) / {DS_FILE_ROWS}.0) AS BIGINT), 0.0 FROM 
 )
 def acid_data_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TransactionLog(tempfile.mkdtemp(prefix="acid-ds-") + "/orders")
-    src = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("p"))
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("p")
     )
-    t.append(src, max_records_per_file=DS_FILE_ROWS)
+    # parallel exact-chunk layout: identical committed files to the old
+    # orderBy().coalesce(1) single-task write (differential-tested),
+    # written by many tasks (guide §2 — the serial writer was 10-12 s
+    # of this entry at sf0.1 and a wall at 100 TB)
+    t.append(
+        exact_file_chunks(src, ["o_orderkey"], DS_FILE_ROWS),
+        max_records_per_file=DS_FILE_ROWS,
+    )
     scanned = len(t.matching_files(DS_PRED))
     total = len(t.history()[-1].add)
     sliced = t.snapshot(spark, where=DS_PRED).agg(
@@ -744,17 +749,22 @@ SELECT 'delta_after_optimize', CAST(0 AS BIGINT), 0.0
 )
 def acid_partial_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TransactionLog(tempfile.mkdtemp(prefix="acid-po-") + "/orders")
-    src = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.round("o_totalprice", 2).alias("p"),
-        )
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("p"),
     )
-    t.append(src, ["o_orderstatus"], max_records_per_file=PO_FILE_ROWS)
+    # parallel exact-chunk layout (per-status rank restart) — same
+    # committed per-status ceil(n/200) files as the single-task
+    # coalesce(1) write, without the serial writer (guide §2)
+    t.append(
+        exact_file_chunks(
+            src, ["o_orderkey"], PO_FILE_ROWS,
+            partition_keys=["o_orderstatus"],
+        ),
+        ["o_orderstatus"],
+        max_records_per_file=PO_FILE_ROWS,
+    )
     v = t.compact(spark, where="o_orderstatus = 'F'")
     files = t._replay(v)["files"]
     by_status: dict[str, int] = {}
@@ -918,7 +928,7 @@ SELECT 'old_generation_intact',
 """,
     doc="Partition-spec EVOLUTION through the transaction log (the "
     "published Iceberg design): v1 appends 'F' orders hive-partitioned "
-    "by o_orderpriority (coalesce(1) → exactly one file per priority "
+    "by o_orderpriority (keyed repartition → exactly one file per priority "
     "dir); v2 set_partition_spec([]) — a metadata-only commit changing "
     "the layout for FUTURE writes; v3 appends 'O' orders unpartitioned "
     f"as sorted {DS_FILE_ROWS}-row chunks. 'all' proves reads union "
@@ -943,7 +953,10 @@ def acid_partition_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFra
             F.round("o_totalprice", 2).alias("p"),
             "o_orderpriority",
         )
-        .coalesce(1)
+        # one file per priority dir, like coalesce(1) — but each key
+        # group lands whole in its own task (hash repartition), so the
+        # dirs write in parallel instead of through one serial writer
+        .repartition(8, "o_orderpriority")
     )
     t.append(f_src, ["o_orderpriority"])
     n_old_files = len(t.history()[-1].add)
@@ -956,10 +969,12 @@ def acid_partition_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFra
             F.round("o_totalprice", 2).alias("p"),
             F.col("o_orderpriority"),
         )
-        .orderBy("o_orderkey")
-        .coalesce(1)
     )
-    t.append(o_src, max_records_per_file=DS_FILE_ROWS)
+    # parallel exact-chunk layout — identical sorted 200-row files
+    t.append(
+        exact_file_chunks(o_src, ["o_orderkey"], DS_FILE_ROWS),
+        max_records_per_file=DS_FILE_ROWS,
+    )
     scanned = len(t.matching_files(DS_PRED))
     all_row = t.snapshot(spark).agg(
         F.lit("all").alias("snap"),
@@ -996,7 +1011,7 @@ FROM f
     "pattern): add_generated_column('o_year', 'year(o_orderdate)') is "
     "declared BEFORE the first write; the 'F' orders append supplies "
     "only o_orderdate — the log computes o_year, lands one file per "
-    "year dir (coalesce(1)), and enforces supplied-value fidelity as "
+    "year dir (keyed repartition), and enforces supplied-value fidelity as "
     "an implicit CHECK on staged bytes. The per-year aggregate proves "
     "the computed values equal the oracle's year() exactly, and "
     "files_scanned proves a predicate on the GENERATED column prunes "
@@ -1018,7 +1033,10 @@ def acid_generated_hidden_partitioning_orders(
             F.round("o_totalprice", 2).alias("p"),
             "o_orderdate",
         )
-        .coalesce(1)
+        # one file per year dir, like coalesce(1): repartition on the
+        # same expression the generated column computes — each year
+        # lands whole in one task and the dirs write in parallel
+        .repartition(8, F.expr("CAST(year(o_orderdate) AS INT)"))
     )
     t.append(src, ["o_year"])
     scanned = len(t.matching_files("o_year = 1995"))
@@ -1308,20 +1326,20 @@ FROM hits
 )
 def acid_bloom_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TransactionLog(tempfile.mkdtemp(prefix="acid-bloom-") + "/orders")
-    src = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            F.col("o_custkey").cast("bigint").alias("o_custkey"),
-            F.round("o_totalprice", 2).alias("p"),
-        )
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.round("o_totalprice", 2).alias("p"),
     )
     empty = src.limit(0)
     t.append(empty)  # v1 establishes schema so the index can declare
     t.add_bloom_index("o_custkey")
-    t.append(src, max_records_per_file=DS_FILE_ROWS)
+    # parallel exact-chunk layout — identical sorted 200-row files to
+    # the old orderBy().coalesce(1) single-task write
+    t.append(
+        exact_file_chunks(src, ["o_orderkey"], DS_FILE_ROWS),
+        max_records_per_file=DS_FILE_ROWS,
+    )
     ck = src.agg(F.min("o_custkey")).collect()[0][0]
     files_total = len(t._replay(t.latest_version())["files"])
     scanned = len(t.matching_files(f"o_custkey = {ck}"))
@@ -1394,18 +1412,19 @@ def acid_commit_path_bloom_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TransactionLog(
         tempfile.mkdtemp(prefix="acid-cp-") + "/orders", checkpoint_interval=1
     )
-    src = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-            F.round("o_totalprice", 2).alias("p"),
-        )
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("p"),
     )
     t.append(src.limit(0))  # v1 establishes schema for the declaration
     t.add_bloom_index("o_orderkey")
-    v = t.append(src, max_records_per_file=CP_FILE_ROWS)
+    # parallel exact-chunk layout — identical sorted 150-row files to
+    # the old orderBy().coalesce(1) single-task write (which was 12 s
+    # of this 19 s entry at sf0.1)
+    v = t.append(
+        exact_file_chunks(src, ["o_orderkey"], CP_FILE_ROWS),
+        max_records_per_file=CP_FILE_ROWS,
+    )
     full = t._replay(v, use_checkpoint=False)
     ck = t._replay(v)  # interval=1: served by the fresh checkpoint
     files = ck["files"]

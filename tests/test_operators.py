@@ -3235,6 +3235,82 @@ def test_exact_ntile_matches_window_ntile(spark):
         spark.catalog.clearCache()
 
 
+def test_exact_file_chunks_layout_identical_to_coalesce1(spark, tmp_path):
+    """exact_file_chunks (the parallel replacement for the band3
+    entries' single-task ``orderBy().coalesce(1)`` tiny-file writes)
+    commits a file layout IDENTICAL to the coalesce(1) form: same file
+    count, same per-file (rows, min, max) multiset, same data-skipping
+    decisions — only file names / write parallelism differ."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (
+        TransactionLog,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        exact_file_chunks,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    def layout_sig(t, pkey=None):
+        files = t._replay(t.latest_version())["files"]
+        sig = []
+        for a in files.values():
+            s = a["stats"]["o_orderkey"]
+            pv = (a.get("partition_values") or {}).get(pkey) if pkey else None
+            sig.append((pv, a["rows"], s["min"], s["max"]))
+        return sorted(sig)
+
+    base = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("p")
+    )
+    # --- unpartitioned exact 200-row sorted chunks -------------------
+    old_t = TransactionLog(tmp_path / "old")
+    old_t.append(
+        base.drop("o_orderstatus").orderBy("o_orderkey").coalesce(1),
+        max_records_per_file=200,
+    )
+    new_t = TransactionLog(tmp_path / "new")
+    new_t.append(
+        exact_file_chunks(
+            base.drop("o_orderstatus"), ["o_orderkey"], 200, num_partitions=7
+        ),
+        max_records_per_file=200,
+    )
+    assert layout_sig(new_t) == layout_sig(old_t)
+    pred = "o_orderkey BETWEEN 100 AND 400"
+    assert len(new_t.matching_files(pred)) == len(old_t.matching_files(pred))
+    a = old_t.snapshot(spark, where=pred).agg(
+        F.count("*"), F.round(F.sum("p"), 2)
+    ).collect()
+    b = new_t.snapshot(spark, where=pred).agg(
+        F.count("*"), F.round(F.sum("p"), 2)
+    ).collect()
+    assert a == b
+    # --- hive-partitioned: per-status rank restarts ------------------
+    old_p = TransactionLog(tmp_path / "old_p")
+    old_p.append(
+        base.orderBy("o_orderkey").coalesce(1),
+        ["o_orderstatus"],
+        max_records_per_file=200,
+    )
+    new_p = TransactionLog(tmp_path / "new_p")
+    new_p.append(
+        exact_file_chunks(
+            base, ["o_orderkey"], 200,
+            partition_keys=["o_orderstatus"], num_partitions=7,
+        ),
+        ["o_orderstatus"],
+        max_records_per_file=200,
+    )
+    assert layout_sig(new_p, "o_orderstatus") == layout_sig(
+        old_p, "o_orderstatus"
+    )
+    spark.catalog.clearCache()
+
+
 def test_global_ordered_scan_running_sum_matches_window(spark):
     """global_ordered_scan's distributed running sum equals the
     single-task window form (integer values: exact at any summation

@@ -23,6 +23,9 @@ from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_contr
 from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.lakehouse import (  # noqa: E402
     TransactionLog,
 )
+from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (  # noqa: E402
+    exact_file_chunks,
+)
 from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (  # noqa: E402
     load_table,
 )
@@ -40,18 +43,18 @@ def lap(label: str) -> None:
 def profile_data_skipping(spark) -> None:
     print("== acid_data_skipping_orders ==")
     t = TransactionLog(tempfile.mkdtemp(prefix="prof-ds-") + "/orders")
-    src = (
-        load_table(spark, SF, "orders")
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("p"))
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    base = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("p")
     )
+    T0[0] = time.perf_counter()
+    src = exact_file_chunks(base, ["o_orderkey"], 200)
+    lap("exact_file_chunks layout (eager rank checkpoint)")
     # raw write cost alone (what _stage_files pays Spark for)
     raw = tempfile.mkdtemp(prefix="prof-dsraw-")
     shutil.rmtree(raw)
     T0[0] = time.perf_counter()
     src.write.option("maxRecordsPerFile", "200").parquet(raw)
-    lap("RAW coalesce(1) write, maxRecordsPerFile=200")
+    lap("RAW chunked write, maxRecordsPerFile=200")
     shutil.rmtree(raw)
     T0[0] = time.perf_counter()
     t.append(src, max_records_per_file=200)
@@ -70,19 +73,21 @@ def profile_data_skipping(spark) -> None:
 def profile_partial_optimize(spark) -> None:
     print("== acid_partial_optimize_orders ==")
     t = TransactionLog(tempfile.mkdtemp(prefix="prof-po-") + "/orders")
-    src = (
-        load_table(spark, SF, "orders")
-        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("p"))
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    base = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("p")
     )
+    T0[0] = time.perf_counter()
+    src = exact_file_chunks(
+        base, ["o_orderkey"], 200, partition_keys=["o_orderstatus"]
+    )
+    lap("exact_file_chunks layout (partitioned)")
     raw = tempfile.mkdtemp(prefix="prof-poraw-")
     shutil.rmtree(raw)
     T0[0] = time.perf_counter()
     src.write.option("maxRecordsPerFile", "200").partitionBy(
         "o_orderstatus"
     ).parquet(raw)
-    lap("RAW coalesce(1) partitioned write, maxRecordsPerFile=200")
+    lap("RAW chunked partitioned write, maxRecordsPerFile=200")
     shutil.rmtree(raw)
     T0[0] = time.perf_counter()
     t.append(src, ["o_orderstatus"], max_records_per_file=200)
@@ -104,25 +109,23 @@ def profile_commit_path(spark) -> None:
     t = TransactionLog(
         tempfile.mkdtemp(prefix="prof-cp-") + "/orders", checkpoint_interval=1
     )
-    src = (
-        load_table(spark, SF, "orders")
-        .select(
-            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-            F.round("o_totalprice", 2).alias("p"),
-        )
-        .orderBy("o_orderkey")
-        .coalesce(1)
+    base = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("p"),
     )
     T0[0] = time.perf_counter()
-    t.append(src.limit(0))
+    t.append(base.limit(0))
     lap("schema append v1")
     t.add_bloom_index("o_orderkey")
     lap("add_bloom_index")
+    T0[0] = time.perf_counter()
+    src = exact_file_chunks(base, ["o_orderkey"], 150)
+    lap("exact_file_chunks layout")
     raw = tempfile.mkdtemp(prefix="prof-cpraw-")
     shutil.rmtree(raw)
     T0[0] = time.perf_counter()
     src.write.option("maxRecordsPerFile", "150").parquet(raw)
-    lap("RAW coalesce(1) write, maxRecordsPerFile=150")
+    lap("RAW chunked write, maxRecordsPerFile=150")
     shutil.rmtree(raw)
     T0[0] = time.perf_counter()
     v = t.append(src, max_records_per_file=150)
