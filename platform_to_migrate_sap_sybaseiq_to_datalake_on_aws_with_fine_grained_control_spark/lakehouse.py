@@ -1046,19 +1046,22 @@ class TransactionLog:
             pf = pq.ParquetFile(f)
             if pf.metadata.num_rows == 0:
                 return None  # empty task output: never commit a 0-row file
+            # harvest rows + data-skipping bounds from the ONE parsed
+            # footer before the rename — the bytes don't change, and a
+            # second ParquetFile(dest) would re-read and re-parse the
+            # footer per file (O(files) wasted IO on every commit)
+            rows = pf.metadata.num_rows
+            stats = _collect_file_stats(pf)
             dest_rel = rel.parent / f"{uuid.uuid4().hex[:12]}-{rel.name}"
             dest = self.table_path / dest_rel
             dest.parent.mkdir(parents=True, exist_ok=True)
             f.rename(dest)
-            pf = pq.ParquetFile(dest)
             entry = {
                 "path": dest_rel.as_posix(),
                 "size": dest.stat().st_size,
-                "rows": pf.metadata.num_rows,
+                "rows": rows,
                 "partition_values": _parse_partition_dirs(rel.parent),
-                # data-skipping bounds from the footer already open
-                # for the row count — zero extra IO
-                "stats": _collect_file_stats(pf),
+                "stats": stats,
             }
             return entry
 
