@@ -597,15 +597,15 @@ sql_query(
 
 
 def _pq_spark_sql() -> str:
-    # Straight-line arithmetic instead of HOF lambdas (round-9 perf
-    # fix): transform/zip_with/aggregate over array literals run as
-    # INTERPRETED per-element lambdas with boxing (~36 µs/vector
-    # measured — 7.9 s for 200k vectors at sf10), while the unrolled
-    # `(x_i - c)·(x_i - c) + ...` sums are primitive doubles inside
-    # whole-stage codegen.  The component projection happens once in a
-    # subquery; each distance is the SAME left-to-right 8-term sum the
-    # fold produced, so every value (and the DuckDB oracle) is
-    # bit-identical.
+    # The SQL reference form of the PQ encoding — straight-line
+    # arithmetic instead of HOF lambdas (round-9 perf fix: interpreted
+    # per-element lambdas cost ~36 µs/vector).  Since r11 the LIVE
+    # entry runs functions.pq.pq_encode_udf (one Arrow/NumPy kernel —
+    # this ~100 KB literal tree cost Catalyst ~2-3 s of re-analysis on
+    # every action); this text remains the Spark-side equivalence
+    # anchor: test_pq_encode_udf_matches_sql_form proves the kernel
+    # reproduces it bit-for-bit, and the DuckDB oracle states the same
+    # arithmetic cross-engine.
     cb = pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
     comps = ", ".join(
         f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) AS x{i}"
@@ -876,18 +876,32 @@ sql_query(
     "subvectors, each assigned (exact nearest, first-min tiebreak) to "
     "one of 16 deterministic codebook centroids — 256 bytes of floats "
     "compressed to 8 4-bit codes, the standard memory layout for "
-    "billion-vector ANN re-ranking. Pure Column arithmetic (codebook "
-    "ships as a plan literal, per-row work is a fixed 16x8 flops per "
-    "subspace inside whole-stage codegen — zero shuffles, zero "
-    "Python); per-vector reconstruction MSE emitted floor-scaled as "
-    "the distortion readout. Codebook derivation is md5-seeded like "
-    "operators.similarity.hyperplanes, so the DuckDB oracle "
-    "reproduces it bit-exactly.",
+    "billion-vector ANN re-ranking. Encoding runs as ONE Arrow-batched "
+    "NumPy kernel over (vec_id, embedding) — zero shuffles; the r11 "
+    "replacement for the unrolled-literal SQL tree whose ~100 KB "
+    "expression Catalyst re-analyzed for ~2-3 s flat on every action "
+    "(measured faster at sf0.1 AND sf10; kernel folds are bit-"
+    "identical to the SQL form, held by "
+    "test_pq_encode_udf_matches_sql_form). Per-vector reconstruction "
+    "MSE emitted floor-scaled as the distortion readout. Codebook "
+    "derivation is md5-seeded like operators.similarity.hyperplanes, "
+    "so the DuckDB oracle reproduces it bit-exactly.",
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .query_catalog import _sql
+    from .functions.pq import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+        pq_encode_udf,
+    )
 
-    return _sql(spark, sf_dir, _pq_spark_sql())
+    enc = pq_encode_udf(pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", enc("embedding").alias("_e"))
+        .select("vec_id", F.col("_e.codes").alias("codes"), F.col("_e.mse").alias("mse"))
+    )
 
 
 # =====================================================================

@@ -2973,6 +2973,54 @@ def test_lsh_signature_udf_matches_sql_fold(spark):
     assert nulls.collect()[0].s is None
 
 
+def test_pq_encode_udf_matches_sql_form(spark):
+    """The Arrow/NumPy PQ encoder must be BIT-identical to the
+    unrolled-literal SQL form on real embeddings at two SFs — the
+    sequential dim/subspace accumulation reproduces the SQL's
+    left-to-right IEEE sum order, the argmin is first-min like
+    array_position(d, array_min(d)), and the mse readout replays the
+    floor-scaled arithmetic exactly."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.pq import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+        pq_encode_udf,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.query_catalog_mining import (
+        _pq_spark_sql,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.sources.registry import (
+        register_parquet_views,
+    )
+
+    enc = pq_encode_udf(
+        pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
+    )
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        register_parquet_views(spark, sf, ["embeddings"])
+        sql_rows = {
+            r.vec_id: (r.codes, r.mse)
+            for r in spark.sql(_pq_spark_sql()).collect()
+        }
+        udf_rows = {
+            r.vec_id: (r.codes, r.mse)
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+            .select("vec_id", enc("embedding").alias("_e"))
+            .select("vec_id", "_e.codes", "_e.mse")
+            .collect()
+        }
+        assert udf_rows == sql_rows, sf
+    # null embeddings come back null, not garbage
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id int, embedding array<float>"
+    ).select(enc(F.col("embedding")).alias("e"))
+    row = nulls.collect()[0].e
+    assert row.codes is None and row.mse is None
+
+
 def test_jpeg_meta_parse_cross_validates_against_jvm_encoder(spark, tmp_path):
     """The dependency-free JPEG SOF marker walk, differentially
     validated against an independent ENCODER (executor-side
