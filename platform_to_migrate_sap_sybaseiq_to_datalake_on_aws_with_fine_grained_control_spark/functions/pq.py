@@ -16,6 +16,7 @@ __all__ = [
     "PQ_CENTROIDS",
     "pq_codebook",
     "pq_encode_udf",
+    "pq_residual_codes_udf",
 ]
 
 PQ_SUBSPACES = 8  # product quantization: 64 dims -> 8 subvectors
@@ -127,3 +128,76 @@ def pq_encode_udf(codebook: list[list[list[float]]]):
 
     _enc.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
     return pandas_udf(_enc, "codes string, mse double")
+
+
+def pq_residual_codes_udf(codebook: list[list[list[float]]]):
+    """Arrow-batched pandas UDF for the RESIDUAL PQ encode of
+    ``build_ivfpq_index``: ``(vec float[], centroid double[]) ->
+    struct(code0..codeN int)`` — bit-identical to the HOF chain
+    ``zip_with(vec, centroid, x - c)`` then per-subspace
+    ``array_position(transform(book, cent -> aggregate(zip_with(sub,
+    cent, (p-q)²), 0D, acc+v)), array_min(...))``, but vectorized with
+    NumPy instead of interpreted per-element lambdas (guide §4.2).
+
+    Why bit-safe: the residual is elementwise (exact); each distance
+    accumulates SEQUENTIALLY over the subdim axis in the fold's
+    left-to-right order (the fold's ``0D`` seed is absorbed exactly —
+    ``0.0 + t`` == ``t`` for the non-negative squares); argmin is
+    first-min like ``array_position(d, array_min(d))``.  Measured: the
+    interpreted fold costs ~1024 lambda steps/vector (~30 ns each) —
+    the dominant term of the sf10 IVF-PQ entries; the kernel runs the
+    same arithmetic as whole-array NumPy ops.
+    ``test_pq_residual_codes_udf_matches_hof_chain`` holds the
+    equivalence on real data.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    CB = np.array(codebook, dtype=np.float64)  # (subspaces, cents, subdim)
+    S, C, D = CB.shape
+    dims = S * D
+    schema = ", ".join(f"code{s} int" for s in range(S))
+
+    def _codes(vecs, cents):
+        v_vals = vecs.to_numpy()
+        c_vals = cents.to_numpy()
+        good = np.array(
+            [
+                v is not None and c is not None
+                and len(v) == dims and len(c) == dims
+                for v, c in zip(v_vals, c_vals)
+            ],
+            dtype=bool,
+        )
+        out = {f"code{s}": [None] * len(v_vals) for s in range(S)}
+        if good.any():
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in v_vals[good]])
+            Cm = np.stack([np.asarray(c, dtype=np.float64) for c in c_vals[good]])
+            R = V - Cm  # zip_with(vec, centroid, x - c): elementwise, exact
+            n = R.shape[0]
+            for s in range(S):
+                sub = R[:, s * D : (s + 1) * D]
+                dists = np.empty((n, C), dtype=np.float64)
+                for c in range(C):
+                    acc = None
+                    for d in range(D):  # sequential = the fold's sum order
+                        t = sub[:, d] - CB[s, c, d]
+                        sq = t * t
+                        acc = sq if acc is None else acc + sq
+                    dists[:, c] = acc
+                idx = np.argmin(dists, axis=1) + 1  # first min, 1-based
+                col = out[f"code{s}"]
+                j = 0
+                for i, g in enumerate(good):
+                    if g:
+                        col[i] = int(idx[j])
+                        j += 1
+        return pd.DataFrame(out)
+
+    _codes.__annotations__ = {
+        "vecs": pd.Series,
+        "cents": pd.Series,
+        "return": pd.DataFrame,
+    }
+    return pandas_udf(_codes, schema)

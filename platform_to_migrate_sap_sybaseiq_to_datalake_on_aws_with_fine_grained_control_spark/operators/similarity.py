@@ -1117,26 +1117,25 @@ def build_ivfpq_index(
     )
     cent_only = F.broadcast(cents.select("list_label", "centroid"))
     base = corpus.select(id_col, vec_col)
-    residual = f"zip_with({vec_col}, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"
+    # residual + per-subspace nearest-code as ONE Arrow/NumPy kernel
+    # (r11, guide §4.2): the HOF chain (zip_with residual, then
+    # transform/aggregate distances per subspace) interprets ~1024
+    # lambda steps per vector — the dominant term of the sf10 IVF-PQ
+    # entries.  The kernel runs the same left-to-right folds
+    # vectorized; bit-equivalence to the HOF chain is held by
+    # test_pq_residual_codes_udf_matches_hof_chain.
+    from ..functions.pq import pq_residual_codes_udf
+
+    codes_kernel = pq_residual_codes_udf(pq_book)
     enc = (
         _nearest_lists(base, cents_n, id_col, vec_col, 1)
         .join(cent_only, "list_label")
-        .withColumn("_res", F.expr(residual))
+        .withColumn("_codes", codes_kernel(F.col(vec_col), F.col("centroid")))
     )
-    for s in range(subspaces):
-        sub = f"slice(_res, {s * subdim + 1}, {subdim})"
-        dists = (
-            f"transform({_pq_book_lit(pq_book[s])}, "
-            f"cent -> {_sq_l2_agg(sub, 'cent')})"
-        )
-        enc = enc.withColumn(
-            f"code{s}",
-            F.expr(
-                f"array_position(({dists}), array_min({dists}))"
-            ).cast("int"),
-        )
     lists = enc.select(
-        id_col, "list_label", *[f"code{s}" for s in range(subspaces)]
+        id_col,
+        "list_label",
+        *[F.col(f"_codes.code{s}").alias(f"code{s}") for s in range(subspaces)],
     )
     return cents, lists
 

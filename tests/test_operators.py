@@ -3021,6 +3021,62 @@ def test_pq_encode_udf_matches_sql_form(spark):
     assert row.codes is None and row.mse is None
 
 
+def test_pq_residual_codes_udf_matches_hof_chain(spark):
+    """The vectorized residual-PQ encoder must be BIT-identical to the
+    HOF chain it replaced in build_ivfpq_index (zip_with residual,
+    then per-subspace array_position(transform(book, cent ->
+    aggregate(...)), array_min(...))) on real (vector, centroid)
+    pairs — same fold order, same first-min tiebreak."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.functions.pq import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_codebook,
+        pq_residual_codes_udf,
+    )
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        _pq_book_lit,
+        _sq_l2_agg,
+        label_centroids,
+    )
+
+    book = pq_codebook(PQ_SUBSPACES, PQ_CENTROIDS, PQ_SUBDIM)
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = label_centroids(df, "embedding", "label").select(
+        F.col("label").alias("list_label"), "centroid"
+    )
+    # every (vector, its-label centroid) pair — a superset of the
+    # assignment pairs the operator encodes
+    paired = df.join(
+        F.broadcast(cents), df.label == F.col("list_label")
+    ).withColumn(
+        "_res",
+        F.expr("zip_with(embedding, centroid, (x, c) -> CAST(x AS DOUBLE) - c)"),
+    )
+    hof = paired
+    for s in range(PQ_SUBSPACES):
+        sub = f"slice(_res, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        dists = (
+            f"transform({_pq_book_lit(book[s])}, "
+            f"cent -> {_sq_l2_agg(sub, 'cent')})"
+        )
+        hof = hof.withColumn(
+            f"h{s}",
+            F.expr(f"array_position(({dists}), array_min({dists}))").cast("int"),
+        )
+    both = hof.withColumn(
+        "_k", pq_residual_codes_udf(book)(F.col("embedding"), F.col("centroid"))
+    )
+    mismatch = both.filter(
+        " OR ".join(
+            f"h{s} IS DISTINCT FROM _k.code{s}" for s in range(PQ_SUBSPACES)
+        )
+    ).count()
+    assert mismatch == 0
+
+
 def test_jpeg_meta_parse_cross_validates_against_jvm_encoder(spark, tmp_path):
     """The dependency-free JPEG SOF marker walk, differentially
     validated against an independent ENCODER (executor-side
