@@ -173,6 +173,17 @@ def global_ordered_scan(
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # Known double execution (measured r11, left in place deliberately):
+    # repartitionByRange SAMPLES its child to derive range bounds — one
+    # full execution of the input lineage — and the eager checkpoint
+    # below executes it again for the shuffle.  Pinning the input
+    # (persist-then-unpersist, or a second localCheckpoint) halves that,
+    # but both variants were measured to break the GC-owned block
+    # lifecycle this helper promises (checkpoints stopped draining under
+    # ContextCleaner once an interposed materialization sat beneath
+    # them) — and the inputs here are post-aggregation frames whose
+    # recompute is one cheap codegen pass.  Revisit only with a
+    # lifecycle test in hand.
     sdf = (
         df.repartitionByRange(parts, *order_cols)
         .sortWithinPartitions(*order_cols)

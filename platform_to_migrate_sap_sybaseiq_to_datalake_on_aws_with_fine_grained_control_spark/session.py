@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd shuffle/broadcast compression (guide §2.3/§9): token-heavy
+        # shuffles (bigram/shingle streams) compress far better than
+        # under the lz4 default, so shuffle-IO-bound stages move fewer
+        # bytes over disk AND network — measured on the sf10 bigram-LM
+        # pipeline: 36-115 s erratic (lz4, disk-saturated) -> 13-16 s
+        # stable (zstd); scale-independent (a pure byte-ratio win), not
+        # a local[32] tuning.  Parquet file codec stays snappy — data
+        # file bytes are part of committed artifacts.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

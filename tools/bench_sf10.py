@@ -324,6 +324,10 @@ def main() -> int:
         "entry_loadavg": entry_load,
     }
     print(json.dumps(out))
+    if args.queries:
+        # subset/debug runs must never clobber the committed full record
+        print("# subset run: BENCH_sf10.json NOT rewritten", file=sys.stderr)
+        return 1 if offenders else 0
     (Path(REPO_ROOT) / "BENCH_sf10.json").write_text(
         json.dumps(out, indent=2) + "\n"
     )
