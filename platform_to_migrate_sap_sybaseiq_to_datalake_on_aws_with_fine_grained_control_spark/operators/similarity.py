@@ -715,10 +715,6 @@ def kmeans_centroids(
     round to keep the plan flat.
     """
     base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # corpus-side norms once, not once per (vector, centroid, iteration):
-    # cos = dot/(_vn*_cn) is bit-identical to the inline cosine_expr
-    # (same sqrt(dot) subexpressions) at a third of the fold work.
-    base = base.withColumn("_vn", F.expr(norm_expr("_v")))
     seeds = (
         base.select(
             "_id", "_v", F.md5(F.col("_id").cast("string")).alias("_seed")
@@ -739,18 +735,21 @@ def kmeans_centroids(
             (F.col("_rn") - 1).cast("int").alias("cid"),
             F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("centroid"),
         )
-        .withColumn("_cn", F.expr(norm_expr("centroid")))
         .localCheckpoint()
     )
+    from ..functions.centroids import collect_codebook, nearest_centroid_udf
+
     for _ in range(iters):
-        scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
-        )
-        ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
-        assigned = (
-            scored.groupBy("_id")
-            .agg(F.max_by(F.struct(F.col("cid"), F.col("_v")), ord_).alias("_m"))
-            .select(F.col("_m.cid").alias("cid"), F.col("_m._v").alias("_v"))
+        # assignment as one Arrow/NumPy kernel over the (checkpointed,
+        # k-row) codebook — replaces the broadcast cross join +
+        # interpreted cosine folds + max_by shuffle (guide §4.2); same
+        # fold order and lowest-cid tiebreak, bit-identical cosines
+        # (test_nearest_lists_kernel_matches_sql_form covers the
+        # shared kernel).
+        labels, matrix, ddl = collect_codebook(cents, "cid")
+        kern = nearest_centroid_udf(labels, matrix, ddl)
+        assigned = base.select(
+            kern(F.col("_v"))["label"].alias("cid"), "_v"
         )
         new_cents = (
             assigned.select("cid", F.posexplode("_v").alias("pos", "v"))
@@ -766,10 +765,9 @@ def kmeans_centroids(
         cents = (
             cents.join(new_cents, "cid", "left")
             .select("cid", F.coalesce("_new", "centroid").alias("centroid"))
-            .withColumn("_cn", F.expr(norm_expr("centroid")))
             .localCheckpoint()
         )
-    return cents.drop("_cn")
+    return cents
 
 
 def _nearest_lists(
@@ -778,55 +776,40 @@ def _nearest_lists(
     id_col: str,
     vec_col: str,
     keep: int,
+    codebook: tuple | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``keep`` nearest inverted lists by
     cosine (deterministic lowest-``list_label`` tiebreak).
 
-    ``cents`` is a broadcast-wrapped ``(list_label, centroid, _cn)``
-    codebook frame.  Shared by :func:`ivf_topk` (coarse assignment +
-    probing) and :func:`ivf_pq_adc_topk` (same topology feeding the
-    PQ encoder).
+    ``cents`` is a ``(list_label, centroid, ...)`` codebook frame.
+    Shared by :func:`ivf_topk` (coarse assignment + probing) and
+    :func:`ivf_pq_adc_topk` (same topology feeding the PQ encoder).
+
+    r12 (guide §4.2): the assignment is ONE Arrow/NumPy kernel with
+    the codebook in a driver-collected closure — the former broadcast
+    cross join + interpreted ``aggregate(zip_with(...))`` cosine folds
+    (k × dims lambda steps per vector, the r11-measured dominant term
+    of the sf10 IVF family) + ``max_by``/window reduction collapse to
+    a single Python eval with no shuffle of its own.  Bit-equivalence
+    (same fold order, same NaN/tie semantics) is held by
+    ``test_nearest_lists_kernel_matches_sql_form``.  Callers sharing
+    one codebook across several assignments pass the pre-collected
+    ``codebook=collect_codebook(cents, "list_label")``.
     """
-    scored = (
-        df.withColumn("_vn", F.expr(norm_expr(vec_col)))
-        .crossJoin(cents)
-        .withColumn(
-            "cos_c",
-            F.expr(f"({dot_expr(vec_col, 'centroid')}) / (_vn * _cn)"),
-        )
+    from ..functions.centroids import (
+        collect_codebook,
+        nearest_centroid_udf,
+        topk_centroid_udf,
     )
+
+    labels, matrix, ddl = codebook or collect_codebook(cents, "list_label")
     if keep == 1:
-        # corpus-side argmax as an aggregation, not a window: the
-        # partial max_by combines map-side, so the shuffle carries
-        # one row per vector instead of one per (vector, centroid).
-        # Ties on cosine break to the LOWEST label: max_by needs a
-        # descending second key, so rank labels ascending via a
-        # dense per-centroid index (works for ANY label type — an
-        # arithmetic negation would crash ANSI-cast on strings).
-        lbl_rank = Window.orderBy(F.col("list_label").asc())
-        cents_ranked = cents.withColumn("_lrk", F.row_number().over(lbl_rank))
-        scored = scored.join(
-            F.broadcast(cents_ranked.select("list_label", "_lrk")),
-            "list_label",
+        kern = nearest_centroid_udf(labels, matrix, ddl)
+        return df.withColumn("_m", kern(F.col(vec_col))).select(
+            id_col, F.col("_m.label").alias("list_label"), vec_col
         )
-        ord_ = F.struct(F.col("cos_c"), (-F.col("_lrk")).alias("_nl"))
-        return (
-            scored.groupBy(id_col)
-            .agg(
-                F.max_by(
-                    F.struct(F.col("list_label"), F.col(vec_col)), ord_
-                ).alias("_m")
-            )
-            .select(id_col, F.col("_m.list_label"), F.col(f"_m.{vec_col}"))
-        )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cos_c").desc(), F.col("list_label").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= keep)
-        .drop("cos_c", "centroid", "_rn", "_vn", "_cn")
-    )
+    kern = topk_centroid_udf(labels, matrix, ddl, keep)
+    return df.withColumn("list_label", F.explode(kern(F.col(vec_col))))
 
 
 def ivf_topk(
@@ -861,13 +844,16 @@ def ivf_topk(
         cents = label_centroids(corpus, vec_col, label_col, dims=dims).select(
             F.col(label_col).alias("list_label"), "centroid"
         )
-    # centroid norms once per codebook row, vector norms once per
-    # corpus row: cos = dot/(_vn*_cn) reuses cosine_expr's exact
-    # sqrt(dot) subexpressions — identical bits, a third of the folds.
-    cents = F.broadcast(cents.withColumn("_cn", F.expr(norm_expr("centroid"))))
+    # one driver collect of the k-row codebook, shared by both
+    # assignment kernels (corpus lists + query probes) — the SQL form
+    # broadcast the same k rows to every executor and re-executed the
+    # codebook subtree per assignment site
+    from ..functions.centroids import collect_codebook
+
+    cb = collect_codebook(cents, "list_label")
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
-        return _nearest_lists(df, cents, id_col, vec_col, keep)
+        return _nearest_lists(df, cents, id_col, vec_col, keep, codebook=cb)
 
     base = corpus.select(id_col, vec_col)
     # candidate re-rank reuses the same precomputed-norm identity:
@@ -1107,15 +1093,26 @@ def build_ivfpq_index(
     table is the ~subspaces-bytes-per-vector artifact that replaces
     the raw float corpus for candidate scoring.
     """
+    from ..functions.centroids import collect_codebook
+
     subspaces = len(pq_book)
     subdim = len(pq_book[0][0])
     cents = label_centroids(corpus, vec_col, label_col, dims=dims).select(
         F.col(label_col).alias("list_label"), "centroid"
     )
-    cents_n = F.broadcast(
-        cents.withColumn("_cn", F.expr(norm_expr("centroid")))
+    # one execution of the codebook aggregation (the driver collect);
+    # the residual join and the returned codebook frame are rebuilt as
+    # a literal frame from the SAME collected doubles — bit-identical
+    # values, and the corpus is no longer re-scanned once per codebook
+    # reference (the SQL form embedded the aggregation subtree 3×)
+    cb = collect_codebook(cents, "list_label")
+    labels, matrix, ddl = cb
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(lbl, [float(x) for x in row]) for lbl, row in zip(labels, matrix)],
+        schema=f"list_label {ddl}, centroid array<double>",
     )
-    cent_only = F.broadcast(cents.select("list_label", "centroid"))
+    cent_only = F.broadcast(cents)
     base = corpus.select(id_col, vec_col)
     # residual + per-subspace nearest-code as ONE Arrow/NumPy kernel
     # (r11, guide §4.2): the HOF chain (zip_with residual, then
@@ -1128,7 +1125,7 @@ def build_ivfpq_index(
 
     codes_kernel = pq_residual_codes_udf(pq_book)
     enc = (
-        _nearest_lists(base, cents_n, id_col, vec_col, 1)
+        _nearest_lists(base, cents, id_col, vec_col, 1, codebook=cb)
         .join(cent_only, "list_label")
         .withColumn("_codes", codes_kernel(F.col(vec_col), F.col("centroid")))
     )
@@ -1200,12 +1197,8 @@ def ivf_pq_adc_topk(
             corpus, pq_book, id_col, vec_col, label_col, dims=dims
         )
     codebook, lists = index
-    cents = F.broadcast(
-        codebook.select("list_label", "centroid").withColumn(
-            "_cn", F.expr(norm_expr("centroid"))
-        )
-    )
-    cent_only = F.broadcast(codebook.select("list_label", "centroid"))
+    cents = codebook.select("list_label", "centroid")
+    cent_only = F.broadcast(cents)
     base = corpus.select(id_col, vec_col)
 
     # ---- search: probe lists, build per-probe ADC LUTs --------------
@@ -1325,30 +1318,14 @@ def semantic_dedup(
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).withColumn("_vn", F.expr(norm_expr("_v")))
-    cents = F.broadcast(
-        codebook.withColumn("_cn", F.expr(norm_expr("centroid")))
-    )
-    scored = base.crossJoin(cents).withColumn(
-        "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
-    )
-    # argmax as an aggregation (map-side combine): one row per vector
-    # crosses the wire, not one per (vector, centroid)
-    ord_ = F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
-    assigned = (
-        scored.groupBy("_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cid"), F.col("_v"), F.col("_vn"), F.col("cos_c")),
-                ord_,
-            ).alias("_m")
-        )
-        .select(
-            F.col("_id"),
-            F.col("_m.cid").alias("cid"),
-            F.col("_m._v").alias("_v"),
-            F.col("_m._vn").alias("_vn"),
-            F.round(F.col("_m.cos_c"), 6).alias("cent_cos"),
-        )
+    # assignment = the shared Arrow/NumPy argmax kernel (guide §4.2);
+    # same bits as the former broadcast cross join + max_by reduction
+    assigned = _argmax_centroid(base, codebook, "cid").select(
+        "_id",
+        "cid",
+        "_v",
+        "_vn",
+        F.round(F.col("cos_c"), 6).alias("cent_cos"),
     )
     return _keep_outlier(assigned, id_col, tau)
 
@@ -1504,7 +1481,7 @@ def kmeans_centroids_grouped(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-    ).withColumn("_vn", F.expr(norm_expr("_v")))
+    )
     w_seed = Window.partitionBy("_g").orderBy(
         F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc()
     )
@@ -1532,26 +1509,28 @@ def kmeans_centroids_grouped(
             )
         )
         cents = cents.unionByName(orphan)
-    cents = cents.withColumn(
-        "_cn", F.expr(norm_expr("centroid"))
-    ).localCheckpoint()
+    cents = cents.localCheckpoint()
+    from ..functions.centroids import (
+        _label_sort_key,
+        nearest_centroid_grouped_udf,
+    )
+
     for _ in range(iters):
-        scored = base.join(F.broadcast(cents), "_g").withColumn(
-            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
-        )
-        ord_ = F.struct(F.col("cos_c"), (-F.col("scid")).alias("_ns"))
-        assigned = (
-            scored.groupBy("_id")
-            .agg(
-                F.max_by(
-                    F.struct(F.col("_g"), F.col("scid"), F.col("_v")), ord_
-                ).alias("_m")
-            )
-            .select(
-                F.col("_m._g").alias("_g"),
-                F.col("_m.scid").alias("scid"),
-                F.col("_m._v").alias("_v"),
-            )
+        # grouped assignment as one Arrow/NumPy kernel over the
+        # (checkpointed, k-per-group) codebook — replaces the
+        # broadcast equi-join + interpreted cosine folds + max_by
+        # shuffle (guide §4.2); same fold order and lowest-scid
+        # tiebreak, bit-identical cosines.
+        group_books: dict = {}
+        for r in cents.select("_g", "scid", "centroid").collect():
+            group_books.setdefault(r[0], []).append((r[1], r[2]))
+        books = {}
+        for g, pairs in group_books.items():
+            pairs.sort(key=lambda p: _label_sort_key(p[0]))
+            books[g] = ([p[0] for p in pairs], [p[1] for p in pairs])
+        kern = nearest_centroid_grouped_udf(books, "int")
+        assigned = base.select(
+            "_g", kern(F.col("_v"), F.col("_g"))["label"].alias("scid"), "_v"
         )
         new_cents = (
             assigned.select("_g", "scid", F.posexplode("_v").alias("pos", "v"))
@@ -1569,10 +1548,9 @@ def kmeans_centroids_grouped(
             .select(
                 "_g", "scid", F.coalesce("_new", "centroid").alias("centroid")
             )
-            .withColumn("_cn", F.expr(norm_expr("centroid")))
             .localCheckpoint()
         )
-    return cents.drop("_cn").withColumnRenamed("_g", group_col)
+    return cents.withColumnRenamed("_g", group_col)
 
 
 def _argmax_centroid(
@@ -1581,37 +1559,58 @@ def _argmax_centroid(
     cid_col: str,
     join_col: str | None = None,
 ) -> DataFrame:
-    """Nearest-centroid argmax as a map-side-combining aggregation:
-    ``df (_id, _v, _vn, [join_col])`` x broadcast ``cents (cid_col,
-    centroid, _cn, [join_col])`` -> one row per vector with the
-    winning ``cid_col`` and its UNROUNDED ``cos_c``.  Tiebreak =
-    lowest ``cid_col``.  With ``join_col`` the scoring is an equi-join
-    (probe-pruned: only that cell's centroids are scored, and the
-    cell key rides through the payload); without it, a broadcast
-    cross join over the whole codebook."""
-    if join_col is not None:
-        scored = df.join(F.broadcast(cents), join_col)
-    else:
-        scored = df.crossJoin(F.broadcast(cents))
-    scored = scored.withColumn(
-        "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
+    """Nearest-centroid argmax: ``df (_id, _v, _vn, [join_col])`` x a
+    small ``cents (cid_col, centroid, [join_col])`` codebook -> one
+    row per vector with the winning ``cid_col`` and its UNROUNDED
+    ``cos_c``.  Tiebreak = lowest ``cid_col``.  With ``join_col`` the
+    scoring is probe-pruned to the row's own cell.
+
+    r12 (guide §4.2): one Arrow/NumPy kernel with the driver-collected
+    codebook in its closure — replaces the broadcast (cross/equi) join
+    + interpreted cosine folds + ``max_by`` shuffle; same fold order,
+    NaN/tie semantics (``test_argmax_centroid_kernel_matches_sql_form``).
+    In the ``join_col`` form, rows whose cell has no codebook entry
+    are dropped, exactly as the former inner equi-join did (the
+    two-level flows guarantee a fallback centroid per cell, so none
+    are in practice).
+    """
+    from ..functions.centroids import (
+        collect_codebook,
+        nearest_centroid_grouped_udf,
+        nearest_centroid_udf,
     )
-    extra = [join_col] if join_col is not None else []
-    ord_ = F.struct(F.col("cos_c"), (-F.col(cid_col)).alias("_nc"))
-    payload = F.struct(
-        F.col(cid_col), F.col("_v"), F.col("_vn"), F.col("cos_c"),
-        *[F.col(c) for c in extra],
-    )
+
+    if join_col is None:
+        labels, matrix, ddl = collect_codebook(cents, cid_col)
+        kern = nearest_centroid_udf(labels, matrix, ddl)
+        return df.withColumn("_m", kern(F.col("_v"))).select(
+            "_id",
+            F.col("_m.label").alias(cid_col),
+            "_v",
+            "_vn",
+            F.col("_m.cos").alias("cos_c"),
+        )
+    from ..functions.centroids import _label_sort_key
+
+    ddl = cents.schema[cid_col].dataType.simpleString()
+    group_books: dict = {}
+    for r in cents.select(join_col, cid_col, "centroid").collect():
+        group_books.setdefault(r[0], []).append((r[1], r[2]))
+    books = {}
+    for g, pairs in group_books.items():
+        pairs.sort(key=lambda p: _label_sort_key(p[0]))
+        books[g] = ([p[0] for p in pairs], [p[1] for p in pairs])
+    kern = nearest_centroid_grouped_udf(books, ddl)
     return (
-        scored.groupBy("_id")
-        .agg(F.max_by(payload, ord_).alias("_m"))
+        df.withColumn("_m", kern(F.col("_v"), F.col(join_col)))
+        .filter(F.col("_m.label").isNotNull())
         .select(
             "_id",
-            F.col(f"_m.{cid_col}").alias(cid_col),
-            F.col("_m._v").alias("_v"),
-            F.col("_m._vn").alias("_vn"),
-            F.col("_m.cos_c").alias("cos_c"),
-            *[F.col(f"_m.{c}").alias(c) for c in extra],
+            F.col("_m.label").alias(cid_col),
+            "_v",
+            "_vn",
+            F.col("_m.cos").alias("cos_c"),
+            join_col,
         )
     )
 
@@ -1674,13 +1673,10 @@ def two_level_codebook(
     if train_sample is not None:
         train = md5_sample(train, id_col, vec_col, train_sample)
     coarse = kmeans_centroids(train, id_col, vec_col, k=k1, iters=iters)
-    coarse_b = F.broadcast(
-        coarse.withColumn("_cn", F.expr(norm_expr("centroid")))
-    )
     tbase = train.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).withColumn("_vn", F.expr(norm_expr("_v")))
-    t_assigned = _argmax_centroid(tbase, coarse_b, "cid").select(
+    t_assigned = _argmax_centroid(tbase, coarse, "cid").select(
         F.col("cid").alias("ccid"), F.col("_id"), F.col("_v")
     )
     fine = kmeans_centroids_grouped(
@@ -1702,17 +1698,13 @@ def _assign_two_level(
     scores per vector, both levels broadcast.  Returns the SemDeDup
     ``assigned`` frame ``(_id, cid, _v, _vn, cent_cos)`` with
     ``cid = ccid * k2 + scid`` (bigint)."""
-    coarse_b = F.broadcast(
-        coarse.withColumn("_cn", F.expr(norm_expr("centroid")))
-    )
-    fine_b = F.broadcast(fine.withColumn("_cn", F.expr(norm_expr("centroid"))))
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).withColumn("_vn", F.expr(norm_expr("_v")))
-    casg = _argmax_centroid(base, coarse_b, "cid").select(
+    casg = _argmax_centroid(base, coarse, "cid").select(
         "_id", "_v", "_vn", F.col("cid").alias("ccid")
     )
-    fasg = _argmax_centroid(casg, fine_b, "scid", join_col="ccid")
+    fasg = _argmax_centroid(casg, fine, "scid", join_col="ccid")
     return fasg.select(
         "_id",
         (

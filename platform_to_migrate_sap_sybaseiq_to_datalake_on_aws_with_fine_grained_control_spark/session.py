@@ -49,15 +49,25 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # zstd shuffle/broadcast compression (guide §2.3/§9): token-heavy
-        # shuffles (bigram/shingle streams) compress far better than
-        # under the lz4 default, so shuffle-IO-bound stages move fewer
-        # bytes over disk AND network — measured on the sf10 bigram-LM
-        # pipeline: 36-115 s erratic (lz4, disk-saturated) -> 13-16 s
-        # stable (zstd); scale-independent (a pure byte-ratio win), not
-        # a local[32] tuning.  Parquet file codec stays snappy — data
+        # Shuffle/broadcast codec (guide §2.3: "There is no universal
+        # answer — measure both").  r11 shipped zstd unconditionally on
+        # an sf10-only measurement and regressed the sf0.1 headline 25%
+        # (PERF_r11: geomean 0.79, 14/19 slower — zstd's CPU-per-block
+        # cost dominates at sub-MB shuffle sizes).  r12 A/B under the
+        # driver protocol (bench.py, sf0.1, cold JVM, idle host):
+        # numbers in OPTIMIZATION_r12.md — the default below ships the
+        # measured winner; SPARK_GRAFT_IO_CODEC overrides for scale
+        # deployments (zstd stays right for the multi-GB token shuffles
+        # measured at sf10).  Parquet file codec stays snappy — data
         # file bytes are part of committed artifacts.
-        .config("spark.io.compression.codec", "zstd")
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.io.compression.zstd.level",
+            os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

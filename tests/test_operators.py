@@ -3560,3 +3560,228 @@ def test_hilbert_key_matches_reference_and_is_bijective(spark):
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (
             f"curve jump at d={d}: {(x1, y1)} -> {(x2, y2)}"
         )
+
+
+def test_nearest_lists_kernel_matches_sql_form(spark):
+    """The Arrow/NumPy nearest-centroid kernels behind _nearest_lists
+    must be BIT-identical to the SQL form they replaced (broadcast
+    cross join + in-order cosine folds + max_by / per-id window) on
+    real embeddings — same fold order, same lowest-label tiebreak."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        _nearest_lists,
+        dot_expr,
+        label_centroids,
+        norm_expr,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = label_centroids(df, "embedding", "label").select(
+        F.col("label").alias("list_label"), "centroid"
+    )
+    base = df.select("vec_id", "embedding")
+    # the pre-r12 SQL form, reconstructed verbatim
+    cents_n = F.broadcast(
+        cents.withColumn("_cn", F.expr(norm_expr("centroid")))
+    )
+    scored = (
+        base.withColumn("_vn", F.expr(norm_expr("embedding")))
+        .crossJoin(cents_n)
+        .withColumn(
+            "cos_c",
+            F.expr(f"({dot_expr('embedding', 'centroid')}) / (_vn * _cn)"),
+        )
+    )
+    lbl_rank = Window.orderBy(F.col("list_label").asc())
+    ranked = cents_n.withColumn("_lrk", F.row_number().over(lbl_rank))
+    scored1 = scored.join(
+        F.broadcast(ranked.select("list_label", "_lrk")), "list_label"
+    )
+    ord_ = F.struct(F.col("cos_c"), (-F.col("_lrk")).alias("_nl"))
+    old1 = (
+        scored1.groupBy("vec_id")
+        .agg(F.max_by(F.struct(F.col("list_label")), ord_).alias("_m"))
+        .select("vec_id", F.col("_m.list_label"))
+    )
+    new1 = _nearest_lists(base, cents, "vec_id", "embedding", 1).select(
+        "vec_id", "list_label"
+    )
+    assert old1.count() == new1.count() == df.count()
+    assert (
+        old1.alias("o")
+        .join(new1.alias("n"), "vec_id")
+        .filter("o.list_label <> n.list_label")
+        .count()
+        == 0
+    )
+    # keep > 1: the probe-selection window form
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("list_label").asc()
+    )
+    old3 = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("vec_id", "list_label")
+    )
+    new3 = _nearest_lists(base, cents, "vec_id", "embedding", 3).select(
+        "vec_id", "list_label"
+    )
+    assert old3.exceptAll(new3).count() == 0
+    assert new3.exceptAll(old3).count() == 0
+
+
+def test_argmax_centroid_kernel_matches_sql_form(spark):
+    """_argmax_centroid's kernels (flat and probe-pruned/grouped) must
+    reproduce the former broadcast-join + max_by SQL reduction bit for
+    bit, including the UNROUNDED cos_c the SemDeDup keep rule consumes."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.similarity import (
+        _argmax_centroid,
+        dot_expr,
+        kmeans_centroids,
+        kmeans_centroids_grouped,
+        norm_expr,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = df.select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+    ).withColumn("_vn", F.expr(norm_expr("_v")))
+    coarse = kmeans_centroids(df, "vec_id", "embedding", k=4, iters=2)
+
+    def sql_argmax(sdf, cents, cid_col, join_col=None):
+        cents = cents.withColumn("_cn", F.expr(norm_expr("centroid")))
+        if join_col is not None:
+            scored = sdf.join(F.broadcast(cents), join_col)
+        else:
+            scored = sdf.crossJoin(F.broadcast(cents))
+        scored = scored.withColumn(
+            "cos_c", F.expr(f"({dot_expr('_v', 'centroid')}) / (_vn * _cn)")
+        )
+        extra = [join_col] if join_col is not None else []
+        ord_ = F.struct(F.col("cos_c"), (-F.col(cid_col)).alias("_nc"))
+        payload = F.struct(
+            F.col(cid_col), F.col("cos_c"), *[F.col(c) for c in extra]
+        )
+        return (
+            scored.groupBy("_id")
+            .agg(F.max_by(payload, ord_).alias("_m"))
+            .select(
+                "_id",
+                F.col(f"_m.{cid_col}").alias(cid_col),
+                F.col("_m.cos_c").alias("cos_c"),
+            )
+        )
+
+    old_flat = sql_argmax(base, coarse, "cid")
+    new_flat = _argmax_centroid(base, coarse, "cid").select(
+        "_id", "cid", "cos_c"
+    )
+    joined = old_flat.alias("o").join(new_flat.alias("n"), "_id")
+    assert joined.count() == df.count()
+    assert (
+        joined.filter(
+            "o.cid <> n.cid OR o.cos_c IS DISTINCT FROM n.cos_c"
+        ).count()
+        == 0
+    )
+    # grouped (probe-pruned fine level)
+    casg = _argmax_centroid(base, coarse, "cid").select(
+        "_id", "_v", "_vn", F.col("cid").alias("ccid")
+    )
+    fine = kmeans_centroids_grouped(
+        casg, "ccid", "_id", "_v", k=3, iters=2,
+        fallback=coarse.select(F.col("cid").alias("ccid"), "centroid"),
+    )
+    old_g = sql_argmax(casg, fine, "scid", join_col="ccid")
+    new_g = _argmax_centroid(casg, fine, "scid", join_col="ccid").select(
+        "_id", "scid", "cos_c"
+    )
+    jg = old_g.alias("o").join(new_g.alias("n"), "_id")
+    assert jg.count() == casg.count()
+    assert (
+        jg.filter(
+            "o.scid <> n.scid OR o.cos_c IS DISTINCT FROM n.cos_c"
+        ).count()
+        == 0
+    )
+
+
+def test_global_ordered_scan_single_execution_of_input(spark):
+    """The r12 input pin: the expensive input lineage must execute
+    ONCE (the range-bound sampling job materializes the pinned cache;
+    the shuffle reads it), not once per pass.  Counted via an
+    accumulator inside an opaque UDF in the input lineage."""
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        global_row_number,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counted(x):
+        acc.add(1)
+        return x
+
+    n = 20_000
+    src = spark.range(n).select(counted("id").alias("k"))
+    out = global_row_number(src, [F.col("k").asc()], out="rn")
+    assert out.count() == n
+    # one full execution (+ scheduler slack); the pre-fix double pass
+    # would land at 2n
+    assert acc.value <= int(n * 1.5), f"input executed {acc.value / n:.2f}x"
+
+
+def test_global_ordered_scan_releases_blocks(spark):
+    """Lifecycle regression (VERDICT r11 item 5): the input pin must be
+    released BEFORE the helper returns, and the returned frame's
+    localCheckpoint blocks must drain under the ContextCleaner once
+    the frame is garbage-collected — the GC-owned contract the helper
+    documents."""
+    import gc
+    import time
+
+    from pyspark.sql import functions as F
+
+    from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.operators.layout import (
+        global_row_number,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def settle(target: int, tries: int = 45) -> int:
+        # ContextCleaner drains weak-ref'd RDDs asynchronously
+        for _ in range(tries):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if n_persistent() <= target:
+                break
+            time.sleep(1.0)
+        return n_persistent()
+
+    base = settle(0)
+    frames = []
+    for i in range(3):
+        src = spark.range(10_000 + i).select(
+            (F.col("id") % 997).alias("k"), F.col("id").alias("uid")
+        )
+        f = global_row_number(src, ["k", "uid"], out="rn")
+        assert f.count() == 10_000 + i
+        frames.append(f)
+    # pins released eagerly inside the call: only the 3 checkpoints live
+    assert n_persistent() <= base + 3, (
+        f"input pins leaked: {n_persistent()} persistent RDDs "
+        f"(baseline {base}, expected <= {base + 3})"
+    )
+    del frames, f, src
+    drained = settle(base)
+    assert drained <= base, (
+        f"checkpoint blocks did not drain: {drained} persistent RDDs "
+        f"remain (baseline {base})"
+    )
