@@ -85,11 +85,22 @@ def pq_encode_udf(codebook: list[list[list[float]]]):
     dims = S * D
     scale = float(dims)
 
+    def _finite_row(v) -> bool:
+        # reject null/ragged vectors AND vectors with null/non-finite
+        # elements (ADVICE r11): the SQL form yields NULL for these
+        # degenerate rows; np.asarray would raise on a None element and
+        # NaN would flip the first-min argmin vs array_min's NaN order
+        if v is None or len(v) != dims:
+            return False
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            return False
+        return bool(np.isfinite(a).all())
+
     def _enc(vecs):
         vals = vecs.to_numpy()
-        good = np.array(
-            [v is not None and len(v) == dims for v in vals], dtype=bool
-        )
+        good = np.array([_finite_row(v) for v in vals], dtype=bool)
         codes_out: list = [None] * len(vals)
         mse_out: list = [None] * len(vals)
         if good.any():
@@ -159,13 +170,22 @@ def pq_residual_codes_udf(codebook: list[list[list[float]]]):
     dims = S * D
     schema = ", ".join(f"code{s} int" for s in range(S))
 
+    def _finite_row(v) -> bool:
+        # same degenerate-input contract as pq_encode_udf (ADVICE r11)
+        if v is None or len(v) != dims:
+            return False
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            return False
+        return bool(np.isfinite(a).all())
+
     def _codes(vecs, cents):
         v_vals = vecs.to_numpy()
         c_vals = cents.to_numpy()
         good = np.array(
             [
-                v is not None and c is not None
-                and len(v) == dims and len(c) == dims
+                _finite_row(v) and _finite_row(c)
                 for v, c in zip(v_vals, c_vals)
             ],
             dtype=bool,

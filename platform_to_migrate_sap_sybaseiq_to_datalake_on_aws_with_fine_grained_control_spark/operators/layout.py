@@ -372,20 +372,40 @@ def exact_file_chunks(
     )
     if pkeys:
         # O(distinct key groups) aggregate on the already-materialized
-        # frame; broadcast back — rank restarts per hive partition
+        # frame; broadcast back — rank restarts per hive partition.
+        # The join is NULL-SAFE on every key (r12, ADVICE r11): a NULL
+        # partition key is a real group for the hive writer
+        # (__HIVE_DEFAULT_PARTITION__), and a plain equi-join would
+        # silently drop its rows from the layout.
         offs = rn_frame.groupBy(*pkeys).agg(
             F.min("_efc_rn").alias("_efc_base")
+        ).select(
+            *[
+                F.col(k).alias(f"_efc_g{i}")
+                for i, k in enumerate(pkeys)
+            ],
+            "_efc_base",
         )
-        rn_frame = rn_frame.join(F.broadcast(offs), pkeys)
+        cond = None
+        for i, k in enumerate(pkeys):
+            c = F.col(k).eqNullSafe(F.col(f"_efc_g{i}"))
+            cond = c if cond is None else cond & c
+        rn_frame = rn_frame.join(F.broadcast(offs), cond).drop(
+            *[f"_efc_g{i}" for i in range(len(pkeys))]
+        )
         rank0 = F.col("_efc_rn") - F.col("_efc_base")
     else:
         rank0 = F.col("_efc_rn") - F.lit(1)
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    out = rn_frame.withColumn(
-        "_efc_chunk", F.floor(rank0 / F.lit(rows_per_file))
-    )
+    # integer division (r12, ADVICE r11): the double-division floor is
+    # exact only while rank*ulp < 1/rows_per_file; DIV is exact at any
+    # rank the bigint can hold — the 100 TB contract the helper sells
+    out = rn_frame.withColumn("_efc_rank0", rank0.cast("bigint"))
+    out = out.withColumn(
+        "_efc_chunk", F.expr(f"_efc_rank0 DIV {int(rows_per_file)}")
+    ).drop("_efc_rank0")
     out = (
         out.repartition(parts, *pkeys, "_efc_chunk")
         .sortWithinPartitions(*pkeys, "_efc_chunk", *order_cols)

@@ -1517,9 +1517,34 @@ def curate_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
         feat=feat,
     )
-    ppl = bigram_perplexity_df(spark, sf_dir).select(
-        "doc_id", "ppl", "ccnet_bucket"
-    )
+    # Overlap independent jobs (guide §2.6, r12): the perplexity
+    # pipeline's eager exact-ntile checkpoint and the minhash
+    # feature-table materialization do not depend on each other, so
+    # force the (already-persisted) feature table on a background
+    # thread while the main thread runs the perplexity build — each
+    # job's tail backfills the other's idle executors.  Plan and
+    # results are identical: the thread only forces the persist that
+    # the dedup join would otherwise force later, serially.
+    import threading
+
+    _bg_err: list[BaseException] = []
+
+    def _materialize_feat() -> None:
+        try:
+            feat.count()
+        except BaseException as e:  # surfaced after join
+            _bg_err.append(e)
+
+    _th = threading.Thread(target=_materialize_feat, daemon=True)
+    _th.start()
+    try:
+        ppl = bigram_perplexity_df(spark, sf_dir).select(
+            "doc_id", "ppl", "ccnet_bucket"
+        )
+    finally:
+        _th.join()
+    if _bg_err:
+        raise _bg_err[0]
     contaminated = _contamination_overlap_from_shingles(
         feat.select("doc_id", "sh")
     ).select("doc_id")

@@ -3364,7 +3364,9 @@ def test_exact_file_chunks_layout_identical_to_coalesce1(spark, tmp_path):
         for a in files.values():
             s = a["stats"]["o_orderkey"]
             pv = (a.get("partition_values") or {}).get(pkey) if pkey else None
-            sig.append((pv, a["rows"], s["min"], s["max"]))
+            # stringify pv: a NULL partition value (None) must sort
+            # against real string values in the multiset comparison
+            sig.append((repr(pv), a["rows"], s["min"], s["max"]))
         return sorted(sig)
 
     base = load_table(spark, SF_SMALL, "orders").select(
@@ -3411,6 +3413,38 @@ def test_exact_file_chunks_layout_identical_to_coalesce1(spark, tmp_path):
     )
     assert layout_sig(new_p, "o_orderstatus") == layout_sig(
         old_p, "o_orderstatus"
+    )
+    # --- NULL partition key (ADVICE r11): rows with a NULL key go to
+    # __HIVE_DEFAULT_PARTITION__, exactly like the coalesce(1) form —
+    # the offsets join is null-safe, so none are dropped
+    null_base = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    old_n = TransactionLog(tmp_path / "old_n")
+    old_n.append(
+        null_base.orderBy("o_orderkey").coalesce(1),
+        ["o_orderstatus"],
+        max_records_per_file=200,
+    )
+    new_n = TransactionLog(tmp_path / "new_n")
+    new_n.append(
+        exact_file_chunks(
+            null_base, ["o_orderkey"], 200,
+            partition_keys=["o_orderstatus"], num_partitions=7,
+        ),
+        ["o_orderstatus"],
+        max_records_per_file=200,
+    )
+    assert layout_sig(new_n, "o_orderstatus") == layout_sig(
+        old_n, "o_orderstatus"
+    )
+    assert (
+        new_n.snapshot(spark).count()
+        == old_n.snapshot(spark).count()
+        == null_base.count()
     )
     spark.catalog.clearCache()
 

@@ -470,9 +470,12 @@ def test_duplicate_registration_raises():
         qc.register(taken, None)(lambda spark, sf: None)
     with _pytest.raises(ValueError, match="already registered"):
         qc.sql_query(taken, "SELECT 1")
-    # and the catalog has no pre-existing duplicates: every registered
-    # name maps to exactly one CatalogEntry constructed under the guard
-    assert len(qc._CATALOG) == len(set(qc._CATALOG))
+    # and every registered entry is self-consistent: the CatalogEntry's
+    # own name matches the key it is registered under (a dict can't
+    # hold duplicate keys, so THIS is the meaningful invariant — a
+    # mismatch would mean an entry was registered under the wrong name)
+    for key, entry in qc._CATALOG.items():
+        assert entry.name == key, f"{key!r} holds entry named {entry.name!r}"
 
 
 def test_dedup_rate_by_source_loser_join_not_hint_forced(spark):
