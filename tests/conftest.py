@@ -21,7 +21,16 @@ def spark(tmp_path_factory):
     )
 
     wh = tmp_path_factory.mktemp("warehouse")
-    s = get_spark(app_name="tests", warehouse_dir=str(wh))
+    # 8 shuffle partitions for the TEST session (r12): the suite runs
+    # hundreds of sub-second queries over sf0.001 inputs where 32-way
+    # exchanges are pure scheduling overhead (~2x per-test cost,
+    # measured).  Results are partition-count-invariant by the
+    # engine's determinism design — the driver's own 8-core scaling
+    # runs already exercise exactly this configuration — and plan
+    # SHAPES (join strategies, pushdowns, window guards) do not depend
+    # on the partition count.  Bench/production sessions keep the
+    # core-count default from session.py.
+    s = get_spark(app_name="tests", warehouse_dir=str(wh), shuffle_partitions=8)
     yield s
 
 

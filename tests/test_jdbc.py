@@ -50,6 +50,7 @@ def derby_url(spark, tmp_path_factory) -> str:
     return url
 
 
+@pytest.mark.slow
 def test_jdbc_partitioned_scan_roundtrip(spark, derby_url):
     """S1: partitioned derived-table scan — N range splits become N
     Spark partitions, all rows arrive exactly once."""
@@ -238,6 +239,7 @@ def derby_sales_table(spark, derby_url) -> list[tuple[str, float, int]]:
     return rows
 
 
+@pytest.mark.slow
 def test_jdbc_catalog_aggregate_pushdown(spark, derby_url, derby_sales_table):
     """r10 VERDICT item 3: DSv2 JDBCTableCatalog pushes
     MIN/MAX/COUNT/SUM/AVG through to the source engine — the plan's
@@ -312,6 +314,7 @@ def test_jdbc_catalog_filter_pushdown_and_limit(
     )
 
 
+@pytest.mark.slow
 def test_engine_runs_jdbc_job_end_to_end(spark, derby_url, tmp_path):
     """Plan JSON → Engine.run_job over a real JDBC source: partitioned
     extraction, reconciliation against ExpectedAmountOfRecords, parquet

@@ -68,6 +68,7 @@ def test_crash_before_commit_is_invisible(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [1]
 
 
+@pytest.mark.slow
 def test_snapshot_isolation_through_compact_and_overwrite(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024")]), ["year"])
     tbl.append(_df(spark, [(3, "c", "2025")]))
@@ -95,6 +96,7 @@ def test_compact_reduces_files_preserves_rows(spark, tbl):
     assert not tbl.history()[-1].data_change
 
 
+@pytest.mark.slow
 def test_incremental_read_skips_rewrites(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
     tbl.append(_df(spark, [(2, "b", "2024")]))
@@ -161,6 +163,7 @@ def test_torn_log_raises(spark, tbl):
         tbl.snapshot(spark)
 
 
+@pytest.mark.slow
 def test_checkpoint_replay_equals_full_replay(spark, tbl):
     for i in range(7):  # interval=3 -> checkpoints at 3 and 6
         tbl.append(_df(spark, [(i, "x", str(2020 + i % 2))]), ["year"])
@@ -173,6 +176,7 @@ def test_checkpoint_replay_equals_full_replay(spark, tbl):
     assert _ids(tbl.snapshot(spark, version=2)) == [0, 1]
 
 
+@pytest.mark.slow
 def test_chained_checkpoints_equal_full_replay_mixed_ops(spark, tbl):
     """Checkpoint writes are INCREMENTAL (previous checkpoint + tail,
     never a from-scratch log walk — the walk is O(commits²) over a
@@ -303,6 +307,7 @@ def test_engine_acid_mode_end_to_end(spark, tmp_path):
     assert t.read_changes(spark, 1).count() == 2
 
 
+@pytest.mark.slow
 def test_merge_upsert_semantics_and_file_pruning(spark, tbl):
     """Copy-on-write MERGE: matched keys update, unmatched insert, and
     ONLY files containing matched keys are rewritten — the 2024 file
@@ -335,6 +340,7 @@ def test_merge_into_empty_table_is_insert(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [1]
 
 
+@pytest.mark.slow
 def test_merge_schema_drift_gates(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
     import pytest as _pytest
@@ -390,6 +396,7 @@ def test_delete_nothing_matches_is_metadata_noop(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [1]
 
 
+@pytest.mark.slow
 def test_change_feed_row_level_types(spark, tbl):
     """read_change_feed delivers exact per-row changes: appends
     synthesize inserts, merges stage pre/post-image + insert rows,
@@ -552,6 +559,7 @@ def test_restore_validations(spark, tbl):
         tbl.restore(1)
 
 
+@pytest.mark.slow
 def test_check_constraint_enforcement(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024")]), ["year"])
     tbl.add_check_constraint(spark, "id_pos", "id > 0")
@@ -588,6 +596,7 @@ def test_add_constraint_rejects_violating_existing_data(spark, tbl):
     assert tbl._replay(tbl.latest_version())["constraints"] == {}
 
 
+@pytest.mark.slow
 def test_constraint_survives_checkpoint_and_drop(spark, tbl):
     """checkpoint_interval=3: the constraint commit is rolled into a
     checkpoint and must still be enforced when replay starts there."""
@@ -630,6 +639,7 @@ def test_rmw_rebases_over_concurrent_append(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [1, 9]
 
 
+@pytest.mark.slow
 def test_rmw_conflicts_with_concurrent_rewrite(spark, tbl):
     """A concurrent rewrite of the SAME file invalidates the staged
     removes -> the race surfaces instead of rebasing.  (Since the
@@ -657,6 +667,7 @@ def test_rmw_conflicts_with_concurrent_rewrite(spark, tbl):
 # ---- deletion vectors (merge-on-read DELETE) --------------------------
 
 
+@pytest.mark.slow
 def test_dv_delete_is_metadata_only_and_exact(spark, tbl):
     """mode='dv' writes NO data files — deletions land as a (file,
     row_index) sidecar anti-joined out on read; compaction
@@ -684,6 +695,7 @@ def test_dv_delete_is_metadata_only_and_exact(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [1, 3, 4]
 
 
+@pytest.mark.slow
 def test_dv_interplay_with_merge_cow_and_vacuum(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2024"), (2, "b", "2024"), (3, "c", "2024"),
                            (4, "d", "2025"), (5, "e", "2025"), (6, "f", "2025")]),
@@ -707,6 +719,7 @@ def test_dv_interplay_with_merge_cow_and_vacuum(spark, tbl):
 # ---- property: random op sequences vs a pure-Python model -------------
 
 
+@pytest.mark.slow
 def test_log_state_machine_random_ops(spark, tmp_path):
     """Hypothesis drives random append / merge / delete(cow|dv) /
     overwrite / compact / restore / rename / drop+re-add sequences
@@ -1033,6 +1046,7 @@ def test_log_state_machine_random_ops(spark, tmp_path):
     run()
 
 
+@pytest.mark.slow
 def test_concurrent_blind_appends_all_land(spark, tbl):
     """16 writer threads blind-appending simultaneously: every commit
     must land under a distinct version (create-if-absent + retry), no
@@ -1058,6 +1072,7 @@ def test_concurrent_blind_appends_all_land(spark, tbl):
         assert len(tbl._replay(v)["files"]) >= 1
 
 
+@pytest.mark.slow
 def test_partial_compact_where_scopes_rewrite(spark, tbl):
     """OPTIMIZE ... WHERE rewrites ONLY matching partition dirs: the
     other partition's file list is untouched (same rel paths), total
@@ -1079,6 +1094,7 @@ def test_partial_compact_where_scopes_rewrite(spark, tbl):
     assert tbl.read_changes(spark, v - 1, v).count() == 0
 
 
+@pytest.mark.slow
 def test_partial_compact_min_files_policy(spark, tbl):
     """min_files only rewrites partition dirs holding more live files
     than the threshold — the incremental small-file policy."""
@@ -1097,6 +1113,7 @@ def test_partial_compact_min_files_policy(spark, tbl):
         tbl.compact(spark, min_files=2)  # everything already at 1 file
 
 
+@pytest.mark.slow
 def test_partial_compact_keeps_surviving_deletion_vectors(spark, tbl):
     """A DV spanning both partitions: partial compact of one partition
     materializes its deletions and keeps the vector active for the
@@ -1385,6 +1402,7 @@ def test_clone_compact_materializes_and_survives_source_vacuum(
     assert _ids(clone.snapshot(spark)) == [1, 2]
 
 
+@pytest.mark.slow
 def test_clone_merge_rewrites_locally(spark, tbl, tmp_path):
     """Copy-on-write MERGE on a clone prunes to the affected CLONED
     file, rewrites it under the clone dir, and never touches the
@@ -1499,6 +1517,7 @@ def test_rename_data_skipping_and_predicates(spark, tbl):
     assert [(r.key, r.yr) for r in got] == [(1, "2024")]
 
 
+@pytest.mark.slow
 def test_rename_merge_delete_and_feed_span_rename(spark, tbl):
     """Copy-on-write MERGE and DV DELETE on a renamed table write
     physical bytes under the frozen names, and a change feed spanning
@@ -1578,6 +1597,7 @@ def test_append_racing_rename_raises(spark, tbl, monkeypatch):
         tbl.append(_df(spark, [(2, "b", "2024")]))
 
 
+@pytest.mark.slow
 def test_rename_connector_batch_and_stream(spark, tbl, tmp_path):
     """The Python Data Source reads mapped tables: physical file
     columns alias to the logical view, partition values inject under
@@ -1800,6 +1820,7 @@ def test_unknown_reader_feature_refuses_reads(spark, tbl):
 # ---- generated columns -----------------------------------------------------
 
 
+@pytest.mark.slow
 def test_generated_column_computed_validated_partitions(spark, tbl):
     """A declared generated column is computed for writes that omit
     it, validated on the staged bytes for writes that supply it, and
@@ -1927,6 +1948,7 @@ def test_parquet_checkpoint_and_legacy_json_compat(spark, tbl):
     assert tbl._replay(4)["files"] == full["files"]
 
 
+@pytest.mark.slow
 def test_checkpoint_scales_to_many_files(spark, tbl):
     """A checkpoint over thousands of add actions round-trips exactly
     (the columnar form is the 10^6-file path at 100 TB; this pins the
@@ -2068,6 +2090,7 @@ def test_update_on_renamed_and_dv_table(spark, tbl):
 # ---- identity columns ------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_identity_column_allocation(spark, tbl):
     """GENERATED ALWAYS AS IDENTITY: values allocate above the
     committed watermark per write (unique across appends, never
@@ -2167,6 +2190,7 @@ def test_clone_carries_generated_and_identity_declarations(spark, tbl, tmp_path)
 # ---- bloom filter index ----------------------------------------------------
 
 
+@pytest.mark.slow
 def test_bloom_index_point_lookup_skipping(spark, tbl):
     """A declared bloom index prunes equality/IN lookups on a
     high-cardinality UNSORTED column whose per-file min/max spans the
@@ -2205,6 +2229,7 @@ def test_bloom_index_point_lookup_skipping(spark, tbl):
 
 
 
+@pytest.mark.slow
 def test_bloom_index_string_and_declaration_rules(spark, tbl):
     tbl.append(
         spark.createDataFrame(
@@ -2347,6 +2372,7 @@ def test_publish_racing_check_constraint_raises(
     assert _ids(tbl.snapshot(spark)) == [1]
 
 
+@pytest.mark.slow
 def test_expire_snapshots_e2e(spark, tbl):
     """r10 VERDICT item 5: metadata retention.  expire → horizon
     advances, time travel INSIDE the horizon stays bit-identical,
@@ -2394,6 +2420,7 @@ def test_expire_snapshots_e2e(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [100, 101, 102]
 
 
+@pytest.mark.slow
 def test_expire_snapshots_keeps_stream_txn_watermark(spark, tbl):
     """streamTxn idempotence watermarks from expired commits fold into
     the expiry marker — a stream resuming after retention GC still
@@ -2412,6 +2439,7 @@ def test_expire_snapshots_keeps_stream_txn_watermark(spark, tbl):
     assert got == v0 and tbl.latest_version() == v0
 
 
+@pytest.mark.slow
 def test_metadata_tables_snapshots_and_files(spark, tbl):
     """snapshots_df / files_df — the Iceberg metadata-table / Delta
     DESCRIBE HISTORY inspection surface: queryable commit history and
@@ -2437,6 +2465,7 @@ def test_metadata_tables_snapshots_and_files(spark, tbl):
     ] == [2, 3]
 
 
+@pytest.mark.slow
 def test_expire_snapshots_self_heals_crash_orphans(spark, tbl):
     """A crash between a previous expire's marker rename and its
     unlink loop leaves below-marker commit files the marker-derived
@@ -2464,6 +2493,7 @@ def test_expire_snapshots_self_heals_crash_orphans(spark, tbl):
     assert tbl.earliest_version() == 5
 
 
+@pytest.mark.slow
 def test_expire_snapshots_older_than_and_dry_run(spark, tbl):
     """older_than horizons cap at retain_last; dry_run deletes
     nothing."""
@@ -2511,6 +2541,7 @@ def test_publish_racing_partition_spec_change_raises(
     assert _ids(tbl.snapshot(spark)) == [1]
 
 
+@pytest.mark.slow
 def test_overwrite_rekeys_bloom_index(spark, tbl):
     """Overwrite resets column_mapping, so the bloom index (keyed by
     PHYSICAL names) must be re-keyed alongside: post-overwrite files
@@ -2568,6 +2599,7 @@ def test_merge_identity_ids_consistent_between_table_and_feed(spark, tbl):
     assert feed_ids == {n: table_ids[n] for n in feed_ids}
 
 
+@pytest.mark.slow
 def test_bloom_staging_runs_executor_side(spark, tbl, monkeypatch):
     """With a declared bloom index, staging's data-proportional work
     (re-reading the indexed column, hashing values) must run as a
@@ -2617,6 +2649,7 @@ def _rows(df):
     return sorted((r.id, r.qty, r.status) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_merge_clauses_conditional_update_delete_insert(spark, tbl):
     """WHEN MATCHED AND cond THEN UPDATE / WHEN MATCHED THEN DELETE /
     WHEN NOT MATCHED AND cond THEN INSERT — first-true clause wins per
@@ -2665,6 +2698,7 @@ def test_merge_clauses_conditional_update_delete_insert(spark, tbl):
     ]
 
 
+@pytest.mark.slow
 def test_merge_clauses_not_matched_by_source(spark, tbl):
     """WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE — the
     CDC full-sync shape: rows absent from the source expire."""
@@ -2688,6 +2722,7 @@ def test_merge_clauses_not_matched_by_source(spark, tbl):
     ]
 
 
+@pytest.mark.slow
 def test_merge_clauses_by_source_only_prunes_by_condition(spark, tbl):
     """A conditional by-source merge with NO matched clauses rewrites
     only the files its condition can hit; matched rows in them carry."""
@@ -2710,6 +2745,7 @@ def test_merge_clauses_by_source_only_prunes_by_condition(spark, tbl):
     assert len(rec["remove"]) == 1  # only the (4,5) file held 'closed'
 
 
+@pytest.mark.slow
 def test_merge_clauses_validation_and_ambiguity(spark, tbl):
     _merge_tbl(spark, tbl)
     with pytest.raises(ValueError, match="at least one WHEN"):
@@ -2751,6 +2787,7 @@ def test_merge_clauses_empty_table_and_noop(spark, tbl):
     assert v2 == 1 and tbl.latest_version() == 1
 
 
+@pytest.mark.slow
 def test_merge_clauses_identity_and_generated(spark, tbl):
     """Inserts allocate identity; matched updates retain target ids;
     generated columns recompute from post-merge values; SET may not
@@ -2783,6 +2820,7 @@ def test_merge_clauses_identity_and_generated(spark, tbl):
     assert after["c"][0] not in before.values() and after["c"][1:] == (30, 60)
 
 
+@pytest.mark.slow
 def test_update_where_dv_mode(spark, tbl):
     """Merge-on-read UPDATE: preimage positions land in a deletion
     vector, postimages append as new files — ZERO rewrites of the
@@ -2827,6 +2865,7 @@ def test_update_where_dv_mode(spark, tbl):
     }
 
 
+@pytest.mark.slow
 def test_cross_process_blind_appends_all_land(spark, tmp_path):
     """The os.link create-if-absent arbitration proven across REAL
     driver PROCESSES (separate JVMs, separate Python interpreters) —
@@ -3030,6 +3069,7 @@ def test_rebased_commit_recomputes_dv_survival(spark, tbl):
     assert live_2025 and live_2025 <= covered  # winner's vector survived
 
 
+@pytest.mark.slow
 def test_merge_rebases_over_disjoint_key_rewrite(spark, tbl):
     """An equi-key MERGE reads the target only through its join keys,
     so it declares a min/max-key read surface: a concurrent rewrite
@@ -3055,6 +3095,7 @@ def test_merge_rebases_over_disjoint_key_rewrite(spark, tbl):
     assert [r.v for r in snap.collect()] == ["A"]  # merge landed
 
 
+@pytest.mark.slow
 def test_merge_conflicts_on_overlapping_key_range(spark, tbl):
     """The conflict case still raises: the concurrent delete removed
     the very file holding the merge's key range, so the merge's read
@@ -3076,6 +3117,7 @@ def test_merge_conflicts_on_overlapping_key_range(spark, tbl):
     assert raced["done"]
 
 
+@pytest.mark.slow
 def test_merge_by_source_clause_stays_strict(spark, tbl):
     """WHEN NOT MATCHED BY SOURCE inspects EVERY target row (a row
     acts because no source key matches it), so such a merge declares
@@ -3101,6 +3143,7 @@ def test_merge_by_source_clause_stays_strict(spark, tbl):
     assert raced["done"]
 
 
+@pytest.mark.slow
 def test_overlapping_file_deletes_still_conflict(spark, tbl):
     """Same-file concurrency is NOT tolerated: the winner removed a
     file inside the loser's read surface (both rows share one file, so
@@ -3192,6 +3235,7 @@ def test_vacuum_sweeps_purged_dv_sidecars(spark, tbl):
     assert _ids(tbl.snapshot(spark)) == [2]
 
 
+@pytest.mark.slow
 def test_cross_process_disjoint_deletes_both_commit(spark, tmp_path):
     """The disjoint-footprint rebase proven across REAL driver
     processes: two JVMs, synchronized start, each deleting its OWN
@@ -3279,6 +3323,7 @@ spark.stop()
     assert _ids(t.snapshot(spark)) == []  # both partitions deleted
 
 
+@pytest.mark.slow
 def test_cross_process_disjoint_key_merges_both_commit(spark, tmp_path):
     """The MERGE read-surface narrowing proven across REAL driver
     processes (VERDICT r7 item 4 'done' bar): two JVMs, synchronized
@@ -3412,6 +3457,7 @@ def test_publish_from_wap_loop(spark, tbl, tmp_path):
     assert _ids(tbl.snapshot(spark)) == [1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_publish_from_refuses_base_mutation_and_drift(spark, tbl, tmp_path):
     """Publish is strictly additive: a staging that restated or
     deleted cloned base data, carries DVs, has nothing staged, or
@@ -3629,6 +3675,7 @@ def test_publish_racing_rename_raises(spark, tbl, tmp_path):
     assert raced["done"]
 
 
+@pytest.mark.slow
 def test_publish_identity_watermark_reconciles_and_refuses_overlap(
     spark, tbl, tmp_path
 ):

@@ -57,6 +57,7 @@ def _run_to(spark, src_path, dst_path, ck, **read_opts):
     q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_batch_read_matches_snapshot(spark, tbl):
     """Connector batch read == TransactionLog.snapshot on a table with
     partition columns AND an active deletion vector."""
@@ -91,6 +92,7 @@ def test_batch_read_widened_history(spark, tbl):
     assert _rows(got) == [(1, 10, "2024"), (2, 20, "2024")]
 
 
+@pytest.mark.slow
 def test_stream_exactly_once_across_restart(spark, tbl, tmp_path):
     """Leg 1 delivers the table; a compaction plus a new append later,
     leg 2 (same checkpoint) delivers ONLY the new append — Spark's
@@ -113,6 +115,7 @@ def test_stream_exactly_once_across_restart(spark, tbl, tmp_path):
     assert [c.op for c in dst.history()] == ["append", "append"]
 
 
+@pytest.mark.slow
 def test_stream_raises_on_change_commit(spark, tbl, tmp_path):
     """A merge/delete in the source range fails the stream loudly; the
     skipChangeCommits opt-in skips it and keeps the feed append-only."""
@@ -131,6 +134,7 @@ def test_stream_raises_on_change_commit(spark, tbl, tmp_path):
     assert _rows(dst.snapshot(spark)) == [(1, 10, "2024"), (2, 20, "2024")]
 
 
+@pytest.mark.slow
 def test_stream_starting_version(spark, tbl, tmp_path):
     tbl.append(_df(spark, [(1, 10, "2024")]), ["year"])
     tbl.append(_df(spark, [(2, 20, "2025")]))
@@ -142,6 +146,7 @@ def test_stream_starting_version(spark, tbl, tmp_path):
     assert _rows(dst.snapshot(spark)) == [(2, 20, "2025")]
 
 
+@pytest.mark.slow
 def test_stream_sink_commit_shape(spark, tbl, tmp_path):
     """The sink's commit is a real log commit: hive partition dirs,
     per-file row counts, data-skipping stats — downstream snapshot(),
@@ -160,6 +165,7 @@ def test_stream_sink_commit_shape(spark, tbl, tmp_path):
     assert {r._change_type for r in feed.collect()} == {"insert"}
 
 
+@pytest.mark.slow
 def test_stream_sink_idempotent_replay(spark, tbl, tmp_path):
     """Replaying a (txnAppId, batchId) the log has already seen commits
     nothing and sweeps the re-staged bytes (Delta idempotent writes)."""
@@ -191,6 +197,7 @@ def test_stream_sink_rejects_constrained_table(spark, tbl, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_restart_after_source_widening(spark, tbl, tmp_path):
     """The classic production failure, on the connector surface: a
     checkpointed stream stops, the source schema widens int->long, the
@@ -218,6 +225,7 @@ def test_stream_restart_after_source_widening(spark, tbl, tmp_path):
     assert [c.op for c in dst.history()] == ["append", "append"]
 
 
+@pytest.mark.slow
 def test_stream_change_feed_matches_batch_feed(spark, tbl, tmp_path):
     """readChangeFeed=true streams the row-level CDF: appends become
     insert rows, a merge streams its update_preimage/postimage/insert
@@ -285,6 +293,7 @@ def test_stream_change_feed_raises_on_overwrite(spark, tbl, tmp_path):
         q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_stream_sink_escapes_partition_values(spark, tbl, tmp_path):
     """Partition values containing hive-special characters ('=', '/',
     ':') must be %XX-escaped in the sink's dir names — a literal '/'
@@ -306,6 +315,7 @@ def test_stream_sink_escapes_partition_values(spark, tbl, tmp_path):
     assert not (dst.table_path / "year=c").exists()
 
 
+@pytest.mark.slow
 def test_stream_sink_merge_schema_column_add(spark, tbl, tmp_path):
     """mergeSchema=true lets a stream append a NEW column to an
     existing table: the commit declares the widened union, old files
@@ -342,6 +352,7 @@ def test_stream_sink_merge_schema_column_add(spark, tbl, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_change_feed_spans_column_add(spark, tbl, tmp_path):
     """A CDF sidecar staged BEFORE a column-add lacks the new field;
     the streamed feed must null-fill it under the widened stream
@@ -379,6 +390,7 @@ def test_stream_change_feed_spans_column_add(spark, tbl, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_max_files_per_trigger_admission(spark, tbl):
     """Rate-limited offsets: latestOffset advances only through as
     many commits as fit the file budget (commit-granular, >= 1 commit
@@ -416,6 +428,7 @@ def test_max_files_per_trigger_admission(spark, tbl):
     assert r2.latestOffset()["version"] == 6  # not a rewind to 2
 
 
+@pytest.mark.slow
 def test_max_files_per_trigger_end_to_end(spark, tbl, tmp_path):
     """The option plumbs through format("lakehouse"); under availableNow
     each RUN drains one capped micro-batch from the checkpoint (the

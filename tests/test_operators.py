@@ -482,6 +482,7 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.exceptAll(plain).count() == 0
 
 
+@pytest.mark.slow
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     import io
     from contextlib import redirect_stdout
@@ -1134,6 +1135,7 @@ def test_three_part_comma_join_rewrites_with_table_map_only():
     assert "o.address.city" in out
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_raises_on_nonconvergence(spark, monkeypatch):
     """A duplicate chain deeper than the iteration budget must raise,
     never silently split clusters (ADVICE r2)."""
@@ -1221,6 +1223,7 @@ def test_compact_partitions_recovers_from_crash_window(spark, tmp_path):
     assert not old.exists()
 
 
+@pytest.mark.slow
 def test_ivf_trained_codebook_recall(spark, sf_dir):
     """kmeans_centroids is a genuine index build: recall vs the exact
     brute-force ground truth rises with nprobe, and probing ALL k
@@ -1264,6 +1267,7 @@ def test_ivf_trained_codebook_recall(spark, sf_dir):
     cb.unpersist()
 
 
+@pytest.mark.slow
 def test_lsh_multiprobe_recall_uplift(spark, sf_dir):
     """Query-directed multiprobe: probing Hamming-1 flips of the
     least-confident sign bits strictly widens the candidate set, so
@@ -1796,6 +1800,7 @@ def test_normalize_text_nfc_unicode_semantics(spark):
     assert got[5] is None
 
 
+@pytest.mark.slow
 def test_connected_components_deep_chain_and_random(spark):
     """Pointer jumping must close a 300-deep path graph well inside the
     20-round budget (plain propagation would need 300 rounds), and
@@ -2491,6 +2496,7 @@ def test_sink_overwrite_refreshes_schema_sidecar(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
 
+@pytest.mark.slow
 def test_post_write_maintenance_optimize_zorder(spark, tmp_path):
     """VERDICT r4 item 4: the single OPTIMIZE-equivalent mode — compaction
     + z-order clustering + stats refresh through post_write_maintenance —
@@ -2819,6 +2825,7 @@ def test_compact_sweeps_orphaned_staging_dirs(spark, tmp_path):
     assert not list(tmp_path.glob(f".{path.name}.compact-*"))
 
 
+@pytest.mark.slow
 def test_range_join_overflow_modes(spark):
     """ADVICE r5: an interval spanning more buckets than the cap must
     fail loudly by default (silent clamping lost tail matches); the
@@ -2867,6 +2874,7 @@ def test_range_join_overflow_modes(spark):
         range_join_bucketed(pts, ivl, on_overflow="quarantine", **kwargs)
 
 
+@pytest.mark.slow
 def test_edit_distance_midrange_tau_differential(spark):
     """ADVICE r5: tau is a parameter of the entry, and the PassJoin
     index must be exact at mid-range taus (4..12), not just the tau=3
@@ -2973,6 +2981,7 @@ def test_lsh_signature_udf_matches_sql_fold(spark):
     assert nulls.collect()[0].s is None
 
 
+@pytest.mark.slow
 def test_pq_encode_udf_matches_sql_form(spark):
     """The Arrow/NumPy PQ encoder must be BIT-identical to the
     unrolled-literal SQL form on real embeddings at two SFs — the
@@ -3264,6 +3273,7 @@ def test_hll_register_rows_match_bit_arithmetic(spark):
     assert sorted((r["idx"], r["rho"]) for r in reg) == sorted(expected)
 
 
+@pytest.mark.slow
 def test_ivfpq_index_parquet_roundtrip(spark, tmp_path):
     """Train-once / search-many: the IVF-PQ index halves (codebook +
     encoded lists) survive a parquet round trip bit-losslessly — the
@@ -3301,6 +3311,7 @@ def test_ivfpq_index_parquet_roundtrip(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_exact_ntile_matches_window_ntile(spark):
     """exact_ntile / global_row_number (the distributed replacements
     for the single-task unpartitioned window) are bit-identical to the
@@ -3487,6 +3498,7 @@ def test_global_ordered_scan_running_sum_matches_window(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_global_ordered_scan_cache_lifecycle(spark):
     """r10 VERDICT #2 / ADVICE: the default cache mode must not leak
     one session-lifetime cache entry per call.  With
@@ -3596,6 +3608,7 @@ def test_hilbert_key_matches_reference_and_is_bijective(spark):
         )
 
 
+@pytest.mark.slow
 def test_nearest_lists_kernel_matches_sql_form(spark):
     """The Arrow/NumPy nearest-centroid kernels behind _nearest_lists
     must be BIT-identical to the SQL form they replaced (broadcast
@@ -3666,6 +3679,7 @@ def test_nearest_lists_kernel_matches_sql_form(spark):
     assert new3.exceptAll(old3).count() == 0
 
 
+@pytest.mark.slow
 def test_argmax_centroid_kernel_matches_sql_form(spark):
     """_argmax_centroid's kernels (flat and probe-pruned/grouped) must
     reproduce the former broadcast-join + max_by SQL reduction bit for
@@ -3771,6 +3785,7 @@ def test_global_ordered_scan_single_execution_of_input(spark):
     assert acc.value <= int(n * 1.5), f"input executed {acc.value / n:.2f}x"
 
 
+@pytest.mark.slow
 def test_global_ordered_scan_releases_blocks(spark):
     """Lifecycle regression (VERDICT r11 item 5): the input pin must be
     released BEFORE the helper returns, and the returned frame's

@@ -59,7 +59,57 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+#: entries whose parity run is wall-clock-heavy (iterative kmeans
+#: training on BOTH engine and oracle sides, banded pair joins) — they
+#: carry the ``slow`` marker so the default (driver-budget) tier skips
+#: them; the full tier (``-m ""``) and the driver's own DuckDB oracle
+#: gate still cover them every round.
+SLOW_PARITY = {
+    "dedup_semdedup_incremental",
+    "dedup_semdedup_embeddings",
+    "dedup_embedding_cosine_pairs_banded",
+    "text_char_entropy",
+    "dedup_cluster_representatives",
+    "dedup_duplicate_clusters",
+    "embedding_random_projection",
+    "curate_ccnet_corpus",
+    "acid_bloom_skipping_orders",
+    "acid_change_feed_orders",
+    "acid_connector_roundtrip_orders",
+    "acid_incremental_agg_maintenance",
+    "acid_merge_clauses_orders",
+    "acid_partial_optimize_orders",
+    "acid_restore_orders",
+    "acid_stream_cdf_orders",
+    "acid_stream_feed_orders",
+    "acid_stream_ivm_orders",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_pq_persisted_topk",
+    "ann_mmr_diversified_topk",
+    "ann_recall_pq_eval",
+    "corpus_dedup_rate_by_source",
+    "curate_clean_corpus",
+    "curate_rho_loss_selection",
+    "curate_training_corpus",
+    "dedup_edit_distance_pairs_tau12",
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_minhash",
+    "dedup_minhash_containment_pairs",
+    "dedup_minhash_estimate_error",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_threshold_sweep",
+    "mm_audio_features",
+    "streaming_hll_hourly_users",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_PARITY else n
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_matches_oracle(name, spark, duck):
     sdf = QUERIES[name](spark, SF_ORACLE)
     spdf = _spark_to_pandas(sdf)

@@ -198,6 +198,7 @@ def test_reference_example_plans_run_verbatim(spark, tmp_path):
     assert p2.jobs and p2.jobs[0].jdbc_connection_string
 
 
+@pytest.mark.slow
 def test_iterative_operators_record_ledger_rounds(spark, tmp_path):
     """VERDICT r4 item 6: iterative operators surface round counts and
     convergence deltas in the K3 ledger so unattended runs can alarm on

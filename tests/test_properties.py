@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -128,6 +130,7 @@ def _py_zorder(x: int, y: int, bits: int) -> int:
         unique=True,
     )
 )
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 def test_zorder_key_matches_reference(spark, pairs):
     """The Column bit-interleave agrees with a direct Python Morton
@@ -220,6 +223,7 @@ def test_weighted_sample_rate_edges(spark):
     num_bits=st.sampled_from([64, 1024, 65536]),
     num_hashes=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 def test_bloom_prefilter_join_never_loses_rows(spark, big_keys, small_keys, num_bits, num_hashes):
     """Randomized: for any key multiset, filter size, and hash count,
@@ -253,6 +257,7 @@ def test_bloom_prefilter_join_never_loses_rows(spark, big_keys, small_keys, num_
         max_size=16, unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 def test_snapshot_diff_matches_bruteforce(spark, prev_rows, cur_rows):
     """Randomized: snapshot_diff's status classification and change
@@ -433,6 +438,7 @@ def test_tsql_composed_rewrite_executes(spark):
     ),
     tau=st.sampled_from([2, 3]),
 )
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 def test_prefix_edit_pairs_match_bruteforce(spark, texts, tau):
     """Randomized differential for the PassJoin segment index over a
@@ -487,6 +493,7 @@ def test_prefix_edit_pairs_match_bruteforce(spark, texts, tau):
         max_size=4,
     )
 )
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None)
 def test_scd2_apply_invariants(spark, batches):
     """Randomized SCD2 merge sequence upholds the dimension invariants:
@@ -673,6 +680,7 @@ def test_unimax_closed_form_matches_greedy_reference(ns, cap_epochs, factor):
     ).filter(lambda ops: ops[0] == "append"),
     st.integers(1, 3),
 )
+@pytest.mark.slow
 @settings(max_examples=5, deadline=None)
 def test_expire_snapshots_invariants(spark, tmp_path_factory, ops, retain):
     """Property: for ANY append/overwrite history and ANY retain_last,

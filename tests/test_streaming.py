@@ -251,6 +251,7 @@ def _run_stream_to_memory(
     return q
 
 
+@pytest.mark.slow
 def test_tumbling_window_stream_matches_batch(spark, events_stream_parts):
     stream_dir, schema, full = events_stream_parts
     stream = replay_events_stream(spark, stream_dir, schema)
@@ -271,6 +272,7 @@ def test_tumbling_window_stream_matches_batch(spark, events_stream_parts):
     assert len(got) >= len(expect) * 0.5
 
 
+@pytest.mark.slow
 def test_session_window_stream_runs(spark, events_stream_parts):
     stream_dir, schema, full = events_stream_parts
     stream = replay_events_stream(spark, stream_dir, schema)
@@ -283,6 +285,7 @@ def test_session_window_stream_runs(spark, events_stream_parts):
     )
 
 
+@pytest.mark.slow
 def test_stateful_user_counter(spark, events_stream_parts):
     stream_dir, schema, full = events_stream_parts
     stream = replay_events_stream(spark, stream_dir, schema)
@@ -301,6 +304,7 @@ def test_stateful_user_counter(spark, events_stream_parts):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_streaming_dedup(spark, events_stream_parts, tmp_path):
     from platform_to_migrate_sap_sybaseiq_to_datalake_on_aws_with_fine_grained_control_spark.streaming.events import (
         streaming_dedup,
@@ -331,6 +335,7 @@ def test_streaming_dedup(spark, events_stream_parts, tmp_path):
     assert total == full.count()  # nothing lost, duplicates dropped
 
 
+@pytest.mark.slow
 def test_stream_static_enrichment_matches_batch(spark, events_stream_parts):
     """Stream-static broadcast enrichment: joining each micro-batch to
     a dimension snapshot yields exactly the batch join result."""
@@ -368,6 +373,7 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_parts):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_streaming_neardup_suppresses_simhash_collisions(spark, events_stream_parts, tmp_path):
     """Near-dup suppression keys state on the SimHash signature: the
     streamed survivor set carries exactly the distinct signatures."""
@@ -393,6 +399,7 @@ def test_streaming_neardup_suppresses_simhash_collisions(spark, events_stream_pa
     assert got.select(simhash_bits("props", 16)).distinct().count() == n_sigs
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics, demonstrated end-to-end: a straggler event
     whose window closed two micro-batches ago must be dropped by the
@@ -460,6 +467,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert batch.get(t(9, 0)) == (1, 99.0)
 
 
+@pytest.mark.slow
 def test_foreachbatch_rollup_maintenance_matches_batch(spark, events_stream_parts, tmp_path):
     """Continuous-aggregate maintenance from a live stream: each
     micro-batch is merged into the hourly materialization via
@@ -507,6 +515,7 @@ def test_foreachbatch_rollup_maintenance_matches_batch(spark, events_stream_part
         assert abs(gtot - tot) < 1e-6  # double-sum order differs across paths
 
 
+@pytest.mark.slow
 def test_stateful_sessionizer_matches_batch(spark, events_stream_parts, tmp_path):
     """The applyInPandasWithState sessionizer, fed the same events plus a
     far-future flush sentinel per user, emits exactly the sessions the
@@ -573,6 +582,7 @@ def test_stateful_sessionizer_matches_batch(spark, events_stream_parts, tmp_path
     assert (got["session_start"] <= got["session_end"]).all()
 
 
+@pytest.mark.slow
 def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
     """A user that never returns is flushed by the event-time timeout
     once later traffic from OTHER users advances the watermark."""
@@ -633,6 +643,7 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
     assert int(u1.iloc[0]["n_events"]) == 2
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, events_stream_parts):
     """The watermarked stream-stream click->purchase interval join over
     the replayed stream emits exactly the pairs the identical batch
@@ -661,6 +672,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_parts):
     assert abs(got["purchase_value"].sum() - exp["purchase_value"].sum()) < 1e-6
 
 
+@pytest.mark.slow
 def test_stateful_ewma_matches_batch(spark, events_stream_parts):
     """The streaming EWMA state machine, replaying the time-ordered
     3-slice stream, converges to exactly the batch events_user_ewma
@@ -699,6 +711,7 @@ def test_stateful_ewma_matches_batch(spark, events_stream_parts):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
     """Streaming CDC ingestion: an ordered change feed (updates +
     deletes + late re-inserts) merged into a lake snapshot one
@@ -795,6 +808,7 @@ def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
     assert gone and not (gone & set(got))
 
 
+@pytest.mark.slow
 def test_stateful_funnel_matcher_matches_brute_force(spark, events_stream_parts):
     """The CEP funnel matcher (signup -> purchase within 1h, FIFO
     one-to-one), replaying the time-ordered 3-slice stream, emits
@@ -979,6 +993,7 @@ def test_stateful_quota_admitter_matches_batch(spark, events_stream_parts):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_restart_after_schema_widening(spark, tmp_path):
     """r5 VERDICT watch item: a long-lived ingestion stream must
     survive an upstream int→long widening across a restart.  Contract:
@@ -1037,6 +1052,7 @@ def test_stream_restart_after_schema_widening(spark, tmp_path):
     assert dict(tbl.snapshot(spark, version=1).dtypes)["v"] == "int"
 
 
+@pytest.mark.slow
 def test_stream_into_constrained_table_via_foreach_batch(spark, tmp_path):
     """r6 VERDICT item 6: CHECK/generated/identity tables as stream
     targets through foreach_batch_sink — each micro-batch rides the
