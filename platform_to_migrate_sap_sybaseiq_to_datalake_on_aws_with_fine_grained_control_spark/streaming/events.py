@@ -791,9 +791,16 @@ def run_streaming_hll(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         (
+            # 1-task reduce + 1 file per micro-batch (r12, guide §2.4/§6):
+            # the per-batch register/counter delta is a few hundred rows, and
+            # streaming disables AQE, so the session's 32-way exchange fanned
+            # a tiny write into 32 tasks + up to 32 files per batch for
+            # nothing.  coalesce(1) merges the post-shuffle partitions into
+            # one reduce task; committed rows are identical.
             hll_register_rows(batch_df, key_col)
             .groupBy("idx")
             .agg(F.max("rho").alias("m"))
+            .coalesce(1)
             .write.mode("append")
             .parquet(regs_dir)
         )
@@ -842,6 +849,7 @@ def run_streaming_cms(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         (
             cms_counter_rows(batch_df, key_col)
+            .coalesce(1)
             .write.mode("append")
             .parquet(regs_dir)
         )
@@ -904,6 +912,7 @@ def run_streaming_bin_counts(
                 F.count(F.when(F.col("period") == "base", 1)).alias("nb"),
                 F.count(F.when(F.col("period") == "cur", 1)).alias("nc"),
             )
+            .coalesce(1)
             .write.mode("append")
             .parquet(counts_dir)
         )
@@ -977,6 +986,7 @@ def run_streaming_hll_windows(
             hll_register_rows(keyed, "k", carry=("win",))
             .groupBy("win", "idx")
             .agg(F.max("rho").alias("m"))
+            .coalesce(1)
             .write.mode("append")
             .parquet(regs_dir)
         )

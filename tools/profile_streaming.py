@@ -80,6 +80,7 @@ def main() -> None:
                     hll_register_rows(batch_df, key)
                     .groupBy("idx")
                     .agg(F.max("rho").alias("m"))
+                    .coalesce(1)  # mirror the shipped sink (r12)
                     .write.mode("append")
                     .parquet(regs_dir)
                 )
