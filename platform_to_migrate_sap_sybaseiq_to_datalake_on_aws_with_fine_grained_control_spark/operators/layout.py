@@ -14,6 +14,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: r12 escape hatch for the global_ordered_scan input pin (see the
+#: function body): True = execute the input lineage once by persisting
+#: it for the duration of the call.  The pin routes the input through
+#: the CacheManager, and cached plans execute WITHOUT adaptive
+#: execution unless spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+#: is true — measured A/B evidence and the shipped session default are
+#: recorded in OPTIMIZATION_r12.md.
+PIN_ORDERED_SCAN_INPUT = True
+
 COALESCE_TIERS: list[tuple[int, int]] = [
     (50_000_000, 8),
     (100_000_000, 16),
@@ -188,7 +197,7 @@ def global_ordered_scan(
     # plan) cannot recur because the pin is released eagerly inside
     # the call, not left for GC.  Skip the pin when the caller already
     # persisted the input (their cache serves both passes).
-    pin = cache == "checkpoint" and bool(
+    pin = PIN_ORDERED_SCAN_INPUT and cache == "checkpoint" and bool(
         df.storageLevel is not None
         and not (df.storageLevel.useMemory or df.storageLevel.useDisk)
     )

@@ -57,6 +57,13 @@ from .sources.registry import load_table
 
 # ---- shared constants (Spark impl and oracle MUST agree) -------------
 
+#: r12: run curate_ccnet_corpus's minhash feature-table build on a
+#: background thread overlapping the perplexity pipeline's eager
+#: checkpoint (guide §2.6).  Results identical either way; the flag
+#: exists so the overlap could be measured per scale — see
+#: OPTIMIZATION_r12.md for the recorded decision.
+CCNET_OVERLAP_FEAT = True
+
 ANN_QUERY_IDS = [0, 1, 2]
 ANN_K = 5
 LSH_PLANES = 4
@@ -1524,27 +1531,35 @@ def curate_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thread while the main thread runs the perplexity build — each
     # job's tail backfills the other's idle executors.  Plan and
     # results are identical: the thread only forces the persist that
-    # the dedup join would otherwise force later, serially.
-    import threading
+    # the dedup join would otherwise force later, serially.  §2.6's
+    # own caveat applies — overlap fills IDLE capacity; when both
+    # phases already saturate the cluster it only adds contention —
+    # so the flag records the measured decision (OPTIMIZATION_r12.md).
+    if CCNET_OVERLAP_FEAT:
+        import threading
 
-    _bg_err: list[BaseException] = []
+        _bg_err: list[BaseException] = []
 
-    def _materialize_feat() -> None:
+        def _materialize_feat() -> None:
+            try:
+                feat.count()
+            except BaseException as e:  # surfaced after join
+                _bg_err.append(e)
+
+        _th = threading.Thread(target=_materialize_feat, daemon=True)
+        _th.start()
         try:
-            feat.count()
-        except BaseException as e:  # surfaced after join
-            _bg_err.append(e)
-
-    _th = threading.Thread(target=_materialize_feat, daemon=True)
-    _th.start()
-    try:
+            ppl = bigram_perplexity_df(spark, sf_dir).select(
+                "doc_id", "ppl", "ccnet_bucket"
+            )
+        finally:
+            _th.join()
+        if _bg_err:
+            raise _bg_err[0]
+    else:
         ppl = bigram_perplexity_df(spark, sf_dir).select(
             "doc_id", "ppl", "ccnet_bucket"
         )
-    finally:
-        _th.join()
-    if _bg_err:
-        raise _bg_err[0]
     contaminated = _contamination_overlap_from_shingles(
         feat.select("doc_id", "sh")
     ).select("doc_id")

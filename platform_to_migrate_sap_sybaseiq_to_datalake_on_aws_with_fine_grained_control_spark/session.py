@@ -68,6 +68,21 @@ def get_spark(
             "spark.io.compression.zstd.level",
             os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
         )
+        # Let AQE re-optimize the physical plan UNDER a persisted frame
+        # (r12).  Default false means any cached plan executes without
+        # adaptive coalescing/skew handling — with the ordered-scan
+        # input pin and the persisted feature tables, the heaviest
+        # token-pair shuffle pipelines were silently losing AQE.
+        # Measured at sf10 on the bigram-LM pipeline (3 reps/arm, one
+        # session per arm): pin without this = med 28.0 s; pin + this
+        # = med 15.9 s; no pin (double execution) = med 15.8 s — the
+        # pin only pays off WITH it.  Results are partition-count-
+        # invariant by the catalog's determinism design (full parity
+        # re-run green under this conf).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
