@@ -119,6 +119,7 @@ def global_ordered_scan(
     cumsum: dict[str, str] | None = None,
     num_partitions: int | None = None,
     cache: str = "checkpoint",
+    pin_input: bool | None = None,
 ) -> DataFrame:
     """Distributed ORDER-dependent scan primitives — exact global row
     numbers (``rn_out``) and/or running sums (``cumsum`` maps output
@@ -197,7 +198,12 @@ def global_ordered_scan(
     # plan) cannot recur because the pin is released eagerly inside
     # the call, not left for GC.  Skip the pin when the caller already
     # persisted the input (their cache serves both passes).
-    pin = PIN_ORDERED_SCAN_INPUT and cache == "checkpoint" and bool(
+    # pin_input=None defers to the module default; callers whose input
+    # lineage is a cheap raw scan (exact_file_chunks' write paths) pass
+    # False — re-scanning once is cheaper than materializing a cache.
+    if pin_input is None:
+        pin_input = PIN_ORDERED_SCAN_INPUT
+    pin = pin_input and cache == "checkpoint" and bool(
         df.storageLevel is not None
         and not (df.storageLevel.useMemory or df.storageLevel.useDisk)
     )
@@ -277,11 +283,13 @@ def global_row_number(
     out: str = "rn",
     num_partitions: int | None = None,
     cache: str = "checkpoint",
+    pin_input: bool | None = None,
 ) -> DataFrame:
     """EXACT global 1-based row number under a TOTAL order — see
     :func:`global_ordered_scan` (this is its ``rn_out``-only form)."""
     return global_ordered_scan(
-        df, order_cols, rn_out=out, num_partitions=num_partitions, cache=cache
+        df, order_cols, rn_out=out, num_partitions=num_partitions,
+        cache=cache, pin_input=pin_input,
     )
 
 
@@ -375,9 +383,15 @@ def exact_file_chunks(
     if rows_per_file < 1:
         raise ValueError(f"rows_per_file must be >= 1, got {rows_per_file}")
     pkeys = list(partition_keys or [])
+    # pin_input=False (r12): the chunked-write inputs are raw
+    # projections of a single parquet scan — re-executing that scan for
+    # the range-bound sampling pass is cheaper than materializing the
+    # whole frame into the block-manager cache (the pin exists for
+    # expensive post-aggregation lineages like exact_ntile's
+    # perplexity consumers).
     rn_frame = global_row_number(
         df, [*pkeys, *order_cols], out="_efc_rn",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, pin_input=False,
     )
     if pkeys:
         # O(distinct key groups) aggregate on the already-materialized
