@@ -14,14 +14,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: r12 escape hatch for the global_ordered_scan input pin (see the
-#: function body): True = execute the input lineage once by persisting
-#: it for the duration of the call.  The pin routes the input through
-#: the CacheManager, and cached plans execute WITHOUT adaptive
-#: execution unless spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
-#: is true — measured A/B evidence and the shipped session default are
-#: recorded in OPTIMIZATION_r12.md.
-PIN_ORDERED_SCAN_INPUT = True
+#: Default for the global_ordered_scan input pin (r12, measured OFF):
+#: True = persist the input for the duration of the call so its lineage
+#: executes once instead of once per pass.  Shipped False because the
+#: "double execution" it removes reuses shuffle outputs across the
+#: sampling and checkpoint passes (Spark skips already-computed
+#: stages), so the pin buys almost nothing — while the pinned cache
+#: either executes WITHOUT AQE (canChangeCachedPlanOutputPartitioning's
+#: false default: sf10 bigram pipeline med 15.8 s -> 28.0 s) or, with
+#: that conf flipped true, starves downstream consumers of cached
+#: frames of parallelism session-wide.  Full A/B/C evidence in
+#: OPTIMIZATION_r12.md change 3; the mechanism stays (per-call
+#: ``pin_input=True``, regression-tested) for expensive-lineage callers
+#: on deployments where the cached-plan AQE conf is enabled.
+PIN_ORDERED_SCAN_INPUT = False
 
 COALESCE_TIERS: list[tuple[int, int]] = [
     (50_000_000, 8),

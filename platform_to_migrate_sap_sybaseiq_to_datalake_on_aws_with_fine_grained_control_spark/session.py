@@ -68,21 +68,17 @@ def get_spark(
             "spark.io.compression.zstd.level",
             os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
         )
-        # Let AQE re-optimize the physical plan UNDER a persisted frame
-        # (r12).  Default false means any cached plan executes without
-        # adaptive coalescing/skew handling — with the ordered-scan
-        # input pin and the persisted feature tables, the heaviest
-        # token-pair shuffle pipelines were silently losing AQE.
-        # Measured at sf10 on the bigram-LM pipeline (3 reps/arm, one
-        # session per arm): pin without this = med 28.0 s; pin + this
-        # = med 15.9 s; no pin (double execution) = med 15.8 s — the
-        # pin only pays off WITH it.  Results are partition-count-
-        # invariant by the catalog's determinism design (full parity
-        # re-run green under this conf).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+        # deliberately LEFT AT ITS false DEFAULT (r12, measured twice):
+        # true lets AQE coalesce a persisted frame's output to 1-2
+        # partitions, starving every downstream consumer of the cache
+        # of parallelism — fresh-session A/B on persist-heavy entries
+        # at sf0.1: mm_video 2.29 -> 3.24 s, sketch_hll 1.15 -> 1.56,
+        # streaming_hll 2.79 -> 3.62 under the true setting.  The sf10
+        # case it would have helped (AQE under the ordered-scan input
+        # pin) is moot because the "double execution" it was paired
+        # with reuses shuffle outputs across passes anyway — see
+        # OPTIMIZATION_r12.md change 3 for the full evidence chain.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

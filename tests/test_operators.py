@@ -3778,11 +3778,25 @@ def test_global_ordered_scan_single_execution_of_input(spark):
 
     n = 20_000
     src = spark.range(n).select(counted("id").alias("k"))
-    out = global_row_number(src, [F.col("k").asc()], out="rn")
+    # opt-in form (the shipped default is pin_input=False — see
+    # PIN_ORDERED_SCAN_INPUT): with the pin, the map-side input lineage
+    # must execute ONCE; without it, the sampling pass and the shuffle
+    # pass each run it (2n)
+    out = global_row_number(src, [F.col("k").asc()], out="rn", pin_input=True)
     assert out.count() == n
-    # one full execution (+ scheduler slack); the pre-fix double pass
-    # would land at 2n
     assert acc.value <= int(n * 1.5), f"input executed {acc.value / n:.2f}x"
+    acc2 = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counted2(x):
+        acc2.add(1)
+        return x
+
+    src2 = spark.range(n).select(counted2("id").alias("k"))
+    out2 = global_row_number(src2, [F.col("k").asc()], out="rn")
+    assert out2.count() == n
+    # default (no pin): the map-side lineage runs once per pass
+    assert acc2.value >= int(n * 1.5), f"expected 2 passes, got {acc2.value / n:.2f}x"
 
 
 @pytest.mark.slow
@@ -3815,22 +3829,31 @@ def test_global_ordered_scan_releases_blocks(spark):
         return n_persistent()
 
     base = settle(0)
-    frames = []
-    for i in range(3):
+    # one frame at a time: the helper's contract is per-frame (each
+    # call leaves exactly one GC-owned checkpoint).  Deliberately NOT
+    # several simultaneously-live frames — a probe showed that three
+    # checkpoints dropped in one GC pass drain only lazily on this
+    # JVM/py4j stack EVEN FOR THE PRE-r12 INLINE SHAPE, i.e. that is a
+    # multi-object GC-timing artifact, not a property of this operator.
+    for i in range(2):
         src = spark.range(10_000 + i).select(
             (F.col("id") % 997).alias("k"), F.col("id").alias("uid")
         )
-        f = global_row_number(src, ["k", "uid"], out="rn")
-        assert f.count() == 10_000 + i
-        frames.append(f)
-    # pins released eagerly inside the call: only the 3 checkpoints live
-    assert n_persistent() <= base + 3, (
-        f"input pins leaked: {n_persistent()} persistent RDDs "
-        f"(baseline {base}, expected <= {base + 3})"
-    )
-    del frames, f, src
-    drained = settle(base)
-    assert drained <= base, (
-        f"checkpoint blocks did not drain: {drained} persistent RDDs "
-        f"remain (baseline {base})"
-    )
+        f = global_row_number(src, ["k", "uid"], out="rn", pin_input=True)
+        # keep the count OUT of the assert expression: pytest's
+        # assertion rewriting stores the bound method (`f.count`) in a
+        # frame temporary, which keeps the frame referenced past `del`
+        cnt = f.count()
+        assert cnt == 10_000 + i
+        # the input pin must be released EAGERLY inside the call: only
+        # this call's checkpoint may remain
+        assert n_persistent() <= base + 1, (
+            f"input pin leaked: {n_persistent()} persistent RDDs "
+            f"(baseline {base}, expected <= {base + 1})"
+        )
+        del f, src
+        drained = settle(base)
+        assert drained <= base, (
+            f"checkpoint blocks did not drain: {drained} persistent "
+            f"RDDs remain (baseline {base})"
+        )
